@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q": sec, ...}, "sf": <sf>}
+
+Each query is fully materialized with a noop sink (forces every column
+and the whole plan to execute, unlike count()).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+from degenter_clickhouse_spark.queries import load_registry  # noqa: E402
+from degenter_clickhouse_spark.session import build_session  # noqa: E402
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "star_revenue",
+    "ohlcv_1m",
+    "ohlcv_resample_15m",
+    "gap_fill_hourly",
+    "candle_continuity",
+    "leaderboard",
+    "conditional_rollup",
+    "latest_value",
+    "dedupe_latest",
+    "topk_concentration",
+    "change_pct",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    spark = build_session(app_name="degenter-bench")
+    reg = load_registry()
+    names = [n for n in BENCH_QUERIES if n in reg]
+    # warm up the JVM + file listing once so timings measure the queries
+    reg[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        reg[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""Loaders for the driver-provided parquet tables plus domain-shaped views.
+
+The driver tables (TESTDATA.md) are a TPC-H-ish star schema:
+``region nation customer supplier part orders lineitem events documents
+embeddings``. The DEX-domain operators (SURVEY.md §2) are exercised
+against views derived from these: ``events`` plays the tick/trade
+stream, ``lineitem`` the fact table, dimension tables play tokens/pools.
+
+Scale note: loads are plain ``spark.read.parquet`` — column pruning and
+predicate pushdown reach the scan via Catalyst; nothing here collects.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
+# reading with an explicit LongType schema (or the nanosAsLong flag)
+# yields nanos-since-epoch, converted below with integer division so the
+# ns -> us truncation exactly matches engines that read nanos natively.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        df = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    dfs = load_all(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
+
+
+def ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events shaped as a price-tick stream: (pool_id, price, qty, ts).
+
+    Mirrors the reference's ``price_ticks`` shape
+    (phase3schema.sql:154-160): per-pool timestamped prices. user_id
+    plays pool_id, value plays price.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("user_id").alias("pool_id"),
+        F.col("value").alias("price"),
+        F.col("event_id"),
+        F.col("event_type"),
+        F.col("ts"),
+    )

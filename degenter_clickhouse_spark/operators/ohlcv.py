@@ -1,0 +1,200 @@
+"""OHLCV candle construction, resampling, continuity, and gap fill.
+
+Reference semantics reproduced (SURVEY.md §2.5 A7/A8, §2.6 W4/W5):
+
+* A7 bar build (core/ohlcv.js:32-62): per (pool, minute) open=first,
+  high=max, low=min, close=last, volume=sum, trades=count. The reference
+  uses *arrival order* for first/last; this engine imposes an explicit
+  deterministic order column (event time + sequence) as SURVEY.md §7
+  requires.
+* A8 resample (api/routes/tokens.js:1429-1486): bucket =
+  intDiv(unix_ts, step)*step; open=argMin(open, ts), close=argMax(close,
+  ts), high/low=max/min, sums for volume/trades. Duplicate input rows
+  for the same minute are merged by the aggregation (ST6).
+* W4 continuity (core/ohlcv.js:122-154): a candle's open is the previous
+  candle's close — ``lag`` per pool. The carried open may legitimately
+  fall outside [low, high] (core/ohlcv.js:142-144); we preserve that.
+* W5 + spine gap fill (api/routes/tokens.js:1491-1558): missing buckets
+  on the step grid are synthesized; fill='prev' carries the last close
+  forward as a flat candle, fill='zero' emits zero-price candles.
+
+Scale: everything is groupBy/window over (pool_id, bucket) — partial
+aggregation map-side, one shuffle on pool_id. The gap-fill spine uses
+``sequence``+``explode`` per pool (rows ∝ pools × buckets, generated
+distributed, never on the driver).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def bars(
+    ticks: DataFrame,
+    step_sec: int = 60,
+    pool: str = "pool_id",
+    price: str = "price",
+    ts: str = "ts",
+    seq: str | None = None,
+    qty: str | Column | None = None,
+) -> DataFrame:
+    """Build OHLCV bars from ticks. ``seq`` breaks ties within a
+    timestamp ((height, msg_index) in the reference model)."""
+    order = F.struct(F.col(ts), F.col(seq)) if seq else F.col(ts)
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp(F.col(ts)) / step_sec).cast("long") * step_sec
+    ).alias("bucket_start")
+    vol = (
+        F.lit(0.0)
+        if qty is None
+        else (F.col(qty) if isinstance(qty, str) else qty)
+    )
+    return (
+        ticks.groupBy(F.col(pool).alias("pool_id"), bucket)
+        .agg(
+            F.min_by(F.col(price), order).alias("open"),
+            F.max(F.col(price)).alias("high"),
+            F.min(F.col(price)).alias("low"),
+            F.max_by(F.col(price), order).alias("close"),
+            F.sum(vol).alias("volume"),
+            F.count(F.lit(1)).alias("trade_count"),
+        )
+    )
+
+
+def resample(
+    bars_df: DataFrame,
+    step_sec: int,
+    pool: str = "pool_id",
+    bucket: str = "bucket_start",
+) -> DataFrame:
+    """1m bars -> N-second buckets; also merges duplicate (pool, bucket)
+    rows, which the reference tolerates in storage (ST6)."""
+    b = F.col(bucket)
+    new_bucket = F.timestamp_seconds(
+        (F.unix_timestamp(b) / step_sec).cast("long") * step_sec
+    ).alias("bucket_start")
+    return (
+        bars_df.groupBy(F.col(pool).alias("pool_id"), new_bucket)
+        .agg(
+            F.min_by(F.col("open"), b).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by(F.col("close"), b).alias("close"),
+            F.sum("volume").alias("volume"),
+            F.sum("trade_count").alias("trade_count"),
+        )
+    )
+
+
+def with_carried_open(
+    bars_df: DataFrame,
+    pool: str = "pool_id",
+    bucket: str = "bucket_start",
+) -> DataFrame:
+    """W4: open := previous candle's close (first candle keeps its own
+    open). Deliberately may fall outside [low, high]."""
+    w = Window.partitionBy(pool).orderBy(bucket)
+    prev_close = F.lag("close").over(w)
+    return bars_df.withColumn("open", F.coalesce(prev_close, F.col("open")))
+
+
+def gap_fill(
+    bars_df: DataFrame,
+    step_sec: int,
+    fill: str = "prev",
+    pool: str = "pool_id",
+    bucket: str = "bucket_start",
+) -> DataFrame:
+    """Densify each pool's bar series onto the step grid between its
+    first and last bucket.
+
+    fill='prev': synthetic candles are flat at the carried close with
+    zero volume/trades (reference fill=prev, api/routes/tokens.js:1524-1535).
+    fill='zero': synthetic candles are all-zero (fill=zero, :1536-1546).
+    Real candles additionally get open := carried prev close, and
+    high/low widened to include it (:1520-1523).
+    """
+    spine = (
+        bars_df.groupBy(pool)
+        .agg(F.min(bucket).alias("lo"), F.max(bucket).alias("hi"))
+        .select(
+            F.col(pool),
+            F.explode(
+                F.sequence(
+                    F.col("lo"), F.col("hi"), F.expr(f"INTERVAL {step_sec} SECONDS")
+                )
+            ).alias(bucket),
+        )
+    )
+    joined = spine.join(bars_df, on=[pool, bucket], how="left")
+    w = (
+        Window.partitionBy(pool)
+        .orderBy(bucket)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_close = F.last(F.col("close"), ignorenulls=True).over(w)
+    is_gap = F.col("close").isNull()
+    if fill == "prev":
+        close = F.coalesce(F.col("close"), prev_close)
+        opn = F.coalesce(prev_close, F.col("open"))
+        return joined.select(
+            F.col(pool),
+            F.col(bucket),
+            opn.alias("open"),
+            F.greatest(F.coalesce(F.col("high"), prev_close), opn).alias("high"),
+            F.least(F.coalesce(F.col("low"), prev_close), opn).alias("low"),
+            close.alias("close"),
+            F.coalesce(F.col("volume"), F.lit(0.0)).alias("volume"),
+            F.coalesce(F.col("trade_count"), F.lit(0)).alias("trade_count"),
+            is_gap.alias("is_gap"),
+        )
+    if fill == "zero":
+        zero = F.lit(0.0)
+        return joined.select(
+            F.col(pool),
+            F.col(bucket),
+            F.coalesce(F.col("open"), zero).alias("open"),
+            F.coalesce(F.col("high"), zero).alias("high"),
+            F.coalesce(F.col("low"), zero).alias("low"),
+            F.coalesce(F.col("close"), zero).alias("close"),
+            F.coalesce(F.col("volume"), zero).alias("volume"),
+            F.coalesce(F.col("trade_count"), F.lit(0)).alias("trade_count"),
+            is_gap.alias("is_gap"),
+        )
+    # fill == 'none': keep only real candles (identity on bars_df rows)
+    return joined.filter(~is_gap).withColumn("is_gap", F.lit(False))
+
+
+def change_pct(
+    series: DataFrame,
+    cutoff: Column,
+    pool: str = "pool_id",
+    value: str = "close",
+    ts: str = "bucket_start",
+    seq: str | None = None,
+) -> DataFrame:
+    """B12 (api/util/pool-select.js:84-126): per pool,
+    (latest value − value at-or-before cutoff) / previous × 100.
+    ``seq`` breaks timestamp ties deterministically."""
+    ordc = F.struct(F.col(ts), F.col(seq)) if seq else F.col(ts)
+    latest = F.max_by(F.col(value), ordc).alias("last_value")
+    in_window = F.col(ts) <= cutoff
+    prev = F.max_by(
+        F.when(in_window, F.col(value)),
+        F.when(in_window, ordc),
+    ).alias("prev_value")
+    out = series.groupBy(pool).agg(latest, prev)
+    return out.select(
+        F.col(pool),
+        F.col("last_value"),
+        F.col("prev_value"),
+        F.when(
+            F.col("prev_value").isNotNull() & (F.col("prev_value") != 0),
+            (F.col("last_value") - F.col("prev_value"))
+            / F.col("prev_value")
+            * 100.0,
+        ).alias("change_pct"),
+    )

