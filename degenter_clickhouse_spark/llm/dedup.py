@@ -1,0 +1,155 @@
+"""Document deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash.
+
+Scale design (100 TB):
+
+* Exact dedup is one hash-groupBy — a single shuffle on the content
+  hash; with AQE the reducers coalesce to the true group count.
+* The shingle self-join used for *verification* is quadratic in the
+  worst case, so candidate generation must bound it: ``minhash_lsh``
+  only joins documents sharing an LSH band bucket (band key is the
+  shuffle key; non-near-dup pairs never meet). ``jaccard_pairs``
+  (candidates = any shared shingle) is the small-scale/oracle baseline.
+* SimHash reduces each doc to one 16/64-bit value; near-dup lookup
+  becomes an equality (or banded-equality) join — the cheapest pattern
+  at extreme scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import text as T
+
+
+def with_shingle_rows(docs: DataFrame, id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct rows + polynomial shingle hash."""
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(T.shingles(f"split(text, ' ')", n)).alias("shingle"),
+    ).distinct()
+    return sh.withColumn("h", T.poly_hash("shingle"))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: emits (doc_id, canonical_id,
+    content_hash) for every removed duplicate (canonical = min id)."""
+    hashed = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+    groups = (
+        hashed.groupBy("content_hash")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    return (
+        hashed.join(F.broadcast(groups), "content_hash")
+        .filter(F.col(id_col) != F.col("canonical_id"))
+        .select(F.col(id_col), F.col("canonical_id"), F.col("content_hash"))
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, n: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs by word n-gram Jaccard; candidates = pairs sharing
+    at least one shingle (exact but quadratic in shared-shingle pairs —
+    the LSH variant is the scale path)."""
+    sh = with_shingle_rows(docs, id_col, n).select(F.col(id_col).alias("d"), "shingle")
+    sizes = sh.groupBy("d").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.d") < F.col("b.d")))
+        .groupBy(F.col("a.d").alias("d1"), F.col("b.d").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    j = (
+        common.join(sizes.withColumnRenamed("d", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+        .join(sizes.withColumnRenamed("d", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double") / (F.col("n1") + F.col("n2") - F.col("common")),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "d1", "d2", "common", "n1", "n2", "jaccard"
+    )
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """k=8 affine minhashes over shingle polyhashes: one row per doc,
+    columns m0..m7."""
+    sh = with_shingle_rows(docs, id_col, n)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % T.POLY_MOD).alias(f"m{i}")
+        for i, (a, b) in enumerate(T.MINHASH_SEEDS)
+    ]
+    return sh.groupBy(F.col(id_col)).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, threshold: float = 0.5, n: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash LSH near-dup detection: signatures -> 4 bands x 2 rows ->
+    band-bucket join for candidates -> exact Jaccard verification of
+    candidates only. At scale the band key is the only shuffle key that
+    touches all documents; verification cost ∝ true-positive pairs."""
+    sig = minhash_signatures(docs, id_col, n)
+    bands = None
+    for j in range(4):
+        band = sig.select(
+            F.col(id_col).alias("d"),
+            F.lit(j).alias("band"),
+            F.concat_ws("_", F.col(f"m{2 * j}"), F.col(f"m{2 * j + 1}")).alias("key"),
+        )
+        bands = band if bands is None else bands.unionByName(band)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.d") < F.col("b.d")),
+        )
+        .select(F.col("a.d").alias("d1"), F.col("b.d").alias("d2"))
+        .distinct()
+    )
+    sh = with_shingle_rows(docs, id_col, n).select(F.col(id_col).alias("d"), "shingle")
+    sizes = sh.groupBy("d").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        cand.join(sh.withColumnRenamed("d", "d1").withColumnRenamed("shingle", "s1"), "d1")
+        .join(sh.withColumnRenamed("d", "d2").withColumnRenamed("shingle", "s2"), "d2")
+        .filter(F.col("s1") == F.col("s2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    j = (
+        common.join(sizes.withColumnRenamed("d", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+        .join(sizes.withColumnRenamed("d", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double") / (F.col("n1") + F.col("n2") - F.col("common")),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("d1", "d2", "jaccard")
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash over distinct word hashes: per bit, sum +/-1 by
+    the word-hash bit, sign gives the fingerprint bit. Near-identical
+    docs land on equal fingerprints -> dedupe by equality join."""
+    w = docs.select(
+        F.col(id_col), F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).distinct()
+    w = w.withColumn("h", T.poly_hash("w"))
+    bit_sums = [
+        F.sum(
+            F.when((F.col("h").bitwiseAND(F.lit(1 << b))) != 0, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(T.SIMHASH_BITS)
+    ]
+    per_doc = w.groupBy(F.col(id_col)).agg(*bit_sums)
+    fp = None
+    for b in range(T.SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return per_doc.select(F.col(id_col), fp.cast("bigint").alias("simhash"))

@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns (array<float>).
+
+Determinism trick shared with the oracles: the dot product and squared
+norms are accumulated as BIGINT after scaling each pointwise product by
+1e12 and flooring — exact integer sums are order-independent, so the
+cosine is bit-identical regardless of shuffle order or engine.
+
+Scale design (100 TB): ``brute_topk`` is the correctness baseline —
+a broadcast of the (small) query set against the full candidate table,
+one pass, no candidate shuffle. ``lsh_topk`` is the scale path: random-
+hyperplane signatures bucket the candidates so each query only scores
+its bucket (plus multi-probe neighbors); the bucket id is the shuffle
+key. For billion-vector corpora swap the bucketer for IVF centroids
+(kmeans fit offline) — the plumbing (bucket column + per-bucket top-k)
+is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SCALE = "1e12"
+
+
+def scaled_dot(a: str, b: str) -> F.Column:
+    """Exact-integer scaled dot product of two float arrays."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * {SCALE}) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+def scaled_norm2(a: str) -> F.Column:
+    return F.expr(
+        f"aggregate(transform({a}, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * {SCALE}) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+def cosine_from_scaled(dot_s: F.Column, n1_s: F.Column, n2_s: F.Column) -> F.Column:
+    return (dot_s / F.lit(1e12)) / (
+        F.sqrt(n1_s / F.lit(1e12)) * F.sqrt(n2_s / F.lit(1e12))
+    )
+
+
+def with_norm(vectors: DataFrame, vec: str = "embedding") -> DataFrame:
+    return vectors.withColumn("norm2_s", scaled_norm2(vec))
+
+
+def brute_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector. Queries are
+    broadcast; candidates stream through in one pass."""
+    q = with_norm(queries, vec).select(
+        F.col(id_col).alias("q_id"), F.col(vec).alias("q_vec"), F.col("norm2_s").alias("q_n2")
+    )
+    c = with_norm(candidates, vec).select(
+        F.col(id_col).alias("c_id"), F.col(vec).alias("c_vec"), F.col("norm2_s").alias("c_n2")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("c_id") != F.col("q_id"))
+    scored = pairs.withColumn("dot_s", scaled_dot("q_vec", "c_vec")).withColumn(
+        "cosine", cosine_from_scaled(F.col("dot_s"), F.col("q_n2"), F.col("c_n2"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cosine", "rank")
+    )
+
+
+def neardup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    group_col: str | None = "label",
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs. ``group_col`` (when set)
+    is the blocking key — the 100 TB answer to 'never all-pairs': an
+    equality join on a cheap precomputed bucket (label, LSH band, IVF
+    cell) bounds the quadratic term."""
+    v = with_norm(vectors, vec)
+    a = v.select(
+        *( [F.col(group_col).alias("g")] if group_col else [] ),
+        F.col(id_col).alias("v1"),
+        F.col(vec).alias("e1"),
+        F.col("norm2_s").alias("n1"),
+    )
+    b = v.select(
+        *( [F.col(group_col).alias("g")] if group_col else [] ),
+        F.col(id_col).alias("v2"),
+        F.col(vec).alias("e2"),
+        F.col("norm2_s").alias("n2"),
+    )
+    on = [F.col("a.v1") < F.col("b.v2")]
+    if group_col:
+        on.insert(0, F.col("a.g") == F.col("b.g"))
+    pairs = a.alias("a").join(b.alias("b"), on[0] if len(on) == 1 else on[0] & on[1])
+    scored = pairs.withColumn("dot_s", scaled_dot("e1", "e2")).withColumn(
+        "cosine", cosine_from_scaled(F.col("dot_s"), F.col("a.n1"), F.col("b.n2"))
+    )
+    cols = ["v1", "v2", "cosine"] + (["g"] if group_col else [])
+    out = scored.filter(F.col("cosine") >= threshold)
+    sel = [F.col("a.v1").alias("v1"), F.col("b.v2").alias("v2"), F.col("cosine")]
+    if group_col:
+        sel.append(F.col("a.g").alias(group_col))
+    return out.select(*sel)
+
+
+N_HYPERPLANES = 4
+
+
+def hyperplane_bucket(vec: str = "embedding") -> F.Column:
+    """Deterministic random-hyperplane LSH bucket id: 8 sign bits of
+    dot(v, h_j) where h_j[i] = frac((j*37 + i*101) * phi) - 0.5 — a
+    fixed pseudo-random hyperplane family needing no fitted model."""
+    bits = []
+    for j in range(N_HYPERPLANES):
+        comp = (
+            f"CAST((({j} * 37 + (i - 1) * 101) * 2654435761) % 1000000 AS DOUBLE) "
+            f"/ 1000000.0 - 0.5"
+        )
+        dot = (
+            f"aggregate(transform(sequence(1, size({vec})), i -> "
+            f"CAST({vec}[i - 1] AS DOUBLE) * ({comp})), CAST(0.0 AS DOUBLE), "
+            f"(acc, x) -> acc + x)"
+        )
+        bits.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << j} ELSE 0 END)")
+    return F.expr(" + ".join(bits)).cast("int")
+
+
+def lsh_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k with multi-probe: each query scores its own
+    hyperplane bucket plus every 1-bit-flip neighbor bucket (for cos
+    ~0.3 neighbors that takes per-neighbor collision probability from
+    ~(0.6)^4 to ~0.48). Recall vs brute_topk is asserted in
+    tests/test_llm.py; raise N_HYPERPLANES as corpus density grows —
+    the scoring cost per query is corpus_size / 2^bits x (1 + bits)."""
+    probes = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(1 << j) for j in range(N_HYPERPLANES)]
+    )
+    q = (
+        with_norm(queries, vec)
+        .withColumn("bucket", hyperplane_bucket(vec))
+        .withColumn("bucket", F.explode(probes))
+        .select(
+            F.col(id_col).alias("q_id"), F.col(vec).alias("q_vec"),
+            F.col("norm2_s").alias("q_n2"), "bucket",
+        )
+    )
+    c = with_norm(candidates, vec).withColumn("bucket", hyperplane_bucket(vec)).select(
+        F.col(id_col).alias("c_id"), F.col(vec).alias("c_vec"),
+        F.col("norm2_s").alias("c_n2"), "bucket",
+    )
+    pairs = c.join(F.broadcast(q), "bucket").filter(F.col("c_id") != F.col("q_id"))
+    scored = pairs.withColumn("dot_s", scaled_dot("q_vec", "c_vec")).withColumn(
+        "cosine", cosine_from_scaled(F.col("dot_s"), F.col("q_n2"), F.col("c_n2"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cosine", "rank")
+    )

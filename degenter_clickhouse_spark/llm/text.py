@@ -1,0 +1,87 @@
+"""Text-analysis expressions for large-scale training-data pipelines:
+tokenization, shingling, deterministic hashing, quality metrics,
+language ID. All pure column expressions (whole-stage codegen, no
+Python in the hot path) built to be exactly reproducible in ANSI SQL —
+see queries/llm.py for the DuckDB twins.
+
+Scale: every metric here is embarrassingly parallel per document; no
+shuffles except the aggregations callers add.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+POLY_MOD = 2147483647  # 2^31 - 1
+POLY_BASE = 31
+
+# (a, b) affine constants for the minhash family h_i(x) = (a*x + b) mod P.
+MINHASH_SEEDS = [(2, 1), (3, 7), (5, 13), (7, 31), (11, 101), (13, 407), (17, 1009), (19, 2003)]
+
+SIMHASH_BITS = 16
+
+TOKEN_RE = r"([a-z]+|[0-9]+|[^a-z0-9\s])"
+PUNCT_RE = r"([.!?,;:])"
+DIGIT_RE = r"([0-9])"
+
+# Tiny deterministic stopword lists per language (heuristic lang-ID).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "on"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "im", "zu"],
+    "es": ["el", "la", "que", "y", "en", "los", "se", "del", "por", "un"],
+    "fr": ["le", "et", "les", "des", "une", "du", "dans", "est", "pour", "sur"],
+    "zh": ["shi", "de", "le", "wo", "bu", "zai", "ta", "you", "zhe", "jiu"],
+}
+
+ENGLISH_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def words(text: str = "text") -> Column:
+    """Whitespace tokenization (single-space corpus convention)."""
+    return F.split(F.col(text), " ")
+
+
+def poly_hash(expr: str) -> Column:
+    """Deterministic 31-base polynomial rolling hash mod 2^31-1 over the
+    string's codepoints — the document-fingerprint primitive. Expressed
+    via aggregate() so it runs codegen'd on the JVM."""
+    return F.expr(
+        f"aggregate(transform(sequence(1, length({expr})), "
+        f"i -> ascii(substring({expr}, i, 1))), CAST(0 AS BIGINT), "
+        f"(acc, x) -> (acc * {POLY_BASE} + x) % {POLY_MOD})"
+    )
+
+
+def shingles(words_expr: str, n: int = 3) -> Column:
+    """Word n-grams as space-joined strings; empty below n words."""
+    return F.expr(
+        f"CASE WHEN size({words_expr}) >= {n} THEN "
+        f"transform(sequence(1, size({words_expr}) - {n - 1}), "
+        f"i -> array_join(slice({words_expr}, i, {n}), ' ')) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
+def stopword_count(words_expr: str, stopwords: list[str]) -> Column:
+    """Non-distinct stopword occurrences."""
+    lits = ", ".join(f"'{w}'" for w in stopwords)
+    return F.expr(
+        f"size(filter({words_expr}, x -> array_contains(array({lits}), x)))"
+    )
+
+
+def lang_score(words_expr: str, stopwords: list[str]) -> Column:
+    """Distinct stopword hits — the lang-ID scoring primitive."""
+    lits = ", ".join(f"'{w}'" for w in stopwords)
+    return F.expr(f"size(array_intersect({words_expr}, array({lits})))")
+
+
+def token_count_regex(text: str = "text") -> Column:
+    """BPE-ish token count: letter runs, digit runs, single symbols."""
+    return F.size(F.regexp_extract_all(F.lower(F.col(text)), F.lit(TOKEN_RE), 1))
+
+
+def normalized_text(text: str = "text") -> Column:
+    """Whitespace-collapsed lowercase text for fingerprinting."""
+    return F.regexp_replace(F.lower(F.col(text)), r"\s+", " ")

@@ -1,4 +1,448 @@
-"""LLM training-data pipeline queries (dedup, similarity, text analysis).
-
-Filled in milestone M5 — see degenter_clickhouse_spark/llm/.
+"""LLM training-data pipeline queries: dedup (exact / n-gram Jaccard /
+MinHash-LSH / SimHash), similarity search (brute-force + LSH ANN),
+text analysis (lang-ID, quality, token counts, fingerprints), and
+multimodal feature-extraction plumbing — each with a DuckDB oracle
+except the approximate-ANN scale path (rows-only; recall is asserted
+against the exact baseline in tests/test_llm.py).
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..llm import dedup, multimodal, similarity
+from ..llm import text as T
+from . import register
+
+# ---------------------------------------------------------------------------
+# Shared oracle fragments (exact twins of llm/text.py expressions)
+# ---------------------------------------------------------------------------
+
+O_POLY = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(generate_series(1, length({s})), "
+    "i -> CAST(ord(substring({s}, i, 1)) AS BIGINT))), "
+    f"(acc, x) -> (acc * {T.POLY_BASE} + x) % {T.POLY_MOD})"
+)
+
+O_SHINGLES = """
+SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+     LATERAL (SELECT unnest(generate_series(1, greatest(len(words) - 2, 0))) AS i)
+"""
+
+O_NORM2 = (
+    "CAST(list_sum(list_transform({e}, x -> "
+    "CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS BIGINT)"
+)
+
+O_DOT = (
+    "CAST(list_sum(list_transform(generate_series(1, len({a})), i -> "
+    "CAST(floor(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) * 1e12) AS BIGINT))) "
+    "AS BIGINT)"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.load_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy); duplicates synthesized deterministically
+# since the corpus has only *near*-dups
+# ---------------------------------------------------------------------------
+
+EXACT_ORACLE = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 50
+),
+h AS (SELECT doc_id, md5(text) AS content_hash FROM all_docs),
+g AS (SELECT content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n
+      FROM h GROUP BY content_hash)
+SELECT h.doc_id, g.canonical_id, h.content_hash
+FROM h JOIN g USING (content_hash)
+WHERE g.n > 1 AND h.doc_id <> g.canonical_id
+"""
+
+
+@register("dedup_exact", EXACT_ORACLE)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dupes = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return dedup.exact_dedup(d.unionByName(dupes))
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup pairs (exact baseline)
+# ---------------------------------------------------------------------------
+
+JACCARD_ORACLE = f"""
+WITH sh AS ({O_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, common, s1.n_sh AS n1, s2.n_sh AS n2,
+       CAST(common AS DOUBLE) / (s1.n_sh + s2.n_sh - common) AS jaccard
+FROM pairs
+JOIN sizes s1 ON s1.doc_id = d1
+JOIN sizes s2 ON s2.doc_id = d2
+WHERE CAST(common AS DOUBLE) / (s1.n_sh + s2.n_sh - common) >= 0.5
+"""
+
+
+@register("dedup_ngram_jaccard", JACCARD_ORACLE)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup pairs (the scale path, verified by Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n       ".join(
+        f"MIN(({a} * h + {b}) % {T.POLY_MOD}) AS m{i}"
+        for i, (a, b) in enumerate(T.MINHASH_SEEDS)
+    )
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id AS d, {j} AS band, "
+        f"CAST(m{2 * j} AS VARCHAR) || '_' || CAST(m{2 * j + 1} AS VARCHAR) AS key "
+        f"FROM sig"
+        for j in range(4)
+    )
+    poly_sh = O_POLY.format(s="shingle")
+    return f"""
+WITH sh0 AS ({O_SHINGLES}),
+sh AS (SELECT doc_id, shingle, {poly_sh} AS h FROM sh0),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS (
+{bands}
+),
+cand AS (
+  SELECT DISTINCT a.d AS d1, b.d AS d2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.d < b.d
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.d1, c.d2, COUNT(*) AS common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.d1
+  JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+  GROUP BY c.d1, c.d2
+)
+SELECT d1, d2,
+       CAST(common AS DOUBLE) / (s1.n_sh + s2.n_sh - common) AS jaccard
+FROM common
+JOIN sizes s1 ON s1.doc_id = d1
+JOIN sizes s2 ON s2.doc_id = d2
+WHERE CAST(common AS DOUBLE) / (s1.n_sh + s2.n_sh - common) >= 0.5
+"""
+
+
+@register("dedup_minhash_lsh", _minhash_oracle())
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints + equal-fingerprint cluster sizes
+# ---------------------------------------------------------------------------
+
+
+def _simhash_oracle() -> str:
+    poly_w = O_POLY.format(s="w")
+    bit_sums = ",\n       ".join(
+        f"SUM(CASE WHEN (h & {1 << b}) <> 0 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(T.SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(T.SIMHASH_BITS)
+    )
+    return f"""
+WITH w0 AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+wh AS (SELECT doc_id, {poly_w} AS h FROM w0),
+bits AS (SELECT doc_id, {bit_sums} FROM wh GROUP BY doc_id),
+fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits)
+SELECT f.doc_id, f.simhash, c.cluster_n
+FROM fp f JOIN (SELECT simhash, COUNT(*) AS cluster_n FROM fp GROUP BY simhash) c
+  ON c.simhash = f.simhash
+"""
+
+
+@register("dedup_simhash", _simhash_oracle())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = dedup.simhash(_docs(spark, sf_dir))
+    clusters = fp.groupBy("simhash").agg(F.count(F.lit(1)).alias("cluster_n"))
+    return fp.join(clusters, "simhash").select("doc_id", "simhash", "cluster_n")
+
+
+# ---------------------------------------------------------------------------
+# Language ID (stopword heuristic)
+# ---------------------------------------------------------------------------
+
+
+def _langid_oracle() -> str:
+    scores = ",\n       ".join(
+        "len(list_intersect(words, [{lits}])) AS s_{lang}".format(
+            lits=", ".join(f"'{w}'" for w in ws), lang=lang
+        )
+        for lang, ws in T.LANG_STOPWORDS.items()
+    )
+    langs = list(T.LANG_STOPWORDS)
+    best = "GREATEST(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    guess = "CASE " + " ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+s AS (SELECT doc_id, lang, {scores} FROM w)
+SELECT doc_id, lang AS labeled_lang, s_en, s_de, s_es, s_fr, s_zh,
+       {guess} AS lang_guess
+FROM s
+"""
+
+
+@register("lang_id", _langid_oracle())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).withColumn("words", T.words())
+    langs = list(T.LANG_STOPWORDS)
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[
+            T.lang_score("words", T.LANG_STOPWORDS[lang]).alias(f"s_{lang}")
+            for lang in langs
+        ],
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
+    guess = F
+    expr = None
+    for lang in langs:
+        cond = F.col(f"s_{lang}") == best
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return scored.withColumn("lang_guess", expr)
+
+
+# ---------------------------------------------------------------------------
+# Text quality metrics + score buckets
+# ---------------------------------------------------------------------------
+
+
+def _quality_oracle() -> str:
+    stop_lits = ", ".join(f"'{w}'" for w in T.ENGLISH_STOPWORDS)
+    return f"""
+WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CAST(len(list_filter(words, x -> list_contains([{stop_lits}], x))) AS BIGINT)
+           AS n_stop,
+         CAST(len(regexp_extract_all(text, '([.!?,;:])', 1)) AS BIGINT) AS punct_count,
+         CAST(len(regexp_extract_all(text, '([0-9])', 1)) AS BIGINT) AS digit_count
+  FROM w
+)
+SELECT doc_id, n_chars, n_words, n_stop, punct_count, digit_count,
+       CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+       LEAST(1.0, CAST(n_words AS DOUBLE) / 100.0)
+         * (1.0 - CAST(n_stop AS DOUBLE) / n_words) AS quality_score,
+       CASE WHEN LEAST(1.0, CAST(n_words AS DOUBLE) / 100.0)
+                 * (1.0 - CAST(n_stop AS DOUBLE) / n_words) >= 0.5 THEN 'high'
+            WHEN LEAST(1.0, CAST(n_words AS DOUBLE) / 100.0)
+                 * (1.0 - CAST(n_stop AS DOUBLE) / n_words) >= 0.2 THEN 'mid'
+            ELSE 'low' END AS quality_bucket
+FROM m
+"""
+
+
+@register("text_quality", _quality_oracle())
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).withColumn("words", T.words())
+    m = d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size("words").cast("bigint").alias("n_words"),
+        T.stopword_count("words", T.ENGLISH_STOPWORDS).cast("bigint").alias("n_stop"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(T.PUNCT_RE), 1))
+        .cast("bigint")
+        .alias("punct_count"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(T.DIGIT_RE), 1))
+        .cast("bigint")
+        .alias("digit_count"),
+    )
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_words")
+    score = F.least(F.lit(1.0), F.col("n_words").cast("double") / 100.0) * (
+        F.lit(1.0) - stop_ratio
+    )
+    return m.select(
+        "*",
+        stop_ratio.alias("stop_ratio"),
+        score.alias("quality_score"),
+        F.when(score >= 0.5, "high").when(score >= 0.2, "mid").otherwise("low").alias(
+            "quality_bucket"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace + BPE-ish regex)
+# ---------------------------------------------------------------------------
+
+TOKEN_ORACLE = r"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9\s])', 1))
+            AS BIGINT) AS bpe_tokens,
+       CAST(length(text) AS DOUBLE)
+         / len(regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9\s])', 1))
+         AS chars_per_token
+FROM documents
+"""
+
+
+@register("token_counts", TOKEN_ORACLE)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    bpe = T.token_count_regex()
+    return d.select(
+        "doc_id",
+        F.size(T.words()).cast("bigint").alias("ws_tokens"),
+        bpe.cast("bigint").alias("bpe_tokens"),
+        (F.length("text").cast("double") / bpe).alias("chars_per_token"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprint (rolling polynomial hash of normalized text)
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = r"regexp_replace(lower(text), '\s+', ' ', 'g')"
+FP_ORACLE = (
+    "SELECT doc_id, " + O_POLY.format(s=_NORM_SQL) + " AS fingerprint FROM documents"
+)
+
+
+@register("doc_fingerprint", FP_ORACLE)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).withColumn("norm_text", T.normalized_text())
+    return d.select("doc_id", T.poly_hash("norm_text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: exact brute-force top-k (queries = vec_id < 5)
+# ---------------------------------------------------------------------------
+
+ANN_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, embedding, {O_NORM2.format(e="embedding")} AS n2 FROM embeddings
+),
+q AS (SELECT * FROM v WHERE vec_id < 5),
+p AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         {O_DOT.format(a="q.embedding", b="c.embedding")} AS dot_s,
+         q.n2 AS qn2, c.n2 AS cn2
+  FROM q JOIN v c ON c.vec_id <> q.vec_id
+),
+s AS (
+  SELECT q_id, c_id,
+         (dot_s / 1e12) / (sqrt(qn2 / 1e12) * sqrt(cn2 / 1e12)) AS cosine
+  FROM p
+)
+SELECT q_id, c_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, c_id ASC) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+
+
+@register("embedding_ann_topk", ANN_ORACLE)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir)
+    out = similarity.brute_topk(e.filter(F.col("vec_id") < 5), e, k=5)
+    return out.select("q_id", "c_id", "cosine", F.col("rank").cast("long").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup pairs (label-blocked cosine threshold)
+# ---------------------------------------------------------------------------
+
+NEARDUP_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, embedding, {O_NORM2.format(e="embedding")} AS n2 FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS label,
+         {O_DOT.format(a="a.embedding", b="b.embedding")} AS dot_s,
+         a.n2 AS n1, b.n2 AS nn2
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT v1, v2, (dot_s / 1e12) / (sqrt(n1 / 1e12) * sqrt(nn2 / 1e12)) AS cosine, label
+FROM p
+WHERE (dot_s / 1e12) / (sqrt(n1 / 1e12) * sqrt(nn2 / 1e12)) >= 0.35
+"""
+
+
+@register("embedding_neardup", NEARDUP_ORACLE)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir)
+    return similarity.neardup_pairs(e, threshold=0.35, group_col="label")
+
+
+# ---------------------------------------------------------------------------
+# Approximate ANN (hyperplane LSH buckets) — rows-only; recall asserted
+# against brute_topk in tests/test_llm.py
+# ---------------------------------------------------------------------------
+
+
+@register("embedding_lsh_ann", None)
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir)
+    return similarity.lsh_topk(e.filter(F.col("vec_id") < 5), e, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: binary media -> Arrow-batched feature extraction
+# ---------------------------------------------------------------------------
+
+MM_ORACLE = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS byte_len,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(generate_series(1, length(text)),
+           i -> CAST(ord(substring(text, i, 1)) AS BIGINT))),
+         (acc, x) -> acc + x) % {multimodal.CHECKSUM_MOD} AS checksum,
+       CAST(length(text) AS BIGINT) % 640 AS width,
+       (CAST(length(text) AS BIGINT) * 7) % 480 AS height,
+       CAST(length(text) AS BIGINT) % 30 + 1 AS n_frames
+FROM documents
+"""
+
+
+@register("multimodal_features", MM_ORACLE)
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.media_table(_docs(spark, sf_dir))
+    return multimodal.extract_features(media)
+
+
+@register("multimodal_frame_sample", None)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.media_table(_docs(spark, sf_dir))
+    return multimodal.frame_sample(media, every_n=10)

@@ -59,6 +59,27 @@ def build_session(
     return spark
 
 
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Python workers regardless of the
+    driver's CWD/sys.path — the in-session equivalent of submitting
+    with ``--py-files``. Needed for any pandas-UDF/mapInPandas operator
+    whose helpers live in this package."""
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    pkg_dir = Path(__file__).resolve().parent
+    zpath = Path(tempfile.gettempdir()) / "degenter_clickhouse_spark.zip"
+    if not zpath.exists():
+        with zipfile.ZipFile(zpath, "w") as z:
+            for f in pkg_dir.rglob("*.py"):
+                z.write(f, f"degenter_clickhouse_spark/{f.relative_to(pkg_dir)}")
+    try:
+        spark.sparkContext.addPyFile(str(zpath))
+    except Exception:
+        pass  # already added in this context
+
+
 def tune_existing(spark: SparkSession) -> SparkSession:
     """Apply the runtime-settable subset of our config to a session we
     did not create (the driver hands us one in ``__spark_entry__``)."""
@@ -76,4 +97,5 @@ def tune_existing(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on a live session; keep going
+    ship_package(spark)
     return spark
