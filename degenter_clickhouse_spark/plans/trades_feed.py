@@ -1,0 +1,147 @@
+"""Trade feed shaping (api/routes/trades.js; SURVEY.md §2.11 B5-B8).
+
+shapeRow (B7) becomes a pure column projection: display scaling via
+per-denom exponent joins (J3), per-trade price = quoteZig / baseAmt,
+ZIG/USD worth (B6), whale/shark/shrimp class (B5). Router-leg
+combining (B8) is a relational groupBy over tx_hash — exact, no
+oversampling (the reference fetches limit x 20 rows and combines in
+JS; SURVEY.md §4 notes the relational form supersedes that).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .. import schemas as S
+from ..functions import business
+
+
+def shape(
+    trades: DataFrame,
+    tokens: DataFrame,
+    latest_token_prices: DataFrame,
+    pools: DataFrame,
+    zig_usd: Column,
+) -> DataFrame:
+    """B7: one output row per trade with display amounts, price, worth,
+    class. ``latest_token_prices`` is the decorrelated J5 view keyed by
+    token_id."""
+    toff = tokens.select(
+        F.col("denom").alias("offer_asset_denom"), F.col("exponent").alias("offer_exp")
+    )
+    task = tokens.select(
+        F.col("denom").alias("ask_asset_denom"), F.col("exponent").alias("ask_exp")
+    )
+    p = pools.select("pool_id", "base_token_id", "quote_token_id", "is_uzig_quote")
+    qpx = latest_token_prices.select(
+        F.col("token_id").alias("quote_token_id"),
+        F.col("latest_price_zig").alias("quote_px"),
+    )
+    t = (
+        trades.join(F.broadcast(toff), "offer_asset_denom", "left")
+        .join(F.broadcast(task), "ask_asset_denom", "left")
+        .join(F.broadcast(p), "pool_id", "left")
+        .join(F.broadcast(qpx), "quote_token_id", "left")
+    )
+    offer_disp = F.col("offer_amount_base").cast("double") / F.pow(
+        F.lit(10.0), F.coalesce(F.col("offer_exp"), F.lit(S.UZIG_EXPONENT))
+    )
+    ask_disp = F.col("return_amount_base").cast("double") / F.pow(
+        F.lit(10.0), F.coalesce(F.col("ask_exp"), F.lit(S.UZIG_EXPONENT))
+    )
+    # quote/base legs by direction: buy offers quote, sell receives quote
+    quote_disp = F.when(F.col("direction") == "buy", offer_disp).otherwise(ask_disp)
+    base_disp = F.when(F.col("direction") == "buy", ask_disp).otherwise(offer_disp)
+    quote_px_eff = F.when(F.col("is_uzig_quote"), F.lit(1.0)).otherwise(
+        F.coalesce(F.col("quote_px"), F.lit(0.0))
+    )
+    worth_zig = business.trade_worth_zig(
+        action=F.col("action"),
+        offer_denom=F.col("offer_asset_denom"),
+        offer_amount_disp=offer_disp,
+        ask_denom=F.col("ask_asset_denom"),
+        ask_amount_disp=ask_disp,
+        quote_amount_disp=quote_disp,
+        quote_price_zig=quote_px_eff,
+    )
+    price = F.when(base_disp != 0, quote_disp * quote_px_eff / base_disp)
+    return t.select(
+        "pool_id",
+        "tx_hash",
+        "msg_index",
+        "signer",
+        "action",
+        "direction",
+        "is_router",
+        "created_at",
+        "height",
+        "base_token_id",
+        "quote_token_id",
+        offer_disp.alias("offer_amount_disp"),
+        ask_disp.alias("ask_amount_disp"),
+        base_disp.alias("base_amount_disp"),
+        quote_disp.alias("quote_amount_disp"),
+        price.alias("price_in_zig"),
+        worth_zig.alias("worth_zig"),
+        (worth_zig * zig_usd).alias("worth_usd"),
+        business.classify_worth(worth_zig).alias("trade_class"),
+    )
+
+
+def combine_router_legs(shaped: DataFrame) -> DataFrame:
+    """B8: group legs by tx_hash; router txs collapse into one combined
+    record — first leg's time/direction/signer, pool path in msg_index
+    order, summed worth, amount in = first leg offer, amount out =
+    last leg return. Non-router trades pass through unchanged."""
+    legs = shaped.withColumn(
+        "leg",
+        F.struct(
+            "msg_index",
+            "pool_id",
+            "direction",
+            "created_at",
+            "signer",
+            "offer_amount_disp",
+            "ask_amount_disp",
+            "worth_zig",
+        ),
+    )
+    grouped = legs.groupBy("tx_hash").agg(
+        F.max("is_router").alias("is_router"),
+        F.sort_array(F.collect_list("leg")).alias("legs"),
+        F.sum("worth_zig").alias("worth_zig_sum"),
+        F.count(F.lit(1)).alias("n_legs"),
+    )
+    first = F.col("legs")[0]
+    last = F.element_at(F.col("legs"), -1)
+    combined = grouped.filter(F.col("is_router")).select(
+        "tx_hash",
+        F.lit(True).alias("is_router"),
+        F.col("n_legs"),
+        first["created_at"].alias("created_at"),
+        first["direction"].alias("direction"),
+        first["signer"].alias("signer"),
+        F.transform(F.col("legs"), lambda x: x["pool_id"]).alias("path"),
+        first["offer_amount_disp"].alias("amount_in_disp"),
+        last["ask_amount_disp"].alias("amount_out_disp"),
+        F.col("worth_zig_sum").alias("worth_zig"),
+    )
+    singles = (
+        grouped.filter(~F.col("is_router"))
+        .select(
+            "tx_hash",
+            F.lit(False).alias("is_router"),
+            F.col("n_legs"),
+            first["created_at"].alias("created_at"),
+            first["direction"].alias("direction"),
+            first["signer"].alias("signer"),
+            F.transform(F.col("legs"), lambda x: x["pool_id"]).alias("path"),
+            first["offer_amount_disp"].alias("amount_in_disp"),
+            last["ask_amount_disp"].alias("amount_out_disp"),
+            F.col("worth_zig_sum").alias("worth_zig"),
+        )
+    )
+    return combined.unionByName(singles).withColumn(
+        "trade_class", business.classify_worth(F.col("worth_zig"))
+    )

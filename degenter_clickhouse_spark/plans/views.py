@@ -1,0 +1,60 @@
+"""Canonical decorrelated views (SURVEY.md §7 M2).
+
+These four views are the architectural answer to the reference's
+correlated latest-row lookups (J5/J6, api/routes/trades.js:295,410-416):
+downstream plans join these instead of ever generating a correlated
+``ORDER BY updated_at DESC LIMIT 1``. Each is one max_by aggregation —
+dimension-sized output, always broadcastable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import latest
+
+
+def latest_prices(prices: DataFrame) -> DataFrame:
+    """argMax(price_in_zig, updated_at) per pool
+    (jobs/matrix-rollups.js:45-51)."""
+    return latest.latest_by(
+        prices, keys=["pool_id"], values=["price_in_zig", "updated_at"],
+        order=["updated_at"],
+    ).withColumnRenamed("price_in_zig", "latest_price_zig")
+
+
+def latest_token_prices(prices: DataFrame) -> DataFrame:
+    """Latest price per *token* across its native pools — the J5
+    correlated-subquery decorrelation (quote-price lookups)."""
+    native = prices.filter(F.col("is_pair_native"))
+    return latest.latest_by(
+        native, keys=["token_id"], values=["price_in_zig", "updated_at"],
+        order=["updated_at"],
+    ).withColumnRenamed("price_in_zig", "latest_price_zig")
+
+
+def latest_pool_state(pool_state: DataFrame) -> DataFrame:
+    """Latest reserves per pool (core/pool_state.js:5-36 read side)."""
+    return latest.latest_by(
+        pool_state,
+        keys=["pool_id"],
+        values=["reserve_base_base", "reserve_quote_base", "updated_at"],
+        order=["updated_at"],
+    )
+
+
+def latest_security(token_security: DataFrame) -> DataFrame:
+    """ReplacingMergeTree(checked_at) read state
+    (jobs/token-security.js:29-31)."""
+    return latest.latest_row(token_security, keys=["token_id"], order=["checked_at"])
+
+
+def holders_counts(holders: DataFrame) -> DataFrame:
+    """holders-per-token with the balance>0 filter (F6,
+    jobs/matrix-rollups.js:295-302)."""
+    return (
+        holders.filter(F.col("balance_base") > 0)
+        .groupBy("token_id")
+        .agg(F.count(F.lit(1)).alias("holders"))
+    )

@@ -1,0 +1,327 @@
+"""Domain-plan tests on the FIXTURES.md synthetic tables: pool/token
+matrices, leaderboards, large trades, holders, security, swap routing,
+trade-feed shaping + router combining, alerts."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timedelta
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from degenter_clickhouse_spark import schemas as S
+from degenter_clickhouse_spark.operators import dedupe
+from degenter_clickhouse_spark.plans import (
+    alerts as AL,
+)
+from degenter_clickhouse_spark.plans import (
+    holders as H,
+)
+from degenter_clickhouse_spark.plans import (
+    leaderboards as LB,
+)
+from degenter_clickhouse_spark.plans import (
+    pool_matrix as PM,
+)
+from degenter_clickhouse_spark.plans import (
+    security as SEC,
+)
+from degenter_clickhouse_spark.plans import (
+    swap as SW,
+)
+from degenter_clickhouse_spark.plans import (
+    token_matrix as TM,
+)
+from degenter_clickhouse_spark.plans import (
+    trades_feed as TF,
+)
+from degenter_clickhouse_spark.plans import views
+
+from . import fixtures as FX
+
+NOW = FX.T0 + timedelta(minutes=480)
+
+
+@pytest.fixture(scope="module")
+def dom(spark):
+    dfs = FX.build(spark)
+    # ingest-dedupe the trades stream (ST2) as the pipeline would
+    dfs["trades_clean"] = dedupe.ingest_dedupe(
+        dfs["trades"], ["pool_id", "tx_hash", "msg_index"]
+    )
+    # derive 1m candles from clean trades as the ingest pipeline does:
+    # price = quote_disp / base_disp (uzig pools)
+    t = dfs["trades_clean"].filter(F.col("action") == "swap")
+    quote_disp = (
+        F.when(F.col("direction") == "buy", F.col("offer_amount_base"))
+        .otherwise(F.col("ask_amount_base"))
+        .cast("double")
+        / 1e6
+    )
+    exp_map = {p: e for p, e in FX.POOL_BASE_EXP.items()}
+    base_exp = F.lit(None).cast("int")
+    expr = None
+    for p, e in exp_map.items():
+        expr = (F.when(F.col("pool_id") == p, e) if expr is None
+                else expr.when(F.col("pool_id") == p, e))
+    base_disp = (
+        F.when(F.col("direction") == "buy", F.col("ask_amount_base"))
+        .otherwise(F.col("offer_amount_base"))
+        .cast("double")
+        / F.pow(F.lit(10.0), expr)
+    )
+    ticks = t.select(
+        "pool_id",
+        (quote_disp / base_disp).alias("price"),
+        quote_disp.alias("vol"),
+        F.col("created_at").alias("ts"),
+        F.col("height"),
+    )
+    from degenter_clickhouse_spark.operators import ohlcv as O
+
+    dfs["ohlcv_1m"] = (
+        O.bars(ticks, 60, seq="height", qty=F.col("vol"))
+        .withColumnRenamed("volume", "volume_zig")
+    )
+    return dfs
+
+
+def _now():
+    return F.lit(NOW.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp")
+
+
+def expected_pool_volumes(minutes):
+    """Recompute buy/sell quote volumes per pool from the raw fixture
+    rows (after key dedupe), independent of any Spark code."""
+    seen, vols = set(), {}
+    lo = NOW - timedelta(minutes=minutes)
+    for r in FX.trade_rows():
+        (pool, _, action, direction, off_d, off_a, ask_d, ask_a, ret_a,
+         *_rest, height, tx, signer, msgi, ts) = (
+            r[0], r[1], r[2], r[3], r[4], r[5], r[6], r[7], r[8],
+            r[9], r[14], r[15], r[16], r[17], r[18],
+        )
+        key = (pool, tx, msgi)
+        if key in seen:
+            continue
+        seen.add(key)
+        if action != "swap" or ts < lo or ts > NOW:
+            continue
+        b, s = vols.get(pool, (Decimal(0), Decimal(0)))
+        if direction == "buy":
+            b += off_a
+        else:
+            s += ask_a
+        vols[pool] = (b, s)
+    return {p: (float(b) / 1e6, float(s) / 1e6) for p, (b, s) in vols.items()}
+
+
+def test_pool_matrix_volumes_match_independent_recompute(spark, dom):
+    out = PM.rollup(
+        dom["trades_clean"], dom["pools"], dom["tokens"], dom["prices"],
+        dom["pool_state"], dom["ohlcv_1m"], _now(), "24h",
+    ).collect()
+    exp = expected_pool_volumes(1440)
+    got = {r.pool_id: r for r in out}
+    assert set(exp) <= set(got)
+    for pool, (b, s) in exp.items():
+        assert got[pool].vol_buy_zig == pytest.approx(b, rel=1e-9), pool
+        assert got[pool].vol_sell_zig == pytest.approx(s, rel=1e-9), pool
+    # every pool present, all four metrics non-negative, tvl >= 0
+    for r in out:
+        assert r.bucket == "24h"
+        assert r.tvl_zig >= 0
+        assert r.traders >= 0
+
+
+def test_pool_matrix_shorter_bucket_is_subset(spark, dom):
+    args = (dom["trades_clean"], dom["pools"], dom["tokens"], dom["prices"],
+            dom["pool_state"], dom["ohlcv_1m"], _now())
+    m30 = {r.pool_id: r for r in PM.rollup(*args, "30m").collect()}
+    m24 = {r.pool_id: r for r in PM.rollup(*args, "24h").collect()}
+    for pid, r in m30.items():
+        assert r.vol_buy_zig <= m24[pid].vol_buy_zig + 1e-9
+        assert r.tx_buy <= m24[pid].tx_buy
+
+
+def test_price_fallback_prefers_direct(spark, dom):
+    px = PM.price_with_fallback(dom["pools"], dom["prices"], dom["ohlcv_1m"]).collect()
+    by_pool = {r.pool_id: r.price_in_zig for r in px}
+    # all fixture pools carry a direct price feed -> no NULLs
+    assert all(v is not None for v in by_pool.values())
+    # non-uzig pool 108's direct price exists; dropping direct+native
+    # feeds for a pool would fall back to ohlcv close (exercised via 107
+    # after filtering its feed out)
+    no_feed = dom["prices"].filter(F.col("pool_id") != 107)
+    px2 = PM.price_with_fallback(dom["pools"], no_feed, dom["ohlcv_1m"]).collect()
+    p107 = [r for r in px2 if r.pool_id == 107][0]
+    assert p107.price_in_zig is not None  # came from ohlcv close
+
+
+def test_token_matrix_rebasing_guard(spark, dom):
+    out = TM.rollup(
+        dom["trades_clean"], dom["pools"], dom["tokens"], dom["prices"],
+        dom["holders"], dom["ohlcv_1m"], _now(), "24h",
+    ).collect()
+    by_tok = {r.token_id: r for r in out}
+    # token 8's price feed is 1e6 x its candles -> guard divides back
+    assert by_tok[8].rebasing_adjusted
+    assert by_tok[8].price_in_zig < 1.0
+    # healthy tokens untouched
+    assert not by_tok[2].rebasing_adjusted
+    # mcap = circ_disp * price
+    t2 = by_tok[2]
+    assert t2.mcap_zig == pytest.approx(5e13 / 1e6 * t2.price_in_zig, rel=1e-9)
+    # holders: token 2 has 60 positive holders + creator, zero excluded
+    assert by_tok[2].holders == 61
+
+
+def test_leaderboard_pnl_identity(spark, dom):
+    lb = LB.leaderboard(dom["trades_clean"], _now(), 1440).collect()
+    assert lb
+    for r in lb:
+        assert r.signer != ""
+        # |pnl| <= volume and volume > 0
+        assert abs(r.gross_pnl_zig) <= r.volume_zig + 1e-9
+        assert r.volume_zig > 0
+
+
+def test_large_trades_threshold_and_dedupe(spark, dom):
+    lt = LB.large_trades(dom["trades_clean"], _now(), 1440, min_zig=1000.0).collect()
+    assert lt
+    keys = [(r.tx_hash, r.pool_id, r.direction) for r in lt]
+    assert len(keys) == len(set(keys)), "dedupe W1 violated"
+    assert all(r.value_zig >= 1000.0 for r in lt)
+
+
+def test_holder_stats_concentration_tiers(spark, dom):
+    st = {r.token_id: r for r in H.holder_stats(dom["holders"]).collect()}
+    # zero-balance rows excluded from counts (F6)
+    assert st[2].holders == 61  # 60 + creator, not the zero row
+    # planted concentration ordering: token 6 (90%) > 4 (65%) > 3 (45%)
+    assert st[6].top10_pct > st[4].top10_pct > st[3].top10_pct
+    assert st[6].top10_pct > 85
+    tops = H.top_holders(dom["holders"], k=10).collect()
+    per_tok = {}
+    for r in tops:
+        per_tok.setdefault(r.token_id, []).append(r)
+    for tok, rows in per_tok.items():
+        assert len(rows) <= 10
+        assert all(1 <= r.rank <= 10 for r in rows)
+
+
+def test_security_score_ordering_and_flags(spark, dom):
+    out = {r.token_id: r for r in SEC.scan(dom["tokens"], dom["holders"], _now()).collect()}
+    # token 6: 8 holders, 90% top10, can_mint, can_change_cap, young -> floor-ish
+    # token 3: fully minted, many holders, moderate concentration, old -> high
+    assert out[6].score < out[3].score
+    assert 1 <= out[6].score <= 99 and 1 <= out[3].score <= 99
+    assert out[6].risk_flags.top10_majority
+    assert out[6].risk_flags.can_mint_more
+    # creator holds 0.3e12 of the 1.3e12 in wallets -> 23.08%, not majority
+    assert not out[2].risk_flags.creator_majority
+    assert out[2].creator_pct == pytest.approx(100 * 0.3 / 1.3, rel=1e-6)
+
+
+def test_swap_best_pool_selection(spark, dom):
+    cands = SW.candidate_pools(
+        dom["pools"], dom["tokens"], dom["pool_state"], min_tvl_zig=0.0
+    )
+    rows = cands.collect()
+    # only uzig-quoted pools are candidates
+    assert {r.pool_id for r in rows} <= {101, 102, 103, 104, 105, 106, 107, 110}
+    best = SW.best_pool_by_simulation(cands, F.lit(100.0), from_is_zig=True).collect()
+    by_tok = {r.base_token_id: r for r in best}
+    # token 2 has two candidate pools; the winner maximizes out
+    assert by_tok[2].pool_id in (101, 102)
+    assert by_tok[2].out > 0
+    # zero-reserve pool 107 (token 6) can never be a winner via sim
+    assert 6 not in by_tok or by_tok[6].pool_id != 107
+
+
+def test_trades_feed_shape_semantics(spark, dom):
+    ltp = views.latest_token_prices(dom["prices"])
+    shaped = TF.shape(
+        dom["trades_clean"].filter(F.col("action") == "swap"),
+        dom["tokens"], ltp, dom["pools"], F.lit(0.02),
+    )
+    rows = shaped.limit(500).collect()
+    assert rows
+    for r in rows:
+        assert r.trade_class in ("shrimp", "shark", "whale")
+        if r.worth_zig is not None:
+            if r.worth_zig < 1000:
+                assert r.trade_class == "shrimp"
+            elif r.worth_zig > 10000:
+                assert r.trade_class == "whale"
+        assert r.worth_usd == pytest.approx((r.worth_zig or 0) * 0.02, rel=1e-9)
+    # uzig-offer buys: worth == offer display amount (B6 zig-leg rule)
+    uzig_buys = [r for r in rows if r.direction == "buy" and r.quote_token_id == 1]
+    assert uzig_buys
+    for r in uzig_buys:
+        assert r.worth_zig == pytest.approx(r.offer_amount_disp, rel=1e-9)
+
+
+def test_router_leg_combining(spark, dom):
+    ltp = views.latest_token_prices(dom["prices"])
+    shaped = TF.shape(
+        dom["trades_clean"].filter(F.col("action") == "swap"),
+        dom["tokens"], ltp, dom["pools"], F.lit(0.02),
+    )
+    combined = TF.combine_router_legs(shaped).collect()
+    routers = [r for r in combined if r.is_router]
+    singles = [r for r in combined if not r.is_router]
+    assert routers and singles
+    for r in routers:
+        assert r.n_legs >= 2
+        assert len(r.path) == r.n_legs
+        # first-leg direction semantics: direction of msg_index 0
+    shaped_by_tx = {}
+    for s in shaped.collect():
+        shaped_by_tx.setdefault(s.tx_hash, []).append(s)
+    for r in routers[:20]:
+        legs = sorted(shaped_by_tx[r.tx_hash], key=lambda s: s.msg_index)
+        assert r.direction == legs[0].direction
+        assert r.worth_zig == pytest.approx(sum(x.worth_zig for x in legs), rel=1e-9)
+        assert r.path == [x.pool_id for x in legs]
+
+
+def _alerts_df(spark):
+    rows = [
+        # fires: price above tiny threshold on pool 101
+        (1, None, "price_cross", json.dumps({"pool_id": 101, "direction": "above", "threshold": 0.0001}), 300, None, True),
+        # never fires: below an even tinier threshold
+        (2, None, "price_cross", json.dumps({"pool_id": 101, "direction": "below", "threshold": 0.0000001}), 300, None, True),
+        # throttled: recently triggered
+        (3, None, "price_cross", json.dumps({"pool_id": 101, "direction": "above", "threshold": 0.0001}), 3600, NOW - timedelta(seconds=60), True),
+        # wallet trade in last day
+        (4, None, "wallet_trade", json.dumps({"address": "zigwallet001", "since_min": 1440}), 300, None, True),
+        # large trade
+        (5, None, "large_trade", json.dumps({"min_zig": 1000, "since_min": 1440}), 300, None, True),
+        # tvl change vs 6h ago, tiny threshold -> fires
+        (6, None, "tvl_change", json.dumps({"pool_id": 101, "window_min": 360, "delta_pct": 0.0001}), 300, None, True),
+        # inactive
+        (7, None, "price_cross", json.dumps({"pool_id": 101, "direction": "above", "threshold": 0.0001}), 300, None, False),
+    ]
+    return spark.createDataFrame(rows, S.ALERTS)
+
+
+def test_alert_evaluation(spark, dom):
+    a = _alerts_df(spark)
+    now = _now()
+    pc = AL.eval_price_cross(a, dom["prices"], now).collect()
+    fired_ids = {r.alert_id for r in pc}
+    assert 1 in fired_ids
+    assert 2 not in fired_ids  # condition false
+    assert 3 not in fired_ids  # throttled
+    assert 7 not in fired_ids  # inactive
+    wt = AL.eval_wallet_trade(a, dom["trades_clean"], now).collect()
+    assert {r.alert_id for r in wt} == {4}
+    assert wt[0].n_trades > 0
+    lt = LB.large_trades(dom["trades_clean"], now, 1440, min_zig=0.0)
+    lt_hits = AL.eval_large_trade(a, lt, now).collect()
+    assert {r.alert_id for r in lt_hits} == {5}
+    tv = AL.eval_tvl_change(a, dom["pool_state"], None, now).collect()
+    assert {r.alert_id for r in tv} == {6}
