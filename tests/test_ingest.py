@@ -1,0 +1,333 @@
+"""Ingest pipeline tests (SURVEY.md §5.3): a raw-blocks fixture with
+create_pair, swaps (both reserve encodings), liquidity events (share
+aliases), router legs, base64-encoded attribute variants, and replayed
+duplicates — ingest must produce consistent trades/prices/pool_state/
+ohlcv_1m, and re-ingesting must be a no-op."""
+
+from __future__ import annotations
+
+import base64
+import json
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from degenter_clickhouse_spark.functions import parse as P
+from degenter_clickhouse_spark.sources import blocks
+
+T0 = datetime(2024, 5, 1, 12, 0, 0)
+ROUTER = "zig1routerrouterrouter"
+PAIR_A = "zig1paircontract_alpha"  # ualpha-uzig
+PAIR_B = "zig1paircontract_beta"  # ubeta-uzig
+
+
+def _attr(k, v, b64=False):
+    if b64:
+        return {
+            "key": base64.b64encode(k.encode()).decode(),
+            "value": base64.b64encode(str(v).encode()).decode(),
+        }
+    return {"key": k, "value": str(v)}
+
+
+def _msg(sender, i):
+    return {"type": "message", "attributes": [_attr("sender", sender), _attr("msg_index", i)]}
+
+
+def _swap(contract, offer, offer_amt, ask, ret, i, combined_reserves=None, reserves4=None, b64=False):
+    attrs = [
+        _attr("action", "swap", b64),
+        _attr("_contract_address", contract, b64),
+        _attr("offer_asset", offer, b64),
+        _attr("offer_amount", offer_amt, b64),
+        _attr("ask_asset", ask, b64),
+        _attr("return_amount", ret, b64),
+        _attr("msg_index", i, b64),
+    ]
+    if combined_reserves:
+        attrs.append(_attr("reserves", combined_reserves, b64))
+    if reserves4:
+        d1, a1, d2, a2 = reserves4
+        attrs += [
+            _attr("reserve_asset1_denom", d1, b64),
+            _attr("reserve_asset1_amount", a1, b64),
+            _attr("reserve_asset2_denom", d2, b64),
+            _attr("reserve_asset2_amount", a2, b64),
+        ]
+    return {"type": "wasm", "attributes": attrs}
+
+
+def _block(height, txs_events, minute):
+    """txs_events: list of per-tx event lists; tx bytes derived from height/idx."""
+    return {
+        "height": height,
+        "time": (T0 + timedelta(minutes=minute)).strftime("%Y-%m-%dT%H:%M:%S"),
+        "txs": [
+            base64.b64encode(f"tx-{height}-{i}".encode()).decode()
+            for i in range(len(txs_events))
+        ],
+        "tx_results": [{"events": evs} for evs in txs_events],
+    }
+
+
+def raw_blocks():
+    blocks_out = []
+    # block 1: two create_pair events
+    blocks_out.append(
+        _block(
+            1,
+            [
+                [
+                    _msg("zigdeployer", 0),
+                    {
+                        "type": "wasm",
+                        "attributes": [
+                            _attr("action", "create_pair"),
+                            _attr("_contract_address", PAIR_A),
+                            _attr("pair", "ualpha-uzig"),
+                            _attr("pair_type", "xyk"),
+                            _attr("lp_denom", "lp_alpha"),
+                            _attr("msg_index", 0),
+                        ],
+                    },
+                ],
+                [
+                    _msg("zigdeployer", 0),
+                    {
+                        "type": "wasm",
+                        "attributes": [
+                            # uzig on the base side: normalization must swap
+                            _attr("action", "create_pair"),
+                            _attr("_contract_address", PAIR_B),
+                            _attr("pair", "uzig-ubeta"),
+                            _attr("msg_index", 0),
+                        ],
+                    },
+                ],
+            ],
+            0,
+        )
+    )
+    # block 2: swaps — combined reserves + separate (swapped order) + b64 attrs
+    blocks_out.append(
+        _block(
+            2,
+            [
+                [  # buy: offer uzig for alpha; combined reserves blob
+                    _msg("zigwalletA", 0),
+                    _swap(PAIR_A, "uzig", 5_000_000, "ualpha", 2_400_000, 0,
+                          combined_reserves="ualpha:1000000000,uzig:2000000000"),
+                ],
+                [  # sell: offer alpha; separate reserves, order swapped (P13)
+                    _msg("zigwalletB", 0),
+                    _swap(PAIR_A, "ualpha", 1_200_000, "uzig", 2_400_000, 0,
+                          reserves4=("uzig", 1_997_600_000, "ualpha", 1_001_200_000)),
+                ],
+                [  # base64-encoded attribute variant (P1)
+                    _msg("zigwalletC", 0),
+                    _swap(PAIR_B, "uzig", 7_000_000, "ubeta", 13_000_000, 0,
+                          combined_reserves="ubeta:5000000000,uzig:2500000000", b64=True),
+                ],
+            ],
+            1,
+        )
+    )
+    # block 3: router tx with 2 legs + liquidity events with share aliases
+    blocks_out.append(
+        _block(
+            3,
+            [
+                [
+                    _msg(ROUTER, 0),
+                    _msg(ROUTER, 1),
+                    {"type": "execute", "attributes": [_attr("_contract_address", ROUTER), _attr("msg_index", 0)]},
+                    _swap(PAIR_A, "uzig", 3_000_000, "ualpha", 1_400_000, 0,
+                          combined_reserves="ualpha:999000000,uzig:2003000000"),
+                    _swap(PAIR_B, "ualpha", 1_400_000, "ubeta", 2_500_000, 1,
+                          combined_reserves="ubeta:4997500000,uzig:2501000000"),
+                ],
+                [
+                    _msg("zigwalletD", 0),
+                    {
+                        "type": "wasm",
+                        "attributes": [
+                            _attr("action", "provide_liquidity"),
+                            _attr("_contract_address", PAIR_A),
+                            _attr("assets", "100000000ualpha,200000000uzig"),
+                            _attr("share", 141421356),
+                            _attr("msg_index", 0),
+                        ],
+                    },
+                ],
+                [
+                    _msg("zigwalletE", 0),
+                    {
+                        "type": "wasm",
+                        "attributes": [
+                            _attr("action", "withdraw_liquidity"),
+                            _attr("_contract_address", PAIR_B),
+                            _attr("assets", "50000000ubeta,25000000uzig"),
+                            _attr("withdrawn_share", 35355339),
+                            _attr("msg_index", 0),
+                        ],
+                    },
+                ],
+            ],
+            2,
+        )
+    )
+    # block 4: exact replay of block 2's first swap (duplicate events ST2)
+    blocks_out.append(
+        _block(
+            2,
+            [
+                [
+                    _msg("zigwalletA", 0),
+                    _swap(PAIR_A, "uzig", 5_000_000, "ualpha", 2_400_000, 0,
+                          combined_reserves="ualpha:1000000000,uzig:2000000000"),
+                ]
+            ],
+            1,
+        )
+    )
+    return blocks_out
+
+
+@pytest.fixture(scope="module")
+def raw_df(spark):
+    rows = [json.dumps(b) for b in raw_blocks()]
+    return spark.read.schema(blocks.RAW_SCHEMA).json(
+        spark.sparkContext.parallelize(rows)
+    )
+
+
+@pytest.fixture(scope="module")
+def ingested(spark, raw_df):
+    return blocks.ingest(raw_df, router_addr=ROUTER)
+
+
+def test_pools_extracted_and_normalized(ingested):
+    pools = {r.pair_contract: r for r in ingested["pools"].collect()}
+    assert set(pools) == {PAIR_A, PAIR_B}
+    a, b = pools[PAIR_A], pools[PAIR_B]
+    assert a.base_denom == "ualpha" and a.quote_denom == "uzig"
+    # P9: uzig forced to quote side even when listed first
+    assert b.base_denom == "ubeta" and b.quote_denom == "uzig"
+    assert a.is_uzig_quote and b.is_uzig_quote
+    assert a.pool_id != 0 and a.pool_id != b.pool_id
+    assert a.pair_type == "xyk" and b.pair_type == "xyk"
+    assert a.signer == "zigdeployer"
+
+
+def test_trades_direction_and_dedupe(ingested):
+    trades = ingested["trades"].collect()
+    swaps = [t for t in trades if t.action == "swap"]
+    # 5 distinct swaps (replayed duplicate collapsed)
+    assert len(swaps) == 5
+    by_offer = {(t.tx_hash, t.msg_index): t for t in swaps}
+    assert len(by_offer) == 5
+    buys = [t for t in swaps if t.direction == "buy"]
+    sells = [t for t in swaps if t.direction == "sell"]
+    # P10: offering uzig (the quote) = buy
+    assert all(t.offer_asset_denom == "uzig" for t in buys)
+    assert all(t.offer_asset_denom != "uzig" for t in sells)
+    assert len(buys) == 3 and len(sells) == 2
+
+
+def test_base64_attrs_decoded(ingested):
+    swaps = [t for t in ingested["trades"].collect() if t.action == "swap"]
+    b64_swap = [t for t in swaps if t.signer == "zigwalletC"]
+    assert len(b64_swap) == 1
+    t = b64_swap[0]
+    assert t.offer_asset_denom == "uzig"
+    assert int(t.offer_amount_base) == 7_000_000
+
+
+def test_router_detection(ingested):
+    swaps = [t for t in ingested["trades"].collect() if t.action == "swap"]
+    router_legs = [t for t in swaps if t.is_router]
+    assert len(router_legs) == 2
+    assert {t.msg_index for t in router_legs} == {0, 1}
+    assert len({t.tx_hash for t in router_legs}) == 1
+
+
+def test_liquidity_events_and_share_aliases(ingested):
+    trades = ingested["trades"].collect()
+    prov = [t for t in trades if t.action == "provide"]
+    wd = [t for t in trades if t.action == "withdraw"]
+    assert len(prov) == 1 and len(wd) == 1
+    assert int(prov[0].return_amount_base) == 141421356
+    assert int(wd[0].return_amount_base) == 35355339  # withdrawn_share alias
+
+
+def test_pool_state_orientation(ingested):
+    st = {r.pool_id: r for r in ingested["pool_state"].collect()}
+    pools = {r.pair_contract: r.pool_id for r in ingested["pools"].collect()}
+    a = st[pools[PAIR_A]]
+    # last-wins per pool: block 3 leg (height 3) supersedes block 2
+    assert int(a.reserve_base_base) == 999000000
+    assert int(a.reserve_quote_base) == 2003000000
+    b = st[pools[PAIR_B]]
+    assert int(b.reserve_base_base) == 4997500000
+    assert int(b.reserve_quote_base) == 2501000000
+
+
+def test_prices_from_reserves(ingested):
+    prices = ingested["prices"].collect()
+    assert prices
+    # B11 with default exponent 6 both sides: price = Rq/Rb
+    pools = {r.pair_contract: r.pool_id for r in ingested["pools"].collect()}
+    pa = [p for p in prices if p.pool_id == pools[PAIR_A]]
+    assert any(abs(p.price_in_zig - 2_000_000_000 / 1_000_000_000) < 1e-9 for p in pa)
+    assert all(p.is_pair_native for p in prices)
+
+
+def test_ohlcv_from_ticks(ingested):
+    bars = ingested["ohlcv_1m"].collect()
+    assert bars
+    for b in bars:
+        assert b.low <= b.open <= b.high
+        assert b.low <= b.close <= b.high
+        assert b.trade_count >= 1
+
+
+def test_reingest_is_noop(spark, raw_df, ingested):
+    out2 = blocks.ingest(
+        raw_df,
+        existing_pools=ingested["pools"],
+        existing_trades=ingested["trades"],
+        router_addr=ROUTER,
+    )
+    assert out2["pools"].count() == 0
+    assert out2["trades"].count() == 0
+
+
+def test_streaming_ingest_end_to_end(spark, tmp_path, raw_df):
+    import shutil
+
+    from degenter_clickhouse_spark.streaming import pipeline as SP
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [json.dumps(b) for b in raw_blocks()]
+    (landing / "batch1.json").write_text("\n".join(rows[:2]))
+    created = []
+    SP.stream_ingest(
+        spark, str(landing), out_dir, ckpt, router_addr=ROUTER,
+        on_pair_created=lambda rs: created.extend(rs),
+    )
+    t1 = SP.read_output(spark, out_dir, "trades").count()
+    assert t1 == 3  # block 2's swaps
+    assert len(created) == 2  # ST7 fast-track fired for both pools
+    # second batch: blocks 3 + replay of block 2 -> only new rows land
+    (landing / "batch2.json").write_text("\n".join(rows[2:]))
+    SP.stream_ingest(spark, str(landing), out_dir, ckpt, router_addr=ROUTER)
+    trades = SP.read_output(spark, out_dir, "trades")
+    assert trades.count() == 7  # 5 swaps + 2 liquidity, replay deduped
+    keys = trades.select("pool_id", "tx_hash", "msg_index").collect()
+    assert len(keys) == len({(k.pool_id, k.tx_hash, k.msg_index) for k in keys})
+    # partitioned layout on dt for pruning
+    assert any(p.name.startswith("dt=") for p in (tmp_path / "out" / "trades").iterdir())
