@@ -25,6 +25,7 @@ from degenter_clickhouse_spark.queries import load_registry  # noqa: E402
 from degenter_clickhouse_spark.session import build_session  # noqa: E402
 
 BENCH_QUERIES = [
+    # core operator surface
     "pricing_summary",
     "star_revenue",
     "ohlcv_1m",
@@ -37,6 +38,16 @@ BENCH_QUERIES = [
     "dedupe_latest",
     "topk_concentration",
     "change_pct",
+    # LLM-pipeline scale paths (the quadratic jaccard baseline is
+    # deliberately excluded — minhash_lsh is the at-scale variant)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_ann_topk",
+    "embedding_neardup",
+    "text_quality",
+    "token_counts",
+    "multimodal_features",
 ]
 
 

@@ -42,6 +42,6 @@ def register(name: str, oracle: str | None):
 
 def load_registry() -> dict[str, QueryDef]:
     # import for side effect of filling REGISTRY
-    from . import core, llm, parity2  # noqa: F401
+    from . import core, llm, parity2, parity3  # noqa: F401
 
     return REGISTRY

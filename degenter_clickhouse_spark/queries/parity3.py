@@ -1,0 +1,98 @@
+"""Third parity batch: the remaining filter/join shapes — NULL-meta
+refresh queue scan (F8 + O6 stalest-K ordering), literal IN-list join
+(J9), and set-of-keys rejoin (J10, the sibling-legs refetch pattern).
+NULLs are synthesized deterministically (driver tables are dense)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from . import register
+from .core import dsum, o_dsum
+
+# ---------------------------------------------------------------------------
+# F8 + O6: NULL-metadata scan feeding a stalest-K refresh queue
+# ---------------------------------------------------------------------------
+
+NULL_META_ORACLE = """
+SELECT custkey, name, segment
+FROM (
+  SELECT c_custkey AS custkey,
+         CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_name END AS name,
+         CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS segment
+  FROM customer
+)
+WHERE name IS NULL OR segment IS NULL
+ORDER BY custkey ASC
+LIMIT 20
+"""
+
+
+@register("null_meta_scan", NULL_META_ORACLE)
+def q_null_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = catalog.load_table(spark, sf_dir, "customer")
+    sparse = c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.when(F.col("c_custkey") % 5 == 0, None).otherwise(F.col("c_name")).alias("name"),
+        F.when(F.col("c_custkey") % 7 == 0, None)
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+    )
+    return (
+        sparse.filter(F.col("name").isNull() | F.col("segment").isNull())
+        .orderBy(F.col("custkey").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# J9: literal IN-list join
+# ---------------------------------------------------------------------------
+
+IN_LIST = [1, 2, 3, 5, 8, 13, 21, 34]
+
+IN_LIST_ORACLE = f"""
+SELECT o_custkey AS custkey, COUNT(*) AS n_orders, {o_dsum("o_totalprice")} AS total
+FROM orders
+WHERE o_custkey IN ({", ".join(map(str, IN_LIST))})
+GROUP BY o_custkey
+"""
+
+
+@register("in_list_join", IN_LIST_ORACLE)
+def q_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = catalog.load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_custkey").isin(IN_LIST))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J10: set-of-keys rejoin (sibling refetch: all orders of customers who
+# placed at least one big order)
+# ---------------------------------------------------------------------------
+
+REJOIN_ORACLE = f"""
+WITH big AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000
+)
+SELECT o.o_custkey AS custkey, COUNT(*) AS n_sibling_orders,
+       {o_dsum("o.o_totalprice")} AS sibling_total
+FROM orders o JOIN big b ON b.o_custkey = o.o_custkey
+GROUP BY o.o_custkey
+"""
+
+
+@register("set_rejoin", REJOIN_ORACLE)
+def q_set_rejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = catalog.load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 400000).select("o_custkey").distinct()
+    sib = o.join(F.broadcast(big), "o_custkey", "left_semi")
+    return sib.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_sibling_orders"),
+        dsum("o_totalprice").alias("sibling_total"),
+    )
