@@ -1,0 +1,287 @@
+"""DegenterEngine — the single entry point a user of the reference
+backend would switch to.
+
+Wraps a SparkSession + a table catalog (in-memory DataFrames or a
+parquet/Delta storage directory) and exposes every serving surface the
+reference offers: rollup refresh jobs, token lists, gainers/losers,
+OHLCV with gap fill, trade feeds with router combining, swap routing,
+holders/security, alert evaluation, and SQL over the canonical views.
+
+``sql()`` queries see the base tables AND the decorrelated latest-row
+views (latest_prices, latest_token_prices, latest_pool_state,
+holders_counts) — user SQL therefore never needs the correlated
+``ORDER BY updated_at DESC LIMIT 1`` pattern the reference's leftover
+Postgres queries used (SURVEY.md §4): the view layer IS the rewrite
+rule, applied by construction rather than by a Catalyst hook.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import schemas as S
+from .plans import (
+    alerts as AL,
+)
+from .plans import (
+    holders as H,
+)
+from .plans import (
+    leaderboards as LB,
+)
+from .plans import (
+    pool_matrix as PM,
+)
+from .plans import (
+    security as SEC,
+)
+from .plans import (
+    swap as SW,
+)
+from .plans import (
+    token_matrix as TM,
+)
+from .plans import (
+    tokens_api as TA,
+)
+from .plans import (
+    trades_feed as TF,
+)
+from .plans import views
+from .sources import blocks as BLK
+
+BASE_TABLES = (
+    "tokens",
+    "pools",
+    "trades",
+    "prices",
+    "pool_state",
+    "ohlcv_1m",
+    "exchange_rates",
+    "holders",
+)
+
+
+class DegenterEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        tables: dict[str, DataFrame] | None = None,
+        storage_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.tables: dict[str, DataFrame] = dict(tables or {})
+        self.storage_dir = storage_dir
+        if storage_dir:
+            for name in BASE_TABLES:
+                path = os.path.join(storage_dir, name)
+                if os.path.exists(path) and name not in self.tables:
+                    self.tables[name] = spark.read.parquet(path)
+        self.register_views()
+
+    # -- catalog -----------------------------------------------------------
+
+    def table(self, name: str) -> DataFrame:
+        return self.tables[name]
+
+    def set_table(self, name: str, df: DataFrame) -> None:
+        self.tables[name] = df
+        self.register_views()
+
+    def register_views(self) -> None:
+        for name, df in self.tables.items():
+            df.createOrReplaceTempView(name)
+        if "prices" in self.tables:
+            views.latest_prices(self.tables["prices"]).createOrReplaceTempView(
+                "latest_prices"
+            )
+            views.latest_token_prices(self.tables["prices"]).createOrReplaceTempView(
+                "latest_token_prices"
+            )
+        if "pool_state" in self.tables:
+            views.latest_pool_state(self.tables["pool_state"]).createOrReplaceTempView(
+                "latest_pool_state"
+            )
+        if "holders" in self.tables:
+            views.holders_counts(self.tables["holders"]).createOrReplaceTempView(
+                "holders_counts"
+            )
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    # -- ingest ------------------------------------------------------------
+
+    def ingest_blocks(self, raw: DataFrame, router_addr: str | None = None) -> dict:
+        out = BLK.ingest(
+            raw,
+            existing_pools=self.tables.get("pools"),
+            existing_trades=self.tables.get("trades"),
+            router_addr=router_addr,
+            tokens_exp=self.tables.get("tokens"),
+        )
+        for name in ("pools", "trades", "prices", "pool_state", "ohlcv_1m"):
+            if name in self.tables:
+                self.tables[name] = self.tables[name].unionByName(
+                    out[name], allowMissingColumns=True
+                )
+            else:
+                self.tables[name] = out[name]
+        self.register_views()
+        return out
+
+    # -- rollup jobs (the reference's 60 s loops) --------------------------
+
+    def pool_matrix(self, bucket: str = "24h", now: Column | None = None) -> DataFrame:
+        return PM.rollup(
+            self.table("trades"),
+            self.table("pools"),
+            self.table("tokens"),
+            self.table("prices"),
+            self.table("pool_state"),
+            self.table("ohlcv_1m"),
+            now if now is not None else F.current_timestamp(),
+            bucket,
+        )
+
+    def token_matrix(self, bucket: str = "24h", now: Column | None = None) -> DataFrame:
+        return TM.rollup(
+            self.table("trades"),
+            self.table("pools"),
+            self.table("tokens"),
+            self.table("prices"),
+            self.table("holders"),
+            self.table("ohlcv_1m"),
+            now if now is not None else F.current_timestamp(),
+            bucket,
+        )
+
+    def leaderboard(self, bucket: str = "24h", now: Column | None = None) -> DataFrame:
+        return LB.leaderboard(
+            self.table("trades"),
+            now if now is not None else F.current_timestamp(),
+            PM.BUCKETS[bucket],
+        )
+
+    def large_trades(
+        self, bucket: str = "24h", min_zig: float = 1000.0, now: Column | None = None
+    ) -> DataFrame:
+        return LB.large_trades(
+            self.table("trades"),
+            now if now is not None else F.current_timestamp(),
+            PM.BUCKETS[bucket],
+            min_zig,
+        )
+
+    def holder_stats(self) -> DataFrame:
+        return H.holder_stats(self.table("holders"))
+
+    def security_scan(self, now: Column | None = None) -> DataFrame:
+        return SEC.scan(
+            self.table("tokens"),
+            self.table("holders"),
+            now if now is not None else F.current_timestamp(),
+        )
+
+    # -- read side (the reference's REST surface) --------------------------
+
+    def token_list(self, sort: str = "volume", desc: bool = True, limit: int = 50,
+                   offset: int = 0, bucket: str = "24h",
+                   now: Column | None = None) -> DataFrame:
+        return TA.token_list(self.token_matrix(bucket, now), sort, desc, limit, offset)
+
+    def gainers_losers(self, cutoff: Column, n: int = 10) -> DataFrame:
+        return TA.gainers_losers(self.table("ohlcv_1m"), self.table("pools"), cutoff, n)
+
+    def native_pools_of(self, token_id: int) -> list[int]:
+        rows = (
+            self.table("pools")
+            .filter(F.col("is_uzig_quote") & (F.col("base_token_id") == token_id))
+            .select("pool_id")
+            .collect()
+        )
+        return [r.pool_id for r in rows]
+
+    def ohlcv(
+        self,
+        token_id: int,
+        step_sec: int,
+        ts_from: Column,
+        ts_to: Column,
+        fill: str = "prev",
+        price_source: str = "all",
+        pool_id: int | None = None,
+        unit_zig_usd: Column | None = None,
+        mcap_circ_disp: Column | None = None,
+    ) -> DataFrame:
+        """GET /tokens/:id/ohlcv (§3.3): pool-set selection ∈
+        {all, pool, best} then the full resample/gap-fill pipeline."""
+        if price_source == "pool" and pool_id is not None:
+            pool_ids = [pool_id]
+        elif price_source == "best":
+            cands = SW.candidate_pools(
+                self.table("pools"), self.table("tokens"), self.table("pool_state")
+            ).filter(F.col("base_token_id") == token_id)
+            best = SW.best_pool_by_simulation(cands, F.lit(100.0)).collect()
+            pool_ids = [best[0].pool_id] if best else self.native_pools_of(token_id)
+        else:
+            pool_ids = self.native_pools_of(token_id)
+        return TA.ohlcv_series(
+            self.table("ohlcv_1m"),
+            pool_ids,
+            step_sec,
+            ts_from,
+            ts_to,
+            fill=fill,
+            zig_usd=unit_zig_usd,
+            circ_supply_disp=mcap_circ_disp,
+        )
+
+    def trades_feed(
+        self,
+        zig_usd: Column,
+        combine_router: bool = True,
+        **filters,
+    ) -> DataFrame:
+        t = self.table("trades").filter(F.col("action") == "swap")
+        if "pool_id" in filters:
+            t = t.filter(F.col("pool_id") == filters["pool_id"])
+        if "signer" in filters:
+            t = t.filter(F.col("signer") == filters["signer"])
+        if "direction" in filters:
+            t = t.filter(F.col("direction") == filters["direction"])
+        shaped = TF.shape(
+            t,
+            self.table("tokens"),
+            views.latest_token_prices(self.table("prices")),
+            self.table("pools"),
+            zig_usd,
+        )
+        return TF.combine_router_legs(shaped) if combine_router else shaped
+
+    def best_route(self, amount_in_zig: float = 100.0, min_tvl_zig: float = 0.0) -> DataFrame:
+        cands = SW.candidate_pools(
+            self.table("pools"),
+            self.table("tokens"),
+            self.table("pool_state"),
+            min_tvl_zig=min_tvl_zig,
+        )
+        return SW.best_pool_by_simulation(cands, F.lit(amount_in_zig))
+
+    def evaluate_alerts(self, alerts: DataFrame, now: Column | None = None) -> DataFrame:
+        now = now if now is not None else F.current_timestamp()
+        lt = LB.large_trades(self.table("trades"), now, 1440, min_zig=0.0)
+        outs = [
+            AL.eval_price_cross(alerts, self.table("prices"), now),
+            AL.eval_wallet_trade(alerts, self.table("trades"), now),
+            AL.eval_large_trade(alerts, lt, now),
+            AL.eval_tvl_change(alerts, self.table("pool_state"), None, now),
+        ]
+        fired = None
+        for o in outs:
+            o = o.select("alert_id", "kind", "fired_at")
+            fired = o if fired is None else fired.unionByName(o)
+        return fired

@@ -1,0 +1,91 @@
+"""End-to-end facade tests: an engine built from the domain fixtures
+must serve every reference surface, and sql() must see the
+decorrelated views."""
+
+from __future__ import annotations
+
+from datetime import timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from degenter_clickhouse_spark.engine import DegenterEngine
+
+from .test_domain import NOW, _now, dom  # noqa: F401
+
+
+@pytest.fixture(scope="module")
+def engine(spark, dom):  # noqa: F811
+    tables = {
+        "tokens": dom["tokens"],
+        "pools": dom["pools"],
+        "trades": dom["trades_clean"],
+        "prices": dom["prices"],
+        "pool_state": dom["pool_state"],
+        "ohlcv_1m": dom["ohlcv_1m"],
+        "exchange_rates": dom["exchange_rates"],
+        "holders": dom["holders"],
+    }
+    return DegenterEngine(spark, tables=tables)
+
+
+def test_sql_sees_views_no_correlation_needed(engine):
+    out = engine.sql(
+        """
+        SELECT p.pair_contract, lp.latest_price_zig
+        FROM pools p JOIN latest_prices lp ON lp.pool_id = p.pool_id
+        ORDER BY p.pool_id
+        """
+    ).collect()
+    assert out and all(r.latest_price_zig is not None for r in out)
+    st = engine.sql("SELECT COUNT(*) AS n FROM latest_pool_state").collect()[0].n
+    assert st == engine.table("pools").count()  # one latest row per pool
+
+
+def test_rollups_and_lists(engine):
+    pm = engine.pool_matrix("24h", _now())
+    assert pm.count() == engine.table("pools").count()
+    page = engine.token_list(sort="volume", limit=5, bucket="24h", now=_now()).collect()
+    assert 0 < len(page) <= 5
+    lb = engine.leaderboard("24h", _now())
+    assert lb.count() > 0
+
+
+def test_ohlcv_modes(engine):
+    frm = F.lit((NOW - timedelta(hours=2)).strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp")
+    all_mode = engine.ohlcv(2, 900, frm, _now(), price_source="all").collect()
+    assert len(all_mode) == 8
+    pool_mode = engine.ohlcv(2, 900, frm, _now(), price_source="pool", pool_id=101).collect()
+    assert len(pool_mode) == 8
+    best_mode = engine.ohlcv(2, 900, frm, _now(), price_source="best").collect()
+    assert len(best_mode) == 8
+    # 'all' merges two pools; 'pool' restricts to one -> volumes differ
+    assert sum(r.volume for r in all_mode) >= sum(r.volume for r in pool_mode) - 1e-9
+
+
+def test_trades_feed_and_route(engine):
+    feed = engine.trades_feed(F.lit(0.02)).limit(20).collect()
+    assert feed and all(r.trade_class in ("shrimp", "shark", "whale") for r in feed)
+    routes = engine.best_route(100.0).collect()
+    assert routes and all(r.out > 0 for r in routes)
+
+
+def test_engine_ingest_appends(spark, engine):
+    from .test_ingest import ROUTER, raw_blocks
+    import json
+
+    from degenter_clickhouse_spark.sources import blocks
+
+    raw = spark.read.schema(blocks.RAW_SCHEMA).json(
+        spark.sparkContext.parallelize([json.dumps(b) for b in raw_blocks()])
+    )
+    before = engine.table("trades").count()
+    out = engine.ingest_blocks(raw, router_addr=ROUTER)
+    added = out["trades"].count()
+    assert added == 7
+    assert engine.table("trades").count() == before + added
+    # new pools are queryable through sql() immediately
+    n = engine.sql(
+        "SELECT COUNT(*) AS n FROM pools WHERE pair_contract LIKE 'zig1paircontract%'"
+    ).collect()[0].n
+    assert n == 2
