@@ -24,12 +24,14 @@ from . import text as T
 
 
 def with_shingle_rows(docs: DataFrame, id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct rows + polynomial shingle hash."""
-    sh = docs.select(
-        F.col(id_col),
-        F.explode(T.shingles(f"split(text, ' ')", n)).alias("shingle"),
+    """(doc_id, h) distinct shingle-hash rows. Shingle identity is its
+    rolled word-hash (llm/text.shingle_hash_array) — hash collisions are
+    negligible and, because the oracle uses the identical hash, any
+    collision affects both engines identically (deterministic)."""
+    hw = docs.withColumn("__hw", T.word_hash_array("split(text, ' ')"))
+    return hw.select(
+        F.col(id_col), F.explode(T.shingle_hash_array("__hw", n)).alias("h")
     ).distinct()
-    return sh.withColumn("h", T.poly_hash("shingle"))
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -54,11 +56,11 @@ def jaccard_pairs(
     """Near-dup pairs by word n-gram Jaccard; candidates = pairs sharing
     at least one shingle (exact but quadratic in shared-shingle pairs —
     the LSH variant is the scale path)."""
-    sh = with_shingle_rows(docs, id_col, n).select(F.col(id_col).alias("d"), "shingle")
+    sh = with_shingle_rows(docs, id_col, n).select(F.col(id_col).alias("d"), "h")
     sizes = sh.groupBy("d").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.d") < F.col("b.d")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.d") < F.col("b.d")))
         .groupBy(F.col("a.d").alias("d1"), F.col("b.d").alias("d2"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
@@ -113,11 +115,11 @@ def minhash_lsh_pairs(
         .select(F.col("a.d").alias("d1"), F.col("b.d").alias("d2"))
         .distinct()
     )
-    sh = with_shingle_rows(docs, id_col, n).select(F.col(id_col).alias("d"), "shingle")
+    sh = with_shingle_rows(docs, id_col, n).select(F.col(id_col).alias("d"), "h")
     sizes = sh.groupBy("d").agg(F.count(F.lit(1)).alias("n_sh"))
     common = (
-        cand.join(sh.withColumnRenamed("d", "d1").withColumnRenamed("shingle", "s1"), "d1")
-        .join(sh.withColumnRenamed("d", "d2").withColumnRenamed("shingle", "s2"), "d2")
+        cand.join(sh.withColumnRenamed("d", "d1").withColumnRenamed("h", "s1"), "d1")
+        .join(sh.withColumnRenamed("d", "d2").withColumnRenamed("h", "s2"), "d2")
         .filter(F.col("s1") == F.col("s2"))
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("common"))

@@ -63,6 +63,43 @@ def shingles(words_expr: str, n: int = 3) -> Column:
     )
 
 
+SHINGLE_B = 131
+
+
+def word_hash_array(words_expr: str) -> Column:
+    """Polynomial hash per word. Hashing the (small) per-doc word list
+    once and combining per shingle is ~n_shingle_chars/n_word_chars
+    cheaper than hashing every overlapping shingle string."""
+    return F.expr(
+        f"transform({words_expr}, w -> CASE WHEN length(w) = 0 "
+        f"THEN CAST(0 AS BIGINT) ELSE "
+        f"aggregate(transform(sequence(1, length(w)), j -> ascii(substring(w, j, 1))), "
+        f"CAST(0 AS BIGINT), (acc, x) -> (acc * {POLY_BASE} + x) % {POLY_MOD}) END)"
+    )
+
+
+def shingle_combine_sql(hw: str, n: int = 3) -> str:
+    """The (engine-agnostic) combiner: h = ((h*B + next) % P) rolled
+    over ``n`` word hashes; identical text is used in the DuckDB
+    oracles. ``{hw}[i + k]`` must be 1-based indexing in the dialect."""
+    expr = f"{hw}[i]"
+    for k in range(1, n):
+        expr = f"(({expr}) * {SHINGLE_B} + {hw}[i + {k}]) % {POLY_MOD}"
+    return expr
+
+
+def shingle_hash_array(hw_expr: str, n: int = 3) -> Column:
+    combine = shingle_combine_sql(f"__hw", n).replace("__hw[i]", f"element_at({hw_expr}, i)")
+    # element_at for the offset terms too (Spark [] is 0-based; element_at is 1-based)
+    for k in range(1, n):
+        combine = combine.replace(f"__hw[i + {k}]", f"element_at({hw_expr}, i + {k})")
+    return F.expr(
+        f"CASE WHEN size({hw_expr}) >= {n} THEN "
+        f"transform(sequence(1, size({hw_expr}) - {n - 1}), i -> {combine}) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+
+
 def stopword_count(words_expr: str, stopwords: list[str]) -> Column:
     """Non-distinct stopword occurrences."""
     lits = ", ".join(f"'{w}'" for w in stopwords)

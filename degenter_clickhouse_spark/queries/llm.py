@@ -27,10 +27,27 @@ O_POLY = (
     f"(acc, x) -> (acc * {T.POLY_BASE} + x) % {T.POLY_MOD})"
 )
 
-O_SHINGLES = """
-SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
-FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-     LATERAL (SELECT unnest(generate_series(1, greatest(len(words) - 2, 0))) AS i)
+# Shingle-hash CTE: exact twin of llm/dedup.with_shingle_rows (word
+# polyhashes rolled into shingle hashes — same combiner constants).
+from ..llm.text import POLY_BASE, POLY_MOD, SHINGLE_B, shingle_combine_sql
+
+O_WORD_HASHES = (
+    "list_transform(string_split(text, ' '), w -> CASE WHEN length(w) = 0 "
+    "THEN CAST(0 AS BIGINT) ELSE "
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(generate_series(1, length(w)), "
+    "j -> CAST(ord(substring(w, j, 1)) AS BIGINT))), "
+    f"(acc, x) -> (acc * {POLY_BASE} + x) % {POLY_MOD}) END)"
+)
+
+O_SHINGLES = f"""
+SELECT DISTINCT doc_id, unnest(sh) AS h
+FROM (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(hw) - 2, 0)),
+                        i -> {shingle_combine_sql("hw", 3)}) AS sh
+  FROM (SELECT doc_id, {O_WORD_HASHES} AS hw FROM documents)
+)
 """
 
 O_NORM2 = (
@@ -91,7 +108,7 @@ WITH sh AS ({O_SHINGLES}),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT d1, d2, common, s1.n_sh AS n1, s2.n_sh AS n2,
@@ -124,10 +141,8 @@ def _minhash_oracle() -> str:
         f"FROM sig"
         for j in range(4)
     )
-    poly_sh = O_POLY.format(s="shingle")
     return f"""
-WITH sh0 AS ({O_SHINGLES}),
-sh AS (SELECT doc_id, shingle, {poly_sh} AS h FROM sh0),
+WITH sh AS ({O_SHINGLES}),
 sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
 bands AS (
 {bands}
@@ -142,7 +157,7 @@ common AS (
   SELECT c.d1, c.d2, COUNT(*) AS common
   FROM cand c
   JOIN sh a ON a.doc_id = c.d1
-  JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+  JOIN sh b ON b.doc_id = c.d2 AND b.h = a.h
   GROUP BY c.d1, c.d2
 )
 SELECT d1, d2,
