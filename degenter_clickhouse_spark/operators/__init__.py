@@ -1,1 +1,1 @@
-from . import dedupe, joins, latest, ohlcv, topk  # noqa: F401
+from . import dedupe, joins, latest, merge, ohlcv, topk  # noqa: F401

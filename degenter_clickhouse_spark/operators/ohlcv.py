@@ -107,6 +107,7 @@ def gap_fill(
     fill: str = "prev",
     pool: str = "pool_id",
     bucket: str = "bucket_start",
+    materialize_input: bool = False,
 ) -> DataFrame:
     """Densify each pool's bar series onto the step grid between its
     first and last bucket.
@@ -116,7 +117,14 @@ def gap_fill(
     fill='zero': synthetic candles are all-zero (fill=zero, :1536-1546).
     Real candles additionally get open := carried prev close, and
     high/low widened to include it (:1520-1523).
+
+    ``materialize_input`` lazily localCheckpoints the bars so the spine
+    branch and the join branch share one computation instead of
+    re-aggregating the tick source twice (bars output is series-sized —
+    cheap to hold; batch contexts only).
     """
+    if materialize_input:
+        bars_df = bars_df.localCheckpoint(eager=False)
     spine = (
         bars_df.groupBy(pool)
         .agg(F.min(bucket).alias("lo"), F.max(bucket).alias("hi"))

@@ -333,7 +333,7 @@ FROM f
 @register("gap_fill_hourly", GAPFILL_ORACLE)
 def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = spark_bars(spark, sf_dir, 3600)
-    filled = ohlcv.gap_fill(b, 3600, fill="prev")
+    filled = ohlcv.gap_fill(b, 3600, fill="prev", materialize_input=True)
     return filled.select(
         "pool_id",
         epoch("bucket_start").alias("bucket_ts"),
