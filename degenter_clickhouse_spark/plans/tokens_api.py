@@ -136,6 +136,32 @@ def spark_range_spine(
     )
 
 
+def forming_bar(
+    ohlcv_1m: DataFrame,
+    pool_ids: list[int],
+    step_sec: int,
+    now: Column,
+) -> DataFrame:
+    """ST9 (api/ws.js:118-169): the still-open candle for tf > 1m,
+    synthesized by aggregating 1m bars since the current bucket start.
+    One row (or zero if the bucket has no trades yet)."""
+    bucket_start = _bucket(now, step_sec)
+    src = ohlcv_1m.filter(
+        F.col("pool_id").isin(pool_ids)
+        & (F.col("bucket_start") >= bucket_start)
+        & (F.col("bucket_start") <= now)
+    )
+    ordc = F.struct(F.col("bucket_start"), F.col("pool_id"))
+    return src.groupBy().agg(
+        F.min_by(F.col("open"), ordc).alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by(F.col("close"), ordc).alias("close"),
+        F.sum("volume_zig").alias("volume"),
+        F.sum("trade_count").alias("trade_count"),
+    ).select(bucket_start.alias("bucket"), "*").filter(F.col("trade_count").isNotNull())
+
+
 SORT_KEYS = {
     "volume": lambda: F.coalesce(F.col("vol_buy_zig") + F.col("vol_sell_zig"), F.lit(0.0)),
     "tx": lambda: F.coalesce(F.col("tx_buy") + F.col("tx_sell"), F.lit(0)),

@@ -1,0 +1,111 @@
+"""Property-based tests (SURVEY.md §5.4) with hypothesis: OHLCV
+invariants, resample conservation, gap-fill grid totality, xyk
+simulation bounds. Random tick sets are generated driver-side and run
+through the real Spark operators."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from degenter_clickhouse_spark.functions import business
+from degenter_clickhouse_spark.operators import ohlcv as O
+
+T0 = datetime(2024, 6, 1)
+
+tick = st.tuples(
+    st.integers(min_value=1, max_value=3),  # pool
+    st.floats(min_value=0.001, max_value=1e6, allow_nan=False, allow_infinity=False),
+    st.integers(min_value=0, max_value=6 * 3600 - 1),  # offset sec
+)
+
+_settings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@given(ticks=st.lists(tick, min_size=1, max_size=120))
+@_settings
+def test_ohlcv_invariants_and_resample_conservation(spark, ticks):
+    rows = [
+        (p, float(px), i, T0 + timedelta(seconds=off))
+        for i, (p, px, off) in enumerate(ticks)
+    ]
+    df = spark.createDataFrame(rows, "pool_id long, price double, event_id long, ts timestamp")
+    bars = O.bars(df, 60, seq="event_id", qty=F.col("price")).cache()
+    got = bars.collect()
+    # low <= open/close <= high; counts positive
+    for b in got:
+        assert b.low <= b.open <= b.high
+        assert b.low <= b.close <= b.high
+        assert b.trade_count >= 1
+    assert sum(b.trade_count for b in got) == len(rows)
+    # resample conserves volume and trade count exactly
+    res = O.resample(bars, 900).collect()
+    assert sum(r.trade_count for r in res) == len(rows)
+    assert sum(r.volume for r in res) == pytest.approx(
+        sum(b.volume for b in got), rel=1e-9
+    )
+    for r in res:
+        assert r.low <= min(r.open, r.close) and r.high >= max(r.open, r.close)
+    # carried open may legally escape [low, high] — but close never does
+    carried = O.with_carried_open(bars).collect()
+    for b in carried:
+        assert b.low <= b.close <= b.high
+    bars.unpersist()
+
+
+@given(ticks=st.lists(tick, min_size=2, max_size=60))
+@_settings
+def test_gap_fill_total_grid(spark, ticks):
+    rows = [
+        (p, float(px), i, T0 + timedelta(seconds=off))
+        for i, (p, px, off) in enumerate(ticks)
+    ]
+    df = spark.createDataFrame(rows, "pool_id long, price double, event_id long, ts timestamp")
+    bars = O.bars(df, 600, seq="event_id", qty=F.lit(0.0))
+    filled = O.gap_fill(bars, 600, fill="prev").collect()
+    per_pool = {}
+    for r in filled:
+        per_pool.setdefault(r.pool_id, []).append(r)
+    for pool, rs in per_pool.items():
+        rs.sort(key=lambda r: r.bucket_start)
+        # contiguous grid, one row per step
+        steps = {
+            int((b.bucket_start - a.bucket_start).total_seconds())
+            for a, b in zip(rs, rs[1:])
+        }
+        assert steps <= {600}
+        # gap rows are flat at the carried close
+        for r in rs:
+            if r.is_gap:
+                assert r.open == r.close == r.high == r.low
+                assert r.trade_count == 0
+
+
+amount = st.floats(min_value=0.01, max_value=1e9, allow_nan=False)
+reserve = st.floats(min_value=1.0, max_value=1e12, allow_nan=False)
+
+
+@given(a_in=amount, rz=reserve, rt=reserve, fee=st.floats(min_value=0.0, max_value=0.05))
+@_settings
+def test_xyk_simulation_bounds(spark, a_in, rz, rt, fee):
+    df = spark.createDataFrame(
+        [(float(a_in), float(rz), float(rt), float(fee))],
+        "a double, rz double, rt double, fee double",
+    )
+    sim = business.simulate_xyk(
+        F.lit(True), F.col("a"), F.col("rz"), F.col("rt"), F.col("fee")
+    )
+    r = df.select(sim.alias("s")).collect()[0].s
+    # constant-product: output strictly less than the output reserve,
+    # positive, and execution price never better than mid
+    assert 0 < r.out < rt
+    assert r.exec_price >= r.mid_price * (1 - 1e-9)
+    assert r.impact_pct >= -1e-9
