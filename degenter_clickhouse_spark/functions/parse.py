@@ -85,6 +85,16 @@ def to_display(amount_base: Column, exponent: Column) -> Column:
     return amount_base.cast("double") / F.pow(F.lit(10.0), F.coalesce(exponent, F.lit(6)))
 
 
+def normalize_twitter_handle(col: Column) -> Column:
+    """§2.9 handle normalizer (phase3schema.sql:415-431): strip URL
+    prefixes/query strings and a leading '@', lowercase the handle."""
+    out = F.regexp_replace(col, r"^https?://(www\.)?(twitter\.com|x\.com)/", "")
+    out = F.regexp_replace(out, r"[?#].*$", "")
+    out = F.regexp_replace(out, r"^@", "")
+    out = F.regexp_replace(out, r"/+$", "")
+    return F.lower(out)
+
+
 def nat_key_id(col: Column) -> Column:
     """Deterministic 64-bit id from a natural key — the reference's
     cityHash64 trick (core/pools.js:14-19). xxhash64 here: same

@@ -112,6 +112,20 @@ def eval_large_trade(
     )
 
 
+def record_fired(alerts: DataFrame, fired: DataFrame, now: Column) -> DataFrame:
+    """Close the ST8 loop: bump ``last_triggered`` for fired alerts so
+    the throttle gate suppresses them next tick. Returns the updated
+    alerts table (append-only storage would Delta-MERGE this; callers
+    on plain parquet overwrite the small alerts dim)."""
+    from ..operators.merge import conditional_merge
+
+    bump = fired.select("alert_id").distinct().withColumn("last_triggered", now)
+    return conditional_merge(
+        alerts, bump, keys=["alert_id"], merge_cols=["last_triggered"],
+        empty_is_null=False,
+    )
+
+
 def eval_tvl_change(
     alerts: DataFrame, pool_state: DataFrame, tokens_tvl_now_past: DataFrame | None,
     now: Column,

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import catalog
+from ..functions import parse
 from . import register
 from .core import dsum, o_dsum
 
@@ -95,4 +96,42 @@ def q_set_rejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sib.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.count(F.lit(1)).alias("n_sibling_orders"),
         dsum("o_totalprice").alias("sibling_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 string normalizer: twitter-handle canonicalization
+# ---------------------------------------------------------------------------
+
+HANDLE_ORACLE = r"""
+SELECT p_partkey,
+       lower(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         raw, '^https?://(www\.)?(twitter\.com|x\.com)/', ''),
+         '[?#].*$', ''), '^@', ''), '/+$', '')) AS handle
+FROM (
+  SELECT p_partkey,
+         CASE p_partkey % 4
+           WHEN 0 THEN 'https://x.com/' || p_brand || '?ref=degenter'
+           WHEN 1 THEN 'https://www.twitter.com/' || p_brand || '/'
+           WHEN 2 THEN '@' || p_brand
+           ELSE p_brand
+         END AS raw
+  FROM part
+)
+"""
+
+
+@register("twitter_handle_normalize", HANDLE_ORACLE)
+def q_twitter_handle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = catalog.load_table(spark, sf_dir, "part")
+    raw = (
+        F.when(F.col("p_partkey") % 4 == 0,
+               F.concat(F.lit("https://x.com/"), F.col("p_brand"), F.lit("?ref=degenter")))
+        .when(F.col("p_partkey") % 4 == 1,
+              F.concat(F.lit("https://www.twitter.com/"), F.col("p_brand"), F.lit("/")))
+        .when(F.col("p_partkey") % 4 == 2, F.concat(F.lit("@"), F.col("p_brand")))
+        .otherwise(F.col("p_brand"))
+    )
+    return p.select(
+        "p_partkey", parse.normalize_twitter_handle(raw).alias("handle")
     )

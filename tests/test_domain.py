@@ -325,3 +325,17 @@ def test_alert_evaluation(spark, dom):
     assert {r.alert_id for r in lt_hits} == {5}
     tv = AL.eval_tvl_change(a, dom["pool_state"], None, now).collect()
     assert {r.alert_id for r in tv} == {6}
+
+
+def test_alert_throttle_after_record(spark, dom):
+    a = _alerts_df(spark)
+    now = _now()
+    fired = AL.eval_price_cross(a, dom["prices"], now)
+    assert fired.count() > 0
+    updated = AL.record_fired(a, fired, now)
+    # immediately re-evaluating suppresses everything just fired
+    refired = AL.eval_price_cross(updated, dom["prices"], now).collect()
+    assert {r.alert_id for r in refired} == set()
+    # non-fired alerts keep their original state
+    keep = {r.alert_id: r.last_triggered for r in updated.collect()}
+    assert keep[2] is None
