@@ -71,7 +71,7 @@ def rollup(
 ) -> DataFrame:
     minutes = PM.BUCKETS[bucket]
     vols = PM.trade_volumes(trades, pools, tokens, now, minutes)
-    per_token = (
+    per_token_vols = (
         vols.filter(F.col("is_uzig_quote"))
         .groupBy(F.col("base_token_id").alias("token_id"))
         .agg(
@@ -79,9 +79,27 @@ def rollup(
             F.sum("vol_sell_zig").alias("vol_sell_zig"),
             F.sum("tx_buy").alias("tx_buy"),
             F.sum("tx_sell").alias("tx_sell"),
-            F.sum("traders").alias("traders"),
         )
     )
+    # traders must be uniqExact per TOKEN over its native pools — a
+    # sum of per-pool uniques would double-count multi-pool traders
+    native = pools.filter(F.col("is_uzig_quote")).select(
+        "pool_id", F.col("base_token_id").alias("token_id")
+    )
+    per_token_traders = (
+        trades.filter(
+            (F.col("action") == "swap")
+            & (F.col("created_at") >= now - F.expr(f"INTERVAL {minutes} MINUTES"))
+        )
+        .join(F.broadcast(native), "pool_id")
+        .groupBy("token_id")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("signer") != "", F.col("signer"))
+            ).alias("traders")
+        )
+    )
+    per_token = per_token_vols.join(per_token_traders, "token_id", "left")
     px = token_price_guarded(pools, prices, ohlcv_1m, tokens)
     hc = views.holders_counts(holders)
     t = tokens.select(

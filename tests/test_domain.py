@@ -339,3 +339,24 @@ def test_alert_throttle_after_record(spark, dom):
     # non-fired alerts keep their original state
     keep = {r.alert_id: r.last_triggered for r in updated.collect()}
     assert keep[2] is None
+
+
+def test_token_matrix_traders_unique_across_pools(spark, dom):
+    """Token 2 trades in pools 101 and 102: its trader count must be
+    distinct signers across both, never the sum of per-pool uniques."""
+    out = {r.token_id: r for r in TM.rollup(
+        dom["trades_clean"], dom["pools"], dom["tokens"], dom["prices"],
+        dom["holders"], dom["ohlcv_1m"], _now(), "24h",
+    ).collect()}
+    expected = (
+        dom["trades_clean"]
+        .filter((F.col("action") == "swap") & F.col("pool_id").isin([101, 102])
+                & (F.col("signer") != ""))
+        .select("signer").distinct().count()
+    )
+    assert out[2].traders == expected
+    per_pool = {r.pool_id: r.traders for r in PM.rollup(
+        dom["trades_clean"], dom["pools"], dom["tokens"], dom["prices"],
+        dom["pool_state"], dom["ohlcv_1m"], _now(), "24h",
+    ).collect()}
+    assert out[2].traders < per_pool[101] + per_pool[102]  # overlap exists
