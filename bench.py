@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "dedupe_latest",
     "topk_concentration",
     "change_pct",
+    "sessionization",
     # LLM-pipeline scale paths (the quadratic jaccard baseline is
     # deliberately excluded — minhash_lsh is the at-scale variant)
     "dedup_exact",

@@ -109,7 +109,6 @@ def neardup_pairs(
     scored = pairs.withColumn("dot_s", scaled_dot("e1", "e2")).withColumn(
         "cosine", cosine_from_scaled(F.col("dot_s"), F.col("a.n1"), F.col("b.n2"))
     )
-    cols = ["v1", "v2", "cosine"] + (["g"] if group_col else [])
     out = scored.filter(F.col("cosine") >= threshold)
     sel = [F.col("a.v1").alias("v1"), F.col("b.v2").alias("v2"), F.col("cosine")]
     if group_col:

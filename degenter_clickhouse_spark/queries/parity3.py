@@ -135,3 +135,52 @@ def q_twitter_handle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "p_partkey", parse.normalize_twitter_handle(raw).alias("handle")
     )
+
+
+# ---------------------------------------------------------------------------
+# Session windows: gap-based sessionization (Spark-native session_window;
+# the event-stream analytics op the events table exists for)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_SEC = 1800
+
+SESSION_ORACLE = f"""
+WITH t AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_SEC}
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM t
+)
+SELECT user_id,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+       CAST(floor(epoch(MAX(ts))) AS BIGINT) AS session_last,
+       COUNT(*) AS n_events,
+       {o_dsum("value")} AS total_value
+FROM s GROUP BY user_id, session_no
+"""
+
+
+@register("sessionization", SESSION_ORACLE)
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = catalog.load_table(spark, sf_dir, "events")
+    sw = ev.groupBy(
+        "user_id", F.session_window("ts", f"{SESSION_GAP_SEC} seconds")
+    ).agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+    )
+    return sw.select(
+        "user_id",
+        F.unix_timestamp("first_ts").alias("session_start"),
+        F.unix_timestamp("last_ts").alias("session_last"),
+        "n_events",
+        "total_value",
+    )
