@@ -271,6 +271,59 @@ class DegenterEngine:
         )
         return SW.best_pool_by_simulation(cands, F.lit(amount_in_zig))
 
+    def watchlist(self, wallet_id: int, bucket: str = "24h",
+                  now: Column | None = None) -> DataFrame:
+        from .plans import accounts
+
+        return accounts.watchlist_view(
+            self.table("watchlist"), self.token_matrix(bucket, now), wallet_id
+        )
+
+    def wallet_summary(self, address: str, bucket: str = "24h",
+                       now: Column | None = None) -> DataFrame:
+        from .plans import accounts
+
+        return accounts.wallet_summary(
+            self.table("trades"),
+            address,
+            now if now is not None else F.current_timestamp(),
+            PM.BUCKETS[bucket],
+        )
+
+    def meta_refresh_queue(self, k: int = 3) -> DataFrame:
+        from .plans import accounts
+
+        return accounts.meta_refresh_queue(self.table("tokens"), k)
+
+    # -- storage -----------------------------------------------------------
+
+    def save(self, storage_dir: str) -> None:
+        """Persist the catalog with the at-scale layout: fact tables
+        partitioned by dt (partition pruning for every trailing-window
+        read) and sorted within partitions by (pool_id, created_at) —
+        the analogue of the reference's monthly RANGE partitions +
+        B-tree indexes (phase3schema.sql:91-116)."""
+        for name, df in self.tables.items():
+            path = os.path.join(storage_dir, name)
+            if name == "trades":
+                (
+                    df.withColumn("dt", F.to_date("created_at"))
+                    .sortWithinPartitions("pool_id", "created_at")
+                    .write.mode("overwrite")
+                    .partitionBy("dt")
+                    .parquet(path)
+                )
+            elif name == "ohlcv_1m":
+                (
+                    df.withColumn("dt", F.to_date("bucket_start"))
+                    .sortWithinPartitions("pool_id", "bucket_start")
+                    .write.mode("overwrite")
+                    .partitionBy("dt")
+                    .parquet(path)
+                )
+            else:
+                df.write.mode("overwrite").parquet(path)
+
     def evaluate_alerts(self, alerts: DataFrame, now: Column | None = None) -> DataFrame:
         now = now if now is not None else F.current_timestamp()
         lt = LB.large_trades(self.table("trades"), now, 1440, min_zig=0.0)

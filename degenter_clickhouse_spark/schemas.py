@@ -183,3 +183,19 @@ SCHEMAS: dict[str, T.StructType] = {
 
 UZIG = "uzig"
 UZIG_EXPONENT = 6
+
+WALLETS = _s(
+    f("wallet_id", T.LongType(), False),
+    f("address", T.StringType(), False),
+    f("label", T.StringType()),
+    f("created_at", T.TimestampType()),
+)
+
+WATCHLIST = _s(
+    f("wallet_id", T.LongType(), False),
+    f("token_id", T.LongType(), False),
+    f("added_at", T.TimestampType()),
+)
+
+SCHEMAS["wallets"] = WALLETS
+SCHEMAS["watchlist"] = WATCHLIST

@@ -89,3 +89,43 @@ def test_engine_ingest_appends(spark, engine):
         "SELECT COUNT(*) AS n FROM pools WHERE pair_contract LIKE 'zig1paircontract%'"
     ).collect()[0].n
     assert n == 2
+
+
+def test_watchlist_wallet_meta_queue(spark, engine, dom):  # noqa: F811
+    from datetime import timedelta
+
+    from degenter_clickhouse_spark import schemas as S
+
+    wl = spark.createDataFrame(
+        [(1, 2, NOW - timedelta(days=1)), (1, 3, NOW - timedelta(days=2)), (2, 4, NOW)],
+        S.WATCHLIST,
+    )
+    engine.set_table("watchlist", wl)
+    rows = engine.watchlist(1, "24h", _now()).collect()
+    assert [r.token_id for r in rows] == [2, 3]  # added_at desc
+    assert rows[0].vol_buy_zig is not None
+    ws = engine.wallet_summary("zigwallet001", "24h", _now()).collect()
+    assert len(ws) == 1 and ws[0].trades > 0
+    q = engine.meta_refresh_queue(k=3).collect()
+    # token 6 is the NULL-metadata row; ibc token 5 has exponent 18 set
+    # but NULL name? (fixture: token 5 has name) -> queue contains 6
+    assert any(r.token_id == 6 for r in q)
+
+
+def test_save_load_roundtrip(spark, engine, tmp_path):
+    out = str(tmp_path / "storage")
+    engine.save(out)
+    from degenter_clickhouse_spark.engine import DegenterEngine
+
+    eng2 = DegenterEngine(spark, storage_dir=out)
+    assert eng2.table("trades").count() == engine.table("trades").count()
+    assert eng2.table("pools").count() == engine.table("pools").count()
+    # partitioned layout present for pruning
+    import os
+
+    assert any(p.startswith("dt=") for p in os.listdir(os.path.join(out, "trades")))
+    # a pruned read touches only the partitions in range
+    one_day = eng2.table("trades").filter(
+        F.col("dt") == F.lit("2024-03-01").cast("date")
+    )
+    assert one_day.count() > 0
