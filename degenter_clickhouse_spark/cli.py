@@ -1,0 +1,76 @@
+"""Process entry points mirroring the reference's three binaries
+(package.json:8-10): ``indexer`` (stream raw blocks into facts),
+``jobs`` (periodic rollups/alerts), and ``query`` (ad-hoc SQL over the
+engine views — the API layer's data surface without the HTTP shell).
+
+    python -m degenter_clickhouse_spark.cli indexer --landing DIR --storage DIR
+    python -m degenter_clickhouse_spark.cli jobs --storage DIR --output DIR [--once]
+    python -m degenter_clickhouse_spark.cli query --storage DIR --sql "SELECT ..."
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="degenter-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ix = sub.add_parser("indexer", help="stream raw block JSON into fact tables")
+    ix.add_argument("--landing", required=True)
+    ix.add_argument("--storage", required=True)
+    ix.add_argument("--checkpoint", required=True)
+    ix.add_argument("--router-addr", default=None)
+    ix.add_argument("--once", action="store_true", help="drain and exit (availableNow)")
+
+    jb = sub.add_parser("jobs", help="periodic rollup/alert jobs")
+    jb.add_argument("--storage", required=True)
+    jb.add_argument("--output", required=True)
+    jb.add_argument("--once", action="store_true")
+    jb.add_argument("--poll-sec", type=float, default=5.0)
+
+    qr = sub.add_parser("query", help="run SQL over the engine views")
+    qr.add_argument("--storage", required=True)
+    qr.add_argument("--sql", required=True)
+    qr.add_argument("--limit", type=int, default=50)
+
+    args = p.parse_args(argv)
+    from .session import build_session
+
+    spark = build_session(app_name=f"degenter-{args.cmd}")
+    if args.cmd == "indexer":
+        from .streaming import pipeline
+
+        q = pipeline.stream_ingest(
+            spark,
+            args.landing,
+            args.storage,
+            args.checkpoint,
+            router_addr=args.router_addr,
+            available_now=args.once,
+        )
+        if not args.once:
+            q.awaitTermination()
+        return 0
+    from .engine import DegenterEngine
+
+    engine = DegenterEngine(spark, storage_dir=args.storage)
+    if args.cmd == "jobs":
+        from .jobs import JobsRunner
+
+        runner = JobsRunner(engine, args.output)
+        if args.once:
+            print("ran:", runner.tick())
+            return 0
+        runner.run_forever(args.poll_sec)
+        return 0
+    if args.cmd == "query":
+        engine.sql(args.sql).show(args.limit, truncate=False)
+        return 0
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

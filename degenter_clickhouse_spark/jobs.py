@@ -1,0 +1,93 @@
+"""Periodic analytical jobs runner — the reference's ``start-jobs``
+process (bin/start-jobs.js:23-34) as a driver-side loop over engine
+plans.
+
+Each job is a full recompute written to storage (the reference's
+semantics: SURVEY.md ST4 — recompute, not incremental), with the
+reference's cadences as defaults. ``tick()`` runs one cycle of every
+due job and is what tests exercise; ``run_forever`` is the process
+entry point.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from .engine import DegenterEngine
+from .plans import pool_matrix as PM
+
+DEFAULT_CADENCES = {
+    "matrix": 60,       # MATRIX_ROLLUP_SEC (jobs/matrix-rollups.js:5)
+    "leaderboard": 60,  # LEADERBOARD_SEC (jobs/leaderboards.js:5)
+    "security": 180,    # SECURITY_SCAN_SEC (jobs/token-security.js:6)
+    "alerts": 10,       # ALERTS_SEC (jobs/alerts.js:5)
+}
+
+
+class JobsRunner:
+    def __init__(self, engine: DegenterEngine, output_dir: str,
+                 cadences: dict[str, int] | None = None):
+        self.engine = engine
+        self.output_dir = output_dir
+        self.cadences = {**DEFAULT_CADENCES, **(cadences or {})}
+        self.last_run: dict[str, float] = {}
+
+    def _due(self, job: str, at: float) -> bool:
+        return at - self.last_run.get(job, 0.0) >= self.cadences[job]
+
+    def _write(self, df, name: str) -> None:
+        df.write.mode("overwrite").parquet(os.path.join(self.output_dir, name))
+
+    def tick(self, at: float | None = None, now_col=None) -> list[str]:
+        """Run every due job once; returns the job names executed."""
+        at = at if at is not None else time.time()
+        now = now_col if now_col is not None else F.current_timestamp()
+        ran: list[str] = []
+        if self._due("matrix", at):
+            pm = None
+            for bucket in PM.BUCKETS:
+                df = self.engine.pool_matrix(bucket, now)
+                pm = df if pm is None else pm.unionByName(df)
+            self._write(pm, "pool_matrix")
+            tm = None
+            for bucket in PM.BUCKETS:
+                df = self.engine.token_matrix(bucket, now)
+                tm = df if tm is None else tm.unionByName(df)
+            self._write(tm, "token_matrix")
+            ran.append("matrix")
+        if self._due("leaderboard", at):
+            lb = None
+            for bucket in PM.BUCKETS:
+                df = self.engine.leaderboard(bucket, now).withColumn(
+                    "bucket", F.lit(bucket)
+                )
+                lb = df if lb is None else lb.unionByName(df)
+            self._write(lb, "leaderboard_traders")
+            self._write(self.engine.large_trades("24h", now=now), "large_trades")
+            ran.append("leaderboard")
+        if self._due("security", at):
+            self._write(self.engine.security_scan(now), "token_security")
+            self._write(self.engine.holder_stats(), "token_holders_stats")
+            ran.append("security")
+        if self._due("alerts", at) and "alerts" in self.engine.tables:
+            fired = self.engine.evaluate_alerts(self.engine.table("alerts"), now)
+            fired.write.mode("append").parquet(
+                os.path.join(self.output_dir, "alert_events")
+            )
+            from .plans import alerts as AL
+
+            self.engine.set_table(
+                "alerts", AL.record_fired(self.engine.table("alerts"), fired, now)
+            )
+            ran.append("alerts")
+        for job in ran:
+            self.last_run[job] = at
+        return ran
+
+    def run_forever(self, poll_sec: float = 5.0) -> None:  # pragma: no cover
+        while True:
+            self.tick()
+            time.sleep(poll_sec)

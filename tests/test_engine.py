@@ -129,3 +129,24 @@ def test_save_load_roundtrip(spark, engine, tmp_path):
         F.col("dt") == F.lit("2024-03-01").cast("date")
     )
     assert one_day.count() > 0
+
+
+def test_jobs_runner_tick_and_cadence(spark, engine, dom, tmp_path):  # noqa: F811
+    from degenter_clickhouse_spark.jobs import JobsRunner
+    from .test_domain import _alerts_df
+
+    engine.set_table("alerts", _alerts_df(spark))
+    out = str(tmp_path / "jobs")
+    runner = JobsRunner(engine, out)
+    ran = runner.tick(at=1000.0, now_col=_now())
+    assert set(ran) == {"matrix", "leaderboard", "security", "alerts"}
+    pm = spark.read.parquet(f"{out}/pool_matrix")
+    assert pm.select("bucket").distinct().count() == 4
+    assert spark.read.parquet(f"{out}/alert_events").count() > 0
+    # cadence gate: 5 s later only the 10 s alerts job is NOT yet due
+    ran2 = runner.tick(at=1005.0, now_col=_now())
+    assert ran2 == []
+    ran3 = runner.tick(at=1011.0, now_col=_now())
+    assert ran3 == ["alerts"]
+    # fired alerts were throttled by the write-back
+    assert spark.read.parquet(f"{out}/alert_events").count() >= 1
