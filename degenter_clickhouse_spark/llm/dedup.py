@@ -155,3 +155,70 @@ def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return per_doc.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
+
+
+def neardup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Resolve near-dup PAIRS into clusters: connected components by
+    iterative min-label propagation (the pair graph is sparse — edges
+    only exist between near-dups, so a handful of iterations converge).
+
+    Returns (doc_id, canonical_id); canonical = min doc_id in the
+    component. Iterative algorithms like this are the one place the
+    engine loops on the driver — each iteration is one shuffle, and the
+    loop stops as soon as an iteration changes no label (checked with a
+    cheap count). At 100 TB scale swap the convergence count for an
+    accumulator or run a fixed log2(diameter) iteration budget.
+    """
+    edges = (
+        pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+        .unionByName(pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .cache()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("canonical_id")
+    )
+
+
+def dedup_resolution(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Final dedup verdict per document: keep (canonical or untouched)
+    vs drop (non-canonical member of a near-dup cluster)."""
+    clusters = neardup_clusters(pairs)
+    j = docs.select(F.col(id_col)).join(clusters, id_col, "left")
+    return j.select(
+        id_col,
+        F.coalesce("canonical_id", F.col(id_col)).alias("canonical_id"),
+        (F.coalesce("canonical_id", F.col(id_col)) == F.col(id_col)).alias("keep"),
+    )

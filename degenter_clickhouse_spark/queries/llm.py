@@ -130,7 +130,9 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _minhash_oracle() -> str:
+def _minhash_ctes() -> str:
+    """Shared CTE chain: shingle hashes -> signatures -> bands ->
+    candidates -> verified near-dup pairs (jaccard >= 0.5)."""
     mins = ",\n       ".join(
         f"MIN(({a} * h + {b}) % {T.POLY_MOD}) AS m{i}"
         for i, (a, b) in enumerate(T.MINHASH_SEEDS)
@@ -142,7 +144,7 @@ def _minhash_oracle() -> str:
         for j in range(4)
     )
     return f"""
-WITH sh AS ({O_SHINGLES}),
+sh AS ({O_SHINGLES}),
 sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
 bands AS (
 {bands}
@@ -159,14 +161,19 @@ common AS (
   JOIN sh a ON a.doc_id = c.d1
   JOIN sh b ON b.doc_id = c.d2 AND b.h = a.h
   GROUP BY c.d1, c.d2
-)
-SELECT d1, d2,
-       CAST(common AS DOUBLE) / (s1.n_sh + s2.n_sh - common) AS jaccard
-FROM common
-JOIN sizes s1 ON s1.doc_id = d1
-JOIN sizes s2 ON s2.doc_id = d2
-WHERE CAST(common AS DOUBLE) / (s1.n_sh + s2.n_sh - common) >= 0.5
-"""
+),
+nd_pairs AS (
+  SELECT d1, d2,
+         CAST(common AS DOUBLE) / (s1.n_sh + s2.n_sh - common) AS jaccard
+  FROM common
+  JOIN sizes s1 ON s1.doc_id = d1
+  JOIN sizes s2 ON s2.doc_id = d2
+  WHERE CAST(common AS DOUBLE) / (s1.n_sh + s2.n_sh - common) >= 0.5
+)"""
+
+
+def _minhash_oracle() -> str:
+    return f"WITH {_minhash_ctes()}\nSELECT d1, d2, jaccard FROM nd_pairs"
 
 
 @register("dedup_minhash_lsh", _minhash_oracle())
@@ -461,3 +468,34 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.media_table(_docs(spark, sf_dir))
     return multimodal.frame_sample(media, every_n=10)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster resolution: iterative min-label propagation on Spark,
+# oracled by a recursive-CTE transitive closure in DuckDB
+# ---------------------------------------------------------------------------
+
+
+def _resolution_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+edges AS (SELECT d1 AS a, d2 AS b FROM nd_pairs
+          UNION SELECT d2, d1 FROM nd_pairs),
+comp(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT c.a, e.b FROM comp c JOIN edges e ON e.a = c.b
+),
+canon AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id FROM comp GROUP BY a)
+SELECT d.doc_id,
+       COALESCE(c.canonical_id, d.doc_id) AS canonical_id,
+       COALESCE(c.canonical_id, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN canon c ON c.doc_id = d.doc_id
+"""
+
+
+@register("dedup_resolution", _resolution_oracle())
+def q_dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    return dedup.dedup_resolution(docs, pairs)

@@ -44,7 +44,7 @@ from . import fixtures as FX
 NOW = FX.T0 + timedelta(minutes=480)
 
 
-@pytest.fixture(scope="module")
+@pytest.fixture(scope="session")
 def dom(spark):
     dfs = FX.build(spark)
     # ingest-dedupe the trades stream (ST2) as the pipeline would
@@ -85,6 +85,8 @@ def dom(spark):
         O.bars(ticks, 60, seq="height", qty=F.col("vol"))
         .withColumnRenamed("volume", "volume_zig")
     )
+    for name in ("trades_clean", "ohlcv_1m"):
+        dfs[name] = dfs[name].cache()
     return dfs
 
 

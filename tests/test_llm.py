@@ -94,3 +94,41 @@ def test_frame_sample_shape(spark):
     for r in fs:
         assert 0 <= r.frame_idx < r.n_frames
         assert r.frame_idx % 7 == 0
+
+
+def test_neardup_cluster_resolution(spark):
+    docs = catalog.load_table(spark, SF_DIR, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    res = dedup.dedup_resolution(docs, pairs).collect()
+    assert len(res) == docs.count()
+    by_id = {r.doc_id: r for r in res}
+    # every pair ends up in one cluster with a single canonical
+    for p in pairs.collect():
+        assert by_id[p.d1].canonical_id == by_id[p.d2].canonical_id
+        canon = by_id[p.d1].canonical_id
+        assert canon <= min(p.d1, p.d2)
+        assert by_id[canon].keep
+    # non-duplicated docs keep themselves
+    dup_ids = {p.d1 for p in pairs.collect()} | {p.d2 for p in pairs.collect()}
+    for r in res:
+        if r.doc_id not in dup_ids:
+            assert r.keep and r.canonical_id == r.doc_id
+    # transitivity: build components in python and compare exactly
+    import itertools
+
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for p in pairs.collect():
+        union(p.d1, p.d2)
+    for d in dup_ids:
+        assert by_id[d].canonical_id == find(d)
