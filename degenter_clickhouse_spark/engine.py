@@ -271,6 +271,49 @@ class DegenterEngine:
         )
         return SW.best_pool_by_simulation(cands, F.lit(amount_in_zig))
 
+    def token_detail(self, token_id: int, bucket: str = "24h",
+                     now: Column | None = None) -> DataFrame:
+        """The token-page assembly (api/routes/tokens.js:822-894): one
+        nested row — metadata struct, rollup stats, security, top-10
+        holders array, pool list array. Nesting happens relationally
+        (collect_list(struct)), never driver-side."""
+        now = now if now is not None else F.current_timestamp()
+        tok = self.table("tokens").filter(F.col("token_id") == token_id)
+        tm = self.token_matrix(bucket, now).filter(F.col("token_id") == token_id)
+        sec = SEC.scan(self.table("tokens"), self.table("holders"), now).filter(
+            F.col("token_id") == token_id
+        ).select("token_id", "score", "risk_flags", "top10_pct", "creator_pct")
+        tops = (
+            H.top_holders(self.table("holders"), k=10)
+            .filter(F.col("token_id") == token_id)
+            .groupBy("token_id")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("rank", "address", "balance_base"))
+                ).alias("top_holders")
+            )
+        )
+        pls = (
+            self.table("pools")
+            .filter(F.col("base_token_id") == token_id)
+            .groupBy(F.col("base_token_id").alias("token_id"))
+            .agg(
+                F.collect_list(
+                    F.struct("pool_id", "pair_contract", "pair_type", "is_uzig_quote")
+                ).alias("pools")
+            )
+        )
+        meta = tok.select(
+            "token_id",
+            F.struct("denom", "name", "symbol", "display", "exponent").alias("meta"),
+        )
+        return (
+            meta.join(tm.drop("denom", "updated_at"), "token_id", "left")
+            .join(F.broadcast(sec), "token_id", "left")
+            .join(F.broadcast(tops), "token_id", "left")
+            .join(F.broadcast(pls), "token_id", "left")
+        )
+
     def watchlist(self, wallet_id: int, bucket: str = "24h",
                   now: Column | None = None) -> DataFrame:
         from .plans import accounts

@@ -31,12 +31,34 @@ def _disp(amount: Column, exponent: Column) -> Column:
 
 
 def trade_volumes(
-    trades: DataFrame, pools: DataFrame, tokens: DataFrame, now: Column, minutes: int
+    trades: DataFrame,
+    pools: DataFrame,
+    tokens: DataFrame,
+    now: Column,
+    minutes: int,
+    approx_traders: bool = False,
 ) -> DataFrame:
     """CTE q + vol_enriched (jobs/matrix-rollups.js:30-91): per-pool
     conditional sums over the trailing window, scaled to ZIG display
     units. Buy volume = quote (offer) leg; sell volume = quote (ask)
-    leg — the quote is uzig for native pools."""
+    leg — the quote is uzig for native pools.
+
+    ``approx_traders=True`` swaps exact distinct for HyperLogLog++ —
+    the A3-at-scale variant (SURVEY.md §2.5): at 100 TB the exact
+    distinct's per-group hash sets dominate the shuffle; HLL sketches
+    are constant-size and mergeable. Hot-pool volume skew itself is
+    benign here: sums/counts partial-aggregate map-side, so the hot
+    pool ships one partial row per map task, not its raw rows (see
+    operators/skew.salted_agg for the general pattern when an
+    aggregate can't partial-aggregate).
+    """
+    from ..operators import skew
+
+    traders_agg = (
+        skew.approx_distinct(F.when(F.col("signer") != "", F.col("signer")))
+        if approx_traders
+        else F.countDistinct(F.when(F.col("signer") != "", F.col("signer")))
+    )
     t = trades.filter(
         (F.col("action") == "swap")
         & (F.col("created_at") >= now - F.expr(f"INTERVAL {minutes} MINUTES"))
@@ -50,7 +72,7 @@ def trade_volumes(
         ).alias("vol_sell_base"),
         F.count(F.when(F.col("direction") == "buy", 1)).alias("tx_buy"),
         F.count(F.when(F.col("direction") == "sell", 1)).alias("tx_sell"),
-        F.countDistinct(F.when(F.col("signer") != "", F.col("signer"))).alias("traders"),
+        traders_agg.alias("traders"),
     )
     p = pools.select("pool_id", "base_token_id", "quote_token_id", "is_uzig_quote")
     qt = tokens.select(F.col("token_id").alias("quote_token_id"), F.col("exponent").alias("quote_exp"))

@@ -150,3 +150,32 @@ def test_jobs_runner_tick_and_cadence(spark, engine, dom, tmp_path):  # noqa: F8
     assert ran3 == ["alerts"]
     # fired alerts were throttled by the write-back
     assert spark.read.parquet(f"{out}/alert_events").count() >= 1
+
+
+def test_token_detail_nested_assembly(spark, engine):
+    row = engine.token_detail(2, "24h", _now()).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.meta.denom == "coin.zig1aaa.ualpha"
+    assert r.meta.symbol == "ALPHA"
+    assert len(r.top_holders) == 10
+    assert [h.rank for h in r.top_holders] == list(range(1, 11))
+    pool_ids = {p.pool_id for p in r.pools}
+    assert {101, 102, 109} <= pool_ids
+    assert r.score is not None and 1 <= r.score <= 99
+    assert r.vol_buy_zig is not None
+
+
+def test_pool_matrix_approx_traders_close_to_exact(spark, dom):  # noqa: F811
+    from degenter_clickhouse_spark.plans import pool_matrix as PMX
+
+    exact = {r.pool_id: r.traders for r in PMX.trade_volumes(
+        dom["trades_clean"], dom["pools"], dom["tokens"], _now(), 1440
+    ).collect()}
+    approx = {r.pool_id: r.traders for r in PMX.trade_volumes(
+        dom["trades_clean"], dom["pools"], dom["tokens"], _now(), 1440,
+        approx_traders=True,
+    ).collect()}
+    assert set(exact) == set(approx)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(2, 0.1 * exact[k])
