@@ -23,10 +23,15 @@ from degenter_clickhouse_spark.session import tune_existing  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The flagship is the SURVEY.md §7 M1 slice — a pool-matrix-style
+    composite (trailing filter, conditional aggs, decorrelated latest
+    view, OHLCV-close price fallback) mapped onto the driver tables.
+    """
     tune_existing(spark)
     reg = load_registry()
-    return reg["pricing_summary"].fn(spark, "/root/testdata/sf0.001")
+    return reg["pool_matrix_24h"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

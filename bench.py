@@ -26,6 +26,7 @@ from degenter_clickhouse_spark.session import build_session  # noqa: E402
 
 BENCH_QUERIES = [
     # core operator surface
+    "pool_matrix_24h",
     "pricing_summary",
     "star_revenue",
     "ohlcv_1m",

@@ -651,3 +651,101 @@ def q_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Flagship composite — the SURVEY §7 M1 slice on driver tables: "pool
+# matrix, 24h bucket". One plan touching trailing filter (F1),
+# conditional aggs (A1-A3), latest-row view (J4/A4), price fallback
+# (A13), display scaling (P11), and a left dim join — the end-to-end
+# shape of jobs/matrix-rollups.js.
+# ---------------------------------------------------------------------------
+
+MATRIX_CUTOFF = "2024-01-24 00:00:00"  # plays now(); data spans Jan 2024
+
+POOL_MATRIX_ORACLE = f"""
+WITH t AS ({O_TICKS}),
+win AS (
+  SELECT * FROM t
+  WHERE ts >  TIMESTAMP '{MATRIX_CUTOFF}' - INTERVAL 7 DAY
+    AND ts <= TIMESTAMP '{MATRIX_CUTOFF}'
+),
+q AS (
+  SELECT pool_id,
+         {o_dsum("CASE WHEN event_type = 'purchase' THEN price ELSE 0 END")} AS vol_buy,
+         {o_dsum("CASE WHEN event_type = 'view' THEN price ELSE 0 END")} AS vol_sell,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS tx_buy,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS tx_sell,
+         COUNT(DISTINCT CAST(ts AS DATE)) AS active_days
+  FROM win GROUP BY pool_id
+),
+latest AS (
+  SELECT pool_id, price AS direct_price FROM (
+    SELECT pool_id, price, row_number() OVER (PARTITION BY pool_id
+            ORDER BY ts DESC, event_id DESC) rn
+    FROM t WHERE event_type = 'purchase') WHERE rn = 1
+),
+bars AS ({o_bars(3600)}),
+barlast AS (
+  SELECT pool_id, close FROM (
+    SELECT pool_id, close, row_number() OVER (PARTITION BY pool_id
+            ORDER BY bucket_ts DESC) rn FROM bars) WHERE rn = 1
+),
+pools AS (SELECT DISTINCT pool_id FROM t)
+SELECT p.pool_id,
+       COALESCE(q.vol_buy, 0.0) AS vol_buy,
+       COALESCE(q.vol_sell, 0.0) AS vol_sell,
+       COALESCE(q.tx_buy, 0) AS tx_buy,
+       COALESCE(q.tx_sell, 0) AS tx_sell,
+       COALESCE(q.active_days, 0) AS active_days,
+       COALESCE(l.direct_price, b.close, 0.0) AS price,
+       COALESCE(l.direct_price, b.close, 0.0) * (COALESCE(q.vol_buy, 0.0) + COALESCE(q.vol_sell, 0.0)) / 1000000.0 AS tvl_proxy
+FROM pools p
+LEFT JOIN q ON q.pool_id = p.pool_id
+LEFT JOIN latest l ON l.pool_id = p.pool_id
+LEFT JOIN barlast b ON b.pool_id = p.pool_id
+"""
+
+
+@register("pool_matrix_24h", POOL_MATRIX_ORACLE)
+def q_pool_matrix_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = catalog.ticks(spark, sf_dir)
+    cutoff = F.lit(MATRIX_CUTOFF).cast("timestamp")
+    win = t.filter(
+        (F.col("ts") > cutoff - F.expr("INTERVAL 7 DAYS")) & (F.col("ts") <= cutoff)
+    )
+    is_buy = F.col("event_type") == "purchase"
+    is_sell = F.col("event_type") == "view"
+    q = win.groupBy("pool_id").agg(
+        dsum(F.when(is_buy, F.col("price")).otherwise(0.0)).alias("vol_buy"),
+        dsum(F.when(is_sell, F.col("price")).otherwise(0.0)).alias("vol_sell"),
+        F.sum(F.when(is_buy, 1).otherwise(0)).alias("tx_buy"),
+        F.sum(F.when(is_sell, 1).otherwise(0)).alias("tx_sell"),
+        F.countDistinct(F.to_date("ts")).alias("active_days"),
+    )
+    direct = latest.latest_by(
+        t.filter(is_buy), keys=["pool_id"], values=["price"], order=["ts", "event_id"]
+    ).withColumnRenamed("price", "direct_price")
+    barlast = latest.latest_by(
+        spark_bars(spark, sf_dir, 3600),
+        keys=["pool_id"], values=["close"], order=["bucket_start"],
+    )
+    pools = t.select("pool_id").distinct()
+    j = (
+        pools.join(q, "pool_id", "left")
+        .join(F.broadcast(direct), "pool_id", "left")
+        .join(F.broadcast(barlast), "pool_id", "left")
+    )
+    price = F.coalesce("direct_price", "close", F.lit(0.0))
+    vol_buy = F.coalesce("vol_buy", F.lit(0.0))
+    vol_sell = F.coalesce("vol_sell", F.lit(0.0))
+    return j.select(
+        "pool_id",
+        vol_buy.alias("vol_buy"),
+        vol_sell.alias("vol_sell"),
+        F.coalesce("tx_buy", F.lit(0)).alias("tx_buy"),
+        F.coalesce("tx_sell", F.lit(0)).alias("tx_sell"),
+        F.coalesce("active_days", F.lit(0)).alias("active_days"),
+        price.alias("price"),
+        (price * (vol_buy + vol_sell) / 1000000.0).alias("tvl_proxy"),
+    )
