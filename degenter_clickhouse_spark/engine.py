@@ -80,7 +80,46 @@ class DegenterEngine:
                 path = os.path.join(storage_dir, name)
                 if os.path.exists(path) and name not in self.tables:
                     self.tables[name] = spark.read.parquet(path)
+        self.ensure_minimal_dims()
         self.register_views()
+
+    def ensure_minimal_dims(self) -> None:
+        """An indexer-only storage dir has facts but no curated dims;
+        synthesize them so the jobs/read layers run out of the box:
+        tokens from the pool legs (exponent NULL -> the 6 fallback the
+        display-scaling paths already apply), empty holders."""
+        if "tokens" not in self.tables and "pools" in self.tables:
+            pools = self.tables["pools"]
+            if "base_denom" in pools.columns:
+                legs = pools.select(
+                    F.col("base_token_id").alias("token_id"),
+                    F.col("base_denom").alias("denom"),
+                ).unionByName(
+                    pools.select(
+                        F.col("quote_token_id").alias("token_id"),
+                        F.col("quote_denom").alias("denom"),
+                    )
+                ).dropDuplicates(["token_id"])
+                self.tables["tokens"] = legs.select(
+                    "token_id",
+                    "denom",
+                    F.lit(None).cast("string").alias("type"),
+                    F.lit(None).cast("string").alias("name"),
+                    F.lit(None).cast("string").alias("symbol"),
+                    F.lit(None).cast("string").alias("display"),
+                    F.lit(None).cast("int").alias("exponent"),
+                    F.lit(None).cast("string").alias("image_uri"),
+                    F.lit(None).cast("string").alias("website"),
+                    F.lit(None).cast("string").alias("twitter"),
+                    F.lit(None).cast("decimal(38,0)").alias("max_supply_base"),
+                    F.lit(None).cast("decimal(38,0)").alias("total_supply_base"),
+                    F.lit(None).cast("boolean").alias("can_mint"),
+                    F.lit(None).cast("boolean").alias("can_change_cap"),
+                    F.lit(None).cast("string").alias("creator_address"),
+                    F.lit(None).cast("timestamp").alias("created_at"),
+                )
+        if "holders" not in self.tables:
+            self.tables["holders"] = self.spark.createDataFrame([], S.HOLDERS)
 
     # -- catalog -----------------------------------------------------------
 
