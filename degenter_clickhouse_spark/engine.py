@@ -150,7 +150,13 @@ class DegenterEngine:
             )
 
     def sql(self, query: str) -> DataFrame:
-        return self.spark.sql(query)
+        """SQL over base tables + latest_* views. Reference-dialect
+        correlated latest-row probes (``ORDER BY updated_at DESC LIMIT
+        1``) are rewritten to the decorrelated views first — ported
+        queries run verbatim (plans/rewrite.py)."""
+        from .plans.rewrite import rewrite_correlated_latest
+
+        return self.spark.sql(rewrite_correlated_latest(query))
 
     # -- ingest ------------------------------------------------------------
 

@@ -179,3 +179,44 @@ def test_pool_matrix_approx_traders_close_to_exact(spark, dom):  # noqa: F811
     assert set(exact) == set(approx)
     for k in exact:
         assert abs(approx[k] - exact[k]) <= max(2, 0.1 * exact[k])
+
+
+def test_correlated_latest_rewrite(spark, engine):
+    # the reference's literal J5 pattern, ported verbatim
+    ref_sql = """
+        SELECT p.pool_id,
+               (SELECT price_in_zig FROM prices
+                WHERE token_id = p.quote_token_id
+                ORDER BY updated_at DESC LIMIT 1) AS quote_px
+        FROM pools p
+        WHERE p.is_uzig_quote = false
+    """
+    def n_ops(df, op):
+        plan = df._jdf.queryExecution().explainString(
+            engine.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        return sum(1 for line in plan.splitlines() if f") {op}" in line)
+
+    raw = engine.spark.sql(ref_sql)  # Spark 4 runs it via sort+window
+    rewritten = engine.sql(ref_sql)  # engine uses the max_by view
+    # the rewrite removes the per-key ranking machinery: strictly fewer
+    # shuffles and no sorts
+    assert n_ops(rewritten, "Exchange") < n_ops(raw, "Exchange")
+    assert n_ops(rewritten, "Sort") == 0 and n_ops(raw, "Sort") > 0
+    rows = rewritten.collect()
+    assert rows and all(r.quote_px is not None for r in rows)
+    assert {tuple(r) for r in raw.collect()} == {tuple(r) for r in rows}
+    # value agrees with the view join
+    expected = {
+        r.pool_id: r.latest_price_zig
+        for r in engine.sql(
+            """SELECT p.pool_id, lv.latest_price_zig
+               FROM pools p JOIN latest_token_prices lv
+                 ON lv.token_id = p.quote_token_id
+               WHERE p.is_uzig_quote = false"""
+        ).collect()
+    }
+    for r in rows:
+        assert r.quote_px == expected[r.pool_id]
