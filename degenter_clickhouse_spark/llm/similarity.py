@@ -177,3 +177,110 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF index: k-means-lite centroids + nprobe cell search — the
+# billion-vector scale path (bucket by learned cells instead of random
+# hyperplanes; same per-bucket top-k plumbing as lsh_topk)
+# ---------------------------------------------------------------------------
+
+
+def fit_ivf_centroids(
+    vectors: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Lloyd's iterations entirely in DataFrame ops: seeds = the k
+    lowest-id vectors (deterministic), assignment = argmin scaled-L2
+    against broadcast centroids, update = per-component mean via
+    posexplode. Each iteration is one broadcast join + two shuffles;
+    centroids stay dimension-sized throughout."""
+    cents = (
+        vectors.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy(F.col(id_col))).alias("cell"),
+            F.col(vec).alias("centroid"),
+        )
+    )
+    for _ in range(iters):
+        assigned = assign_cells(vectors, cents, id_col=id_col, vec=vec)
+        cents = (
+            assigned.join(vectors, id_col)
+            .select("cell", F.posexplode(vec).alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"].cast("float"),
+                ).alias("centroid")
+            )
+        )
+    return cents
+
+
+def assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """(id, cell) assignment to the ``nprobe`` nearest centroids by
+    scaled-integer L2 (deterministic)."""
+    from pyspark.sql.window import Window
+
+    dist = F.expr(
+        f"aggregate(zip_with({vec}, centroid, (x, y) -> "
+        f"CAST(floor((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
+        f"* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * 1e12) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn("dist", dist)
+    w = Window.partitionBy(id_col).orderBy(F.col("dist").asc(), F.col("cell").asc())
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= nprobe)
+        .select(F.col(id_col), "cell")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: each query scores only the candidates in its
+    ``nprobe`` nearest cells. Cost ∝ corpus x nprobe / n_cells per
+    query instead of the full corpus."""
+    c_cells = assign_cells(candidates, centroids, id_col=id_col, vec=vec, nprobe=1)
+    q_cells = assign_cells(queries, centroids, id_col=id_col, vec=vec, nprobe=nprobe)
+    c = with_norm(candidates, vec).join(c_cells, id_col).select(
+        F.col(id_col).alias("c_id"), F.col(vec).alias("c_vec"),
+        F.col("norm2_s").alias("c_n2"), "cell",
+    )
+    q = with_norm(queries, vec).join(q_cells, id_col).select(
+        F.col(id_col).alias("q_id"), F.col(vec).alias("q_vec"),
+        F.col("norm2_s").alias("q_n2"), "cell",
+    )
+    pairs = c.join(F.broadcast(q), "cell").filter(F.col("c_id") != F.col("q_id"))
+    scored = pairs.withColumn("dot_s", scaled_dot("q_vec", "c_vec")).withColumn(
+        "cosine", cosine_from_scaled(F.col("dot_s"), F.col("q_n2"), F.col("c_n2"))
+    ).dropDuplicates(["q_id", "c_id"])
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cosine", "rank")
+    )

@@ -499,3 +499,12 @@ def q_dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
     return dedup.dedup_resolution(docs, pairs)
+
+
+@register("embedding_ivf_ann", None)
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF scale path (rows-only; recall vs brute force asserted in
+    tests/test_llm.py::test_ivf_topk_recall_and_cost)."""
+    e = _embs(spark, sf_dir)
+    cents = similarity.fit_ivf_centroids(e, k=8, iters=2)
+    return similarity.ivf_topk(e.filter(F.col("vec_id") < 5), e, cents, k=5, nprobe=3)

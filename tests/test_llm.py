@@ -132,3 +132,26 @@ def test_neardup_cluster_resolution(spark):
         union(p.d1, p.d2)
     for d in dup_ids:
         assert by_id[d].canonical_id == find(d)
+
+
+def test_ivf_topk_recall_and_cost(spark):
+    emb = catalog.load_table(spark, SF_DIR, "embeddings")
+    cents = similarity.fit_ivf_centroids(emb, k=8, iters=2).cache()
+    assert cents.count() == 8
+    q = emb.filter(F.col("vec_id") < 10)
+    brute = similarity.brute_topk(q, emb, k=5).collect()
+    approx = similarity.ivf_topk(q, emb, cents, k=5, nprobe=3).collect()
+    brute_sets, approx_sets = {}, {}
+    for r in brute:
+        brute_sets.setdefault(r.q_id, set()).add(r.c_id)
+    for r in approx:
+        approx_sets.setdefault(r.q_id, set()).add(r.c_id)
+    hits = sum(len(brute_sets[i] & approx_sets.get(i, set())) for i in brute_sets)
+    total = sum(len(v) for v in brute_sets.values())
+    # nprobe=3 of 8 cells scores ~3/8 of the corpus; near-orthogonal
+    # neighbors still land in shared cells far above chance
+    assert hits / total >= 0.3, f"IVF recall: {hits}/{total}"
+    # every query returns a full ranked page
+    for i, s in approx_sets.items():
+        assert len(s) == 5
+    cents.unpersist()
