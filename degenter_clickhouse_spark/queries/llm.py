@@ -508,3 +508,120 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embs(spark, sf_dir)
     cents = similarity.fit_ivf_centroids(e, k=8, iters=2)
     return similarity.ivf_topk(e.filter(F.col("vec_id") < 5), e, cents, k=5, nprobe=3)
+
+
+# ---------------------------------------------------------------------------
+# PII-style redaction: regex masking of emails/URLs/long digit runs
+# (inputs synthesized deterministically — the corpus is clean text)
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}"
+_URL_RE = r"https?://[^\s]+"
+_PHONE_RE = r"[0-9]{7,}"
+
+PII_ORACLE = rf"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(dirty,
+         '{_EMAIL_RE}', '<EMAIL>', 'g'),
+         '{_URL_RE}', '<URL>', 'g'),
+         '{_PHONE_RE}', '<NUM>', 'g') AS clean,
+       CAST(len(regexp_extract_all(dirty, '({_EMAIL_RE})', 1)) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(dirty, '({_URL_RE})', 1)) AS BIGINT) AS n_urls
+FROM (
+  SELECT doc_id,
+         'contact user' || CAST(doc_id AS VARCHAR) || '@example.com or see ' ||
+         'https://docs.example.com/d/' || CAST(doc_id AS VARCHAR) || ' call 5551234567 ' ||
+         text AS dirty
+  FROM documents
+)
+"""
+
+
+@register("pii_redaction", PII_ORACLE)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    dirty = F.concat(
+        F.lit("contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or see https://docs.example.com/d/"),
+        F.col("doc_id").cast("string"), F.lit(" call 5551234567 "), F.col("text"),
+    )
+    base = d.select("doc_id", dirty.alias("dirty"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("dirty"), _EMAIL_RE, "<EMAIL>"),
+            _URL_RE, "<URL>",
+        ),
+        _PHONE_RE, "<NUM>",
+    )
+    return base.select(
+        "doc_id",
+        clean.alias("clean"),
+        F.size(F.regexp_extract_all(F.col("dirty"), F.lit(f"({_EMAIL_RE})"), 1))
+        .cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("dirty"), F.lit(f"({_URL_RE})"), 1))
+        .cast("bigint").alias("n_urls"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# The composite corpus filter: language + quality + near-dup verdicts
+# folded into one keep/drop decision per document — the full
+# training-data cleaning pipeline as a single plan
+# ---------------------------------------------------------------------------
+
+
+def _corpus_filter_oracle() -> str:
+    stop_lits = ", ".join(f"'{w}'" for w in T.ENGLISH_STOPWORDS)
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+edges AS (SELECT d1 AS a, d2 AS b FROM nd_pairs
+          UNION SELECT d2, d1 FROM nd_pairs),
+comp(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT c.a, e.b FROM comp c JOIN edges e ON e.a = c.b
+),
+canon AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id FROM comp GROUP BY a),
+q AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(len(list_filter(string_split(text, ' '),
+              x -> list_contains([{stop_lits}], x))) AS BIGINT) AS n_stop
+  FROM documents
+)
+SELECT d.doc_id,
+       COALESCE(c.canonical_id, d.doc_id) = d.doc_id AS dedup_keep,
+       q.n_words >= 20 AS length_keep,
+       CAST(q.n_stop AS DOUBLE) / q.n_words < 0.5 AS quality_keep,
+       (COALESCE(c.canonical_id, d.doc_id) = d.doc_id)
+         AND q.n_words >= 20
+         AND CAST(q.n_stop AS DOUBLE) / q.n_words < 0.5 AS keep
+FROM documents d
+JOIN q ON q.doc_id = d.doc_id
+LEFT JOIN canon c ON c.doc_id = d.doc_id
+"""
+
+
+@register("corpus_filter_pipeline", _corpus_filter_oracle())
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    resolution = dedup.dedup_resolution(docs, pairs).select(
+        "doc_id", F.col("keep").alias("dedup_keep")
+    )
+    d = docs.withColumn("words", T.words())
+    q = d.select(
+        "doc_id",
+        F.size("words").cast("bigint").alias("n_words"),
+        T.stopword_count("words", T.ENGLISH_STOPWORDS).cast("bigint").alias("n_stop"),
+    )
+    j = q.join(resolution, "doc_id")
+    length_keep = F.col("n_words") >= 20
+    quality_keep = F.col("n_stop").cast("double") / F.col("n_words") < 0.5
+    return j.select(
+        "doc_id",
+        F.col("dedup_keep"),
+        length_keep.alias("length_keep"),
+        quality_keep.alias("quality_keep"),
+        (F.col("dedup_keep") & length_keep & quality_keep).alias("keep"),
+    )
