@@ -181,7 +181,14 @@ def test_pool_matrix_approx_traders_close_to_exact(spark, dom):  # noqa: F811
         assert abs(approx[k] - exact[k]) <= max(2, 0.1 * exact[k])
 
 
-def test_correlated_latest_rewrite(spark, engine):
+def test_correlated_latest_rewrite(spark, dom):  # noqa: F811
+    # fresh engine: plan-shape assertions below need clean base tables
+    # (the shared fixture may carry ingest-appended lineage)
+    from degenter_clickhouse_spark.engine import DegenterEngine
+
+    engine = DegenterEngine(
+        spark, tables={"pools": dom["pools"], "prices": dom["prices"]}
+    )
     # the reference's literal J5 pattern, ported verbatim
     ref_sql = """
         SELECT p.pool_id,
