@@ -148,7 +148,11 @@ def _wasm(ev: DataFrame, action: str) -> DataFrame:
 def extract_pools(ev: DataFrame, existing_pools: DataFrame | None = None) -> DataFrame:
     """create_pair -> pools rows; P9 normalization (uzig forced to the
     quote side), deterministic hash ids, NOT-EXISTS guard (J8)."""
-    cp = _wasm(ev, "create_pair")
+    cp = _wasm(ev, "create_pair").filter(
+        # malformed events (missing contract / pair) never become rows
+        F.col("m")["_contract_address"].isNotNull()
+        & F.col("m")["pair"].rlike(r"^[^-]+-.+$")
+    )
     pair = F.col("m")["pair"]
     norm = parse.normalize_pair(pair)
     contract = F.col("m")["_contract_address"]

@@ -331,3 +331,48 @@ def test_streaming_ingest_end_to_end(spark, tmp_path, raw_df):
     assert len(keys) == len({(k.pool_id, k.tx_hash, k.msg_index) for k in keys})
     # partitioned layout on dt for pruning
     assert any(p.name.startswith("dt=") for p in (tmp_path / "out" / "trades").iterdir())
+
+
+def test_malformed_events_are_skipped(spark):
+    """create_pair without contract/pair, swaps with non-digit amounts,
+    and empty blocks must never produce rows or throw (ANSI-safe)."""
+    import json as _json
+
+    bad = [
+        {
+            "height": 99,
+            "time": "2024-05-01T13:00:00",
+            "txs": [base64.b64encode(b"tx-bad-0").decode()],
+            "tx_results": [
+                {
+                    "events": [
+                        {"type": "wasm", "attributes": [
+                            _attr("action", "create_pair")  # no contract, no pair
+                        ]},
+                        {"type": "wasm", "attributes": [
+                            _attr("action", "create_pair"),
+                            _attr("_contract_address", "zig1nopair"),
+                            _attr("pair", "nodashpair"),  # unsplittable
+                        ]},
+                        {"type": "wasm", "attributes": [
+                            _attr("action", "swap"),
+                            _attr("_contract_address", "zig1unknowncontract"),
+                            _attr("offer_asset", "uzig"),
+                            _attr("offer_amount", "not-a-number"),
+                            _attr("ask_asset", "ualpha"),
+                            _attr("return_amount", "12x34"),
+                            _attr("msg_index", 0),
+                        ]},
+                    ]
+                }
+            ],
+        },
+        {"height": 100, "time": "2024-05-01T13:00:05", "txs": [], "tx_results": []},
+    ]
+    raw = spark.read.schema(blocks.RAW_SCHEMA).json(
+        spark.sparkContext.parallelize([_json.dumps(b) for b in bad])
+    )
+    out = blocks.ingest(raw)
+    assert out["pools"].count() == 0
+    assert out["trades"].count() == 0  # swap contract matches no pool
+    assert out["prices"].count() == 0
