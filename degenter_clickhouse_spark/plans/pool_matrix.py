@@ -37,6 +37,7 @@ def trade_volumes(
     now: Column,
     minutes: int,
     approx_traders: bool = False,
+    prices: DataFrame | None = None,
 ) -> DataFrame:
     """CTE q + vol_enriched (jobs/matrix-rollups.js:30-91): per-pool
     conditional sums over the trailing window, scaled to ZIG display
@@ -77,13 +78,27 @@ def trade_volumes(
     p = pools.select("pool_id", "base_token_id", "quote_token_id", "is_uzig_quote")
     qt = tokens.select(F.col("token_id").alias("quote_token_id"), F.col("exponent").alias("quote_exp"))
     enriched = q.join(F.broadcast(p), "pool_id").join(F.broadcast(qt), "quote_token_id", "left")
+    # quote display units -> ZIG: native pools are already ZIG; non-uzig
+    # quotes convert through the quote token's own latest native price
+    # (vol_enriched, jobs/matrix-rollups.js:63-91)
+    if prices is not None:
+        qpx = views.latest_token_prices(prices).select(
+            F.col("token_id").alias("quote_token_id"),
+            F.col("latest_price_zig").alias("quote_px_zig"),
+        )
+        enriched = enriched.join(F.broadcast(qpx), "quote_token_id", "left")
+        quote_px = F.when(F.col("is_uzig_quote"), F.lit(1.0)).otherwise(
+            F.coalesce(F.col("quote_px_zig"), F.lit(0.0))
+        )
+    else:
+        quote_px = F.lit(1.0)  # raw quote display units
     return enriched.select(
         "pool_id",
         "base_token_id",
         "quote_token_id",
         "is_uzig_quote",
-        _disp(F.col("vol_buy_base"), F.col("quote_exp")).alias("vol_buy_zig"),
-        _disp(F.col("vol_sell_base"), F.col("quote_exp")).alias("vol_sell_zig"),
+        (_disp(F.col("vol_buy_base"), F.col("quote_exp")) * quote_px).alias("vol_buy_zig"),
+        (_disp(F.col("vol_sell_base"), F.col("quote_exp")) * quote_px).alias("vol_sell_zig"),
         "tx_buy",
         "tx_sell",
         "traders",
@@ -167,7 +182,7 @@ def rollup(
     bucket: str,
 ) -> DataFrame:
     minutes = BUCKETS[bucket]
-    vols = trade_volumes(trades, pools, tokens, now, minutes)
+    vols = trade_volumes(trades, pools, tokens, now, minutes, prices=prices)
     px = price_with_fallback(pools, prices, ohlcv_1m)
     tvl = pool_tvl(pools, tokens, pool_state, prices, ohlcv_1m)
     base = pools.select("pool_id")

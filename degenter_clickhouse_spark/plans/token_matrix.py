@@ -70,7 +70,7 @@ def rollup(
     bucket: str,
 ) -> DataFrame:
     minutes = PM.BUCKETS[bucket]
-    vols = PM.trade_volumes(trades, pools, tokens, now, minutes)
+    vols = PM.trade_volumes(trades, pools, tokens, now, minutes, prices=prices)
     per_token_vols = (
         vols.filter(F.col("is_uzig_quote"))
         .groupBy(F.col("base_token_id").alias("token_id"))

@@ -362,3 +362,39 @@ def test_token_matrix_traders_unique_across_pools(spark, dom):
         dom["pool_state"], dom["ohlcv_1m"], _now(), "24h",
     ).collect()}
     assert out[2].traders < per_pool[101] + per_pool[102]  # overlap exists
+
+
+def test_nonnative_pool_volume_converts_to_zig(spark, dom):
+    """A synthetic trade on the USDC-quoted pool 108 must contribute
+    volume in ZIG (quote units x quote token's native price), not raw
+    USDC units."""
+    from datetime import timedelta
+
+    extra = spark.createDataFrame(
+        [(
+            108, "contract108", "swap", "buy",
+            "coin.zig1ggg.uusdc", Decimal(10_000_000),  # 10 USDC offered
+            "coin.zig1bbb.ubeta", Decimal(400_000_000), Decimal(400_000_000),
+            False, None, None, None, None,
+            99_999, "F" * 64, "zigwalletX", 0, NOW - timedelta(minutes=5),
+        )],
+        S.TRADES,
+    )
+    trades = dom["trades_clean"].unionByName(extra)
+    vols = {r.pool_id: r for r in PM.trade_volumes(
+        trades, dom["pools"], dom["tokens"], _now(), 1440, prices=dom["prices"],
+    ).collect()}
+    usdc_px = views.latest_token_prices(
+        dom["prices"]
+    ).filter(F.col("token_id") == 9).collect()[0].latest_price_zig
+    assert vols[108].vol_buy_zig == pytest.approx(10.0 * usdc_px, rel=1e-9)
+    # native pools unaffected by the multiplier (x1)
+    base = {r.pool_id: r for r in PM.trade_volumes(
+        dom["trades_clean"], dom["pools"], dom["tokens"], _now(), 1440,
+        prices=dom["prices"],
+    ).collect()}
+    no_px = {r.pool_id: r for r in PM.trade_volumes(
+        dom["trades_clean"], dom["pools"], dom["tokens"], _now(), 1440,
+    ).collect()}
+    for pid in base:
+        assert base[pid].vol_buy_zig == pytest.approx(no_px[pid].vol_buy_zig, rel=1e-12)
