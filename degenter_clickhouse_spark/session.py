@@ -37,6 +37,10 @@ def build_session(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
+        # local mode runs everything in the driver JVM; the 1g default
+        # heap GC-thrashes (and eventually breaks py4j) under long
+        # sessions with cached fixtures + many broadcasts
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # -- correctness-critical --
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -47,6 +51,8 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
         # -- dims are small: broadcast aggressively (J1-J4) --
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # plans stack many small broadcasts; don't fail under CPU contention
+        .config("spark.sql.broadcastTimeout", "600")
         # -- Arrow for any pandas-UDF path (LLM ops, multimodal) --
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
@@ -89,6 +95,7 @@ def tune_existing(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.broadcastTimeout": "600",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.legacy.parquet.nanosAsLong": "true",
     }
