@@ -39,7 +39,7 @@ BENCH_QUERIES = [
     "dedupe_latest",
     "topk_concentration",
     "change_pct",
-    "sessionization",
+    "session_frames",  # sessionization + full-frame first/last windows
     # LLM-pipeline scale paths (the quadratic jaccard baseline is
     # deliberately excluded — minhash_lsh is the at-scale variant)
     "dedup_exact",
@@ -47,8 +47,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "embedding_ann_topk",
     "embedding_neardup",
-    "text_quality",
-    "token_counts",
+    "text_analysis",  # lang-id + quality + token counts + fingerprint
     "multimodal_features",
 ]
 

@@ -140,6 +140,9 @@ class DegenterEngine:
             views.latest_token_prices(self.tables["prices"]).createOrReplaceTempView(
                 "latest_token_prices"
             )
+            views.latest_token_prices_all(
+                self.tables["prices"]
+            ).createOrReplaceTempView("latest_token_prices_all")
         if "pool_state" in self.tables:
             views.latest_pool_state(self.tables["pool_state"]).createOrReplaceTempView(
                 "latest_pool_state"
@@ -263,17 +266,32 @@ class DegenterEngine:
         mcap_circ_disp: Column | None = None,
     ) -> DataFrame:
         """GET /tokens/:id/ohlcv (§3.3): pool-set selection ∈
-        {all, pool, best} then the full resample/gap-fill pipeline."""
+        {all, pool, best} then the full resample/gap-fill pipeline.
+        ``best`` stays fully relational: the winning pool (or the
+        native-pool fallback when no pool simulates) is a one-row
+        frame semi-joined against ohlcv_1m — no driver collect."""
         if price_source == "pool" and pool_id is not None:
-            pool_ids = [pool_id]
+            pool_ids: list[int] | DataFrame = [pool_id]
         elif price_source == "best":
             cands = SW.candidate_pools(
                 self.table("pools"), self.table("tokens"), self.table("pool_state")
             ).filter(F.col("base_token_id") == token_id)
-            best = SW.best_pool_by_simulation(cands, F.lit(100.0)).collect()
-            pool_ids = [best[0].pool_id] if best else self.native_pools_of(token_id)
+            best = SW.best_pool_by_simulation(cands, F.lit(100.0)).select("pool_id")
+            native = (
+                self.table("pools")
+                .filter(F.col("is_uzig_quote") & (F.col("base_token_id") == token_id))
+                .select("pool_id")
+            )
+            # fallback fires only when `best` is empty: an anti join on a
+            # TRUE condition keeps the native rows iff best has no rows
+            fallback = native.join(best, F.lit(True), "left_anti")
+            pool_ids = best.unionByName(fallback)
         else:
-            pool_ids = self.native_pools_of(token_id)
+            pool_ids = (
+                self.table("pools")
+                .filter(F.col("is_uzig_quote") & (F.col("base_token_id") == token_id))
+                .select("pool_id")
+            )
         return TA.ohlcv_series(
             self.table("ohlcv_1m"),
             pool_ids,

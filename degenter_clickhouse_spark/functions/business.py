@@ -32,23 +32,32 @@ def simulate_xyk(
     fee: Column,
 ) -> Column:
     """B2 (api/routes/swap.js:35-55): constant-product swap with
-    fee-on-input. Returns struct(out, exec_price, mid_price, impact_pct).
+    fee-on-input. Returns struct(out, exec_price, mid_price, impact).
 
     out = (xin_eff * R_out) / (R_in + xin_eff); prices quoted in
-    ZIG-per-token; impact measured vs the mid price Rz/Rt.
-    """
+    ZIG-per-token. ``impact`` is a FRACTION (not percent) measured vs
+    the mid price Rz/Rt, direction-branched exactly like the
+    reference: eff/mid - 1 for ZIG->token, mid/eff - 1 for token->ZIG
+    (both >= 0 for any fee >= 0), with the same 1e-18 denominator
+    guards."""
     xin_eff = amount_in * (F.lit(1.0) - fee)
     r_in = F.when(from_is_zig, reserve_zig).otherwise(reserve_token)
     r_out = F.when(from_is_zig, reserve_token).otherwise(reserve_zig)
     out = (xin_eff * r_out) / (r_in + xin_eff)
     mid = reserve_zig / reserve_token
-    exec_price = F.when(from_is_zig, amount_in / out).otherwise(out / amount_in)
-    impact = (exec_price - mid) / mid * F.lit(100.0)
+    exec_price = F.when(
+        from_is_zig, amount_in / F.greatest(out, F.lit(1e-18))
+    ).otherwise(out / amount_in)
+    impact = F.when(mid <= 0, F.lit(0.0)).otherwise(
+        F.when(from_is_zig, exec_price / mid - F.lit(1.0)).otherwise(
+            mid / F.greatest(exec_price, F.lit(1e-18)) - F.lit(1.0)
+        )
+    )
     return F.struct(
         out.alias("out"),
         exec_price.alias("exec_price"),
         mid.alias("mid_price"),
-        impact.alias("impact_pct"),
+        impact.alias("impact"),
     )
 
 

@@ -95,7 +95,19 @@ def minhash_lsh_pairs(
     band-bucket join for candidates -> exact Jaccard verification of
     candidates only. At scale the band key is the only shuffle key that
     touches all documents; verification cost ∝ true-positive pairs."""
-    sig = minhash_signatures(docs, id_col, n)
+    # one shingle frame feeds BOTH the signatures and the verification
+    # join; localCheckpoint cuts the lineage so the explode+distinct
+    # runs once instead of twice (same pattern as ohlcv.gap_fill)
+    sh = (
+        with_shingle_rows(docs, id_col, n)
+        .select(F.col(id_col).alias("d"), "h")
+        .localCheckpoint(eager=False)
+    )
+    sig_aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % T.POLY_MOD).alias(f"m{i}")
+        for i, (a, b) in enumerate(T.MINHASH_SEEDS)
+    ]
+    sig = sh.groupBy(F.col("d").alias(id_col)).agg(*sig_aggs)
     bands = None
     for j in range(4):
         band = sig.select(
@@ -115,7 +127,6 @@ def minhash_lsh_pairs(
         .select(F.col("a.d").alias("d1"), F.col("b.d").alias("d2"))
         .distinct()
     )
-    sh = with_shingle_rows(docs, id_col, n).select(F.col(id_col).alias("d"), "h")
     sizes = sh.groupBy("d").agg(F.count(F.lit(1)).alias("n_sh"))
     common = (
         cand.join(sh.withColumnRenamed("d", "d1").withColumnRenamed("h", "s1"), "d1")

@@ -197,7 +197,10 @@ def fit_ivf_centroids(
     lowest-id vectors (deterministic), assignment = argmin scaled-L2
     against broadcast centroids, update = per-component mean via
     posexplode. Each iteration is one broadcast join + two shuffles;
-    centroids stay dimension-sized throughout."""
+    centroids stay dimension-sized throughout. ``vectors`` is cached
+    for the loop (every iteration re-reads it twice: assignment +
+    mean update) and released before returning."""
+    vectors = vectors.cache()
     cents = (
         vectors.orderBy(F.col(id_col).asc())
         .limit(k)
@@ -221,6 +224,9 @@ def fit_ivf_centroids(
                 ).alias("centroid")
             )
         )
+    # materialize the final centroids (tiny) before releasing the cache
+    cents = cents.localCheckpoint(eager=True)
+    vectors.unpersist()
     return cents
 
 

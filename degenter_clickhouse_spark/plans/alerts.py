@@ -98,7 +98,25 @@ def eval_large_trade(
         ("min_zig", "double"),
         ("since_min", "long"),
     )
-    lt = large_trades.select("value_zig", "created_at")
+    # bound the theta join's fact-side input FIRST: no trade below the
+    # loosest alert threshold / older than the widest alert window can
+    # ever match, so filter them out below the join instead of
+    # materializing |alerts| x |trades| rows and filtering after
+    bounds = a.agg(
+        F.min("min_zig").alias("__gmin"), F.max("since_min").alias("__gwin")
+    )
+    lt = (
+        large_trades.select("value_zig", "created_at")
+        .join(F.broadcast(bounds))
+        .filter(
+            (F.col("value_zig") >= F.col("__gmin"))
+            & (
+                F.col("created_at")
+                >= now - F.col("__gwin") * F.expr("INTERVAL 1 MINUTE")
+            )
+        )
+        .drop("__gmin", "__gwin")
+    )
     j = a.crossJoin(lt).filter(
         (F.col("value_zig") >= F.col("min_zig"))
         & (F.col("created_at") >= now - F.col("since_min") * F.expr("INTERVAL 1 MINUTE"))

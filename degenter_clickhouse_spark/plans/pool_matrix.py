@@ -55,10 +55,12 @@ def trade_volumes(
     """
     from ..operators import skew
 
+    # uniqExact(t.signer) — the reference does NOT exclude empty signers
+    # (jobs/matrix-rollups.js:37), so neither do we ('' is a value).
     traders_agg = (
-        skew.approx_distinct(F.when(F.col("signer") != "", F.col("signer")))
+        skew.approx_distinct(F.col("signer"))
         if approx_traders
-        else F.countDistinct(F.when(F.col("signer") != "", F.col("signer")))
+        else F.countDistinct(F.col("signer"))
     )
     t = trades.filter(
         (F.col("action") == "swap")
@@ -79,16 +81,16 @@ def trade_volumes(
     qt = tokens.select(F.col("token_id").alias("quote_token_id"), F.col("exponent").alias("quote_exp"))
     enriched = q.join(F.broadcast(p), "pool_id").join(F.broadcast(qt), "quote_token_id", "left")
     # quote display units -> ZIG: native pools are already ZIG; non-uzig
-    # quotes convert through the quote token's own latest native price
-    # (vol_enriched, jobs/matrix-rollups.js:63-91)
+    # quotes convert via the pool's OWN latest price_in_zig — LEFT JOIN
+    # latest_prices ON pool_id, coalesce 0 (vol_enriched,
+    # jobs/matrix-rollups.js:44-91)
     if prices is not None:
-        qpx = views.latest_token_prices(prices).select(
-            F.col("token_id").alias("quote_token_id"),
-            F.col("latest_price_zig").alias("quote_px_zig"),
+        ppx = views.latest_prices(prices).select(
+            "pool_id", F.col("latest_price_zig").alias("pool_px_zig")
         )
-        enriched = enriched.join(F.broadcast(qpx), "quote_token_id", "left")
+        enriched = enriched.join(F.broadcast(ppx), "pool_id", "left")
         quote_px = F.when(F.col("is_uzig_quote"), F.lit(1.0)).otherwise(
-            F.coalesce(F.col("quote_px_zig"), F.lit(0.0))
+            F.coalesce(F.col("pool_px_zig"), F.lit(0.0))
         )
     else:
         quote_px = F.lit(1.0)  # raw quote display units

@@ -31,43 +31,79 @@ from __future__ import annotations
 
 import re
 
-# state table -> (latest view, key column the view is keyed by)
+# (state table, probe key) -> (latest view, renamed value col, order col)
+# (prices, token_id) targets the UNFILTERED per-token view: the
+# reference's correlated probe (trades.js:295) scans every prices row,
+# so redirecting it at the native-only latest_token_prices would
+# silently change results whenever non-native rows exist.
 LATEST_VIEWS = {
-    ("prices", "token_id"): ("latest_token_prices", "latest_price_zig"),
-    ("prices", "pool_id"): ("latest_prices", "latest_price_zig"),
-    ("pool_state", "pool_id"): ("latest_pool_state", None),
+    ("prices", "token_id"): ("latest_token_prices_all", "latest_price_zig", "updated_at"),
+    ("prices", "pool_id"): ("latest_prices", "latest_price_zig", "updated_at"),
+    ("pool_state", "pool_id"): ("latest_pool_state", None, "updated_at"),
 }
 
+_KW = r"WHERE|ORDER|GROUP|LIMIT|JOIN|ON|AND|OR"
+
 _PATTERN = re.compile(
-    r"""\(\s*SELECT\s+(?P<col>[A-Za-z_][\w.]*)\s+
-        FROM\s+(?P<table>[A-Za-z_]\w*)\s+
-        WHERE\s+(?P<key>[A-Za-z_]\w*)\s*=\s*(?P<outer>[A-Za-z_][\w.]*)\s+
-        ORDER\s+BY\s+(?P<ord>[A-Za-z_]\w*)\s+DESC\s+
-        LIMIT\s+1\s*\)""",
+    rf"""\(\s*SELECT\s+(?P<col>[A-Za-z_][\w.]*)\s+
+        FROM\s+(?P<table>[A-Za-z_]\w*)
+        (?:\s+(?:AS\s+)?(?P<alias>(?!(?:{_KW})\b)[A-Za-z_]\w*))?\s+
+        WHERE\s+(?:(?P<kq>[A-Za-z_]\w*)\s*\.\s*)?(?P<key>[A-Za-z_]\w*)
+        \s*=\s*(?P<outer>[A-Za-z_][\w.]*)\s+
+        ORDER\s+BY\s+(?:(?P<oq>[A-Za-z_]\w*)\s*\.\s*)?(?P<ord>[A-Za-z_]\w*)
+        \s+DESC\s+
+        LIMIT\s+1(?:\s+OFFSET\s+0)?\s*\)""",
     re.IGNORECASE | re.VERBOSE,
 )
 
 
 def rewrite_correlated_latest(sql: str) -> str:
     """Rewrite every reference-shaped correlated latest-row probe to a
-    probe of the corresponding latest_* view. Unknown tables/keys are
-    left untouched (and will fail in Spark exactly as before — the
-    rewrite never changes semantics silently)."""
+    probe of the corresponding latest_* view. Covers the syntactic
+    variants the reference's 8 sites and hand-edited copies of them
+    produce: optional inner-table alias (``FROM prices pr`` /
+    ``AS pr``) with alias-qualified columns, arbitrary whitespace and
+    case, and a redundant ``OFFSET 0``. Unknown tables/keys/order
+    columns — or probes whose equality is not actually correlated to
+    an outer column — are left untouched (and run in Spark exactly as
+    written: the rewrite never changes semantics silently)."""
 
     def repl(m: re.Match) -> str:
         table, key = m.group("table").lower(), m.group("key").lower()
+        alias = (m.group("alias") or "").lower()
+        inner_names = {table, alias} - {""}
         view = LATEST_VIEWS.get((table, key))
         if view is None:
             return m.group(0)
-        view_name, value_col = view
+        view_name, value_col, order_col = view
+        # the probe must order by the view's order column...
+        if m.group("ord").lower() != order_col:
+            return m.group(0)
+        # ...order a column of the inner table...
+        oq = (m.group("oq") or "").lower()
+        if oq and oq not in inner_names:
+            return m.group(0)
+        # ...key on the inner table...
+        kq = (m.group("kq") or "").lower()
+        if kq and kq not in inner_names:
+            return m.group(0)
+        # ...and compare against an OUTER column (correlated), not a
+        # constant inner self-reference
+        outer = m.group("outer")
+        outer_q = outer.split(".")[0].lower() if "." in outer else None
+        if outer_q in inner_names:
+            return m.group(0)
         col = m.group("col")
+        col_q = col.split(".")[0].lower() if "." in col else None
+        if col_q is not None and col_q not in inner_names:
+            return m.group(0)
+        base_col = col.split(".")[-1]
         # the view renames the price column; map it when known
-        base_col = col.split(".")[-1].lower()
-        if value_col is not None and base_col == "price_in_zig":
-            col = value_col
+        if value_col is not None and base_col.lower() == "price_in_zig":
+            base_col = value_col
         return (
-            f"(SELECT {col} FROM {view_name} "
-            f"WHERE {key} = {m.group('outer')})"
+            f"(SELECT {base_col} FROM {view_name} "
+            f"WHERE {key} = {outer})"
         )
 
     return _PATTERN.sub(repl, sql)

@@ -64,7 +64,13 @@ def best_pool_by_simulation(
     candidates: DataFrame, amount_in: Column, from_is_zig: bool = True
 ) -> DataFrame:
     """B3 pickBySimulation: per token, keep the pool with max simulated
-    output. Zero-reserve pools simulate to NULL and lose (B2 guard)."""
+    output. Zero-reserve pools simulate to NULL and lose (B2 guard).
+    Ties break to the LOWEST pool_id (the reference keeps the first max
+    in iteration order, which is nondeterministic — a fixed tiebreak is
+    strictly better and required for the oracle gate).
+
+    If the candidates carry a ``mid_zig`` column (per-pool mid price),
+    it rides along in the winning struct for cross-rate math."""
     sim = business.simulate_xyk(
         F.lit(from_is_zig),
         amount_in,
@@ -74,6 +80,11 @@ def best_pool_by_simulation(
     )
     ok = (F.col("reserve_zig") > 0) & (F.col("reserve_token") > 0)
     scored = candidates.withColumn("sim", F.when(ok, sim))
+    extra = (
+        [F.col("mid_zig").alias("mid_zig")]
+        if "mid_zig" in candidates.columns
+        else []
+    )
     return (
         scored.filter(F.col("sim").isNotNull())
         .groupBy("base_token_id")
@@ -84,9 +95,10 @@ def best_pool_by_simulation(
                     "pair_contract",
                     F.col("sim.out").alias("out"),
                     F.col("sim.exec_price").alias("exec_price"),
-                    F.col("sim.impact_pct").alias("impact_pct"),
+                    F.col("sim.impact").alias("impact"),
+                    *extra,
                 ),
-                F.col("sim.out"),
+                F.struct(F.col("sim.out"), (-F.col("pool_id")).alias("tb")),
             ).alias("best")
         )
         .select("base_token_id", "best.*")

@@ -29,7 +29,7 @@ def _bucket(col: Column, step_sec: int) -> Column:
 
 def ohlcv_series(
     ohlcv_1m: DataFrame,
-    pool_ids: list[int],
+    pool_ids: list[int] | DataFrame,
     step_sec: int,
     ts_from: Column,
     ts_to: Column,
@@ -39,8 +39,20 @@ def ohlcv_series(
 ) -> DataFrame:
     """One merged candle series for a token (api/routes/tokens.js:
     1414-1576). fill ∈ {prev, zero, none}; unit transforms applied when
-    ``zig_usd`` (usd mode) / ``circ_supply_disp`` (mcap mode) given."""
-    src = ohlcv_1m.filter(F.col("pool_id").isin(pool_ids))
+    ``zig_usd`` (usd mode) / ``circ_supply_disp`` (mcap mode) given.
+
+    ``pool_ids`` is either a literal id list or a DataFrame with a
+    ``pool_id`` column — the relational form keeps pool selection
+    (e.g. best-pool-by-simulation) inside the plan as a broadcast
+    semi join instead of a driver-side collect + isin."""
+    if isinstance(pool_ids, DataFrame):
+        src = ohlcv_1m.join(
+            F.broadcast(pool_ids.select("pool_id").distinct()),
+            "pool_id",
+            "left_semi",
+        )
+    else:
+        src = ohlcv_1m.filter(F.col("pool_id").isin(pool_ids))
     in_window = src.filter(
         (F.col("bucket_start") >= ts_from) & (F.col("bucket_start") < ts_to)
     )

@@ -90,11 +90,15 @@ def shape(
 
 
 def combine_router_legs(shaped: DataFrame) -> DataFrame:
-    """B8: group legs by tx_hash; router txs collapse into one combined
-    record — first leg's time/direction/signer, pool path in msg_index
-    order, summed worth, amount in = first leg offer, amount out =
-    last leg return. Non-router trades pass through unchanged."""
-    legs = shaped.withColumn(
+    """B8: only ROUTER legs group by tx_hash into one combined record —
+    first leg's time/direction/signer, pool path in msg_index order,
+    summed worth, amount in = first leg offer, amount out = last leg
+    return. Non-router trades pass through one row per trade (a tx
+    holding several independent swaps stays several records, and a
+    mixed tx keeps its non-router swaps separate from the combined
+    router record — matching the reference, which combines only the
+    router-flagged legs)."""
+    legs = shaped.filter(F.col("is_router")).withColumn(
         "leg",
         F.struct(
             "msg_index",
@@ -108,14 +112,13 @@ def combine_router_legs(shaped: DataFrame) -> DataFrame:
         ),
     )
     grouped = legs.groupBy("tx_hash").agg(
-        F.max("is_router").alias("is_router"),
         F.sort_array(F.collect_list("leg")).alias("legs"),
         F.sum("worth_zig").alias("worth_zig_sum"),
         F.count(F.lit(1)).alias("n_legs"),
     )
     first = F.col("legs")[0]
     last = F.element_at(F.col("legs"), -1)
-    combined = grouped.filter(F.col("is_router")).select(
+    combined = grouped.select(
         "tx_hash",
         F.lit(True).alias("is_router"),
         F.col("n_legs"),
@@ -127,20 +130,17 @@ def combine_router_legs(shaped: DataFrame) -> DataFrame:
         last["ask_amount_disp"].alias("amount_out_disp"),
         F.col("worth_zig_sum").alias("worth_zig"),
     )
-    singles = (
-        grouped.filter(~F.col("is_router"))
-        .select(
-            "tx_hash",
-            F.lit(False).alias("is_router"),
-            F.col("n_legs"),
-            first["created_at"].alias("created_at"),
-            first["direction"].alias("direction"),
-            first["signer"].alias("signer"),
-            F.transform(F.col("legs"), lambda x: x["pool_id"]).alias("path"),
-            first["offer_amount_disp"].alias("amount_in_disp"),
-            last["ask_amount_disp"].alias("amount_out_disp"),
-            F.col("worth_zig_sum").alias("worth_zig"),
-        )
+    singles = shaped.filter(~F.col("is_router")).select(
+        "tx_hash",
+        F.lit(False).alias("is_router"),
+        F.lit(1).cast("long").alias("n_legs"),
+        "created_at",
+        "direction",
+        "signer",
+        F.array(F.col("pool_id")).alias("path"),
+        F.col("offer_amount_disp").alias("amount_in_disp"),
+        F.col("ask_amount_disp").alias("amount_out_disp"),
+        "worth_zig",
     )
     return combined.unionByName(singles).withColumn(
         "trade_class", business.classify_worth(F.col("worth_zig"))

@@ -34,6 +34,19 @@ def latest_token_prices(prices: DataFrame) -> DataFrame:
     ).withColumnRenamed("price_in_zig", "latest_price_zig")
 
 
+def latest_token_prices_all(prices: DataFrame) -> DataFrame:
+    """Latest price per token over ALL pools (no is_pair_native
+    filter) — the exact decorrelation of the reference's correlated
+    probe (api/routes/trades.js:295), which scans the whole prices
+    table. ``latest_token_prices`` (native-only) is the curated quote
+    view; this one exists so the SQL-compat rewrite preserves the
+    original query's semantics bit-for-bit."""
+    return latest.latest_by(
+        prices, keys=["token_id"], values=["price_in_zig", "updated_at"],
+        order=["updated_at"],
+    ).withColumnRenamed("price_in_zig", "latest_price_zig")
+
+
 def latest_pool_state(pool_state: DataFrame) -> DataFrame:
     """Latest reserves per pool (core/pool_state.js:5-36 read side)."""
     return latest.latest_by(

@@ -481,11 +481,18 @@ def q_dedupe_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "customers_with_orders",
+SEMI_ORACLE = (
     "SELECT c_custkey AS custkey, c_name AS name FROM customer "
-    "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
 )
+
+ANTI_ORACLE = (
+    "SELECT c_custkey AS custkey, c_name AS name FROM customer "
+    "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+)
+
+
+# registered via queries.suites.semi_anti_join (driver 50-entry cap)
 def q_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = catalog.load_table(spark, sf_dir, "customer")
     o = catalog.load_table(spark, sf_dir, "orders")
@@ -493,11 +500,7 @@ def q_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
 
 
-@register(
-    "customers_without_orders",
-    "SELECT c_custkey AS custkey, c_name AS name FROM customer "
-    "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
-)
+# registered via queries.suites.semi_anti_join
 def q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = catalog.load_table(spark, sf_dir, "customer")
     o = catalog.load_table(spark, sf_dir, "orders")

@@ -241,7 +241,7 @@ FROM s
 """
 
 
-@register("lang_id", _langid_oracle())
+# registered via queries.suites.text_analysis (driver 50-entry cap)
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).withColumn("words", T.words())
     langs = list(T.LANG_STOPWORDS)
@@ -294,7 +294,7 @@ FROM m
 """
 
 
-@register("text_quality", _quality_oracle())
+# registered via queries.suites.text_analysis
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).withColumn("words", T.words())
     m = d.select(
@@ -339,7 +339,7 @@ FROM documents
 """
 
 
-@register("token_counts", TOKEN_ORACLE)
+# registered via queries.suites.text_analysis
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     bpe = T.token_count_regex()
@@ -361,7 +361,7 @@ FP_ORACLE = (
 )
 
 
-@register("doc_fingerprint", FP_ORACLE)
+# registered via queries.suites.text_analysis
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).withColumn("norm_text", T.normalized_text())
     return d.select("doc_id", T.poly_hash("norm_text").alias("fingerprint"))
@@ -434,7 +434,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("embedding_lsh_ann", None)
+# registered via queries.suites.embedding_ann_scalable
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embs(spark, sf_dir)
     return similarity.lsh_topk(e.filter(F.col("vec_id") < 5), e, k=5)
@@ -501,7 +501,7 @@ def q_dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_resolution(docs, pairs)
 
 
-@register("embedding_ivf_ann", None)
+# registered via queries.suites.embedding_ann_scalable
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF scale path (rows-only; recall vs brute force asserted in
     tests/test_llm.py::test_ivf_topk_recall_and_cost)."""

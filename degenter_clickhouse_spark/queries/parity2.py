@@ -23,10 +23,10 @@ from .core import CHANGE_CUTOFF, DEC, O_TICKS, dsum, epoch, o_bars, o_dsum, spar
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "tx_hash_sha256",
-    "SELECT doc_id, upper(sha256(text)) AS tx_hash FROM documents",
-)
+SHA256_ORACLE = "SELECT doc_id, upper(sha256(text)) AS tx_hash FROM documents"
+
+
+# registered via queries.suites.string_hash_suite (driver 50-entry cap)
 def q_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = catalog.load_table(spark, sf_dir, "documents")
     return d.select("doc_id", parse.sha256_hex_upper(F.col("text")).alias("tx_hash"))
@@ -45,7 +45,7 @@ GROUP BY md5(c_name)
 """
 
 
-@register("hash_id_rollup", HASH_ID_ORACLE)
+# registered via queries.suites.string_hash_suite
 def q_hash_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = catalog.load_table(spark, sf_dir, "customer")
     o = catalog.load_table(spark, sf_dir, "orders")
@@ -598,7 +598,7 @@ LIMIT 30
 """
 
 
-@register("priority_ordering", PRIORITY_ORACLE)
+# registered via queries.suites.ordering_suite
 def q_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = catalog.load_table(spark, sf_dir, "part")
     out = (
@@ -635,7 +635,7 @@ WHERE rn = 1
 """
 
 
-@register("multikey_resolution", RESOLVE_ORACLE)
+# registered via queries.suites.ordering_suite
 def q_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = catalog.load_table(spark, sf_dir, "customer")
     relevance = (
@@ -673,7 +673,7 @@ WINDOW w AS (PARTITION BY pool_id, date_trunc('day', ts)
 """
 
 
-@register("window_firstlast_frame", FIRSTLAST_ORACLE)
+# registered via queries.suites.session_frames
 def q_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = catalog.ticks(spark, sf_dir).withColumn("day", F.date_trunc("day", F.col("ts")))
     w = (
@@ -709,7 +709,7 @@ FROM legs GROUP BY pool_id
 """
 
 
-@register("union_streams", UNION_ORACLE)
+# registered via queries.suites.set_join_suite
 def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = catalog.ticks(spark, sf_dir)
     provides = t.filter(F.col("event_type") == "purchase").select(

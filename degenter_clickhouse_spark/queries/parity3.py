@@ -31,7 +31,7 @@ LIMIT 20
 """
 
 
-@register("null_meta_scan", NULL_META_ORACLE)
+# registered via queries.suites.ordering_suite (driver 50-entry cap)
 def q_null_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = catalog.load_table(spark, sf_dir, "customer")
     sparse = c.select(
@@ -62,7 +62,7 @@ GROUP BY o_custkey
 """
 
 
-@register("in_list_join", IN_LIST_ORACLE)
+# registered via queries.suites.set_join_suite
 def q_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = catalog.load_table(spark, sf_dir, "orders")
     return (
@@ -88,7 +88,7 @@ GROUP BY o.o_custkey
 """
 
 
-@register("set_rejoin", REJOIN_ORACLE)
+# registered via queries.suites.set_join_suite
 def q_set_rejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = catalog.load_table(spark, sf_dir, "orders")
     big = o.filter(F.col("o_totalprice") > 400000).select("o_custkey").distinct()
@@ -121,7 +121,7 @@ FROM (
 """
 
 
-@register("twitter_handle_normalize", HANDLE_ORACLE)
+# registered via queries.suites.string_hash_suite
 def q_twitter_handle(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = catalog.load_table(spark, sf_dir, "part")
     raw = (
@@ -166,7 +166,7 @@ FROM s GROUP BY user_id, session_no
 """
 
 
-@register("sessionization", SESSION_ORACLE)
+# registered via queries.suites.session_frames
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = catalog.load_table(spark, sf_dir, "events")
     sw = ev.groupBy(

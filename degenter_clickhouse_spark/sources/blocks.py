@@ -323,7 +323,12 @@ def derive_prices(
     trades: DataFrame, pools_dim: DataFrame, tokens_exp: DataFrame | None = None
 ) -> DataFrame:
     """B11: price from post-trade reserves for uzig-quoted pools; one
-    tick per trade (price_ticks) — the prices table is its append log."""
+    tick per trade (price_ticks) — the prices table is its append log.
+
+    Each tick also carries the swap's quote-leg volume in ZIG
+    (core/block-processor.js:277-291: quoteRaw/1e6, where the quote leg
+    is offer_amount when the offer asset IS the quote denom, else the
+    return amount) so downstream 1-minute candles sum real volume."""
     p = pools_dim.select(
         "pool_id", "base_denom", "quote_denom", "base_token_id", "is_uzig_quote"
     )
@@ -343,12 +348,19 @@ def derive_prices(
         if tokens_exp is not None
         else None
     )
+    quote_leg_raw = F.when(
+        F.col("offer_asset_denom") == F.col("quote_denom"),
+        F.col("offer_amount_base"),
+    ).otherwise(F.col("return_amount_base"))
     out = t.select(
         F.col("base_token_id").alias("token_id"),
         "pool_id",
         base_amt.alias("rb"),
         quote_amt.alias("rq"),
         F.col("is_uzig_quote"),
+        F.coalesce(quote_leg_raw.cast("double") / F.lit(1e6), F.lit(0.0)).alias(
+            "quote_volume_zig"
+        ),
         F.col("created_at").alias("updated_at"),
         "height",
         "msg_index",
@@ -370,6 +382,7 @@ def derive_prices(
             "pool_id",
             px.alias("price_in_zig"),
             F.lit(True).alias("is_pair_native"),
+            "quote_volume_zig",
             "updated_at",
             "height",
             "msg_index",
@@ -387,8 +400,9 @@ def derive_ohlcv_1m(prices_ticks: DataFrame) -> DataFrame:
         F.col("price_in_zig").alias("price"),
         F.col("updated_at").alias("ts"),
         F.struct("height", "msg_index").alias("seq"),
+        F.coalesce(F.col("quote_volume_zig"), F.lit(0.0)).alias("qty"),
     )
-    return ohlcv.bars(ticks, 60, seq="seq", qty=F.lit(0.0)).withColumnRenamed(
+    return ohlcv.bars(ticks, 60, seq="seq", qty="qty").withColumnRenamed(
         "volume", "volume_zig"
     )
 
@@ -425,7 +439,7 @@ def ingest(
     return {
         "pools": new_pools,
         "trades": trades,
-        "prices": prices.drop("height", "msg_index"),
+        "prices": prices.drop("height", "msg_index", "quote_volume_zig"),
         "pool_state": derive_pool_state(trades, pools_dim),
         "ohlcv_1m": derive_ohlcv_1m(prices),
     }

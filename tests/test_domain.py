@@ -277,17 +277,52 @@ def test_router_leg_combining(spark, dom):
     singles = [r for r in combined if not r.is_router]
     assert routers and singles
     for r in routers:
-        assert r.n_legs >= 2
         assert len(r.path) == r.n_legs
         # first-leg direction semantics: direction of msg_index 0
+    shaped_rows = shaped.collect()
+    # non-router trades pass through one row per trade — never collapsed
+    assert len(singles) == sum(1 for s in shaped_rows if not s.is_router)
+    for s in singles:
+        assert s.n_legs == 1 and len(s.path) == 1
     shaped_by_tx = {}
-    for s in shaped.collect():
-        shaped_by_tx.setdefault(s.tx_hash, []).append(s)
+    for s in shaped_rows:
+        if s.is_router:  # only router legs are combined
+            shaped_by_tx.setdefault(s.tx_hash, []).append(s)
     for r in routers[:20]:
         legs = sorted(shaped_by_tx[r.tx_hash], key=lambda s: s.msg_index)
         assert r.direction == legs[0].direction
         assert r.worth_zig == pytest.approx(sum(x.worth_zig for x in legs), rel=1e-9)
         assert r.path == [x.pool_id for x in legs]
+
+
+def test_router_combining_mixed_tx(spark):
+    """A tx holding several independent swaps must NOT collapse; a mixed
+    tx combines only its router-flagged legs."""
+    t = datetime(2024, 5, 1, 12, 0, 0)
+    rows = [
+        # tx1: two independent non-router swaps in one tx
+        ("tx1", 0, 101, "buy", t, "w1", 10.0, 5.0, 10.0, False),
+        ("tx1", 1, 102, "sell", t, "w1", 3.0, 6.0, 6.0, False),
+        # tx2: router with 2 legs + an unrelated non-router swap
+        ("tx2", 0, 101, "buy", t, "w2", 8.0, 4.0, 8.0, True),
+        ("tx2", 1, 103, "sell", t, "w2", 4.0, 9.0, 9.0, True),
+        ("tx2", 2, 104, "buy", t, "w3", 2.0, 1.0, 2.0, False),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "tx_hash string, msg_index int, pool_id long, direction string, "
+        "created_at timestamp, signer string, offer_amount_disp double, "
+        "ask_amount_disp double, worth_zig double, is_router boolean",
+    )
+    out = {
+        (r.tx_hash, r.is_router, tuple(r.path)): r
+        for r in TF.combine_router_legs(df).collect()
+    }
+    assert ("tx1", False, (101,)) in out and ("tx1", False, (102,)) in out
+    r = out[("tx2", True, (101, 103))]
+    assert r.n_legs == 2 and r.worth_zig == pytest.approx(17.0)
+    assert r.amount_in_disp == 8.0 and r.amount_out_disp == 9.0
+    assert ("tx2", False, (104,)) in out
 
 
 def _alerts_df(spark):
@@ -323,8 +358,16 @@ def test_alert_evaluation(spark, dom):
     assert {r.alert_id for r in wt} == {4}
     assert wt[0].n_trades > 0
     lt = LB.large_trades(dom["trades_clean"], now, 1440, min_zig=0.0)
-    lt_hits = AL.eval_large_trade(a, lt, now).collect()
+    lt_df = AL.eval_large_trade(a, lt, now)
+    lt_hits = lt_df.collect()
     assert {r.alert_id for r in lt_hits} == {5}
+    # plan shape: the global-bound prefilter sits BELOW the alerts theta
+    # join — value_zig/created_at are filtered before any join with the
+    # alerts side, so the join never materializes sub-threshold trades
+    plan = lt_df._jdf.queryExecution().optimizedPlan().toString()
+    join_pos = plan.find("Join")
+    filt_pos = plan.rfind("value_zig >=")
+    assert join_pos != -1 and filt_pos != -1 and filt_pos > join_pos
     tv = AL.eval_tvl_change(a, dom["pool_state"], None, now).collect()
     assert {r.alert_id for r in tv} == {6}
 
@@ -366,8 +409,8 @@ def test_token_matrix_traders_unique_across_pools(spark, dom):
 
 def test_nonnative_pool_volume_converts_to_zig(spark, dom):
     """A synthetic trade on the USDC-quoted pool 108 must contribute
-    volume in ZIG (quote units x quote token's native price), not raw
-    USDC units."""
+    volume in ZIG (quote display units x the POOL's own latest
+    price_in_zig, jobs/matrix-rollups.js:44-91), not raw USDC units."""
     from datetime import timedelta
 
     extra = spark.createDataFrame(
@@ -384,10 +427,10 @@ def test_nonnative_pool_volume_converts_to_zig(spark, dom):
     vols = {r.pool_id: r for r in PM.trade_volumes(
         trades, dom["pools"], dom["tokens"], _now(), 1440, prices=dom["prices"],
     ).collect()}
-    usdc_px = views.latest_token_prices(
+    pool_px = views.latest_prices(
         dom["prices"]
-    ).filter(F.col("token_id") == 9).collect()[0].latest_price_zig
-    assert vols[108].vol_buy_zig == pytest.approx(10.0 * usdc_px, rel=1e-9)
+    ).filter(F.col("pool_id") == 108).collect()[0].latest_price_zig
+    assert vols[108].vol_buy_zig == pytest.approx(10.0 * pool_px, rel=1e-9)
     # native pools unaffected by the multiplier (x1)
     base = {r.pool_id: r for r in PM.trade_volumes(
         dom["trades_clean"], dom["pools"], dom["tokens"], _now(), 1440,

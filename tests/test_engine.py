@@ -227,3 +227,48 @@ def test_correlated_latest_rewrite(spark, dom):  # noqa: F811
     }
     for r in rows:
         assert r.quote_px == expected[r.pool_id]
+
+
+def test_rewrite_fires_on_syntactic_variants(spark, dom):  # noqa: F811
+    """The shim must catch aliased / reformatted / LIMIT-OFFSET copies
+    of the reference probe (trades.js:295,410-416), not just the
+    byte-exact shape — and leave non-matching probes alone."""
+    from degenter_clickhouse_spark.engine import DegenterEngine
+    from degenter_clickhouse_spark.plans.rewrite import rewrite_correlated_latest
+
+    variants = [
+        # 1) inner-table alias with fully qualified columns
+        """SELECT p.pool_id,
+                  (SELECT pr.price_in_zig FROM prices pr
+                   WHERE pr.token_id = p.quote_token_id
+                   ORDER BY pr.updated_at DESC LIMIT 1) AS quote_px
+           FROM pools p WHERE p.is_uzig_quote = false""",
+        # 2) AS-alias, lowercase keywords, LIMIT 1 OFFSET 0
+        """SELECT p.pool_id,
+                  (select price_in_zig from PRICES as x
+                   where x.token_id = p.quote_token_id
+                   order by updated_at desc limit 1 offset 0) AS quote_px
+           FROM pools p WHERE p.is_uzig_quote = false""",
+        # 3) reformatted whitespace/newlines
+        "SELECT p.pool_id, (SELECT price_in_zig\n\tFROM prices\n  WHERE"
+        " token_id = p.quote_token_id\n  ORDER   BY updated_at   DESC\n"
+        "  LIMIT 1) AS quote_px FROM pools p WHERE p.is_uzig_quote = false",
+    ]
+    for v in variants:
+        out = rewrite_correlated_latest(v)
+        assert "latest_token_prices_all" in out, v
+        assert "order by" not in out.lower(), v
+    # untouched: unknown order column, uncorrelated probe, unknown table
+    for keep in [
+        "(SELECT price_in_zig FROM prices WHERE token_id = p.t ORDER BY height DESC LIMIT 1)",
+        "(SELECT price_in_zig FROM prices pr WHERE pr.token_id = pr.token_id ORDER BY updated_at DESC LIMIT 1)",
+        "(SELECT v FROM other_table WHERE token_id = p.t ORDER BY updated_at DESC LIMIT 1)",
+    ]:
+        assert rewrite_correlated_latest(keep) == keep
+    # execution parity: every variant returns exactly what raw Spark does
+    engine = DegenterEngine(
+        spark, tables={"pools": dom["pools"], "prices": dom["prices"]}
+    )
+    raw = {tuple(r) for r in spark.sql(variants[0]).collect()}
+    for v in variants:
+        assert {tuple(r) for r in engine.sql(v).collect()} == raw

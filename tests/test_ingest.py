@@ -290,6 +290,14 @@ def test_ohlcv_from_ticks(ingested):
         assert b.low <= b.open <= b.high
         assert b.low <= b.close <= b.high
         assert b.trade_count >= 1
+    # quote-leg volume summed per minute (core/block-processor.js:277-291):
+    # offer_amount when the offer IS the quote denom, else return_amount, /1e6
+    pools = {r.pair_contract: r.pool_id for r in ingested["pools"].collect()}
+    vols = {(b.pool_id, b.bucket_start.minute): b.volume_zig for b in bars}
+    assert vols[(pools[PAIR_A], 1)] == pytest.approx(7.4)  # 5.0 buy + 2.4 sell
+    assert vols[(pools[PAIR_B], 1)] == pytest.approx(7.0)
+    assert vols[(pools[PAIR_A], 2)] == pytest.approx(3.0)
+    assert vols[(pools[PAIR_B], 2)] == pytest.approx(2.5)
 
 
 def test_reingest_is_noop(spark, raw_df, ingested):

@@ -108,4 +108,29 @@ def test_xyk_simulation_bounds(spark, a_in, rz, rt, fee):
     # positive, and execution price never better than mid
     assert 0 < r.out < rt
     assert r.exec_price >= r.mid_price * (1 - 1e-9)
-    assert r.impact_pct >= -1e-9
+    assert r.impact >= -1e-9
+
+
+@given(a_in=amount, rz=reserve, rt=reserve, fee=st.floats(min_value=0.0, max_value=0.05))
+@_settings
+def test_xyk_simulation_sell_direction(spark, a_in, rz, rt, fee):
+    """token->ZIG (swap.js:48-54): eff = outZig/amountIn is never
+    better than mid, impact = mid/eff - 1 is a non-negative fraction."""
+    df = spark.createDataFrame(
+        [(float(a_in), float(rz), float(rt), float(fee))],
+        "a double, rz double, rt double, fee double",
+    )
+    sim = business.simulate_xyk(
+        F.lit(False), F.col("a"), F.col("rz"), F.col("rt"), F.col("fee")
+    )
+    r = df.select(sim.alias("s")).collect()[0].s
+    assert 0 < r.out < rz
+    assert r.exec_price <= r.mid_price * (1 + 1e-9)
+    assert r.impact >= -1e-9
+    # exact reference recomputation
+    xin = a_in * (1 - fee)
+    out = (xin * rz) / (rt + xin)
+    eff = out / a_in
+    mid = rz / rt
+    assert r.out == pytest.approx(out, rel=1e-12)
+    assert r.impact == pytest.approx(mid / max(eff, 1e-18) - 1, rel=1e-9)
