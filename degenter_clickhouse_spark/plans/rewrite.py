@@ -42,6 +42,18 @@ LATEST_VIEWS = {
     ("pool_state", "pool_id"): ("latest_pool_state", None, "updated_at"),
 }
 
+# Columns of each probed table (schemas.PRICES / schemas.POOL_STATE).
+# An UNQUALIFIED RHS identifier that names one of these is ambiguous:
+# SQL resolves it against the inner table first, so the probe is an
+# uncorrelated row-wise comparison, not a correlated lookup — rewriting
+# it against a view lacking that column would change semantics. Only a
+# qualified outer reference (alias.col) or an identifier provably not
+# an inner column may rewrite.
+TABLE_COLUMNS = {
+    "prices": {"token_id", "pool_id", "price_in_zig", "is_pair_native", "updated_at"},
+    "pool_state": {"pool_id", "reserve_base_base", "reserve_quote_base", "updated_at"},
+}
+
 _KW = r"WHERE|ORDER|GROUP|LIMIT|JOIN|ON|AND|OR"
 
 _PATTERN = re.compile(
@@ -92,6 +104,10 @@ def rewrite_correlated_latest(sql: str) -> str:
         outer = m.group("outer")
         outer_q = outer.split(".")[0].lower() if "." in outer else None
         if outer_q in inner_names:
+            return m.group(0)
+        # a bare RHS identifier that names a column of the probed table
+        # resolves to the INNER scope — not correlated; leave it alone
+        if outer_q is None and outer.lower() in TABLE_COLUMNS.get(table, set()):
             return m.group(0)
         col = m.group("col")
         col_q = col.split(".")[0].lower() if "." in col else None

@@ -105,6 +105,81 @@ def best_pool_by_simulation(
     )
 
 
+def _best_leg(
+    reqs: DataFrame,
+    candidates: DataFrame,
+    key: str,
+    amount: Column,
+    from_is_zig: bool,
+    prefix: str,
+) -> DataFrame:
+    """One routing leg: join each request to the candidate pools of the
+    token named by ``reqs[key]``, simulate at ``amount``, keep the
+    argmax-out pool per request (ties to lowest pool_id). Requests with
+    no candidate — or a NULL amount threaded from a failed prior leg —
+    keep their row with NULL leg columns (the reference returns a
+    pairs:[] route, api/routes/swap.js:289-308)."""
+    cand = candidates.select(
+        F.col("base_token_id").alias(key),
+        "pool_id",
+        "reserve_zig",
+        "reserve_token",
+        "fee",
+        "mid_zig",
+    )
+    j = reqs.join(F.broadcast(cand), key, "left")
+    sim = business.simulate_xyk(
+        F.lit(from_is_zig), amount, F.col("reserve_zig"), F.col("reserve_token"), F.col("fee")
+    )
+    ok = (F.col("reserve_zig") > 0) & (F.col("reserve_token") > 0)
+    scored = j.withColumn("sim", F.when(ok, sim))
+    best = F.max_by(
+        F.struct(
+            F.col("pool_id").alias(f"{prefix}_pool_id"),
+            F.col("sim.out").alias(f"{prefix}_out"),
+            F.col("sim.exec_price").alias(f"{prefix}_exec_price"),
+            F.col("sim.impact").alias(f"{prefix}_impact"),
+            F.col("mid_zig").alias(f"{prefix}_mid_zig"),
+        ),
+        # NULL ordering rows are skipped by max_by, so sim-less rows
+        # (no candidate / zero reserves / NULL amount) never win
+        F.when(
+            F.col("sim.out").isNotNull(),
+            F.struct(F.col("sim.out"), (-F.col("pool_id")).alias("tb")),
+        ),
+    )
+    keep = list(reqs.columns)
+    return scored.groupBy(*keep).agg(best.alias("__best")).select(*keep, "__best.*")
+
+
+def route_via_uzig(requests: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Two-hop swap route TOKEN A -> uzig -> TOKEN B
+    (api/routes/swap.js:284-350).
+
+    Leg 1 (sellA): best SELL pool per request over A's uzig-quoted
+    candidates at the requested token amount — argmax simulated ZIG
+    out. Leg 2 (buyB): the sell leg's ZIG out threads as the buy
+    amount into B's candidates; best BUY pool at THAT amount. Cross
+    rate ``b_per_a`` = mid(A, winning sell pool) / max(mid(B, winning
+    buy pool), 1e-18) — the reference's ``bPerA`` (swap.js:317).
+
+    ``requests`` needs (from_token_id, to_token_id, amount_in) plus
+    any id columns; ``candidates`` is ``candidate_pools()`` output
+    plus a ``mid_zig`` column (the prices-table mid the reference
+    loads per pool, swap.js:66). Both legs are broadcast-join +
+    ``max_by``, so a whole batch of route requests resolves in one
+    relational plan — no per-request driver loop, and the fact tables
+    are never touched (candidates are dimension-sized)."""
+    sell = _best_leg(
+        requests, candidates, "from_token_id", F.col("amount_in"), False, "sell"
+    )
+    buy = _best_leg(sell, candidates, "to_token_id", F.col("sell_out"), True, "buy")
+    return buy.withColumn(
+        "b_per_a",
+        F.col("sell_mid_zig") / F.greatest(F.col("buy_mid_zig"), F.lit(1e-18)),
+    )
+
+
 def default_amount_zig(
     fx_zig_usd: Column, side_is_buy: bool, mid_price: Column | None = None,
     usd_notional: float = 100.0,

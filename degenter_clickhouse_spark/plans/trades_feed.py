@@ -90,21 +90,24 @@ def shape(
 
 
 def combine_router_legs(shaped: DataFrame) -> DataFrame:
-    """B8: only ROUTER legs group by tx_hash into one combined record —
-    first leg's time/direction/signer, pool path in msg_index order,
-    summed worth, amount in = first leg offer, amount out = last leg
-    return. Non-router trades pass through one row per trade (a tx
-    holding several independent swaps stays several records, and a
-    mixed tx keeps its non-router swaps separate from the combined
-    router record — matching the reference, which combines only the
-    router-flagged legs)."""
-    legs = shaped.filter(F.col("is_router")).withColumn(
+    """B8 (api/routes/trades.js:269-279 combineRouterTradesShallow,
+    :236-268 buildRouterCombined): ALL legs of a tx group together. If
+    ANY leg is router-flagged, the whole group — router and non-router
+    legs alike — combines into one record: first leg's
+    time/direction/signer, pool path over every leg in time order,
+    worth summed over every leg, amount in = first leg offer, amount
+    out = last leg return for a buy else last leg offer. A tx with no
+    router leg collapses to its first leg (one record even for a tx
+    holding several independent swaps — ``legs[0]`` in the reference).
+    Leg order is (created_at, msg_index): the reference sorts by time
+    only; msg_index is the deterministic tiebreak within a block."""
+    legs = shaped.withColumn(
         "leg",
         F.struct(
+            "created_at",
             "msg_index",
             "pool_id",
             "direction",
-            "created_at",
             "signer",
             "offer_amount_disp",
             "ask_amount_disp",
@@ -113,35 +116,32 @@ def combine_router_legs(shaped: DataFrame) -> DataFrame:
     )
     grouped = legs.groupBy("tx_hash").agg(
         F.sort_array(F.collect_list("leg")).alias("legs"),
+        F.max("is_router").alias("is_router"),
         F.sum("worth_zig").alias("worth_zig_sum"),
         F.count(F.lit(1)).alias("n_legs"),
     )
     first = F.col("legs")[0]
     last = F.element_at(F.col("legs"), -1)
-    combined = grouped.select(
+    any_r = F.col("is_router")
+    router_out = F.when(last["direction"] == "buy", last["ask_amount_disp"]).otherwise(
+        last["offer_amount_disp"]
+    )
+    out = grouped.select(
         "tx_hash",
-        F.lit(True).alias("is_router"),
-        F.col("n_legs"),
+        any_r.alias("is_router"),
+        F.when(any_r, F.col("n_legs")).otherwise(F.lit(1).cast("long")).alias("n_legs"),
         first["created_at"].alias("created_at"),
         first["direction"].alias("direction"),
         first["signer"].alias("signer"),
-        F.transform(F.col("legs"), lambda x: x["pool_id"]).alias("path"),
+        F.when(any_r, F.transform(F.col("legs"), lambda x: x["pool_id"]))
+        .otherwise(F.array(first["pool_id"]))
+        .alias("path"),
         first["offer_amount_disp"].alias("amount_in_disp"),
-        last["ask_amount_disp"].alias("amount_out_disp"),
-        F.col("worth_zig_sum").alias("worth_zig"),
+        F.when(any_r, router_out)
+        .otherwise(first["ask_amount_disp"])
+        .alias("amount_out_disp"),
+        F.when(any_r, F.col("worth_zig_sum"))
+        .otherwise(first["worth_zig"])
+        .alias("worth_zig"),
     )
-    singles = shaped.filter(~F.col("is_router")).select(
-        "tx_hash",
-        F.lit(False).alias("is_router"),
-        F.lit(1).cast("long").alias("n_legs"),
-        "created_at",
-        "direction",
-        "signer",
-        F.array(F.col("pool_id")).alias("path"),
-        F.col("offer_amount_disp").alias("amount_in_disp"),
-        F.col("ask_amount_disp").alias("amount_out_disp"),
-        "worth_zig",
-    )
-    return combined.unionByName(singles).withColumn(
-        "trade_class", business.classify_worth(F.col("worth_zig"))
-    )
+    return out.withColumn("trade_class", business.classify_worth(F.col("worth_zig")))

@@ -184,3 +184,113 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# B3 two-hop: swap route TOKEN A -> uzig -> TOKEN B (api/routes/swap.js:284-350)
+# ---------------------------------------------------------------------------
+
+ROUTE_ORACLE = r"""
+WITH cand AS (
+  SELECT CAST(p_partkey % 50 AS BIGINT) AS token_id,
+         CAST(p_partkey AS BIGINT) AS pool_id,
+         p_retailprice * 1000.0 AS rz,
+         (p_size * 500.0) + 1.0 AS rt,
+         CASE WHEN pair_type = 'xyk' THEN 0.0001
+              WHEN pair_type = 'concentrated' THEN 0.01
+              WHEN regexp_matches(pair_type, '^xyk_\d+$')
+                THEN CAST(regexp_extract(pair_type, '^xyk_(\d+)$', 1) AS DOUBLE) / 10000.0
+              ELSE 0.003 END AS fee
+  FROM (
+    SELECT p_partkey, p_retailprice, p_size,
+           CASE p_partkey % 4
+             WHEN 0 THEN 'xyk'
+             WHEN 1 THEN 'concentrated'
+             WHEN 2 THEN 'xyk_' || CAST((p_size % 100) * 10 AS VARCHAR)
+             ELSE lower(p_brand)
+           END AS pair_type
+    FROM part
+  )
+),
+req AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS req_id,
+         CAST(n_nationkey % 50 AS BIGINT) AS from_token_id,
+         CAST((n_nationkey * 7 + 3) % 50 AS BIGINT) AS to_token_id,
+         100.0 + n_nationkey AS amount_in
+  FROM nation
+),
+sell_sim AS (
+  SELECT r.req_id, r.from_token_id, r.to_token_id, r.amount_in,
+         c.pool_id, c.rz / c.rt AS mid,
+         (r.amount_in * (1.0 - c.fee) * c.rz) / (c.rt + r.amount_in * (1.0 - c.fee)) AS out
+  FROM req r JOIN cand c ON c.token_id = r.from_token_id
+  WHERE c.rz > 0 AND c.rt > 0
+),
+sell AS (
+  SELECT req_id, from_token_id, to_token_id, amount_in,
+         pool_id AS sell_pool_id, out AS sell_out, mid AS sell_mid
+  FROM (SELECT *, row_number() OVER (PARTITION BY req_id
+              ORDER BY out DESC, pool_id ASC) AS rn
+        FROM sell_sim) WHERE rn = 1
+),
+buy_sim AS (
+  SELECT s.*, c.pool_id, c.rz / c.rt AS mid,
+         (s.sell_out * (1.0 - c.fee) * c.rt) / (c.rz + s.sell_out * (1.0 - c.fee)) AS out
+  FROM sell s JOIN cand c ON c.token_id = s.to_token_id
+  WHERE c.rz > 0 AND c.rt > 0
+),
+buy AS (
+  SELECT req_id, from_token_id, to_token_id, amount_in,
+         sell_pool_id, sell_out, sell_mid,
+         pool_id AS buy_pool_id, out AS amount_out, mid AS buy_mid
+  FROM (SELECT *, row_number() OVER (PARTITION BY req_id
+              ORDER BY out DESC, pool_id ASC) AS rn
+        FROM buy_sim) WHERE rn = 1
+)
+SELECT req_id, from_token_id, to_token_id, amount_in,
+       sell_pool_id, sell_out, buy_pool_id, amount_out,
+       sell_mid / greatest(buy_mid, 1e-18) AS b_per_a
+FROM buy
+"""
+
+
+@register("swap_route_via_uzig", ROUTE_ORACLE)
+def q_swap_route_via_uzig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two chained argmax simulations with the ZIG amount threaded from
+    the sell leg into the buy leg (plans/swap.route_via_uzig). Pools /
+    requests are synthesized from part / nation exactly like
+    xyk_swap_sim so DuckDB can replay the route selection."""
+    from ..functions import business
+    from ..plans import swap
+    from .parity2 import _pair_type_col
+
+    p = catalog.load_table(spark, sf_dir, "part")
+    n = catalog.load_table(spark, sf_dir, "nation")
+    rz = F.col("p_retailprice") * 1000.0
+    rt = (F.col("p_size") * 500.0) + 1.0
+    cand = p.select(
+        (F.col("p_partkey") % 50).cast("long").alias("base_token_id"),
+        F.col("p_partkey").cast("long").alias("pool_id"),
+        rz.alias("reserve_zig"),
+        rt.alias("reserve_token"),
+        business.pair_fee(_pair_type_col()).alias("fee"),
+        (rz / rt).alias("mid_zig"),
+    )
+    reqs = n.select(
+        F.col("n_nationkey").cast("long").alias("req_id"),
+        (F.col("n_nationkey") % 50).cast("long").alias("from_token_id"),
+        ((F.col("n_nationkey") * 7 + 3) % 50).cast("long").alias("to_token_id"),
+        (F.lit(100.0) + F.col("n_nationkey")).alias("amount_in"),
+    )
+    r = swap.route_via_uzig(reqs, cand)
+    return r.select(
+        "req_id",
+        "from_token_id",
+        "to_token_id",
+        "amount_in",
+        "sell_pool_id",
+        "sell_out",
+        "buy_pool_id",
+        F.col("buy_out").alias("amount_out"),
+        "b_per_a",
+    )

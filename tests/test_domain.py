@@ -5,6 +5,7 @@ trade-feed shaping + router combining, alerts."""
 from __future__ import annotations
 
 import json
+import re
 from datetime import datetime, timedelta
 from decimal import Decimal
 
@@ -243,6 +244,42 @@ def test_swap_best_pool_selection(spark, dom):
     assert 6 not in by_tok or by_tok[6].pool_id != 107
 
 
+def test_swap_route_via_uzig_threads_amount(spark):
+    """Two-hop A->uzig->B (api/routes/swap.js:284-350): the sell leg's
+    ZIG out IS the buy leg's amount in, and the cross rate is
+    mid(A)/max(mid(B), 1e-18). A request whose from-token has no pool
+    keeps its row with NULL legs (reference returns pairs:[])."""
+    # token 1 (A): two pools — pool 11 has deeper reserves, wins the sell
+    # token 2 (B): one pool; token 9: no pools at all
+    cand = spark.createDataFrame(
+        [
+            (1, 10, 1000.0, 500.0, 0.003, 2.0),
+            (1, 11, 100000.0, 50000.0, 0.003, 2.0),
+            (2, 20, 8000.0, 2000.0, 0.003, 4.0),
+        ],
+        "base_token_id long, pool_id long, reserve_zig double, "
+        "reserve_token double, fee double, mid_zig double",
+    )
+    reqs = spark.createDataFrame(
+        [(0, 1, 2, 100.0), (1, 9, 2, 100.0)],
+        "req_id long, from_token_id long, to_token_id long, amount_in double",
+    )
+    out = {r.req_id: r for r in SW.route_via_uzig(reqs, cand).collect()}
+    r = out[0]
+    assert r.sell_pool_id == 11 and r.buy_pool_id == 20
+    xin = 100.0 * (1.0 - 0.003)
+    zig_out = (xin * 100000.0) / (50000.0 + xin)
+    assert r.sell_out == pytest.approx(zig_out, rel=1e-12)
+    # buy leg simulated at the THREADED zig amount, not the request amount
+    yin = zig_out * (1.0 - 0.003)
+    assert r.buy_out == pytest.approx((yin * 2000.0) / (8000.0 + yin), rel=1e-12)
+    assert r.b_per_a == pytest.approx(2.0 / 4.0, rel=1e-12)
+    # no pool for token 9 -> NULL sell leg, NULL threaded buy amount
+    miss = out[1]
+    assert miss.sell_pool_id is None and miss.sell_out is None
+    assert miss.buy_pool_id is None and miss.buy_out is None
+
+
 def test_trades_feed_shape_semantics(spark, dom):
     ltp = views.latest_token_prices(dom["prices"])
     shaped = TF.shape(
@@ -280,30 +317,37 @@ def test_router_leg_combining(spark, dom):
         assert len(r.path) == r.n_legs
         # first-leg direction semantics: direction of msg_index 0
     shaped_rows = shaped.collect()
-    # non-router trades pass through one row per trade — never collapsed
-    assert len(singles) == sum(1 for s in shaped_rows if not s.is_router)
-    for s in singles:
-        assert s.n_legs == 1 and len(s.path) == 1
     shaped_by_tx = {}
     for s in shaped_rows:
-        if s.is_router:  # only router legs are combined
-            shaped_by_tx.setdefault(s.tx_hash, []).append(s)
+        shaped_by_tx.setdefault(s.tx_hash, []).append(s)
+    # one record per tx: router txs combine ALL legs, non-router txs
+    # collapse to legs[0] (reference combineRouterTradesShallow)
+    assert len(combined) == len(shaped_by_tx)
+    assert len(singles) == sum(
+        1 for legs in shaped_by_tx.values() if not any(s.is_router for s in legs)
+    )
+    for s in singles:
+        assert s.n_legs == 1 and len(s.path) == 1
     for r in routers[:20]:
-        legs = sorted(shaped_by_tx[r.tx_hash], key=lambda s: s.msg_index)
+        legs = sorted(
+            shaped_by_tx[r.tx_hash], key=lambda s: (s.created_at, s.msg_index)
+        )
+        assert any(x.is_router for x in legs)
         assert r.direction == legs[0].direction
         assert r.worth_zig == pytest.approx(sum(x.worth_zig for x in legs), rel=1e-9)
         assert r.path == [x.pool_id for x in legs]
 
 
 def test_router_combining_mixed_tx(spark):
-    """A tx holding several independent swaps must NOT collapse; a mixed
-    tx combines only its router-flagged legs."""
+    """Reference semantics (api/routes/trades.js:269-279): a tx with NO
+    router leg collapses to its first leg; a mixed tx with ANY router
+    leg folds ALL its legs — router or not — into one combined record."""
     t = datetime(2024, 5, 1, 12, 0, 0)
     rows = [
-        # tx1: two independent non-router swaps in one tx
+        # tx1: two independent non-router swaps in one tx -> legs[0] only
         ("tx1", 0, 101, "buy", t, "w1", 10.0, 5.0, 10.0, False),
         ("tx1", 1, 102, "sell", t, "w1", 3.0, 6.0, 6.0, False),
-        # tx2: router with 2 legs + an unrelated non-router swap
+        # tx2: router with 2 legs + a non-router swap -> all 3 combine
         ("tx2", 0, 101, "buy", t, "w2", 8.0, 4.0, 8.0, True),
         ("tx2", 1, 103, "sell", t, "w2", 4.0, 9.0, 9.0, True),
         ("tx2", 2, 104, "buy", t, "w3", 2.0, 1.0, 2.0, False),
@@ -318,11 +362,14 @@ def test_router_combining_mixed_tx(spark):
         (r.tx_hash, r.is_router, tuple(r.path)): r
         for r in TF.combine_router_legs(df).collect()
     }
-    assert ("tx1", False, (101,)) in out and ("tx1", False, (102,)) in out
-    r = out[("tx2", True, (101, 103))]
-    assert r.n_legs == 2 and r.worth_zig == pytest.approx(17.0)
-    assert r.amount_in_disp == 8.0 and r.amount_out_disp == 9.0
-    assert ("tx2", False, (104,)) in out
+    assert len(out) == 2
+    s = out[("tx1", False, (101,))]  # first leg only, worth NOT summed
+    assert s.n_legs == 1 and s.worth_zig == pytest.approx(10.0)
+    assert s.amount_in_disp == 10.0 and s.amount_out_disp == 5.0
+    r = out[("tx2", True, (101, 103, 104))]
+    assert r.n_legs == 3 and r.worth_zig == pytest.approx(19.0)
+    # amount out: last leg (msg_index 2) is a buy -> its return amount
+    assert r.amount_in_disp == 8.0 and r.amount_out_disp == 1.0
 
 
 def _alerts_df(spark):
@@ -365,9 +412,9 @@ def test_alert_evaluation(spark, dom):
     # join — value_zig/created_at are filtered before any join with the
     # alerts side, so the join never materializes sub-threshold trades
     plan = lt_df._jdf.queryExecution().optimizedPlan().toString()
-    join_pos = plan.find("Join")
-    filt_pos = plan.rfind("value_zig >=")
-    assert join_pos != -1 and filt_pos != -1 and filt_pos > join_pos
+    join_pos = plan.find("Join Cross")
+    m = re.search(r"value_zig#\d+ >= __gmin", plan)
+    assert join_pos != -1 and m is not None and m.start() > join_pos
     tv = AL.eval_tvl_change(a, dom["pool_state"], None, now).collect()
     assert {r.alert_id for r in tv} == {6}
 

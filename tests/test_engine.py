@@ -263,6 +263,10 @@ def test_rewrite_fires_on_syntactic_variants(spark, dom):  # noqa: F811
         "(SELECT price_in_zig FROM prices WHERE token_id = p.t ORDER BY height DESC LIMIT 1)",
         "(SELECT price_in_zig FROM prices pr WHERE pr.token_id = pr.token_id ORDER BY updated_at DESC LIMIT 1)",
         "(SELECT v FROM other_table WHERE token_id = p.t ORDER BY updated_at DESC LIMIT 1)",
+        # bare RHS identifier naming an INNER column: resolves to the
+        # inner scope (uncorrelated row-wise compare), must not rewrite
+        "(SELECT price_in_zig FROM prices WHERE token_id = pool_id ORDER BY updated_at DESC LIMIT 1)",
+        "(SELECT reserve_base_base FROM pool_state WHERE pool_id = updated_at ORDER BY updated_at DESC LIMIT 1)",
     ]:
         assert rewrite_correlated_latest(keep) == keep
     # execution parity: every variant returns exactly what raw Spark does
