@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "topk_concentration",
     "change_pct",
     "session_frames",  # sessionization + full-frame first/last windows
+    "swap_route_via_uzig",  # two-hop route: chained argmax simulations
     # LLM-pipeline scale paths (the quadratic jaccard baseline is
     # deliberately excluded — minhash_lsh is the at-scale variant)
     "dedup_exact",

@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Bench regression guard (VERDICT r1 item 9): compare a fresh bench.py
+output line against a committed floor (previous round's BENCH_r{N}.json)
+and fail if any headline query regressed more than FACTOR x.
+
+Usage:
+    python bench.py | python bench_diff.py            # vs default floor
+    python bench_diff.py --floor BENCH_r02.json cur.json
+
+The floor file may be either the driver's wrapper JSON (with a
+``parsed`` key) or a raw bench.py line; the current input must be the
+bench.py JSON line (last JSON-parseable line wins, so piping bench.py's
+full stdout works).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+FACTOR = 2.0
+DEFAULT_FLOOR = "BENCH_r02.json"
+
+
+def load_bench(text: str) -> dict:
+    doc = None
+    try:  # whole-document JSON (the driver's pretty-printed wrapper)
+        doc = json.loads(text)
+    except json.JSONDecodeError:
+        for line in text.splitlines():  # bench.py stdout: last JSON line
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                doc = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    if doc is None:
+        raise SystemExit("no JSON bench line found in input")
+    if "parsed" in doc:  # driver wrapper
+        doc = doc["parsed"]
+    if "queries" not in doc:
+        raise SystemExit("bench JSON has no 'queries' map")
+    return doc
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("current", nargs="?", help="bench output file (default: stdin)")
+    ap.add_argument("--floor", default=DEFAULT_FLOOR)
+    ap.add_argument("--factor", type=float, default=FACTOR)
+    args = ap.parse_args()
+
+    floor = load_bench(open(args.floor).read())
+    cur_text = open(args.current).read() if args.current else sys.stdin.read()
+    cur = load_bench(cur_text)
+
+    bad = []
+    for name, f_sec in sorted(floor["queries"].items()):
+        c_sec = cur["queries"].get(name)
+        if c_sec is None:
+            print(f"  MISSING  {name} (floor {f_sec:.2f}s)")
+            bad.append(name)
+            continue
+        ratio = c_sec / f_sec if f_sec > 0 else float("inf")
+        flag = "REGRESSED" if ratio > args.factor else "ok"
+        print(f"  {flag:>9}  {name}: {f_sec:.2f}s -> {c_sec:.2f}s ({ratio:.2f}x)")
+        if ratio > args.factor:
+            bad.append(name)
+    t_f, t_c = floor.get("value"), cur.get("value")
+    if t_f and t_c:
+        print(f"total: {t_f:.2f}s -> {t_c:.2f}s ({t_c / t_f:.2f}x)")
+    if bad:
+        print(f"FAIL: {len(bad)} quer{'y' if len(bad) == 1 else 'ies'} regressed >"
+              f"{args.factor}x vs {args.floor}: {', '.join(bad)}")
+        return 1
+    print(f"PASS: no query regressed >{args.factor}x vs {args.floor}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -93,21 +93,40 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash LSH near-dup detection: signatures -> 4 bands x 2 rows ->
     band-bucket join for candidates -> exact Jaccard verification of
-    candidates only. At scale the band key is the only shuffle key that
-    touches all documents; verification cost ∝ true-positive pairs."""
-    # one shingle frame feeds BOTH the signatures and the verification
-    # join; localCheckpoint cuts the lineage so the explode+distinct
-    # runs once instead of twice (same pattern as ohlcv.gap_fill)
+    candidates only.
+
+    Shuffle budget (the 100 TB concern): the per-doc DISTINCT
+    shingle-hash ARRAY stays a column expression, so signatures are
+    zero-shuffle ``array_min`` reductions (min is duplicate-insensitive)
+    and set sizes are ``size(hs)`` — the explode+distinct and two
+    groupBys the r1/r2 versions paid are gone. Only verification
+    explodes (cheap: no distinct), because per-pair shared-shingle
+    counts must aggregate across pairs — joining the full arrays onto
+    every candidate pair duplicates both arrays per pair and blows up
+    memory/network when buckets are hot (measured 24x worse at sf0.1),
+    so the exploded equality join + count is the at-scale shape."""
+    hw = docs.withColumn("__hw", T.word_hash_array("split(text, ' ')"))
+    # the empty-array filter MUST sit above the checkpoint: below it,
+    # predicate pushdown inlines the whole hash chain into the filter
+    # (element_at substitutes __hw's full expression per shingle slot),
+    # turning the per-doc cost quadratic — measured 76s vs 3s at sf0.1
     sh = (
-        with_shingle_rows(docs, id_col, n)
-        .select(F.col(id_col).alias("d"), "h")
+        hw.select(
+            F.col(id_col).alias("d"),
+            F.array_distinct(T.shingle_hash_array("__hw", n)).alias("hs"),
+        )
         .localCheckpoint(eager=False)
+        .filter(F.size("hs") >= 1)
     )
-    sig_aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % T.POLY_MOD).alias(f"m{i}")
-        for i, (a, b) in enumerate(T.MINHASH_SEEDS)
-    ]
-    sig = sh.groupBy(F.col("d").alias(id_col)).agg(*sig_aggs)
+    sig = sh.select(
+        F.col("d").alias(id_col),
+        *[
+            F.array_min(
+                F.transform("hs", lambda h: (F.lit(a) * h + F.lit(b)) % T.POLY_MOD)
+            ).alias(f"m{i}")
+            for i, (a, b) in enumerate(T.MINHASH_SEEDS)
+        ],
+    )
     bands = None
     for j in range(4):
         band = sig.select(
@@ -127,10 +146,11 @@ def minhash_lsh_pairs(
         .select(F.col("a.d").alias("d1"), F.col("b.d").alias("d2"))
         .distinct()
     )
-    sizes = sh.groupBy("d").agg(F.count(F.lit(1)).alias("n_sh"))
+    rows = sh.select("d", F.explode("hs").alias("h"))
+    sizes = sh.select("d", F.size("hs").alias("n_sh"))
     common = (
-        cand.join(sh.withColumnRenamed("d", "d1").withColumnRenamed("h", "s1"), "d1")
-        .join(sh.withColumnRenamed("d", "d2").withColumnRenamed("h", "s2"), "d2")
+        cand.join(rows.withColumnRenamed("d", "d1").withColumnRenamed("h", "s1"), "d1")
+        .join(rows.withColumnRenamed("d", "d2").withColumnRenamed("h", "s2"), "d2")
         .filter(F.col("s1") == F.col("s2"))
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("common"))

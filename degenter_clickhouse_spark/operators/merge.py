@@ -62,6 +62,65 @@ def merge_token_metadata(tokens: DataFrame, meta_updates: DataFrame) -> DataFram
     )
 
 
+def upsert_write(
+    spark,
+    updates: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    fmt: str = "parquet",
+) -> None:
+    """S10/S11 write seam: key-based upsert of ``updates`` into the
+    table at ``path``. This is THE swap-in point for a transactional
+    lakehouse format — the engine's semantics don't change, only the
+    concurrency story:
+
+    * ``fmt="parquet"`` (default, no extra deps): read-modify-write —
+      current rows whose keys are absent from ``updates`` survive via
+      anti-join, then the union rewrites the table. Correct for a
+      single writer (the reference's jobs runner is single-writer per
+      table, jobs/runner.js); NOT safe for concurrent writers.
+    * ``fmt="delta"``: transactional ``MERGE WHEN MATCHED UPDATE ALL
+      WHEN NOT MATCHED INSERT ALL`` via delta-spark, safe under
+      concurrent writers at 100 TB. Requires the delta-spark package
+      and a Delta-enabled session; raises a clear error otherwise.
+      (Iceberg's ``MERGE INTO`` SQL is the equivalent seam.)
+    """
+    if fmt == "delta":
+        try:
+            from delta.tables import DeltaTable  # type: ignore
+        except ImportError as e:  # pragma: no cover - delta not in test env
+            raise RuntimeError(
+                "fmt='delta' needs the delta-spark package and a "
+                "Delta-enabled SparkSession (spark.sql.extensions="
+                "io.delta.sql.DeltaSparkSessionExtension); install it or "
+                "use fmt='parquet' for single-writer semantics"
+            ) from e
+        cond = " AND ".join(f"t.{k} = u.{k}" for k in keys)
+        (
+            DeltaTable.forPath(spark, path)
+            .alias("t")
+            .merge(updates.alias("u"), cond)
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        return
+    if fmt != "parquet":
+        raise ValueError(f"unsupported fmt: {fmt!r} (parquet|delta)")
+    try:
+        current = spark.read.parquet(path)
+    except Exception:
+        updates.write.mode("overwrite").parquet(path)
+        return
+    survivors = current.join(
+        F.broadcast(updates.select(*keys).distinct()), on=list(keys), how="left_anti"
+    )
+    merged = survivors.unionByName(updates.select(*current.columns))
+    # localCheckpoint materializes the merge BEFORE the overwrite
+    # truncates its own input path
+    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+
+
 def snapshot_overwrite(
     df: DataFrame, path: str, partition_col: str = "token_id"
 ) -> None:

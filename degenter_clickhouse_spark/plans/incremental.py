@@ -44,7 +44,11 @@ def minute_partials(trades: DataFrame) -> DataFrame:
         ).alias("vol_sell_base"),
         F.count(F.when(F.col("direction") == "buy", 1)).alias("tx_buy"),
         F.count(F.when(F.col("direction") == "sell", 1)).alias("tx_sell"),
-        F.collect_set(F.when(F.col("signer") != "", F.col("signer"))).alias("signers"),
+        # uniqExact(t.signer) in the reference does NOT exclude empty
+        # signers (jobs/matrix-rollups.js:37) and neither does
+        # trade_volumes — '' must stay a set member here or the merged
+        # distinct count drifts one below the direct rollup
+        F.collect_set("signer").alias("signers"),
     )
 
 

@@ -75,6 +75,35 @@ def _write_bars(path, rows):
     path.write_text("\n".join(payload))
 
 
+def test_upsert_write_parquet_roundtrip(spark, tmp_path):
+    """S10/S11 seam: keyed upsert into a parquet table — updated keys
+    replaced, new keys inserted, untouched keys survive; first write
+    creates the table."""
+    import pytest
+
+    path = str(tmp_path / "tokens")
+    t0 = spark.createDataFrame(
+        [(1, "alpha", 6), (2, "beta", 6), (3, "gamma", 8)],
+        "token_id long, name string, exponent int",
+    )
+    M.upsert_write(spark, t0, path, keys=["token_id"])  # creates
+    upd = spark.createDataFrame(
+        [(2, "BETA2", 12), (9, "new", 6)],
+        "token_id long, name string, exponent int",
+    )
+    M.upsert_write(spark, upd, path, keys=["token_id"])
+    got = {r.token_id: r for r in spark.read.parquet(path).collect()}
+    assert set(got) == {1, 2, 3, 9}
+    assert got[1].name == "alpha"  # untouched key survives
+    assert got[2].name == "BETA2" and got[2].exponent == 12  # replaced
+    assert got[9].name == "new"  # inserted
+    # the Delta swap-in path fails loudly when delta-spark is absent
+    with pytest.raises(Exception):
+        M.upsert_write(spark, upd, path, keys=["token_id"], fmt="delta")
+    with pytest.raises(ValueError):
+        M.upsert_write(spark, upd, path, keys=["token_id"], fmt="orc")
+
+
 def test_stateful_carried_open_across_restarts(spark, tmp_path):
     from degenter_clickhouse_spark.streaming import stateful
 
