@@ -62,12 +62,30 @@ O_DOT = (
 )
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return catalog.load_table(spark, sf_dir, "documents")
+def _parallel_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Small-file parallelization guard for CPU-heavy per-row JVM
+    operators (rolled hashes, scaled-integer dot products): a sub-MB
+    parquet arrives as ONE split, serializing the whole hash chain onto
+    one core. Repartition only when the scan has fewer splits than half
+    the cores — at real scale the input already has >= cores partitions
+    and this is a no-op, so the shuffle cost exists only where it buys
+    parallelism. Callers opt IN per query: ops whose per-row work is
+    cheap (md5 groupBy) or Python-bound (mapInPandas decode, where 32
+    tasks mean 32 worker spin-ups) measured SLOWER with it."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        return df.repartition(target)
+    return df
 
 
-def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return catalog.load_table(spark, sf_dir, "embeddings")
+def _docs(spark: SparkSession, sf_dir: str, parallel: bool = False) -> DataFrame:
+    df = catalog.load_table(spark, sf_dir, "documents")
+    return _parallel_scan(spark, df) if parallel else df
+
+
+def _embs(spark: SparkSession, sf_dir: str, parallel: bool = False) -> DataFrame:
+    df = catalog.load_table(spark, sf_dir, "embeddings")
+    return _parallel_scan(spark, df) if parallel else df
 
 
 # ---------------------------------------------------------------------------
@@ -122,7 +140,7 @@ WHERE CAST(common AS DOUBLE) / (s1.n_sh + s2.n_sh - common) >= 0.5
 
 @register("dedup_ngram_jaccard", JACCARD_ORACLE)
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return dedup.jaccard_pairs(_docs(spark, sf_dir, parallel=True), threshold=0.5)
 
 
 # ---------------------------------------------------------------------------
@@ -178,7 +196,7 @@ def _minhash_oracle() -> str:
 
 @register("dedup_minhash_lsh", _minhash_oracle())
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir, parallel=True), threshold=0.5)
 
 
 # ---------------------------------------------------------------------------
@@ -210,7 +228,7 @@ FROM fp f JOIN (SELECT simhash, COUNT(*) AS cluster_n FROM fp GROUP BY simhash) 
 
 @register("dedup_simhash", _simhash_oracle())
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fp = dedup.simhash(_docs(spark, sf_dir))
+    fp = dedup.simhash(_docs(spark, sf_dir, parallel=True))
     clusters = fp.groupBy("simhash").agg(F.count(F.lit(1)).alias("cluster_n"))
     return fp.join(clusters, "simhash").select("doc_id", "simhash", "cluster_n")
 
@@ -243,7 +261,7 @@ FROM s
 
 # registered via queries.suites.text_analysis (driver 50-entry cap)
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir).withColumn("words", T.words())
+    d = _docs(spark, sf_dir, parallel=True).withColumn("words", T.words())
     langs = list(T.LANG_STOPWORDS)
     scored = d.select(
         "doc_id",
@@ -296,7 +314,7 @@ FROM m
 
 # registered via queries.suites.text_analysis
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir).withColumn("words", T.words())
+    d = _docs(spark, sf_dir, parallel=True).withColumn("words", T.words())
     m = d.select(
         "doc_id",
         F.length("text").cast("bigint").alias("n_chars"),
@@ -341,7 +359,7 @@ FROM documents
 
 # registered via queries.suites.text_analysis
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, parallel=True)
     bpe = T.token_count_regex()
     return d.select(
         "doc_id",
@@ -363,7 +381,7 @@ FP_ORACLE = (
 
 # registered via queries.suites.text_analysis
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir).withColumn("norm_text", T.normalized_text())
+    d = _docs(spark, sf_dir, parallel=True).withColumn("norm_text", T.normalized_text())
     return d.select("doc_id", T.poly_hash("norm_text").alias("fingerprint"))
 
 
@@ -397,7 +415,7 @@ SELECT q_id, c_id, cosine, rank FROM (
 
 @register("embedding_ann_topk", ANN_ORACLE)
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _embs(spark, sf_dir)
+    e = _embs(spark, sf_dir, parallel=True)
     out = similarity.brute_topk(e.filter(F.col("vec_id") < 5), e, k=5)
     return out.select("q_id", "c_id", "cosine", F.col("rank").cast("long").alias("rank"))
 
@@ -424,7 +442,7 @@ WHERE (dot_s / 1e12) / (sqrt(n1 / 1e12) * sqrt(nn2 / 1e12)) >= 0.35
 
 @register("embedding_neardup", NEARDUP_ORACLE)
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _embs(spark, sf_dir)
+    e = _embs(spark, sf_dir, parallel=True)
     return similarity.neardup_pairs(e, threshold=0.35, group_col="label")
 
 
@@ -436,7 +454,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # registered via queries.suites.embedding_ann_scalable
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _embs(spark, sf_dir)
+    e = _embs(spark, sf_dir, parallel=True)
     return similarity.lsh_topk(e.filter(F.col("vec_id") < 5), e, k=5)
 
 
@@ -496,7 +514,7 @@ FROM documents d LEFT JOIN canon c ON c.doc_id = d.doc_id
 
 @register("dedup_resolution", _resolution_oracle())
 def q_dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, parallel=True)
     pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
     return dedup.dedup_resolution(docs, pairs)
 
@@ -505,7 +523,7 @@ def q_dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF scale path (rows-only; recall vs brute force asserted in
     tests/test_llm.py::test_ivf_topk_recall_and_cost)."""
-    e = _embs(spark, sf_dir)
+    e = _embs(spark, sf_dir, parallel=True)
     cents = similarity.fit_ivf_centroids(e, k=8, iters=2)
     return similarity.ivf_topk(e.filter(F.col("vec_id") < 5), e, cents, k=5, nprobe=3)
 
@@ -539,7 +557,7 @@ FROM (
 
 @register("pii_redaction", PII_ORACLE)
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, parallel=True)
     dirty = F.concat(
         F.lit("contact user"), F.col("doc_id").cast("string"),
         F.lit("@example.com or see https://docs.example.com/d/"),
@@ -604,7 +622,7 @@ LEFT JOIN canon c ON c.doc_id = d.doc_id
 
 @register("corpus_filter_pipeline", _corpus_filter_oracle())
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, parallel=True)
     pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
     resolution = dedup.dedup_resolution(docs, pairs).select(
         "doc_id", F.col("keep").alias("dedup_keep")

@@ -108,7 +108,7 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm import _docs
 
     d = (
-        _docs(spark, sf_dir)
+        _docs(spark, sf_dir, parallel=True)
         .withColumn("words", T.words())
         .withColumn("norm_text", T.normalized_text())
     )
