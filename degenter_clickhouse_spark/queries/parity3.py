@@ -294,3 +294,103 @@ def q_swap_route_via_uzig(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("buy_out").alias("amount_out"),
         "b_per_a",
     )
+
+
+# ---------------------------------------------------------------------------
+# B8 driver-checked: router-leg combining (api/routes/trades.js:269-279)
+# ---------------------------------------------------------------------------
+
+ROUTER_COMBINE_ORACLE = """
+WITH legs AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS tx_hash,
+         (CAST(l_linenumber AS BIGINT) * 100000 + l_partkey) * 100000
+           + l_suppkey AS msg_index,
+         CAST(l_partkey % 100 AS BIGINT) AS pool_id,
+         CASE WHEN l_returnflag = 'R' THEN 'sell' ELSE 'buy' END AS direction,
+         CAST(l_shipdate AS TIMESTAMP) AS created_at,
+         CAST(l_suppkey AS VARCHAR) AS signer,
+         CAST(l_quantity AS DOUBLE) AS offer_amount_disp,
+         CAST(floor(l_extendedprice) AS DOUBLE) AS ask_amount_disp,
+         CAST(l_quantity AS DOUBLE) * 100.0 AS worth_zig,
+         (l_orderkey % 3 = 0 AND l_linenumber <= 2) AS is_router
+  FROM lineitem
+),
+g AS (
+  SELECT tx_hash,
+         bool_or(is_router) AS any_r,
+         COUNT(*) AS cnt,
+         SUM(worth_zig) AS wsum,
+         string_agg(CAST(pool_id AS VARCHAR), '-' ORDER BY created_at, msg_index) AS path_all,
+         first(direction ORDER BY created_at, msg_index) AS f_dir,
+         first(signer ORDER BY created_at, msg_index) AS f_signer,
+         first(created_at ORDER BY created_at, msg_index) AS f_ts,
+         first(offer_amount_disp ORDER BY created_at, msg_index) AS f_off,
+         first(ask_amount_disp ORDER BY created_at, msg_index) AS f_ask,
+         first(pool_id ORDER BY created_at, msg_index) AS f_pool,
+         first(worth_zig ORDER BY created_at, msg_index) AS f_worth,
+         last(direction ORDER BY created_at, msg_index) AS l_dir,
+         last(ask_amount_disp ORDER BY created_at, msg_index) AS l_ask,
+         last(offer_amount_disp ORDER BY created_at, msg_index) AS l_off
+  FROM legs GROUP BY tx_hash
+)
+SELECT tx_hash,
+       any_r AS is_router,
+       CAST(CASE WHEN any_r THEN cnt ELSE 1 END AS BIGINT) AS n_legs,
+       CAST(epoch(f_ts) AS BIGINT) AS created_s,
+       f_dir AS direction,
+       f_signer AS signer,
+       CASE WHEN any_r THEN path_all ELSE CAST(f_pool AS VARCHAR) END AS path_str,
+       f_off AS amount_in_disp,
+       CASE WHEN any_r THEN (CASE WHEN l_dir = 'buy' THEN l_ask ELSE l_off END)
+            ELSE f_ask END AS amount_out_disp,
+       CASE WHEN any_r THEN wsum ELSE f_worth END AS worth_zig,
+       CASE WHEN (CASE WHEN any_r THEN wsum ELSE f_worth END) < 1000 THEN 'shrimp'
+            WHEN (CASE WHEN any_r THEN wsum ELSE f_worth END) <= 10000 THEN 'shark'
+            ELSE 'whale' END AS trade_class
+FROM g
+"""
+
+
+@register("router_combine", ROUTER_COMBINE_ORACLE)
+def q_router_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8 (api/routes/trades.js:269-279 combineRouterTradesShallow):
+    ALL legs of a tx fold into one record when ANY leg is
+    router-flagged; an all-non-router multi-leg tx collapses to its
+    first leg. lineitem orders are natural multi-leg tx groups; every
+    third order is router-flagged on its first two legs so mixed txs
+    (router + non-router legs) are exercised. Worth values are
+    integer-valued doubles so the per-tx sum is exact in any
+    aggregation order."""
+    from ..plans import trades_feed as TF
+
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    legs = li.select(
+        F.col("l_orderkey").cast("string").alias("tx_hash"),
+        (
+            (F.col("l_linenumber").cast("long") * 100000 + F.col("l_partkey"))
+            * 100000
+            + F.col("l_suppkey")
+        ).alias("msg_index"),
+        (F.col("l_partkey") % 100).cast("long").alias("pool_id"),
+        F.when(F.col("l_returnflag") == "R", "sell").otherwise("buy").alias("direction"),
+        F.col("l_shipdate").cast("timestamp").alias("created_at"),
+        F.col("l_suppkey").cast("string").alias("signer"),
+        F.col("l_quantity").cast("double").alias("offer_amount_disp"),
+        F.floor(F.col("l_extendedprice")).cast("double").alias("ask_amount_disp"),
+        (F.col("l_quantity").cast("double") * 100.0).alias("worth_zig"),
+        ((F.col("l_orderkey") % 3 == 0) & (F.col("l_linenumber") <= 2)).alias("is_router"),
+    )
+    out = TF.combine_router_legs(legs)
+    return out.select(
+        "tx_hash",
+        "is_router",
+        "n_legs",
+        F.unix_timestamp("created_at").alias("created_s"),
+        "direction",
+        "signer",
+        F.array_join(F.transform("path", lambda p: p.cast("string")), "-").alias("path_str"),
+        "amount_in_disp",
+        "amount_out_disp",
+        "worth_zig",
+        "trade_class",
+    )
