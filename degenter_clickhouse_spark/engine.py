@@ -430,6 +430,40 @@ class DegenterEngine:
             else:
                 df.write.mode("overwrite").parquet(path)
 
+    def save_bucketed(
+        self, n_buckets: int = 32, prefix: str = "degenter", path_dir: str | None = None
+    ) -> dict[str, str]:
+        """Bucketed fact layout for the 100 TB cluster: trades and
+        ohlcv_1m hash-bucketed by pool_id (and sorted by time within
+        buckets), so every per-pool rollup, OHLCV aggregation, and
+        trades<->candles join reads co-located buckets and runs with NO
+        shuffle — the scan itself reports HashPartitioning(pool_id) and
+        Catalyst drops the Exchange. This is the Spark-native analogue
+        of the reference's per-pool locality (ClickHouse ORDER BY
+        (pool_id, ts) primary key, phase3schema.sql:91-116).
+
+        Bucketing requires the table-catalog write path (saveAsTable);
+        ``n_buckets`` should be sized so one bucket's hot window fits an
+        executor (32 here; thousands on a real cluster). Returns
+        {logical name: catalog table name}."""
+        out: dict[str, str] = {}
+        for name, time_col in (("trades", "created_at"), ("ohlcv_1m", "bucket_start")):
+            if name not in self.tables:
+                continue
+            tbl = f"{prefix}_{name}_bucketed"
+            w = (
+                self.tables[name]
+                .write.mode("overwrite")
+                .format("parquet")
+                .bucketBy(n_buckets, "pool_id")
+                .sortBy("pool_id", time_col)
+            )
+            if path_dir is not None:
+                w = w.option("path", os.path.join(path_dir, tbl))
+            w.saveAsTable(tbl)
+            out[name] = tbl
+        return out
+
     def evaluate_alerts(self, alerts: DataFrame, now: Column | None = None) -> DataFrame:
         now = now if now is not None else F.current_timestamp()
         lt = LB.large_trades(self.table("trades"), now, 1440, min_zig=0.0)

@@ -23,8 +23,20 @@ the now-redundant ORDER BY/LIMIT — leaving a plain correlated equality
 scalar subquery, which Catalyst decorrelates into a left outer join on
 its own. It is intentionally NOT a general SQL optimizer: one rewrite
 rule, for the one pattern the reference emits, applied before parsing.
-(A production engine exposing Scala would register this as a Catalyst
-resolution rule; the transformation is identical.)
+
+Why pre-parse and not a Catalyst rule: PySpark cannot author optimizer
+rules — ``spark.experimental.extraOptimizations`` and
+``spark.sql.extensions`` (``injectOptimizerRule``) both take JVM
+``Rule[LogicalPlan]`` classes, which require compiled Scala/Java on the
+driver classpath; there is no py4j path to subclass them from Python.
+The documented swap-in point for a JVM deployment is a
+``SparkSessionExtensions`` that injects exactly this transformation
+(match ``ScalarSubquery(Sort(desc(order_col)) + Limit(1))`` correlated
+on ``key = outer`` over a known state table; replace with a probe of
+the matching ``latest_*`` aggregate) — semantics identical to this
+shim, but firing on the resolved plan, so alias/format variants are
+free. Until then the shim is pattern-complete for the reference's 8
+call sites and their tested syntactic variants.
 """
 
 from __future__ import annotations

@@ -276,3 +276,36 @@ def test_rewrite_fires_on_syntactic_variants(spark, dom):  # noqa: F811
     raw = {tuple(r) for r in spark.sql(variants[0]).collect()}
     for v in variants:
         assert {tuple(r) for r in engine.sql(v).collect()} == raw
+
+
+def test_bucketed_save_removes_rollup_shuffle(spark, engine, dom, tmp_path):  # noqa: F811
+    """save_bucketed lays trades/candles out hash-bucketed by pool_id:
+    a per-pool aggregation over the bucketed table must run with NO
+    Exchange (the scan itself provides the hash distribution), and the
+    values must equal the unbucketed rollup."""
+    names = engine.save_bucketed(n_buckets=4, prefix="t_bkt", path_dir=str(tmp_path))
+    try:
+        bt = spark.table(names["trades"])
+        agg = bt.filter(F.col("action") == "swap").groupBy("pool_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("offer_amount_base").alias("v")
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        got = {r.pool_id: (r.n, r.v) for r in agg.collect()}
+        want = {
+            r.pool_id: (r.n, r.v)
+            for r in dom["trades_clean"]
+            .filter(F.col("action") == "swap")
+            .groupBy("pool_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("offer_amount_base").alias("v"))
+            .collect()
+        }
+        assert got == want
+        # bucketed-bucketed join on pool_id: no shuffle on either side
+        bo = spark.table(names["ohlcv_1m"]).groupBy("pool_id").count()
+        j = bt.select("pool_id", "tx_hash").join(bo, "pool_id")
+        jplan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in jplan.replace("BroadcastExchange", ""), jplan
+    finally:
+        for tbl in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
