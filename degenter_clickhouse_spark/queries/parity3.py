@@ -394,3 +394,71 @@ def q_router_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "worth_zig",
         "trade_class",
     )
+
+
+# ---------------------------------------------------------------------------
+# ST4 incremental path: minute partials -> trailing-window merge
+# (plans/incremental.py; the ClickHouse-materialized-view analogue)
+# ---------------------------------------------------------------------------
+
+INC_NOW = "1998-08-02 00:00:00"
+INC_WINDOW_MIN = 43200  # 30 days
+
+INCREMENTAL_ORACLE = f"""
+WITH legs AS (
+  SELECT CAST(l_partkey % 100 AS BIGINT) AS pool_id,
+         CASE WHEN l_returnflag = 'R' THEN 'sell' ELSE 'buy' END AS direction,
+         CAST(l_shipdate AS TIMESTAMP) AS created_at,
+         CAST(l_suppkey AS VARCHAR) AS signer,
+         CAST(l_quantity AS BIGINT) AS offer_amount_base,
+         CAST(floor(l_extendedprice) AS BIGINT) AS ask_amount_base
+  FROM lineitem
+)
+SELECT pool_id,
+       CAST(SUM(CASE WHEN direction = 'buy' THEN offer_amount_base ELSE 0 END) AS BIGINT)
+         AS vol_buy_base,
+       CAST(SUM(CASE WHEN direction = 'sell' THEN ask_amount_base ELSE 0 END) AS BIGINT)
+         AS vol_sell_base,
+       CAST(COUNT(CASE WHEN direction = 'buy' THEN 1 END) AS BIGINT) AS tx_buy,
+       CAST(COUNT(CASE WHEN direction = 'sell' THEN 1 END) AS BIGINT) AS tx_sell,
+       CAST(COUNT(DISTINCT signer) AS BIGINT) AS traders
+FROM legs
+WHERE created_at >= TIMESTAMP '{INC_NOW}' - INTERVAL {INC_WINDOW_MIN} MINUTES
+  AND created_at <= TIMESTAMP '{INC_NOW}'
+GROUP BY pool_id
+"""
+
+
+@register("incremental_rollup", INCREMENTAL_ORACLE)
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4 incremental maintenance, driver-checked: the Spark side goes
+    through the PARTIAL path (plans/incremental.minute_partials ->
+    trailing_volumes — per-(pool, minute) decomposed aggregates merged
+    over the window) while the oracle computes the rollup DIRECTLY from
+    the legs; a hash match proves the partial merge is exact, distinct
+    traders included (set-union semantics). Day-aligned timestamps make
+    the minute-truncated window boundary identical to the direct
+    created_at filter."""
+    from ..plans import incremental as INC
+
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    trades = li.select(
+        (F.col("l_partkey") % 100).cast("long").alias("pool_id"),
+        F.lit("swap").alias("action"),
+        F.when(F.col("l_returnflag") == "R", "sell").otherwise("buy").alias("direction"),
+        F.col("l_shipdate").cast("timestamp").alias("created_at"),
+        F.col("l_suppkey").cast("string").alias("signer"),
+        F.col("l_quantity").cast("long").alias("offer_amount_base"),
+        F.floor(F.col("l_extendedprice")).cast("long").alias("ask_amount_base"),
+    )
+    partials = INC.minute_partials(trades)
+    now = F.lit(INC_NOW).cast("timestamp")
+    out = INC.trailing_volumes(partials, now, INC_WINDOW_MIN)
+    return out.select(
+        "pool_id",
+        F.col("vol_buy_base").cast("long").alias("vol_buy_base"),
+        F.col("vol_sell_base").cast("long").alias("vol_sell_base"),
+        F.col("tx_buy").cast("long").alias("tx_buy"),
+        F.col("tx_sell").cast("long").alias("tx_sell"),
+        F.col("traders").cast("long").alias("traders"),
+    )
