@@ -169,23 +169,38 @@ def minhash_lsh_pairs(
 def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """16-bit SimHash over distinct word hashes: per bit, sum +/-1 by
     the word-hash bit, sign gives the fingerprint bit. Near-identical
-    docs land on equal fingerprints -> dedupe by equality join."""
-    w = docs.select(
-        F.col(id_col), F.explode(F.split(F.col("text"), " ")).alias("w")
-    ).distinct()
-    w = w.withColumn("h", T.poly_hash("w"))
-    bit_sums = [
-        F.sum(
-            F.when((F.col("h").bitwiseAND(F.lit(1 << b))) != 0, 1).otherwise(-1)
-        ).alias(f"s{b}")
-        for b in range(T.SIMHASH_BITS)
-    ]
-    per_doc = w.groupBy(F.col(id_col)).agg(*bit_sums)
-    fp = None
-    for b in range(T.SIMHASH_BITS):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        fp = term if fp is None else fp + term
-    return per_doc.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
+    docs land on equal fingerprints -> dedupe by equality join.
+
+    Zero-shuffle AND single-pass: the distinct word set stays a per-doc
+    ARRAY; one ``aggregate`` carries all 16 bit sums as an array
+    accumulator (``zip_with`` against the bit masks), and a second tiny
+    reduction folds the signs into the fingerprint. The whole operator
+    is a map-only projection — the r1 explode+distinct+groupBy form
+    paid two full shuffles of word rows for the same numbers, and a
+    16-separate-aggregates form re-traverses the hash array 16x
+    (measured 5x slower at sf0.1)."""
+    hw = docs.select(
+        F.col(id_col),
+        T.word_hash_array("array_distinct(split(text, ' '))").alias("hs"),
+    )
+    bits = F.array(*[F.lit(1 << b).cast("long") for b in range(T.SIMHASH_BITS)])
+    sums = F.aggregate(
+        "hs",
+        F.array_repeat(F.lit(0), T.SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            bits,
+            lambda s, m: s + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    fp = F.aggregate(
+        F.zip_with(
+            sums, bits, lambda s, m: F.when(s > 0, m).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return hw.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
 
 
 def neardup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
