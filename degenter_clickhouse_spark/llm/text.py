@@ -114,6 +114,68 @@ def lang_score(words_expr: str, stopwords: list[str]) -> Column:
     return F.expr(f"size(array_intersect({words_expr}, array({lits})))")
 
 
+def word_repetition_ratio(words_expr: str) -> Column:
+    """Fraction of word occurrences that repeat an earlier word:
+    ``1 - distinct/total`` (0 for an empty list). The cheapest Gopher-
+    style repetition signal — a map-only array expression."""
+    return F.expr(
+        f"CASE WHEN size({words_expr}) = 0 THEN 0.0 ELSE "
+        f"1.0 - CAST(size(array_distinct({words_expr})) AS DOUBLE) "
+        f"/ size({words_expr}) END"
+    )
+
+
+def dup_ngram_fraction(grams_expr: str) -> Column:
+    """Fraction of n-grams that duplicate an earlier n-gram (Gopher's
+    'duplicate n-gram fraction'): ``1 - distinct/total``; 0 when the
+    doc is shorter than n words."""
+    return F.expr(
+        f"CASE WHEN size({grams_expr}) = 0 THEN 0.0 ELSE "
+        f"1.0 - CAST(size(array_distinct({grams_expr})) AS DOUBLE) "
+        f"/ size({grams_expr}) END"
+    )
+
+
+def top_ngram_fraction(grams_expr: str) -> Column:
+    """Fraction of n-grams covered by the single most frequent n-gram
+    (Gopher's 'top n-gram fraction'). Linear per doc: sort the gram
+    array, then one aggregate() pass tracks the longest equal run —
+    no per-doc groupBy, no shuffle, whole-stage codegen throughout."""
+    return F.expr(
+        f"CASE WHEN size({grams_expr}) = 0 THEN 0.0 ELSE "
+        f"CAST(aggregate(array_sort({grams_expr}), "
+        f"named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0), "
+        f"(acc, x) -> named_struct("
+        f"'prev', x, "
+        f"'run', CASE WHEN acc.prev IS NOT NULL AND x = acc.prev "
+        f"THEN acc.run + 1 ELSE 1 END, "
+        f"'best', greatest(acc.best, CASE WHEN acc.prev IS NOT NULL "
+        f"AND x = acc.prev THEN acc.run + 1 ELSE 1 END)), "
+        f"acc -> acc.best) AS DOUBLE) / size({grams_expr}) END"
+    )
+
+
+def mean_word_length(words_expr: str) -> Column:
+    """Mean characters per word (0 for an empty list)."""
+    return F.expr(
+        f"CASE WHEN size({words_expr}) = 0 THEN 0.0 ELSE "
+        f"CAST(aggregate(transform({words_expr}, w -> length(w)), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE) "
+        f"/ size({words_expr}) END"
+    )
+
+
+def nonalnum_word_fraction(words_expr: str) -> Column:
+    """Fraction of words containing any char outside [a-z0-9] (the
+    symbol-to-word ratio filter in C4/Gopher pipelines)."""
+    return F.expr(
+        f"CASE WHEN size({words_expr}) = 0 THEN 0.0 ELSE "
+        f"CAST(size(filter({words_expr}, "
+        f"x -> x NOT RLIKE '^[a-z0-9]+$')) AS DOUBLE) "
+        f"/ size({words_expr}) END"
+    )
+
+
 def token_count_regex(text: str = "text") -> Column:
     """BPE-ish token count: letter runs, digit runs, single symbols."""
     return F.size(F.regexp_extract_all(F.lower(F.col(text)), F.lit(TOKEN_RE), 1))

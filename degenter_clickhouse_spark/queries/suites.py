@@ -80,21 +80,64 @@ def _NO_S():
 
 
 def _text_analysis_oracle() -> str:
+    # Repetition CTE: exact twins of llm/text.py dup_ngram_fraction /
+    # top_ngram_fraction / mean_word_length / nonalnum_word_fraction.
+    # The top-gram count is the quadratic list form (fine at oracle
+    # scale); Spark uses the linear sorted-run aggregate — same numbers.
+    rep = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, ws,
+         list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+                        i -> ws[i] || ' ' || ws[i + 1]) AS g2,
+         list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+                        i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]) AS g3
+  FROM w
+)
+SELECT doc_id,
+  CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+    1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) END AS word_rep_ratio,
+  CASE WHEN len(g2) = 0 THEN 0.0 ELSE
+    1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) END AS dup_2gram_frac,
+  CASE WHEN len(g3) = 0 THEN 0.0 ELSE
+    1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) END AS dup_3gram_frac,
+  CASE WHEN len(g2) = 0 THEN 0.0 ELSE
+    CAST(list_max(list_transform(list_distinct(g2),
+         g -> len(list_filter(g2, x -> x = g)))) AS DOUBLE) / len(g2)
+    END AS top_2gram_frac,
+  CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+    CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws)
+    END AS mean_word_len,
+  CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+    CAST(len(list_filter(ws, x -> NOT regexp_full_match(x, '[a-z0-9]+')))
+         AS DOUBLE) / len(ws) END AS symbol_word_frac
+FROM g
+"""
     return f"""
 WITH l AS ({_langid_oracle()}),
 q AS ({_quality_oracle()}),
 t AS ({TOKEN_ORACLE}),
-fp AS ({FP_ORACLE})
+fp AS ({FP_ORACLE}),
+r AS ({rep})
 SELECT l.doc_id, l.labeled_lang, l.s_en, l.s_de, l.s_es, l.s_fr, l.s_zh,
        l.lang_guess,
        q.n_chars, q.n_words, q.n_stop, q.punct_count, q.digit_count,
        q.stop_ratio, q.quality_score, q.quality_bucket,
        t.ws_tokens, t.bpe_tokens, t.chars_per_token,
-       fp.fingerprint
+       fp.fingerprint,
+       r.word_rep_ratio, r.dup_2gram_frac, r.dup_3gram_frac,
+       r.top_2gram_frac, r.mean_word_len, r.symbol_word_frac,
+       (q.n_words BETWEEN 30 AND 100000
+        AND r.mean_word_len BETWEEN 3.0 AND 10.0
+        AND q.stop_ratio >= 0.05
+        AND r.top_2gram_frac <= 0.20
+        AND r.dup_3gram_frac <= 0.60
+        AND r.symbol_word_frac <= 0.10) AS gopher_keep
 FROM l
 JOIN q  ON q.doc_id  = l.doc_id
 JOIN t  ON t.doc_id  = l.doc_id
 JOIN fp ON fp.doc_id = l.doc_id
+JOIN r  ON r.doc_id  = l.doc_id
 """
 
 
@@ -111,6 +154,8 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir, parallel=True)
         .withColumn("words", T.words())
         .withColumn("norm_text", T.normalized_text())
+        .withColumn("g2", T.shingles("words", 2))
+        .withColumn("g3", T.shingles("words", 3))
     )
     langs = list(T.LANG_STOPWORDS)
     bpe = T.token_count_regex()
@@ -134,6 +179,13 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe.cast("bigint").alias("bpe_tokens"),
         (F.length("text").cast("double") / bpe).alias("chars_per_token"),
         T.poly_hash("norm_text").alias("fingerprint"),
+        # Gopher/C4-style repetition + shape signals (llm/text.py)
+        T.word_repetition_ratio("words").alias("word_rep_ratio"),
+        T.dup_ngram_fraction("g2").alias("dup_2gram_frac"),
+        T.dup_ngram_fraction("g3").alias("dup_3gram_frac"),
+        T.top_ngram_fraction("g2").alias("top_2gram_frac"),
+        T.mean_word_length("words").alias("mean_word_len"),
+        T.nonalnum_word_fraction("words").alias("symbol_word_frac"),
     )
     best = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
     guess = None
@@ -164,6 +216,21 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bpe_tokens",
         "chars_per_token",
         "fingerprint",
+        "word_rep_ratio",
+        "dup_2gram_frac",
+        "dup_3gram_frac",
+        "top_2gram_frac",
+        "mean_word_len",
+        "symbol_word_frac",
+        # composite Gopher keep-rule: every shape/repetition gate passes
+        (
+            F.col("n_words").between(30, 100000)
+            & F.col("mean_word_len").between(3.0, 10.0)
+            & (stop_ratio >= 0.05)
+            & (F.col("top_2gram_frac") <= 0.20)
+            & (F.col("dup_3gram_frac") <= 0.60)
+            & (F.col("symbol_word_frac") <= 0.10)
+        ).alias("gopher_keep"),
     )
 
 

@@ -155,3 +155,40 @@ def test_ivf_topk_recall_and_cost(spark):
     for i, s in approx_sets.items():
         assert len(s) == 5
     cents.unpersist()
+
+
+def test_repetition_metrics_edge_cases(spark):
+    from degenter_clickhouse_spark.llm import text as T
+
+    rows = [
+        (1, "a b a b a b"),        # one repeated 2-gram dominates
+        (2, "u v w x y z"),        # no repetition at all
+        (3, "q"),                  # shorter than any 2-gram
+    ]
+    df = (
+        spark.createDataFrame(rows, ["doc_id", "text"])
+        .withColumn("words", T.words())
+        .withColumn("g2", T.shingles("words", 2))
+    )
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            T.word_repetition_ratio("words").alias("rep"),
+            T.dup_ngram_fraction("g2").alias("dup2"),
+            T.top_ngram_fraction("g2").alias("top2"),
+            T.mean_word_length("words").alias("mwl"),
+            T.nonalnum_word_fraction("words").alias("sym"),
+        ).collect()
+    }
+    # doc 1: 6 words over alphabet {a,b} -> rep = 1 - 2/6; 5 bigrams =
+    # [ab, ba, ab, ba, ab] -> dup2 = 1 - 2/5, top2 = 3/5
+    assert abs(got[1]["rep"] - (1 - 2 / 6)) < 1e-12
+    assert abs(got[1]["dup2"] - (1 - 2 / 5)) < 1e-12
+    assert abs(got[1]["top2"] - 3 / 5) < 1e-12
+    # doc 2: all distinct -> everything 0 except top2 = 1/5
+    assert got[2]["rep"] == 0.0 and got[2]["dup2"] == 0.0
+    assert abs(got[2]["top2"] - 1 / 5) < 1e-12
+    # doc 3: no 2-grams -> fractions all 0, mean word len = 1
+    assert got[3]["dup2"] == 0.0 and got[3]["top2"] == 0.0
+    assert got[3]["mwl"] == 1.0 and got[3]["sym"] == 0.0
