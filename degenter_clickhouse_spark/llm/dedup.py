@@ -258,6 +258,43 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     )
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column:
+    bucket vectors with the deterministic random-hyperplane LSH
+    (llm/similarity.hyperplane_bucket — no fitted model, so the whole
+    operator is oracle-expressible), emit within-bucket pairs with
+    cosine >= threshold, resolve pairs into connected components, and
+    keep one representative (min id) per component.
+
+    Scale: the bucket id is the only shuffle key for pair generation —
+    never all-pairs; the quadratic term is bounded by bucket size
+    (raise N_HYPERPLANES as density grows). Component resolution is the
+    same iterative min-label propagation as text near-dups. Swapping
+    the bucketer for fitted IVF cells (fit_ivf_centroids) gives the
+    classic SemDeDup layout at the cost of oracle exactness.
+
+    Returns (vec_id, canonical_id, keep).
+    """
+    from .similarity import hyperplane_bucket, neardup_pairs
+
+    v = vectors.withColumn("__bucket", hyperplane_bucket(vec))
+    pairs = neardup_pairs(
+        v, threshold, group_col="__bucket", id_col=id_col, vec=vec
+    ).select(F.col("v1").alias("d1"), F.col("v2").alias("d2"))
+    clusters = neardup_clusters(pairs).withColumnRenamed("doc_id", id_col)
+    j = vectors.select(F.col(id_col)).join(clusters, id_col, "left")
+    return j.select(
+        id_col,
+        F.coalesce("canonical_id", F.col(id_col)).alias("canonical_id"),
+        (F.coalesce("canonical_id", F.col(id_col)) == F.col(id_col)).alias("keep"),
+    )
+
+
 def dedup_resolution(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Final dedup verdict per document: keep (canonical or untouched)
     vs drop (non-canonical member of a near-dup cluster)."""

@@ -447,6 +447,66 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style): hyperplane-bucket blocking + cosine
+# pairs + recursive-closure resolution — fully deterministic, so the
+# whole pipeline (bucketing included) hash-compares against DuckDB
+# ---------------------------------------------------------------------------
+
+
+def _hyperplane_bucket_sql(vec: str = "embedding") -> str:
+    """Exact DuckDB twin of llm/similarity.hyperplane_bucket: same
+    fixed pseudo-random hyperplane family, same strict left-fold over
+    the components (list_reduce, not list_sum, so the float summation
+    order matches Spark's aggregate())."""
+    bits = []
+    for j in range(similarity.N_HYPERPLANES):
+        comp = (
+            f"(CAST((({j} * 37 + (i - 1) * 101) * 2654435761) % 1000000 AS DOUBLE)"
+            f" / 1000000.0 - 0.5)"
+        )
+        dot = (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, len({vec})), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * {comp})), (acc, x) -> acc + x)"
+        )
+        bits.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+SEMANTIC_DEDUP_ORACLE = f"""
+WITH RECURSIVE v AS (
+  SELECT vec_id, embedding,
+         {_hyperplane_bucket_sql()} AS bucket,
+         {O_NORM2.format(e="embedding")} AS n2
+  FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE ({O_DOT.format(a="a.embedding", b="b.embedding")} / 1e12)
+        / (sqrt(a.n2 / 1e12) * sqrt(b.n2 / 1e12)) >= 0.35
+),
+edges AS (SELECT v1 AS a, v2 AS b FROM p UNION SELECT v2, v1 FROM p),
+comp(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT c.a, e.b FROM comp c JOIN edges e ON e.a = c.b
+),
+canon AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS canonical_id FROM comp GROUP BY a)
+SELECT e.vec_id,
+       COALESCE(c.canonical_id, e.vec_id) AS canonical_id,
+       COALESCE(c.canonical_id, e.vec_id) = e.vec_id AS keep
+FROM embeddings e LEFT JOIN canon c ON c.vec_id = e.vec_id
+"""
+
+
+@register("semantic_dedup", SEMANTIC_DEDUP_ORACLE)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir, parallel=True)
+    return dedup.semantic_dedup(e, threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
 # Approximate ANN (hyperplane LSH buckets) — rows-only; recall asserted
 # against brute_topk in tests/test_llm.py
 # ---------------------------------------------------------------------------

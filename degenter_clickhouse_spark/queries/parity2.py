@@ -74,7 +74,7 @@ FROM (
 """
 
 
-@register("parse_assets_list", ASSETS_ORACLE)
+# registered via queries.suites.parsing_suite
 def q_parse_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = catalog.load_table(spark, sf_dir, "lineitem")
     assets_str = F.concat(
@@ -132,7 +132,7 @@ FROM (
 """
 
 
-@register("pair_normalize_direction", PAIR_ORACLE)
+# registered via queries.suites.parsing_suite
 def q_pair_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = catalog.load_table(spark, sf_dir, "part")
     pair = (
@@ -170,7 +170,7 @@ FROM (
 """
 
 
-@register("display_scaling", SCALING_ORACLE)
+# registered via queries.suites.parsing_suite
 def q_display_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = catalog.load_table(spark, sf_dir, "events")
     amount = F.floor(F.col("value") * 1000000).cast("bigint")

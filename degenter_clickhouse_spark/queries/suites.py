@@ -34,14 +34,20 @@ from .llm import (
     q_lsh_ann,
 )
 from .parity2 import (
+    ASSETS_ORACLE,
     FIRSTLAST_ORACLE,
     HASH_ID_ORACLE,
+    PAIR_ORACLE,
     PRIORITY_ORACLE,
     RESOLVE_ORACLE,
+    SCALING_ORACLE,
     SHA256_ORACLE,
     UNION_ORACLE,
+    q_display_scaling,
     q_firstlast,
     q_hash_id,
+    q_pair_normalize,
+    q_parse_assets,
     q_priority,
     q_resolve,
     q_sha256,
@@ -471,3 +477,63 @@ def q_embedding_ann_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("long").alias("rank"),
     )
     return lsh.unionByName(ivf)
+
+
+# ---------------------------------------------------------------------------
+# parsing_suite = parse_assets_list (P5/P6) + pair_normalize_direction
+#                 (P9/P10) + display_scaling (P11)
+# schema: (part, k1 BIGINT, k2 BIGINT, v BIGINT, d DOUBLE, s1, s2, s3)
+# ---------------------------------------------------------------------------
+
+PARSING_SUITE_ORACLE = f"""
+SELECT 'assets' AS part, CAST(l_orderkey AS BIGINT) AS k1,
+       CAST(l_linenumber AS BIGINT) AS k2, CAST(amount_base AS BIGINT) AS v,
+       CAST(-1.0 AS DOUBLE) AS d, denom AS s1,
+       CAST(NULL AS VARCHAR) AS s2, CAST(NULL AS VARCHAR) AS s3
+FROM ({ASSETS_ORACLE})
+UNION ALL
+SELECT 'pair', CAST(p_partkey AS BIGINT), CAST(-1 AS BIGINT),
+       CAST(-1 AS BIGINT), CAST(-1.0 AS DOUBLE),
+       base_denom, quote_denom, direction
+FROM ({PAIR_ORACLE})
+UNION ALL
+SELECT 'scaling', CAST(event_id AS BIGINT), CAST(-1 AS BIGINT),
+       CAST(amount_base AS BIGINT), CAST(amount_disp AS DOUBLE),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM ({SCALING_ORACLE})
+"""
+
+
+@register("parsing_suite", PARSING_SUITE_ORACLE)
+def q_parsing_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = q_parse_assets(spark, sf_dir).select(
+        F.lit("assets").alias("part"),
+        F.col("l_orderkey").cast("long").alias("k1"),
+        F.col("l_linenumber").cast("long").alias("k2"),
+        F.col("amount_base").cast("long").alias("v"),
+        _NO_V().alias("d"),
+        F.col("denom").alias("s1"),
+        _NO_S().alias("s2"),
+        _NO_S().alias("s3"),
+    )
+    p = q_pair_normalize(spark, sf_dir).select(
+        F.lit("pair").alias("part"),
+        F.col("p_partkey").cast("long").alias("k1"),
+        _NO_K().alias("k2"),
+        _NO_K().alias("v"),
+        _NO_V().alias("d"),
+        F.col("base_denom").alias("s1"),
+        F.col("quote_denom").alias("s2"),
+        F.col("direction").alias("s3"),
+    )
+    s = q_display_scaling(spark, sf_dir).select(
+        F.lit("scaling").alias("part"),
+        F.col("event_id").cast("long").alias("k1"),
+        _NO_K().alias("k2"),
+        F.col("amount_base").cast("long").alias("v"),
+        F.col("amount_disp").cast("double").alias("d"),
+        _NO_S().alias("s1"),
+        _NO_S().alias("s2"),
+        _NO_S().alias("s3"),
+    )
+    return a.unionByName(p).unionByName(s)

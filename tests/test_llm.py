@@ -192,3 +192,26 @@ def test_repetition_metrics_edge_cases(spark):
     # doc 3: no 2-grams -> fractions all 0, mean word len = 1
     assert got[3]["dup2"] == 0.0 and got[3]["top2"] == 0.0
     assert got[3]["mwl"] == 1.0 and got[3]["sym"] == 0.0
+
+
+def test_semantic_dedup_groups_planted_duplicates(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from degenter_clickhouse_spark.llm import dedup
+
+    rng = random.Random(7)
+    base = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(20)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # plant exact copies of vectors 0..4 under new ids — same bucket,
+    # cosine 1.0, so each copy must collapse onto its source
+    rows += [(100 + i, [float(x) for x in base[i]]) for i in range(5)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    out = {r["vec_id"]: r for r in dedup.semantic_dedup(df, threshold=0.99).collect()}
+    assert len(out) == 25
+    for i in range(5):
+        assert out[100 + i]["canonical_id"] == i and not out[100 + i]["keep"]
+        assert out[i]["canonical_id"] == i and out[i]["keep"]
