@@ -205,27 +205,37 @@ def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def neardup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     """Resolve near-dup PAIRS into clusters: connected components by
-    iterative min-label propagation (the pair graph is sparse — edges
-    only exist between near-dups, so a handful of iterations converge).
+    iterative min-label propagation plus pointer jumping.
 
     Returns (doc_id, canonical_id); canonical = min doc_id in the
-    component. Iterative algorithms like this are the one place the
-    engine loops on the driver — each iteration is one shuffle, and the
-    loop stops as soon as an iteration changes no label (checked with a
-    cheap count). At 100 TB scale swap the convergence count for an
-    accumulator or run a fixed log2(diameter) iteration budget.
+    component. Two details make this survive real graphs:
+
+    * Every iteration ``localCheckpoint``s its result. ``cache()`` is
+      NOT enough for iterative self-joins: it caches data but keeps the
+      logical plan, and because each iteration references the previous
+      labels twice the plan tree doubles per iteration — Catalyst
+      re-optimization goes exponential and a 950-edge graph took
+      minutes/iteration by the teens. Checkpointing truncates the plan,
+      so every iteration optimizes a constant-size tree. (At cluster
+      scale, swap for ``checkpoint()`` on reliable storage.)
+    * After the neighbor-min step, labels take their LABEL's label
+      (pointer jumping / path halving), so label information hops two
+      levels per iteration and convergence is O(log diameter) instead
+      of O(diameter) — 20 iterations covers any component a corpus
+      could realistically produce; the driver-side count stops the
+      loop at the first unchanged iteration.
     """
     edges = (
         pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
         .unionByName(pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b")))
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
         neighbor_min = (
@@ -233,13 +243,22 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        stepped = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+        )
+        jump = labels.select(
+            F.col("node").alias("j_node"), F.col("label").alias("j_label")
+        )
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
+            stepped.join(jump, stepped["label"] == jump["j_node"], "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                F.least(
+                    F.col("label"), F.coalesce("j_label", "label")
+                ).alias("label"),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -248,11 +267,9 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("canonical_id")
     )

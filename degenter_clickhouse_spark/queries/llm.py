@@ -228,7 +228,9 @@ FROM fp f JOIN (SELECT simhash, COUNT(*) AS cluster_n FROM fp GROUP BY simhash) 
 
 @register("dedup_simhash", _simhash_oracle())
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fp = dedup.simhash(_docs(spark, sf_dir, parallel=True))
+    # checkpoint the fingerprints: the cluster-count self-join would
+    # otherwise re-run the whole word-hash chain on BOTH join sides
+    fp = dedup.simhash(_docs(spark, sf_dir, parallel=True)).localCheckpoint(eager=False)
     clusters = fp.groupBy("simhash").agg(F.count(F.lit(1)).alias("cluster_n"))
     return fp.join(clusters, "simhash").select("doc_id", "simhash", "cluster_n")
 
