@@ -61,6 +61,12 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     spark = build_session(app_name="degenter-bench")
+    # FATAL: a driver-side GC can collect SQL-metric accumulators of an
+    # in-flight stage mid-bench; the DAGScheduler then logs a harmless
+    # "Failed to update accumulator" stack trace per task completion,
+    # drowning the one JSON line this script exists to print. Real
+    # failures still surface as Python exceptions (nonzero exit).
+    spark.sparkContext.setLogLevel("FATAL")
     reg = load_registry()
     names = [n for n in BENCH_QUERIES if n in reg]
     # warm up the JVM + file listing once so timings measure the queries

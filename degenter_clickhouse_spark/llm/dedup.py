@@ -312,6 +312,46 @@ def semantic_dedup(
     )
 
 
+def contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/eval contamination detection by n-gram collision (the
+    GPT-3/PaLM decontamination recipe): a training document is
+    contaminated when any of its word n-grams appears anywhere in the
+    benchmark/eval set.
+
+    Returns one row per training doc: (doc_id, n_hits, contaminated);
+    ``n_hits`` counts the doc's distinct shingles that collide with the
+    benchmark gram set.
+
+    Scale (100 TB corpus vs MB-scale benchmark): the benchmark's
+    distinct shingle-hash set is tiny even for large eval suites, so it
+    is broadcast — the corpus side is a map-only explode + hash lookup
+    with no shuffle of corpus data. The only shuffled rows are the
+    collisions themselves (groupBy doc_id), rare by construction; the
+    final left join re-attaches zero-hit docs.
+    """
+    bench_grams = with_shingle_rows(benchmark, id_col, n).select("h").distinct()
+    train_grams = with_shingle_rows(train, id_col, n)
+    hits = (
+        train_grams.join(F.broadcast(bench_grams), "h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def dedup_resolution(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Final dedup verdict per document: keep (canonical or untouched)
     vs drop (non-canonical member of a near-dup cluster)."""

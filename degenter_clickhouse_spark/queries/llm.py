@@ -581,6 +581,36 @@ def q_dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_resolution(docs, pairs)
 
 
+# ---------------------------------------------------------------------------
+# Train/eval decontamination: n-gram collision against a benchmark set
+# (benchmark = every 10th doc, deterministically; train = the rest —
+# the corpus's planted near-dups straddle the split, so real hits exist)
+# ---------------------------------------------------------------------------
+
+DECONTAMINATION_ORACLE = f"""
+WITH sh AS ({O_SHINGLES}),
+bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 10 = 0),
+tr AS (SELECT doc_id, h FROM sh WHERE doc_id % 10 <> 0),
+hits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM tr JOIN bench USING (h) GROUP BY doc_id
+),
+train AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0)
+SELECT train.doc_id,
+       CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(hits.n_hits, 0) > 0 AS contaminated
+FROM train LEFT JOIN hits USING (doc_id)
+"""
+
+
+@register("decontamination", DECONTAMINATION_ORACLE)
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir, parallel=True)
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    return dedup.contamination(train, bench)
+
+
 # registered via queries.suites.embedding_ann_scalable
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF scale path (rows-only; recall vs brute force asserted in

@@ -215,3 +215,31 @@ def test_semantic_dedup_groups_planted_duplicates(spark):
     for i in range(5):
         assert out[100 + i]["canonical_id"] == i and not out[100 + i]["keep"]
         assert out[i]["canonical_id"] == i and out[i]["keep"]
+
+
+def test_contamination_ngram_collision(spark):
+    from degenter_clickhouse_spark.llm import dedup
+
+    bench = spark.createDataFrame(
+        [(1000, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            # shares the 3-grams of the benchmark sentence verbatim
+            (1, "watch the quick brown fox jumps today"),
+            # same words, shuffled order -> no 3-gram collision
+            (2, "fox brown the jumps quick dog lazy over"),
+            # disjoint vocabulary
+            (3, "alpha beta gamma delta epsilon zeta"),
+            # too short for any 3-gram
+            (4, "hi there"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in dedup.contamination(train, bench).collect()}
+    assert len(got) == 4
+    # doc 1 contains "the quick brown", "quick brown fox", "brown fox jumps"
+    assert got[1].contaminated and got[1].n_hits == 3
+    assert not got[2].contaminated and got[2].n_hits == 0
+    assert not got[3].contaminated and got[3].n_hits == 0
+    assert not got[4].contaminated and got[4].n_hits == 0
