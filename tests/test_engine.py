@@ -292,9 +292,12 @@ def test_bucketed_save_removes_rollup_shuffle(spark, engine, dom, tmp_path):  # 
         plan = agg._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
         got = {r.pool_id: (r.n, r.v) for r in agg.collect()}
+        # compare against the exact frame that was bucketed (the shared
+        # engine fixture may carry ingest-appended rows from earlier
+        # tests; bucketing fidelity is vs its own source, not `dom`)
         want = {
             r.pool_id: (r.n, r.v)
-            for r in dom["trades_clean"]
+            for r in engine.table("trades")
             .filter(F.col("action") == "swap")
             .groupBy("pool_id")
             .agg(F.count(F.lit(1)).alias("n"), F.sum("offer_amount_base").alias("v"))
