@@ -31,28 +31,20 @@ TABLES = (
     "embeddings",
 )
 
-# events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
-# reading with an explicit LongType schema (or the nanosAsLong flag)
-# yields nanos-since-epoch, converted below with integer division so the
+# events.parquet has shipped with either TIMESTAMP(MICROS) (reads
+# natively) or TIMESTAMP(NANOS) (Spark's reader rejects it; the
+# session-wide ``nanosAsLong`` flag surfaces it as LongType
+# nanos-since-epoch). Branch on the *inferred* type instead of assuming
+# a vintage: the nanos path converts with integer division so the
 # ns -> us truncation exactly matches engines that read nanos natively.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        df = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

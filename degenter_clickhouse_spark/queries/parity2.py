@@ -225,7 +225,7 @@ def _pair_type_col() -> F.Column:
     )
 
 
-@register("fee_parse", FEE_ORACLE)
+# registered via queries.suites.swap_math_suite
 def q_fee_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = catalog.load_table(spark, sf_dir, "part")
     base = p.select("p_partkey", _pair_type_col().alias("pair_type"))
@@ -276,7 +276,7 @@ FROM (
 """
 
 
-@register("xyk_swap_sim", XYK_ORACLE)
+# registered via queries.suites.swap_math_suite
 def q_xyk_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = catalog.load_table(spark, sf_dir, "part")
     base = p.select(
@@ -445,7 +445,7 @@ LEFT JOIN lasts l USING (bucket_ts)
 """
 
 
-@register("join_using_buckets", USING_ORACLE)
+# registered via queries.suites.join_parity_suite
 def q_join_using(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = catalog.ticks(spark, sf_dir).withColumn(
         "bucket_ts", (F.unix_timestamp("ts") / 3600).cast("long") * 3600
@@ -486,7 +486,7 @@ FROM lastv, prevv
 """
 
 
-@register("scalar_change_crossjoin", SCALAR_CHANGE_ORACLE)
+# registered via queries.suites.join_parity_suite
 def q_scalar_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = catalog.ticks(spark, sf_dir)
     order = F.struct(F.col("ts"), F.col("event_id"))
@@ -517,7 +517,7 @@ GROUP BY c_custkey
 """
 
 
-@register("multi_condition_join", MULTICOND_ORACLE)
+# registered via queries.suites.join_parity_suite
 def q_multicond(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = catalog.load_table(spark, sf_dir, "customer")
     o = catalog.load_table(spark, sf_dir, "orders")

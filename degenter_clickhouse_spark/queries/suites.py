@@ -35,23 +35,33 @@ from .llm import (
 )
 from .parity2 import (
     ASSETS_ORACLE,
+    FEE_ORACLE,
     FIRSTLAST_ORACLE,
     HASH_ID_ORACLE,
+    MULTICOND_ORACLE,
     PAIR_ORACLE,
     PRIORITY_ORACLE,
     RESOLVE_ORACLE,
+    SCALAR_CHANGE_ORACLE,
     SCALING_ORACLE,
     SHA256_ORACLE,
     UNION_ORACLE,
+    USING_ORACLE,
+    XYK_ORACLE,
     q_display_scaling,
+    q_fee_parse,
     q_firstlast,
     q_hash_id,
+    q_join_using,
+    q_multicond,
     q_pair_normalize,
     q_parse_assets,
     q_priority,
     q_resolve,
+    q_scalar_change,
     q_sha256,
     q_union,
+    q_xyk_sim,
 )
 from .parity3 import (
     HANDLE_ORACLE,
@@ -537,3 +547,90 @@ def q_parsing_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NO_S().alias("s3"),
     )
     return a.unionByName(p).unionByName(s)
+
+
+# ---------------------------------------------------------------------------
+# swap_math_suite = fee_parse (B1) + xyk_swap_sim (B2)
+# schema: (part, k BIGINT, s STRING, v1, v2, v3 DOUBLE)
+# ---------------------------------------------------------------------------
+
+SWAP_MATH_ORACLE = f"""
+SELECT 'fee' AS part, CAST(p_partkey AS BIGINT) AS k, pair_type AS s,
+       fee AS v1, CAST(-1.0 AS DOUBLE) AS v2, CAST(-1.0 AS DOUBLE) AS v3
+FROM ({FEE_ORACLE})
+UNION ALL
+SELECT 'sim', CAST(p_partkey AS BIGINT), CAST(NULL AS VARCHAR),
+       "out", exec_price, mid_price
+FROM ({XYK_ORACLE})
+"""
+
+
+@register("swap_math_suite", SWAP_MATH_ORACLE)
+def q_swap_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fee = q_fee_parse(spark, sf_dir).select(
+        F.lit("fee").alias("part"),
+        F.col("p_partkey").cast("long").alias("k"),
+        F.col("pair_type").alias("s"),
+        F.col("fee").alias("v1"),
+        _NO_V().alias("v2"),
+        _NO_V().alias("v3"),
+    )
+    sim = q_xyk_sim(spark, sf_dir).select(
+        F.lit("sim").alias("part"),
+        F.col("p_partkey").cast("long").alias("k"),
+        _NO_S().alias("s"),
+        F.col("out").alias("v1"),
+        F.col("exec_price").alias("v2"),
+        F.col("mid_price").alias("v3"),
+    )
+    return fee.unionByName(sim)
+
+
+# ---------------------------------------------------------------------------
+# join_parity_suite = join_using_buckets (J11) + scalar_change_crossjoin
+# (J12) + multi_condition_join (J13)
+# schema: (part, k BIGINT, n BIGINT, v1, v2, v3 DOUBLE)
+# ---------------------------------------------------------------------------
+
+JOIN_PARITY_ORACLE = f"""
+SELECT 'using' AS part, CAST(bucket_ts AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       volume AS v1, first_price AS v2, last_price AS v3
+FROM ({USING_ORACLE})
+UNION ALL
+SELECT 'scalar', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       last_value, prev_value, change_pct
+FROM ({SCALAR_CHANGE_ORACLE})
+UNION ALL
+SELECT 'multicond', CAST(custkey AS BIGINT), CAST(n_f_orders AS BIGINT),
+       CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE)
+FROM ({MULTICOND_ORACLE})
+"""
+
+
+@register("join_parity_suite", JOIN_PARITY_ORACLE)
+def q_join_parity_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    us = q_join_using(spark, sf_dir).select(
+        F.lit("using").alias("part"),
+        F.col("bucket_ts").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        F.col("volume").alias("v1"),
+        F.col("first_price").alias("v2"),
+        F.col("last_price").alias("v3"),
+    )
+    sc = q_scalar_change(spark, sf_dir).select(
+        F.lit("scalar").alias("part"),
+        _NO_K().alias("k"),
+        _NO_K().alias("n"),
+        F.col("last_value").alias("v1"),
+        F.col("prev_value").alias("v2"),
+        F.col("change_pct").alias("v3"),
+    )
+    mc = q_multicond(spark, sf_dir).select(
+        F.lit("multicond").alias("part"),
+        F.col("custkey").cast("long").alias("k"),
+        F.col("n_f_orders").cast("long").alias("n"),
+        _NO_V().alias("v1"),
+        _NO_V().alias("v2"),
+        _NO_V().alias("v3"),
+    )
+    return us.unionByName(sc).unionByName(mc)
