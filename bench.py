@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     "embedding_neardup",
     "text_analysis",  # lang-id + quality + token counts + fingerprint
     "multimodal_features",
+    "sequence_packing",  # per-shard greedy token-budget packing
+    "corpus_sampling",  # stratified hash sample + domain quota
+    "vocab_stats",  # explode -> tf/df agg -> top-K
 ]
 
 

@@ -735,3 +735,164 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_keep.alias("quality_keep"),
         (F.col("dedup_keep") & length_keep & quality_keep).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: greedy token-budget pack assignment per shard
+# (the training-sequence construction step of an LLM data pipeline)
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 1024
+
+PACKING_ORACLE = f"""
+WITH RECURSIVE o AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+packed AS (
+  SELECT source, doc_id, tokens, rn,
+         tokens AS acc, CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_pos
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.doc_id, d.tokens, d.rn,
+         CASE WHEN p.acc + d.tokens > {PACK_BUDGET} THEN d.tokens
+              ELSE p.acc + d.tokens END,
+         CASE WHEN p.acc + d.tokens > {PACK_BUDGET} THEN p.pack_id + 1
+              ELSE p.pack_id END,
+         CASE WHEN p.acc + d.tokens > {PACK_BUDGET} THEN CAST(0 AS BIGINT)
+              ELSE p.pack_pos + 1 END
+  FROM o d JOIN packed p ON d.source = p.source AND d.rn = p.rn + 1
+)
+SELECT source, doc_id, tokens, pack_id, pack_pos FROM packed
+"""
+
+
+@register("sequence_packing", PACKING_ORACLE)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing (llm/packing.py): per-shard Arrow-batched
+    scan assigns each doc to a fixed-token-budget pack. The oracle twin
+    is the same greedy rule as a recursive CTE."""
+    from ..llm import packing
+
+    d = _docs(spark, sf_dir).select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("tokens"),
+    )
+    return packing.greedy_pack(d, budget=PACK_BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# Corpus sampling: deterministic stratified sample + per-domain quota cap
+# (corpus mixing primitives: rate-downsample each source, cap domination)
+# ---------------------------------------------------------------------------
+
+KNUTH = 2654435761  # Knuth multiplicative-hash constant
+U32 = 4294967296
+
+SAMPLING_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, source, n_chars,
+         CAST((doc_id * {KNUTH}) % {U32} AS BIGINT) AS h,
+         CASE coalesce(TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS INTEGER), 0) % 4
+           WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 WHEN 2 THEN 0.25 ELSE 0.125 END AS rate
+  FROM documents
+)
+SELECT 'sample' AS part, doc_id, source,
+       CAST(h AS DOUBLE) / {U32} AS metric
+FROM s WHERE CAST(h AS DOUBLE) / {U32} < rate
+UNION ALL
+SELECT 'quota', doc_id, source, CAST(n_chars AS DOUBLE) AS metric
+FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= 10
+"""
+
+
+@register("corpus_sampling", SAMPLING_ORACLE)
+def q_corpus_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus sampling. part='sample': deterministic
+    multiplicative-hash uniform in [0,1) per doc, kept under a
+    per-source rate — reproducible downsampling with NO shuffle and no
+    RNG state (the 100 TB path: a map-only filter). part='quota': cap
+    each source at its top-N docs by length — one windowed rank per
+    source (single shuffle on the group key)."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    src_idx = F.coalesce(
+        F.regexp_extract(F.col("source"), r"([0-9]+)$", 1).cast("int"), F.lit(0)
+    )
+    rate = (
+        F.when(src_idx % 4 == 0, 1.0)
+        .when(src_idx % 4 == 1, 0.5)
+        .when(src_idx % 4 == 2, 0.25)
+        .otherwise(0.125)
+    )
+    u = ((F.col("doc_id") * F.lit(KNUTH)) % F.lit(U32)).cast("double") / F.lit(
+        float(U32)
+    )
+    sample = (
+        d.withColumn("metric", u)
+        .filter(F.col("metric") < rate)
+        .select(F.lit("sample").alias("part"), "doc_id", "source", "metric")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    quota = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select(
+            F.lit("quota").alias("part"),
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("double").alias("metric"),
+        )
+    )
+    return sample.unionByName(quota)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary stats: global term/document frequencies, top-K terms
+# (the corpus-statistics pass before tokenizer training)
+# ---------------------------------------------------------------------------
+
+VOCAB_ORACLE = """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+agg AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS tf,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM terms GROUP BY term
+)
+SELECT term, tf, df, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT term, tf, df, row_number() OVER (ORDER BY tf DESC, term ASC) AS rank
+  FROM agg
+) WHERE rank <= 100
+"""
+
+
+@register("vocab_stats", VOCAB_ORACLE)
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: explode terms, aggregate term
+    frequency + document frequency (map-side partial aggregation takes
+    the explosion down to |vocab| rows before the shuffle), then global
+    top-K via orderBy+limit — Spark plans TakeOrdered, so no
+    single-partition window ever sees the full vocabulary; the rank
+    column is assigned on the K survivors only."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir, parallel=True)
+    terms = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    agg = terms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    top = agg.orderBy(F.desc("tf"), F.asc("term")).limit(100)
+    w = Window.orderBy(F.desc("tf"), F.asc("term"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -243,3 +243,44 @@ def test_contamination_ngram_collision(spark):
     assert not got[2].contaminated and got[2].n_hits == 0
     assert not got[3].contaminated and got[3].n_hits == 0
     assert not got[4].contaminated and got[4].n_hits == 0
+
+
+def test_greedy_pack_semantics(spark):
+    """Greedy packing: budget overflow starts a new pack; an oversized
+    doc gets a pack of its own; groups pack independently."""
+    from degenter_clickhouse_spark.llm import packing
+
+    rows = [
+        # group a, budget 10: [4, 5] fit; 3 overflows -> pack 1; 20 is
+        # oversized -> its own pack 2; 2 follows in pack 3
+        ("a", 1, 4),
+        ("a", 2, 5),
+        ("a", 3, 3),
+        ("a", 4, 20),
+        ("a", 5, 2),
+        # group b independent: starts back at pack 0
+        ("b", 6, 10),
+        ("b", 7, 1),
+    ]
+    d = spark.createDataFrame(rows, ["source", "doc_id", "tokens"])
+    got = {
+        r.doc_id: (r.pack_id, r.pack_pos)
+        for r in packing.greedy_pack(d, budget=10).collect()
+    }
+    assert got == {
+        1: (0, 0),
+        2: (0, 1),
+        3: (1, 0),
+        4: (2, 0),
+        5: (3, 0),
+        6: (0, 0),
+        7: (1, 0),
+    }
+    stats = {
+        (r.source, r.pack_id): (r.n_docs, r.pack_tokens)
+        for r in packing.pack_stats(
+            packing.greedy_pack(d, budget=10), budget=10
+        ).collect()
+    }
+    assert stats[("a", 0)] == (2, 9)
+    assert stats[("a", 2)] == (1, 20)
