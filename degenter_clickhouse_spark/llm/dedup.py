@@ -127,14 +127,19 @@ def minhash_lsh_pairs(
             for i, (a, b) in enumerate(T.MINHASH_SEEDS)
         ],
     )
-    bands = None
-    for j in range(4):
-        band = sig.select(
-            F.col(id_col).alias("d"),
-            F.lit(j).alias("band"),
-            F.concat_ws("_", F.col(f"m{2 * j}"), F.col(f"m{2 * j + 1}")).alias("key"),
-        )
-        bands = band if bands is None else bands.unionByName(band)
+    # one posexplode pass emits all 4 band keys per doc — the 4-way
+    # union form re-evaluated the 8-minhash transform once per band
+    bands = sig.select(
+        F.col(id_col).alias("d"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws("_", F.col(f"m{2 * j}"), F.col(f"m{2 * j + 1}"))
+                    for j in range(4)
+                ]
+            )
+        ).alias("band", "key"),
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

@@ -170,6 +170,11 @@ def route_via_uzig(requests: DataFrame, candidates: DataFrame) -> DataFrame:
     ``max_by``, so a whole batch of route requests resolves in one
     relational plan — no per-request driver loop, and the fact tables
     are never touched (candidates are dimension-sized)."""
+    # both legs broadcast the same candidate frame under different join
+    # keys, which defeats Spark's ReusedExchange — materialize the
+    # (dimension-sized) candidates once instead of rescanning + re-deriving
+    # them per leg
+    candidates = candidates.localCheckpoint(eager=False)
     sell = _best_leg(
         requests, candidates, "from_token_id", F.col("amount_in"), False, "sell"
     )
