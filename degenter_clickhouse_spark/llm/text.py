@@ -184,3 +184,37 @@ def token_count_regex(text: str = "text") -> Column:
 def normalized_text(text: str = "text") -> Column:
     """Whitespace-collapsed lowercase text for fingerprinting."""
     return F.regexp_replace(F.lower(F.col(text)), r"\s+", " ")
+
+
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+
+
+def n_chunks(words_expr: str, chunk: int = CHUNK_TOKENS, overlap: int = CHUNK_OVERLAP) -> Column:
+    """Number of overlapping fixed-token windows covering the doc:
+    ``max(1, ceil((n_words - overlap) / stride))`` with
+    ``stride = chunk - overlap`` — chunk i covers words
+    ``[i*stride + 1, i*stride + chunk]`` (1-based), so consecutive
+    chunks share ``overlap`` words and the last chunk may run short.
+    Every doc gets >= 1 chunk (empty docs produce one empty chunk)."""
+    stride = chunk - overlap
+    return F.greatest(
+        F.lit(1),
+        F.ceil((F.size(F.col(words_expr)) - F.lit(overlap)) / F.lit(float(stride))).cast(
+            "int"
+        ),
+    )
+
+
+def chunk_slice(
+    words_expr: str,
+    idx_expr: str,
+    chunk: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+) -> Column:
+    """The word window of chunk ``idx`` (0-based): a map-only array
+    slice — chunking a 100 TB corpus is an explode with no shuffle."""
+    stride = chunk - overlap
+    return F.slice(
+        F.col(words_expr), F.col(idx_expr) * stride + 1, chunk
+    )

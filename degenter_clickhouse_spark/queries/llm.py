@@ -896,3 +896,69 @@ def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = agg.orderBy(F.desc("tf"), F.asc("term")).limit(100)
     w = Window.orderBy(F.desc("tf"), F.asc("term"))
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Document chunking: overlapping fixed-token windows (the pre-packing
+# split step for overlong docs); chunk content proven by rolled hash
+# ---------------------------------------------------------------------------
+
+_CH, _OV, _ST = T.CHUNK_TOKENS, T.CHUNK_OVERLAP, T.CHUNK_TOKENS - T.CHUNK_OVERLAP
+
+CHUNKING_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+c AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(0,
+           CAST(greatest(1, ceil((len(ws) - {_OV}) / {_ST}.0)) AS INT) - 1)) AS chunk_idx
+  FROM w
+),
+s AS (
+  SELECT doc_id, chunk_idx,
+         list_slice(ws, chunk_idx * {_ST} + 1, chunk_idx * {_ST} + {_CH}) AS cw
+  FROM c
+),
+t AS (
+  SELECT doc_id, chunk_idx, len(cw) AS n_chunk_tokens,
+         array_to_string(cw, ' ') AS chunk_text
+  FROM s
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(n_chunk_tokens AS BIGINT) AS n_chunk_tokens,
+       {O_POLY.format(s="chunk_text")} AS chunk_hash
+FROM t
+"""
+
+
+@register("doc_chunking", CHUNKING_ORACLE)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token chunking (llm/text.n_chunks /
+    chunk_slice): one explode over a generated index range, window
+    slicing as map-only array expressions — no shuffle anywhere. The
+    rolled hash of each chunk's text proves content equality against
+    the oracle without shipping the text."""
+    d = _docs(spark, sf_dir, parallel=True).withColumn(
+        "ws", F.split(F.col("text"), " ")
+    )
+    c = d.select(
+        "doc_id",
+        "ws",
+        F.explode(F.sequence(F.lit(0), T.n_chunks("ws") - 1)).alias("chunk_idx"),
+    )
+    s = c.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        T.chunk_slice("ws", "chunk_idx").alias("cw"),
+    )
+    t = s.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("cw").cast("long").alias("n_chunk_tokens"),
+        F.array_join("cw", " ").alias("chunk_text"),
+    )
+    return t.select(
+        "doc_id",
+        "chunk_idx",
+        "n_chunk_tokens",
+        T.poly_hash("chunk_text").alias("chunk_hash"),
+    )

@@ -340,7 +340,7 @@ LEFT JOIN barlast b ON b.pool_id = p.pool_id
 """
 
 
-@register("price_fallback_chain", TVL_ORACLE)
+# registered via queries.suites.valuation_suite
 def q_price_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = catalog.ticks(spark, sf_dir)
     pools = t.select("pool_id").distinct()
@@ -396,7 +396,7 @@ FROM supply s JOIN px p ON p.pool_id = s.pool_id
 """
 
 
-@register("mcap_fdv", MCAP_ORACLE)
+# registered via queries.suites.valuation_suite
 def q_mcap_fdv(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = catalog.ticks(spark, sf_dir)
     supply = t.groupBy("pool_id").agg(

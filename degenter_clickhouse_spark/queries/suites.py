@@ -36,6 +36,8 @@ from .llm import (
 from .parity2 import (
     ASSETS_ORACLE,
     FEE_ORACLE,
+    MCAP_ORACLE,
+    TVL_ORACLE,
     FIRSTLAST_ORACLE,
     HASH_ID_ORACLE,
     MULTICOND_ORACLE,
@@ -53,7 +55,9 @@ from .parity2 import (
     q_firstlast,
     q_hash_id,
     q_join_using,
+    q_mcap_fdv,
     q_multicond,
+    q_price_fallback,
     q_pair_normalize,
     q_parse_assets,
     q_priority,
@@ -634,3 +638,44 @@ def q_join_parity_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NO_V().alias("v3"),
     )
     return us.unionByName(sc).unionByName(mc)
+
+
+# ---------------------------------------------------------------------------
+# valuation_suite = price_fallback_chain (A13) + mcap_fdv (A14)
+# schema: (part, pool_id BIGINT, s STRING, v1..v4 DOUBLE)
+# ---------------------------------------------------------------------------
+
+VALUATION_ORACLE = f"""
+SELECT 'fallback' AS part, CAST(pool_id AS BIGINT) AS pool_id,
+       price_source AS s, price_used AS v1,
+       CAST(-1.0 AS DOUBLE) AS v2, CAST(-1.0 AS DOUBLE) AS v3,
+       CAST(-1.0 AS DOUBLE) AS v4
+FROM ({TVL_ORACLE})
+UNION ALL
+SELECT 'mcap', CAST(pool_id AS BIGINT), CAST(NULL AS VARCHAR),
+       circ, price, mcap, fdv
+FROM ({MCAP_ORACLE})
+"""
+
+
+@register("valuation_suite", VALUATION_ORACLE)
+def q_valuation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fb = q_price_fallback(spark, sf_dir).select(
+        F.lit("fallback").alias("part"),
+        F.col("pool_id").cast("long").alias("pool_id"),
+        F.col("price_source").alias("s"),
+        F.col("price_used").alias("v1"),
+        _NO_V().alias("v2"),
+        _NO_V().alias("v3"),
+        _NO_V().alias("v4"),
+    )
+    mc = q_mcap_fdv(spark, sf_dir).select(
+        F.lit("mcap").alias("part"),
+        F.col("pool_id").cast("long").alias("pool_id"),
+        _NO_S().alias("s"),
+        F.col("circ").alias("v1"),
+        F.col("price").alias("v2"),
+        F.col("mcap").alias("v3"),
+        F.col("fdv").alias("v4"),
+    )
+    return fb.unionByName(mc)
