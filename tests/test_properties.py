@@ -134,3 +134,74 @@ def test_xyk_simulation_sell_direction(spark, a_in, rz, rt, fee):
     mid = rz / rt
     assert r.out == pytest.approx(out, rel=1e-12)
     assert r.impact == pytest.approx(mid / max(eff, 1e-18) - 1, rel=1e-9)
+
+
+def test_packing_invariants(spark):
+    """Every pack fits the budget unless it is a single oversized doc;
+    pack ids and positions are contiguous from 0 in doc order; no doc
+    is lost or duplicated."""
+    from pyspark.sql import functions as F
+
+    from degenter_clickhouse_spark import catalog
+    from degenter_clickhouse_spark.llm import packing
+
+    budget = 256
+    docs = catalog.load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "source", "doc_id", F.size(F.split("text", " ")).cast("long").alias("tokens")
+    )
+    packed = packing.greedy_pack(docs, budget=budget)
+    assert packed.count() == docs.count()
+    assert packed.select("doc_id").distinct().count() == docs.count()
+    viol = (
+        packed.groupBy("source", "pack_id")
+        .agg(F.sum("tokens").alias("t"), F.count(F.lit(1)).alias("n"))
+        .filter((F.col("t") > budget) & (F.col("n") > 1))
+    )
+    assert viol.count() == 0
+    # contiguity: pack ids within a source form 0..max with no holes,
+    # and positions within a pack form 0..n-1
+    per_src = packed.groupBy("source").agg(
+        F.countDistinct("pack_id").alias("n_packs"), F.max("pack_id").alias("max_id")
+    )
+    assert per_src.filter(F.col("n_packs") != F.col("max_id") + 1).count() == 0
+    per_pack = packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("pack_pos").alias("max_pos")
+    )
+    assert per_pack.filter(F.col("n") != F.col("max_pos") + 1).count() == 0
+
+
+def test_chunking_reconstructs_documents(spark):
+    """Dropping each chunk's leading overlap (except chunk 0) and
+    concatenating in chunk order reproduces the original word sequence
+    exactly — no word lost, duplicated, or reordered."""
+    from pyspark.sql import functions as F
+
+    from degenter_clickhouse_spark import catalog
+    from degenter_clickhouse_spark.llm import text as T
+
+    d = catalog.load_table(spark, "/root/testdata/sf0.001", "documents").withColumn(
+        "ws", F.split("text", " ")
+    )
+    c = d.select(
+        "doc_id",
+        "ws",
+        F.explode(F.sequence(F.lit(0), T.n_chunks("ws") - 1)).alias("i"),
+    ).select(
+        "doc_id",
+        "ws",
+        "i",
+        T.chunk_slice("ws", "i").alias("cw"),
+    )
+    tail = F.when(F.col("i") == 0, F.col("cw")).otherwise(
+        F.expr(f"slice(cw, {T.CHUNK_OVERLAP + 1}, {T.CHUNK_TOKENS})")
+    )
+    rebuilt = (
+        c.select("doc_id", "i", tail.alias("tail"))
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(F.array_sort(F.collect_list(F.struct("i", "tail"))).tail.alias("x")).alias("words")
+        )
+    )
+    j = rebuilt.join(d.select("doc_id", "ws"), "doc_id")
+    mismatches = j.filter(F.col("words") != F.col("ws")).count()
+    assert mismatches == 0
