@@ -118,62 +118,75 @@ def gap_fill(
     Real candles additionally get open := carried prev close, and
     high/low widened to include it (:1520-1523).
 
-    ``materialize_input`` lazily localCheckpoints the bars so the spine
-    branch and the join branch share one computation instead of
+    ``materialize_input`` lazily localCheckpoints the bars so the real-
+    row branch and the gap branch share one computation instead of
     re-aggregating the tick source twice (bars output is series-sized —
     cheap to hold; batch contexts only).
+
+    Plan shape (the 100 TB concern): gap candles between consecutive
+    real bars depend only on the PRECEDING bar, so they are generated
+    locally from ``lead(bucket)`` — one window shuffle on ``pool``
+    total. The earlier calendar-spine form paid a (pool, bucket) join
+    against a generated grid plus a separate window pass: three
+    exchanges where one suffices, and the join's build side grows with
+    the grid, not the data.
     """
     if materialize_input:
         bars_df = bars_df.localCheckpoint(eager=False)
-    spine = (
-        bars_df.groupBy(pool)
-        .agg(F.min(bucket).alias("lo"), F.max(bucket).alias("hi"))
-        .select(
-            F.col(pool),
-            F.explode(
-                F.sequence(
-                    F.col("lo"), F.col("hi"), F.expr(f"INTERVAL {step_sec} SECONDS")
-                )
-            ).alias(bucket),
-        )
+    out_cols = [pool, bucket, "open", "high", "low", "close", "volume", "trade_count"]
+    if fill == "none":
+        return bars_df.select(*out_cols).withColumn("is_gap", F.lit(False))
+    step = F.expr(f"INTERVAL {step_sec} SECONDS")
+    w = Window.partitionBy(pool).orderBy(bucket)
+    b = bars_df.withColumn("__prev_close", F.lag("close").over(w)).withColumn(
+        "__next", F.lead(bucket).over(w)
     )
-    joined = spine.join(bars_df, on=[pool, bucket], how="left")
-    w = (
-        Window.partitionBy(pool)
-        .orderBy(bucket)
-        .rowsBetween(Window.unboundedPreceding, -1)
+    gap_bucket = F.explode(
+        F.sequence(F.col(bucket) + step, F.col("__next") - step, step)
     )
-    prev_close = F.last(F.col("close"), ignorenulls=True).over(w)
-    is_gap = F.col("close").isNull()
+    has_gap = F.col("__next").isNotNull() & (F.col("__next") > F.col(bucket) + step)
     if fill == "prev":
-        close = F.coalesce(F.col("close"), prev_close)
-        opn = F.coalesce(prev_close, F.col("open"))
-        return joined.select(
+        opn = F.coalesce(F.col("__prev_close"), F.col("open"))
+        real = b.select(
             F.col(pool),
             F.col(bucket),
             opn.alias("open"),
-            F.greatest(F.coalesce(F.col("high"), prev_close), opn).alias("high"),
-            F.least(F.coalesce(F.col("low"), prev_close), opn).alias("low"),
-            close.alias("close"),
-            F.coalesce(F.col("volume"), F.lit(0.0)).alias("volume"),
-            F.coalesce(F.col("trade_count"), F.lit(0)).alias("trade_count"),
-            is_gap.alias("is_gap"),
+            F.greatest(F.col("high"), opn).alias("high"),
+            F.least(F.col("low"), opn).alias("low"),
+            F.col("close"),
+            F.col("volume"),
+            F.col("trade_count"),
+            F.lit(False).alias("is_gap"),
         )
+        flat = F.col("close")  # the carried close, flat candle
+        gaps = b.filter(has_gap).select(
+            F.col(pool),
+            gap_bucket.alias(bucket),
+            flat.alias("open"),
+            flat.alias("high"),
+            flat.alias("low"),
+            flat.alias("close"),
+            F.lit(0.0).alias("volume"),
+            F.lit(0).cast("long").alias("trade_count"),
+            F.lit(True).alias("is_gap"),
+        )
+        return real.unionByName(gaps)
     if fill == "zero":
         zero = F.lit(0.0)
-        return joined.select(
+        real = b.select(*[F.col(c) for c in out_cols], F.lit(False).alias("is_gap"))
+        gaps = b.filter(has_gap).select(
             F.col(pool),
-            F.col(bucket),
-            F.coalesce(F.col("open"), zero).alias("open"),
-            F.coalesce(F.col("high"), zero).alias("high"),
-            F.coalesce(F.col("low"), zero).alias("low"),
-            F.coalesce(F.col("close"), zero).alias("close"),
-            F.coalesce(F.col("volume"), zero).alias("volume"),
-            F.coalesce(F.col("trade_count"), F.lit(0)).alias("trade_count"),
-            is_gap.alias("is_gap"),
+            gap_bucket.alias(bucket),
+            zero.alias("open"),
+            zero.alias("high"),
+            zero.alias("low"),
+            zero.alias("close"),
+            zero.alias("volume"),
+            F.lit(0).cast("long").alias("trade_count"),
+            F.lit(True).alias("is_gap"),
         )
-    # fill == 'none': keep only real candles (identity on bars_df rows)
-    return joined.filter(~is_gap).withColumn("is_gap", F.lit(False))
+        return real.unionByName(gaps)
+    raise ValueError(f"unknown fill mode: {fill!r}")
 
 
 def change_pct(
