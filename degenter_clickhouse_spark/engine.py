@@ -334,6 +334,31 @@ class DegenterEngine:
         )
         return SW.best_pool_by_simulation(cands, F.lit(amount_in_zig))
 
+    def swap_route(self, requests: DataFrame, min_tvl_zig: float = 0.0) -> DataFrame:
+        """Two-hop TOKEN A -> uzig -> TOKEN B routing
+        (api/routes/swap.js:284-350) for a whole batch of requests in
+        one relational plan: ``requests`` carries (from_token_id,
+        to_token_id, amount_in) plus any id columns. Pool mids come
+        from the latest-prices view (the reference loads them from
+        ``prices`` per pool, swap.js:66), falling back to the reserve
+        ratio for pools that have never ticked."""
+        cands = SW.candidate_pools(
+            self.table("pools"),
+            self.table("tokens"),
+            self.table("pool_state"),
+            min_tvl_zig=min_tvl_zig,
+        )
+        lp = views.latest_prices(self.table("prices")).select(
+            "pool_id", F.col("latest_price_zig").alias("mid_zig")
+        )
+        reserve_mid = F.when(
+            F.col("reserve_token") > 0, F.col("reserve_zig") / F.col("reserve_token")
+        )
+        cands = cands.join(F.broadcast(lp), "pool_id", "left").withColumn(
+            "mid_zig", F.coalesce(F.col("mid_zig"), reserve_mid)
+        )
+        return SW.route_via_uzig(requests, cands)
+
     def token_detail(self, token_id: int, bucket: str = "24h",
                      now: Column | None = None) -> DataFrame:
         """The token-page assembly (api/routes/tokens.js:822-894): one

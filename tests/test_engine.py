@@ -312,3 +312,22 @@ def test_bucketed_save_removes_rollup_shuffle(spark, engine, dom, tmp_path):  # 
     finally:
         for tbl in names.values():
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_engine_swap_route_two_hop(spark, engine):  # noqa: F811
+    """Batch two-hop routing through the facade: every request resolves
+    both legs against the fixture pools, the buy amount equals the sell
+    leg's ZIG out, and the cross rate is sell_mid / buy_mid."""
+    reqs = spark.createDataFrame(
+        [(1, 2, 3, 50.0), (2, 3, 2, 10.0)],
+        ["req_id", "from_token_id", "to_token_id", "amount_in"],
+    )
+    out = {r.req_id: r for r in engine.swap_route(reqs).collect()}
+    assert set(out) == {1, 2}
+    for r in out.values():
+        assert r.sell_pool_id is not None and r.buy_pool_id is not None
+        assert r.sell_out is not None and r.sell_out > 0
+        assert r.buy_out is not None and r.buy_out > 0
+        assert r.b_per_a == pytest.approx(
+            r.sell_mid_zig / max(r.buy_mid_zig, 1e-18), rel=1e-12
+        )
