@@ -154,3 +154,47 @@ def test_stateful_carried_open_across_restarts(spark, tmp_path):
     # opens at batch-1's last close (12.5), not its own stored open —
     # and that carried open may escape [low, high] (reference semantics)
     assert rows[k3].open == 12.5
+
+
+def test_streaming_corpus_ingest_dedup_and_gate(spark, tmp_path):
+    """Streaming corpus ingestion: exact dupes inside the watermark are
+    dropped across micro-batches AND across a restart from checkpoint;
+    quality rejects land in quarantine with a reason."""
+    import json as _json
+    import os
+
+    from degenter_clickhouse_spark.streaming.corpus import stream_corpus_ingest
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def doc(i, text, ts="2024-01-01 10:00:00"):
+        return {"doc_id": i, "text": text, "lang": "en", "source": "src0",
+                "n_chars": len(text), "event_ts": ts}
+
+    good = "the quick brown fox jumps over the lazy dog again and again"
+    (landing / "b1.json").write_text("\n".join(_json.dumps(d) for d in [
+        doc(1, good),
+        doc(2, good),                      # exact dupe of 1 -> dropped
+        doc(3, "hi"),                      # too short -> quarantine
+        doc(4, " ".join(["spam"] * 12)),     # rep ratio 11/12 -> gated
+    ]))
+    stream_corpus_ingest(spark, str(landing), out, ckpt)
+    acc = spark.read.parquet(os.path.join(out, "accepted"))
+    assert [r.doc_id for r in acc.collect()] == [1]
+    quar = spark.read.parquet(os.path.join(out, "quarantine"))
+    reasons = {r.doc_id: r.reject_reason for r in quar.collect()}
+    assert reasons == {3: "too_short", 4: "repetitive"}
+
+    # second drain (fresh file, same checkpoint): the dupe of doc 1 is
+    # still remembered by the dedupe state; the new doc lands
+    (landing / "b2.json").write_text("\n".join(_json.dumps(d) for d in [
+        doc(5, good, ts="2024-01-01 10:30:00"),      # dupe within watermark
+        doc(6, good + " but different now", ts="2024-01-01 10:30:00"),
+    ]))
+    stream_corpus_ingest(spark, str(landing), out, ckpt)
+    acc2 = sorted(r.doc_id for r in spark.read.parquet(
+        os.path.join(out, "accepted")).collect())
+    assert acc2 == [1, 6]
