@@ -544,7 +544,16 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(media)
 
 
-@register("multimodal_frame_sample", None)
+FRAME_SAMPLE_ORACLE = f"""
+WITH f AS ({MM_ORACLE})
+SELECT doc_id, n_frames,
+       CAST(unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 10)) AS INT)
+         AS frame_idx
+FROM f
+"""
+
+
+@register("multimodal_frame_sample", FRAME_SAMPLE_ORACLE)
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.media_table(_docs(spark, sf_dir))
     return multimodal.frame_sample(media, every_n=10)
