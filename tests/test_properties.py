@@ -205,3 +205,102 @@ def test_chunking_reconstructs_documents(spark):
     j = rebuilt.join(d.select("doc_id", "ws"), "doc_id")
     mismatches = j.filter(F.col("words") != F.col("ws")).count()
     assert mismatches == 0
+
+
+# ---------------------------------------------------------------------------
+# Parse-family round trips (P6/P7/P9): arbitrary generated assets
+# survive encode -> parse exactly. One Spark job per property, many
+# hypothesis-generated rows inside it.
+# ---------------------------------------------------------------------------
+
+_DENOM_ALPHABET = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789._/-"
+
+
+def _gen_denoms_and_amounts(seed, n):
+    import random
+
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n):
+        # denom must start with a non-digit (else digits merge into the
+        # amount); the reference's denoms always start with a letter
+        head = rng.choice("abcdefghijklmnopqrstuvwxyz")
+        tail = "".join(
+            rng.choice(_DENOM_ALPHABET) for _ in range(rng.randint(0, 20))
+        )
+        denom = head + tail
+        amount = rng.randint(0, 10**30)
+        out.append((denom, amount))
+    return out
+
+
+def test_assets_list_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from degenter_clickhouse_spark.functions import parse
+
+    rows = []
+    for seed in range(50):
+        assets = _gen_denoms_and_amounts(seed, seed % 5 + 1)
+        encoded = ",".join(f"{a}{d}" for d, a in assets)
+        rows.append((seed, encoded, [(str(a), d) for d, a in assets]))
+    df = spark.createDataFrame(rows, ["id", "encoded", "expected"])
+    got = df.select(
+        "id",
+        "expected",
+        F.transform(
+            parse.parse_assets_list(F.col("encoded")),
+            lambda s: F.struct(
+                s.amount_base.cast("string").alias("a"), s.denom.alias("d")
+            ),
+        ).alias("parsed"),
+    ).collect()
+    for r in got:
+        assert [(p.a, p.d) for p in r.parsed] == [tuple(e) for e in r.expected], r.id
+
+
+def test_reserves_kv_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from degenter_clickhouse_spark.functions import parse
+
+    rows = []
+    for seed in range(50):
+        assets = _gen_denoms_and_amounts(seed + 1000, seed % 4 + 1)
+        encoded = ",".join(f"{d}:{a}" for d, a in assets)
+        rows.append((seed, encoded, [(d, str(a)) for d, a in assets]))
+    df = spark.createDataFrame(rows, ["id", "encoded", "expected"])
+    got = df.select(
+        "id",
+        "expected",
+        F.transform(
+            parse.parse_reserves_kv(F.col("encoded")),
+            lambda s: F.struct(
+                s.denom.alias("d"), s.amount_base.cast("string").alias("a")
+            ),
+        ).alias("parsed"),
+    ).collect()
+    for r in got:
+        assert [(p.d, p.a) for p in r.parsed] == [tuple(e) for e in r.expected], r.id
+
+
+def test_pair_normalize_first_dash_and_swap(spark):
+    """Split is on the FIRST dash; uzig always lands on the quote side
+    even when the other denom itself contains dashes."""
+    from pyspark.sql import functions as F
+
+    from degenter_clickhouse_spark.functions import parse
+
+    rows = [
+        ("a-b", "a", "b"),
+        ("uzig-coin.x", "coin.x", "uzig"),
+        ("coin-with-dashes-uzig", "coin", "with-dashes-uzig"),
+        ("uzig-a-b-c", "a-b-c", "uzig"),
+    ]
+    df = spark.createDataFrame([(p,) for p, _, _ in rows], ["pair"])
+    got = {r.pair: r.n for r in df.select(
+        "pair", parse.normalize_pair(F.col("pair")).alias("n")
+    ).collect()}
+    for pair, base, quote in rows:
+        assert got[pair].base_denom == base, pair
+        assert got[pair].quote_denom == quote, pair
