@@ -532,8 +532,11 @@ GROUP BY r_name
 def q_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = catalog.load_all(spark, sf_dir)
     li, o, c, n, r = t["lineitem"], t["orders"], t["customer"], t["nation"], t["region"]
-    fact = joins.dim_join(
-        li, o.filter(F.col("o_orderstatus") == "F"), on=[li.l_orderkey == o.o_orderkey]
+    # orders is fact-sized, not a dim: no forced broadcast — AQE picks
+    # broadcast while the filtered side fits the threshold and falls
+    # back to a shuffle join at real scale
+    fact = li.join(
+        o.filter(F.col("o_orderstatus") == "F"), on=[li.l_orderkey == o.o_orderkey]
     )
     fact = joins.dim_join(fact, c, on=[F.col("o_custkey") == F.col("c_custkey")])
     fact = joins.dim_join(fact, n, on=[F.col("c_nationkey") == F.col("n_nationkey")])
