@@ -36,7 +36,12 @@ def with_shingle_rows(docs: DataFrame, id_col: str = "doc_id", n: int = 3) -> Da
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Hash-groupBy exact dedup: emits (doc_id, canonical_id,
-    content_hash) for every removed duplicate (canonical = min id)."""
+    content_hash) for every removed duplicate (canonical = min id).
+
+    No broadcast hint: the duplicate-group frame grows with the corpus
+    (a 100 TB crawl has billions of duplicate groups), so the join
+    strategy is left to AQE — broadcast while small, shuffle join on
+    the shared hash key beyond the threshold."""
     hashed = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
     groups = (
         hashed.groupBy("content_hash")
@@ -44,7 +49,7 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         .filter(F.col("n") > 1)
     )
     return (
-        hashed.join(F.broadcast(groups), "content_hash")
+        hashed.join(groups, "content_hash")
         .filter(F.col(id_col) != F.col("canonical_id"))
         .select(F.col(id_col), F.col("canonical_id"), F.col("content_hash"))
     )
