@@ -256,6 +256,23 @@ def assign_cells(
     )
 
 
+def _score_cell_pairs(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
+    """Shared probe tail: score (query, candidate) pairs that co-occur
+    in a cell, keep the per-query top-k (ties to lowest candidate)."""
+    pairs = c.join(F.broadcast(q), "cell").filter(F.col("c_id") != F.col("q_id"))
+    scored = pairs.withColumn("dot_s", scaled_dot("q_vec", "c_vec")).withColumn(
+        "cosine", cosine_from_scaled(F.col("dot_s"), F.col("q_n2"), F.col("c_n2"))
+    ).dropDuplicates(["q_id", "c_id"])
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cosine", "rank")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -278,15 +295,61 @@ def ivf_topk(
         F.col(id_col).alias("q_id"), F.col(vec).alias("q_vec"),
         F.col("norm2_s").alias("q_n2"), "cell",
     )
-    pairs = c.join(F.broadcast(q), "cell").filter(F.col("c_id") != F.col("q_id"))
-    scored = pairs.withColumn("dot_s", scaled_dot("q_vec", "c_vec")).withColumn(
-        "cosine", cosine_from_scaled(F.col("dot_s"), F.col("q_n2"), F.col("c_n2"))
-    ).dropDuplicates(["q_id", "c_id"])
-    from pyspark.sql.window import Window
+    return _score_cell_pairs(c, q, k)
 
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "c_id", "cosine", "rank")
+
+def build_ivf_index(
+    vectors: DataFrame,
+    path: str,
+    k_cells: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> None:
+    """Build-once ANN index artifact (the billion-vector workflow:
+    amortize the expensive passes, probe many times): centroids plus
+    the corpus with norms pre-computed, persisted PARTITIONED BY cell —
+    a probe's broadcast cell-join lets dynamic partition pruning skip
+    every non-probed cell's files at the scan."""
+    import os
+
+    cents = fit_ivf_centroids(vectors, k=k_cells, iters=iters, id_col=id_col, vec=vec)
+    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    assigned = assign_cells(vectors, cents, id_col=id_col, vec=vec, nprobe=1)
+    (
+        with_norm(vectors, vec)
+        .join(assigned, id_col)
+        .select(
+            F.col(id_col).alias("c_id"),
+            F.col(vec).alias("c_vec"),
+            F.col("norm2_s").alias("c_n2"),
+            "cell",
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "cells"))
     )
+
+
+def ivf_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF index: only the queries are (re)assigned;
+    the corpus side comes off the index with norms precomputed and
+    cell-pruned file reads."""
+    import os
+
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    cells = spark.read.parquet(os.path.join(path, "cells"))
+    q_cells = assign_cells(queries, cents, id_col=id_col, vec=vec, nprobe=nprobe)
+    q = with_norm(queries, vec).join(q_cells, id_col).select(
+        F.col(id_col).alias("q_id"), F.col(vec).alias("q_vec"),
+        F.col("norm2_s").alias("q_n2"), "cell",
+    )
+    return _score_cell_pairs(cells, q, k)

@@ -284,3 +284,30 @@ def test_greedy_pack_semantics(spark):
     }
     assert stats[("a", 0)] == (2, 9)
     assert stats[("a", 2)] == (1, 20)
+
+
+def test_ivf_index_build_and_search_matches_direct(spark, tmp_path):
+    """A persisted IVF index returns exactly what the direct (in-memory)
+    IVF top-k returns for the same centroids, and the probe plan reads
+    the cell-partitioned layout."""
+    from degenter_clickhouse_spark import catalog
+    from degenter_clickhouse_spark.llm import similarity as SIM
+
+    vecs = catalog.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = vecs.limit(5)
+    idx = str(tmp_path / "ivf")
+    SIM.build_ivf_index(vecs, idx, k_cells=8, iters=2)
+    got = {
+        (r.q_id, r.rank): (r.c_id, r.cosine)
+        for r in SIM.ivf_search(spark, idx, queries, k=3, nprobe=2).collect()
+    }
+    cents = SIM.fit_ivf_centroids(vecs, k=8, iters=2)
+    want = {
+        (r.q_id, r.rank): (r.c_id, r.cosine)
+        for r in SIM.ivf_topk(queries, vecs, cents, k=3, nprobe=2).collect()
+    }
+    assert got == want and len(got) > 0
+    # the index layout is cell-partitioned (file-level pruning target)
+    import os
+
+    assert any(p.startswith("cell=") for p in os.listdir(os.path.join(idx, "cells")))
