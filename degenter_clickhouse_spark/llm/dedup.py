@@ -93,6 +93,51 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", n: int = 3) -> D
     return sh.groupBy(F.col(id_col)).agg(*aggs)
 
 
+def _minhash_shingles(docs: DataFrame, id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(d, hs) per-doc DISTINCT shingle-hash arrays, lazily
+    checkpointed. The empty-array filter MUST sit above the checkpoint:
+    below it, predicate pushdown inlines the whole hash chain into the
+    filter (element_at substitutes the array expression per shingle
+    slot), turning the per-doc cost quadratic — measured 76s vs 3s at
+    sf0.1."""
+    hw = docs.withColumn("__hw", T.word_hash_array("split(text, ' ')"))
+    return (
+        hw.select(
+            F.col(id_col).alias("d"),
+            F.array_distinct(T.shingle_hash_array("__hw", n)).alias("hs"),
+        )
+        .localCheckpoint(eager=False)
+        .filter(F.size("hs") >= 1)
+    )
+
+
+def _minhash_bands(sh: DataFrame) -> DataFrame:
+    """(d, band, key) LSH band keys: 8 affine minhashes over the
+    shingle array (zero-shuffle array_min reductions), rolled into 4
+    bands of 2 rows each with ONE posexplode pass (a 4-way union form
+    re-evaluated the minhash transform once per band)."""
+    sig = sh.select(
+        F.col("d"),
+        *[
+            F.array_min(
+                F.transform("hs", lambda h: (F.lit(a) * h + F.lit(b)) % T.POLY_MOD)
+            ).alias(f"m{i}")
+            for i, (a, b) in enumerate(T.MINHASH_SEEDS)
+        ],
+    )
+    return sig.select(
+        F.col("d"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws("_", F.col(f"m{2 * j}"), F.col(f"m{2 * j + 1}"))
+                    for j in range(4)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, threshold: float = 0.5, n: int = 3, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -110,41 +155,8 @@ def minhash_lsh_pairs(
     every candidate pair duplicates both arrays per pair and blows up
     memory/network when buckets are hot (measured 24x worse at sf0.1),
     so the exploded equality join + count is the at-scale shape."""
-    hw = docs.withColumn("__hw", T.word_hash_array("split(text, ' ')"))
-    # the empty-array filter MUST sit above the checkpoint: below it,
-    # predicate pushdown inlines the whole hash chain into the filter
-    # (element_at substitutes __hw's full expression per shingle slot),
-    # turning the per-doc cost quadratic — measured 76s vs 3s at sf0.1
-    sh = (
-        hw.select(
-            F.col(id_col).alias("d"),
-            F.array_distinct(T.shingle_hash_array("__hw", n)).alias("hs"),
-        )
-        .localCheckpoint(eager=False)
-        .filter(F.size("hs") >= 1)
-    )
-    sig = sh.select(
-        F.col("d").alias(id_col),
-        *[
-            F.array_min(
-                F.transform("hs", lambda h: (F.lit(a) * h + F.lit(b)) % T.POLY_MOD)
-            ).alias(f"m{i}")
-            for i, (a, b) in enumerate(T.MINHASH_SEEDS)
-        ],
-    )
-    # one posexplode pass emits all 4 band keys per doc — the 4-way
-    # union form re-evaluated the 8-minhash transform once per band
-    bands = sig.select(
-        F.col(id_col).alias("d"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws("_", F.col(f"m{2 * j}"), F.col(f"m{2 * j + 1}"))
-                    for j in range(4)
-                ]
-            )
-        ).alias("band", "key"),
-    )
+    sh = _minhash_shingles(docs, id_col, n)
+    bands = _minhash_bands(sh)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -156,6 +168,13 @@ def minhash_lsh_pairs(
         .select(F.col("a.d").alias("d1"), F.col("b.d").alias("d2"))
         .distinct()
     )
+    return _verify_jaccard(cand, sh, threshold)
+
+
+def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate (d1, d2) pairs against
+    the (d, hs) shingle frame; exploded equality join, never arrays
+    duplicated per pair (see minhash_lsh_pairs docstring)."""
     rows = sh.select("d", F.explode("hs").alias("h"))
     sizes = sh.select("d", F.size("hs").alias("n_sh"))
     common = (
@@ -174,6 +193,61 @@ def minhash_lsh_pairs(
         )
     )
     return j.filter(F.col("jaccard") >= threshold).select("d1", "d2", "jaccard")
+
+
+def build_minhash_index(
+    docs: DataFrame, path: str, n: int = 3, id_col: str = "doc_id"
+) -> None:
+    """Persist the corpus's LSH state — band keys AND shingle sets — so
+    new shards dedupe against the corpus WITHOUT re-shingling it (the
+    incremental-corpus-growth workflow; same build-once/probe-many
+    amortization as the IVF index). Bands are laid out partitioned by
+    band: a probe joins one band at a time and prunes the other
+    bands' files at the scan."""
+    import os
+
+    sh = _minhash_shingles(docs, id_col, n)
+    _minhash_bands(sh).write.mode("overwrite").partitionBy("band").parquet(
+        os.path.join(path, "bands")
+    )
+    sh.write.mode("overwrite").parquet(os.path.join(path, "shingles"))
+
+
+def minhash_probe(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs touching the NEW shard: new x corpus and
+    new x new candidates from band-bucket equality, verified by exact
+    Jaccard over the union of persisted + fresh shingle sets. Only the
+    new shard is shingled; the corpus side streams off the index.
+    Returns (d1, d2, jaccard) with d1 < d2."""
+    import os
+
+    idx_bands = spark.read.parquet(os.path.join(path, "bands"))
+    idx_sh = spark.read.parquet(os.path.join(path, "shingles"))
+    new_sh = _minhash_shingles(new_docs, id_col, n)
+    new_bands = _minhash_bands(new_sh)
+    all_bands = idx_bands.unionByName(new_bands)
+    a, b = new_bands.alias("a"), all_bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.d") != F.col("b.d")),
+        )
+        .select(
+            F.least(F.col("a.d"), F.col("b.d")).alias("d1"),
+            F.greatest(F.col("a.d"), F.col("b.d")).alias("d2"),
+        )
+        .distinct()
+    )
+    return _verify_jaccard(cand, idx_sh.unionByName(new_sh), threshold)
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -311,3 +311,40 @@ def test_ivf_index_build_and_search_matches_direct(spark, tmp_path):
     import os
 
     assert any(p.startswith("cell=") for p in os.listdir(os.path.join(idx, "cells")))
+
+
+def test_minhash_index_probe_matches_batch(spark, tmp_path):
+    """Probing a new shard against a persisted MinHash index finds
+    exactly the pairs the batch LSH finds on the full union that touch
+    the new shard — the corpus is never re-shingled."""
+    from pyspark.sql import functions as F
+
+    from degenter_clickhouse_spark import catalog
+    from degenter_clickhouse_spark.llm import dedup
+
+    docs = catalog.load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    shard = docs.filter(F.col("doc_id") % 5 == 0).unionByName(
+        # a guaranteed near-dup: clone of a corpus doc under a new id
+        docs.filter(F.col("doc_id") == 1).select(
+            (F.col("doc_id") + 900000).alias("doc_id"), "text"
+        )
+    )
+    idx = str(tmp_path / "mh")
+    dedup.build_minhash_index(corpus, idx)
+    got = {
+        (r.d1, r.d2): r.jaccard
+        for r in dedup.minhash_probe(spark, idx, shard, threshold=0.5).collect()
+    }
+    shard_ids = {r.doc_id for r in shard.select("doc_id").collect()}
+    want = {
+        (r.d1, r.d2): r.jaccard
+        for r in dedup.minhash_lsh_pairs(
+            corpus.unionByName(shard), threshold=0.5
+        ).collect()
+        if r.d1 in shard_ids or r.d2 in shard_ids
+    }
+    assert got == want
+    assert (1, 900001) in got and got[(1, 900001)] == 1.0
