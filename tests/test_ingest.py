@@ -384,3 +384,36 @@ def test_malformed_events_are_skipped(spark):
     assert out["pools"].count() == 0
     assert out["trades"].count() == 0  # swap contract matches no pool
     assert out["prices"].count() == 0
+
+
+def test_cli_indexer_jobs_query_end_to_end(spark, tmp_path, capsys):
+    """The three process entry points, driven exactly as a user would:
+    indexer --once drains the landing zone into facts, jobs --once
+    materializes the rollups, query serves SQL over the views."""
+    import json as _json
+
+    from degenter_clickhouse_spark.cli import main
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "blocks.json").write_text(
+        "\n".join(_json.dumps(b) for b in raw_blocks())
+    )
+    storage = str(tmp_path / "storage")
+    assert main([
+        "indexer", "--landing", str(landing), "--storage", storage,
+        "--checkpoint", str(tmp_path / "ckpt"), "--router-addr", ROUTER, "--once",
+    ]) == 0
+    assert spark.read.parquet(f"{storage}/trades").count() == 7
+    assert main([
+        "jobs", "--storage", storage, "--output", str(tmp_path / "jobs"), "--once",
+    ]) == 0
+    pm = spark.read.parquet(str(tmp_path / "jobs" / "pool_matrix"))
+    assert pm.select("bucket").distinct().count() == 4
+    capsys.readouterr()
+    assert main([
+        "query", "--storage", storage,
+        "--sql", "SELECT COUNT(*) AS n FROM latest_prices",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "|n" in out and "|2" in out  # count table printed: 2 priced pools
