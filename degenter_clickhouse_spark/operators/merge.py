@@ -11,9 +11,10 @@ the plain-parquet forms below keep identical semantics.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -133,3 +134,49 @@ def snapshot_overwrite(
         .partitionBy(partition_col)
         .parquet(path)
     )
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    partition_col: str | None = "dt",
+    files_per_partition: int = 1,
+) -> dict[str, int]:
+    """Small-file compaction for append-heavy tables (every streaming
+    micro-batch appends a file per task; a 60s-cadence ingest makes
+    thousands of sub-MB files per day, and scan planning degrades with
+    file count — the lakehouse OPTIMIZE operation).
+
+    Rewrites the table with ``files_per_partition`` files per
+    partition via a write-to-temp + swap (Spark cannot safely overwrite
+    the path it is reading; on an object store the swap becomes a
+    manifest/metadata commit — this local form documents the seam).
+    Returns {"files_before": n, "files_after": m}.
+    """
+    import glob
+    import shutil
+
+    def count_files(p: str) -> int:
+        return len(
+            [
+                f
+                for f in glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
+                if os.path.isfile(f)
+            ]
+        )
+
+    before = count_files(path)
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compacting"
+    if partition_col is not None and partition_col in df.columns:
+        (
+            df.repartition(files_per_partition, F.col(partition_col))
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(tmp)
+        )
+    else:
+        df.coalesce(files_per_partition).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return {"files_before": before, "files_after": count_files(path)}

@@ -198,3 +198,27 @@ def test_streaming_corpus_ingest_dedup_and_gate(spark, tmp_path):
     acc2 = sorted(r.doc_id for r in spark.read.parquet(
         os.path.join(out, "accepted")).collect())
     assert acc2 == [1, 6]
+
+
+def test_compact_table_reduces_files_preserves_data(spark, tmp_path):
+    """Many small appended files collapse to files_per_partition per
+    dt partition with identical row content."""
+    from pyspark.sql import functions as F
+
+    from degenter_clickhouse_spark.operators.merge import compact_table
+
+    path = str(tmp_path / "facts")
+    for batch in range(5):  # 5 appends x 4 tasks -> many small files
+        spark.range(batch * 100, batch * 100 + 100).repartition(4).select(
+            F.col("id"),
+            F.to_date(
+                F.concat(F.lit("2024-03-0"), ((F.col("id") % 2) + 1).cast("string"))
+            ).alias("dt"),
+        ).write.mode("append").partitionBy("dt").parquet(path)
+    before_rows = spark.read.parquet(path).count()
+    stats = compact_table(spark, path, partition_col="dt", files_per_partition=1)
+    assert stats["files_before"] >= 20
+    assert stats["files_after"] == 2  # one file per dt partition
+    after = spark.read.parquet(path)
+    assert after.count() == before_rows == 500
+    assert after.select(F.countDistinct("id")).collect()[0][0] == 500
