@@ -28,3 +28,34 @@ def test_rows_only_query_runs(spark, name):
     df = q.fn(spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_results_invariant_to_shuffle_partitioning(spark):
+    """The determinism contract holds under different physical
+    parallelism: double aggregates go through DECIMAL accumulation, so
+    reshuffling (different partition counts => different reduce orders)
+    must not move a single bit. Representative queries: decimal-sum
+    aggregation, window top-k, LSH dedup with checkpointed shingles."""
+    import pandas as pd
+
+    default = spark.conf.get("spark.sql.shuffle.partitions")
+    names = ["pricing_summary", "vocab_stats", "dedup_minhash_lsh"]
+
+    def run_all():
+        out = {}
+        for n in names:
+            df = REGISTRY[n].fn(spark, SF_DIR).toPandas()
+            out[n] = df[sorted(df.columns)].astype(str).sort_values(
+                by=sorted(df.columns), ignore_index=True
+            )
+        return out
+
+    base = run_all()
+    try:
+        for parts in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            got = run_all()
+            for n in names:
+                pd.testing.assert_frame_equal(got[n], base[n]), (n, parts)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", default)
