@@ -353,3 +353,41 @@ def ivf_search(
         F.col("norm2_s").alias("q_n2"), "cell",
     )
     return _score_cell_pairs(cells, q, k)
+
+
+def hash_embed(
+    docs: DataFrame, dim: int = 32, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Feature-hashing text embedder (the classic hashing trick): each
+    word's polynomial hash picks a bucket (h mod dim) and a sign
+    (parity of h div dim); bucket sums are L2-normalized. Pure column
+    expressions — deterministic, zero-shuffle, whole-stage codegen —
+    so a corpus can flow straight into every embedding operator here
+    (brute/LSH/IVF ANN, near-dup, semantic dedup) without a model
+    server. Output schema matches the embeddings table:
+    (vec_id, embedding array<float>)."""
+    from . import text as T
+
+    hw = T.word_hash_array(f"split({text_col}, ' ')")
+    raw = F.expr(
+        f"transform(sequence(0, {dim - 1}), i -> "
+        f"aggregate(__hw, CAST(0.0 AS DOUBLE), (acc, h) -> "
+        f"acc + CASE WHEN h % {dim} = i THEN "
+        f"CASE WHEN (h div {dim}) % 2 = 0 THEN 1.0 ELSE -1.0 END "
+        f"ELSE 0.0 END))"
+    )
+    norm = F.expr(
+        "sqrt(aggregate(__raw, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"
+    )
+    return (
+        docs.withColumn("__hw", hw)
+        .withColumn("__raw", raw)
+        .withColumn("__n", norm)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.expr(
+                "transform(__raw, x -> CAST(CASE WHEN __n > 0 THEN x / __n "
+                "ELSE 0.0 END AS FLOAT))"
+            ).alias("embedding"),
+        )
+    )

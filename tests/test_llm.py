@@ -348,3 +348,37 @@ def test_minhash_index_probe_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert (1, 900001) in got and got[(1, 900001)] == 1.0
+
+
+def test_hash_embed_feeds_similarity_stack(spark):
+    """The feature-hashing embedder produces unit vectors that plug
+    straight into the ANN operators: exact duplicates score cosine 1.0
+    and rank first; vectors are L2-normalized; empty docs embed to the
+    zero vector without errors."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from degenter_clickhouse_spark import catalog
+    from degenter_clickhouse_spark.llm import similarity as SIM
+
+    docs = catalog.load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    clone = docs.filter(F.col("doc_id") == 3).select(
+        (F.col("doc_id") + 800000).alias("doc_id"), "text"
+    )
+    empty = spark.createDataFrame([(900000, "")], ["doc_id", "text"])
+    vecs = SIM.hash_embed(docs.unionByName(clone).unionByName(empty))
+    norms = vecs.select(
+        "vec_id",
+        F.expr(
+            "aggregate(embedding, CAST(0.0 AS DOUBLE), "
+            "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        ).alias("n2"),
+    ).collect()
+    for r in norms:
+        assert r.n2 == 0.0 or math.isclose(r.n2, 1.0, rel_tol=1e-6), r
+    top = SIM.brute_topk(vecs.filter(F.col("vec_id") == 800003), vecs, k=1).collect()
+    assert len(top) == 1 and top[0].c_id == 3
+    assert math.isclose(top[0].cosine, 1.0, rel_tol=1e-9)
