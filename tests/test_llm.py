@@ -382,3 +382,63 @@ def test_hash_embed_feeds_similarity_stack(spark):
     top = SIM.brute_topk(vecs.filter(F.col("vec_id") == 800003), vecs, k=1).collect()
     assert len(top) == 1 and top[0].c_id == 3
     assert math.isclose(top[0].cosine, 1.0, rel_tol=1e-9)
+
+
+def test_corpus_pipeline_composes_end_to_end(spark, tmp_path):
+    """The full training-data flow on raw text, no pre-made embeddings:
+    chunk -> hash-embed chunks -> build IVF index -> probe for near-dups
+    -> drop dup chunks -> greedy-pack survivors. Every stage's output
+    feeds the next; the planted duplicate documents' chunks are caught
+    by the embedding index and never reach a pack."""
+    from pyspark.sql import functions as F
+
+    from degenter_clickhouse_spark import catalog
+    from degenter_clickhouse_spark.llm import packing
+    from degenter_clickhouse_spark.llm import similarity as SIM
+    from degenter_clickhouse_spark.llm import text as T
+
+    docs = catalog.load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "source", "text"
+    )
+    clones = docs.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 700000).alias("doc_id"), "source", "text"
+    )
+    corpus = docs.unionByName(clones)
+
+    # 1) chunk (overlapping token windows), keep chunk text
+    d = corpus.withColumn("ws", F.split("text", " "))
+    chunks = (
+        d.select(
+            "doc_id", "source", "ws",
+            F.explode(F.sequence(F.lit(0), T.n_chunks("ws") - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id", "source", "chunk_idx",
+            F.array_join(T.chunk_slice("ws", "chunk_idx"), " ").alias("text"),
+            (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("chunk_id"),
+        )
+    )
+    # 2) embed every chunk
+    vecs = SIM.hash_embed(chunks, id_col="chunk_id")
+    # 3) index + probe: exact-clone chunks have cosine 1.0 neighbors
+    idx = str(tmp_path / "ivf")
+    SIM.build_ivf_index(vecs, idx, k_cells=8, iters=2)
+    dups = (
+        SIM.ivf_search(spark, idx, vecs.filter(F.col("vec_id") >= 700000000), k=1, nprobe=2)
+        .filter(F.col("cosine") >= 0.999999)
+        .select(F.col("q_id").alias("chunk_id"))
+    )
+    assert dups.count() >= 3  # every cloned doc's chunks found
+    # 4) drop dup chunks, 5) pack survivors per source
+    kept = chunks.join(dups, "chunk_id", "left_anti").select(
+        "source", "chunk_id", F.size(F.split("text", " ")).cast("long").alias("tokens")
+    )
+    packed = packing.greedy_pack(
+        kept, budget=128, group_col="source", order_col="chunk_id"
+    )
+    assert packed.count() == kept.count() > 0
+    stats = packing.pack_stats(packed, budget=128).filter(F.col("n_docs") > 1)
+    assert stats.filter(F.col("pack_tokens") > 128).count() == 0
+    packed_ids = {r.chunk_id for r in packed.select("chunk_id").collect()}
+    dup_ids = {r.chunk_id for r in dups.collect()}
+    assert packed_ids.isdisjoint(dup_ids)
