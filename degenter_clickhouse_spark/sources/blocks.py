@@ -418,7 +418,13 @@ def ingest(
     derived), idempotent under replay (ST2): exact-duplicate events
     collapse via key dedupe, and previously ingested (pool, tx, msg)
     keys are anti-joined away."""
-    ev = events_frame(raw)
+    # the five outputs share this lineage and are written (or counted)
+    # as separate actions by every caller — without materialization the
+    # block parse + event extraction re-executes once PER OUTPUT (4
+    # redundant passes per micro-batch in stream_ingest). Lazy
+    # localCheckpoints make the parse run once: ev on first touch,
+    # trades again after the dedupe/anti-join shuffle.
+    ev = events_frame(raw).localCheckpoint(eager=False)
     new_pools = extract_pools(ev, existing_pools)
     pools_dim = (
         existing_pools.unionByName(new_pools, allowMissingColumns=True)
@@ -435,6 +441,7 @@ def ingest(
             existing_trades.select("pool_id", "tx_hash", "msg_index"),
             on=["pool_id", "tx_hash", "msg_index"],
         )
+    trades = trades.localCheckpoint(eager=False)
     prices = derive_prices(trades, pools_dim, tokens_exp)
     return {
         "pools": new_pools,
