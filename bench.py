@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "sequence_packing",  # per-shard greedy token-budget packing
     "corpus_sampling",  # stratified hash sample + domain quota
     "vocab_stats",  # explode -> tf/df agg -> top-K
+    "doc_chunking",  # overlapping token windows, map-only
 ]
 
 
