@@ -84,3 +84,51 @@ def pack_stats(packed: DataFrame, budget: int, group_col: str = "source") -> Dat
         F.sum("tokens").alias("pack_tokens"),
         (F.sum("tokens") / F.lit(float(budget))).alias("fill_ratio"),
     )
+
+
+def corpus_order(
+    docs: DataFrame,
+    weights: dict[str, int],
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    default_weight: int = 1,
+) -> DataFrame:
+    """Deterministic weighted interleave — the final training-order
+    step: a source with weight w contributes w consecutive slots per
+    cycle, so the mixture ratio is exact over any long window and the
+    order is fully reproducible (integer math only, no RNG).
+
+    Scale shape: one window per source (rank within source) and one
+    global sort by the computed (cycle, source, slot) key — a
+    range-partitioned sort, no driver involvement.
+    """
+    w_expr = None
+    for src, w in weights.items():
+        base = F.when(F.col(group_col) == src, F.lit(int(w)))
+        w_expr = base if w_expr is None else w_expr.when(
+            F.col(group_col) == src, F.lit(int(w))
+        )
+    w_expr = (
+        w_expr.otherwise(F.lit(int(default_weight)))
+        if w_expr is not None
+        else F.lit(int(default_weight))
+    )
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(F.col(order_col).asc())
+    )
+    ordered = (
+        docs.withColumn("__w", w_expr)
+        .withColumn("__rn", rn - 1)
+        .withColumn("__cycle", (F.col("__rn") / F.col("__w")).cast("long"))
+        .withColumn("__slot", F.col("__rn") % F.col("__w"))
+    )
+    pos = F.row_number().over(
+        Window.orderBy(
+            F.col("__cycle").asc(), F.col(group_col).asc(), F.col("__slot").asc()
+        )
+    )
+    return ordered.select(
+        F.col(order_col), F.col(group_col), (pos - 1).alias("position")
+    )

@@ -442,3 +442,21 @@ def test_corpus_pipeline_composes_end_to_end(spark, tmp_path):
     packed_ids = {r.chunk_id for r in packed.select("chunk_id").collect()}
     dup_ids = {r.chunk_id for r in dups.collect()}
     assert packed_ids.isdisjoint(dup_ids)
+
+
+def test_corpus_order_weighted_interleave(spark):
+    """weights {a:2, b:1}: each cycle is a,a,b while both sources last;
+    exhausted sources drop out and the tail keeps its order; positions
+    are a permutation of 0..n-1."""
+    from degenter_clickhouse_spark.llm.packing import corpus_order
+
+    rows = [("a", i) for i in range(6)] + [("b", 10 + i) for i in range(2)]
+    d = spark.createDataFrame(rows, ["source", "doc_id"])
+    out = sorted(
+        ((r.position, r.source, r.doc_id) for r in corpus_order(
+            d, weights={"a": 2, "b": 1}
+        ).collect())
+    )
+    assert [p for p, _, _ in out] == list(range(8))
+    assert [s for _, s, _ in out] == ["a", "a", "b", "a", "a", "b", "a", "a"]
+    assert [i for _, _, i in out] == [0, 1, 10, 2, 3, 11, 4, 5]
