@@ -68,12 +68,23 @@ def stream_corpus_ingest(
     min_words: int = 5,
     max_rep_ratio: float = 0.9,
     watermark: str = "1 hour",
+    near_dup_threshold: float | None = None,
     available_now: bool = True,
 ):
     """Drain ``landing_dir`` (json docs with an ``event_ts``) into
     ``output_dir/accepted`` + ``output_dir/quarantine`` with online
     exact-dedup and quality gating. ``available_now`` processes what is
-    present and stops (test/batch-drain mode)."""
+    present and stops (test/batch-drain mode).
+
+    ``near_dup_threshold`` additionally enables ONLINE NEAR-dedup: each
+    batch probes the growing MinHash index at ``output_dir/minhash_idx``
+    (band buckets + shingle sets, llm/dedup.py), quarantines docs whose
+    Jaccard against any earlier-accepted doc (or a lower-id batchmate)
+    reaches the threshold, and appends the survivors' LSH state to the
+    index — the corpus is never re-shingled, so per-batch cost tracks
+    the batch, not the corpus."""
+    from ..llm import dedup as D
+
     raw = spark.readStream.schema(DOC_SCHEMA).json(landing_dir)
     hashed = raw.withColumn("content_hash", F.md5(F.col("text")))
     deduped = hashed.withWatermark("event_ts", watermark).dropDuplicatesWithinWatermark(
@@ -89,14 +100,58 @@ def stream_corpus_ingest(
         .otherwise(F.lit(None).cast("string"))
     )
     tagged = scored.withColumn("reject_reason", reason)
+    idx_dir = os.path.join(output_dir, "minhash_idx")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.cache()
         try:
-            batch_df.filter(keep).drop("reject_reason").write.mode("append").parquet(
+            accepted = batch_df.filter(keep).drop("reject_reason")
+            rejected = batch_df.filter(~keep)
+            if near_dup_threshold is not None:
+                accepted = accepted.cache()
+                sh = D._minhash_shingles(accepted)
+                bands = D._minhash_bands(sh)
+                if os.path.exists(os.path.join(idx_dir, "bands")):
+                    idx_bands = spark.read.parquet(os.path.join(idx_dir, "bands"))
+                    idx_sh = spark.read.parquet(os.path.join(idx_dir, "shingles"))
+                    all_bands = idx_bands.unionByName(bands)
+                    all_sh = idx_sh.unionByName(sh)
+                else:  # first batch: only batchmates can collide
+                    all_bands, all_sh = bands, sh
+                a, b = bands.alias("a"), all_bands.alias("b")
+                cand = (
+                    a.join(
+                        b,
+                        (F.col("a.band") == F.col("b.band"))
+                        & (F.col("a.key") == F.col("b.key"))
+                        # keep the EARLIER doc: a batch doc is dropped if
+                        # it near-dups the index or a lower-id batchmate
+                        & (F.col("a.d") > F.col("b.d")),
+                    )
+                    .select(F.col("a.d").alias("d2"), F.col("b.d").alias("d1"))
+                    .distinct()
+                )
+                dup_ids = (
+                    D._verify_jaccard(cand, all_sh, near_dup_threshold)
+                    .select(F.col("d2").alias("doc_id"))
+                    .distinct()
+                    .cache()
+                )
+                near = accepted.join(dup_ids, "doc_id", "left_semi").withColumn(
+                    "reject_reason", F.lit("near_duplicate")
+                )
+                accepted = accepted.join(dup_ids, "doc_id", "left_anti")
+                rejected = rejected.unionByName(near, allowMissingColumns=True)
+                surv = dup_ids.withColumnRenamed("doc_id", "d")
+                sh.join(surv, "d", "left_anti").write.mode("append").parquet(
+                    os.path.join(idx_dir, "shingles")
+                )
+                bands.join(surv, "d", "left_anti").write.mode("append").partitionBy(
+                    "band"
+                ).parquet(os.path.join(idx_dir, "bands"))
+            accepted.write.mode("append").parquet(
                 os.path.join(output_dir, "accepted")
             )
-            rejected = batch_df.filter(~keep)
             if rejected.limit(1).count():
                 rejected.write.mode("append").parquet(
                     os.path.join(output_dir, "quarantine")

@@ -222,3 +222,47 @@ def test_compact_table_reduces_files_preserves_data(spark, tmp_path):
     after = spark.read.parquet(path)
     assert after.count() == before_rows == 500
     assert after.select(F.countDistinct("id")).collect()[0][0] == 500
+
+
+def test_streaming_corpus_online_near_dedup(spark, tmp_path):
+    """With near_dup_threshold set, each batch probes the growing
+    MinHash index: a REWORDED near-duplicate (different content hash)
+    of an earlier-accepted doc is quarantined as near_duplicate, and
+    only survivors' LSH state joins the index."""
+    import json as _json
+    import os
+
+    from degenter_clickhouse_spark.streaming.corpus import stream_corpus_ingest
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def doc(i, text, ts="2024-01-01 10:00:00"):
+        return {"doc_id": i, "text": text, "lang": "en", "source": "src0",
+                "n_chars": len(text), "event_ts": ts}
+
+    base = ("the quick brown fox jumps over the lazy dog while the calm cat "
+            "watches the bright moon rise above the quiet hills tonight")
+    distinct = ("completely different words about spark engines shuffling "
+                "partitions across executors with adaptive query plans")
+    (landing / "b1.json").write_text(_json.dumps(doc(1, base)))
+    stream_corpus_ingest(spark, str(landing), out, ckpt, near_dup_threshold=0.5)
+    # batch 2: a near-dup (one word changed -> same shingles mostly) + unrelated
+    near = base.replace("lazy", "sleepy")
+    (landing / "b2.json").write_text("\n".join([
+        _json.dumps(doc(2, near, ts="2024-01-01 10:10:00")),
+        _json.dumps(doc(3, distinct, ts="2024-01-01 10:10:00")),
+    ]))
+    stream_corpus_ingest(spark, str(landing), out, ckpt, near_dup_threshold=0.5)
+    acc = sorted(r.doc_id for r in spark.read.parquet(
+        os.path.join(out, "accepted")).collect())
+    assert acc == [1, 3]
+    quar = {r.doc_id: r.reject_reason for r in spark.read.parquet(
+        os.path.join(out, "quarantine")).collect()}
+    assert quar == {2: "near_duplicate"}
+    # the dropped doc's LSH state never joined the index
+    idx_docs = {r.d for r in spark.read.parquet(
+        os.path.join(out, "minhash_idx", "shingles")).collect()}
+    assert idx_docs == {1, 3}
