@@ -98,9 +98,25 @@ def corpus_order(
     cycle, so the mixture ratio is exact over any long window and the
     order is fully reproducible (integer math only, no RNG).
 
-    Scale shape: one window per source (rank within source) and one
-    global sort by the computed (cycle, source, slot) key — a
-    range-partitioned sort, no driver involvement.
+    Scale shape: the global training position is CLOSED-FORM, not a
+    global window. A row's position in the (cycle, source, slot) order
+    is the number of rows with a strictly smaller key, and that count
+    is pure arithmetic over the per-source (count, weight) table:
+
+        position(C, S, L) = sum_s min(n_s, C * w_s)            # earlier cycles
+                          + sum_{s < S} clamp(n_s - C*w_s, 0, w_s)  # this cycle
+                          + L                                  # this source
+
+    The (count, weight) table is dimension-sized — one row per corpus
+    source — so it is collected once and folded into literal column
+    arithmetic; no row of corpus data ever crosses a single-partition
+    exchange (a ``row_number`` over an unpartitioned window would force
+    exactly that — Spark's WindowExec requires one task when there is
+    no partitionBy, the definitive 100 TB scale-killer). The only
+    remaining shuffle is the within-source rank, partitioned on
+    ``group_col``; for a corpus whose single largest source outgrows a
+    partition, pre-assign the within-source ordinal at ingest and feed
+    it in as ``order_col`` densely numbered, skipping that window too.
     """
     w_expr = None
     for src, w in weights.items():
@@ -124,11 +140,30 @@ def corpus_order(
         .withColumn("__cycle", (F.col("__rn") / F.col("__w")).cast("long"))
         .withColumn("__slot", F.col("__rn") % F.col("__w"))
     )
-    pos = F.row_number().over(
-        Window.orderBy(
-            F.col("__cycle").asc(), F.col(group_col).asc(), F.col("__slot").asc()
+    # dimension-sized driver fold: one (source, count) row per source
+    counts = {
+        r["s"]: int(r["n"])
+        for r in docs.groupBy(F.col(group_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    cycle = F.col("__cycle")
+    before_cycles = F.lit(0).cast("long")
+    earlier_in_cycle = F.lit(0).cast("long")
+    for s, n_s in counts.items():
+        w_s = int(weights.get(s, default_weight))
+        # rows of source s consumed by cycles strictly before C
+        before_cycles = before_cycles + F.least(
+            F.lit(n_s).cast("long"), cycle * F.lit(w_s)
         )
-    )
+        # rows of a lexicographically-earlier source inside cycle C
+        in_cycle = F.least(
+            F.greatest(F.lit(n_s) - cycle * F.lit(w_s), F.lit(0)), F.lit(w_s)
+        ).cast("long")
+        earlier_in_cycle = earlier_in_cycle + F.when(
+            F.lit(s) < F.col(group_col), in_cycle
+        ).otherwise(F.lit(0).cast("long"))
+    pos = before_cycles + earlier_in_cycle + F.col("__slot")
     return ordered.select(
-        F.col(order_col), F.col(group_col), (pos - 1).alias("position")
+        F.col(order_col), F.col(group_col), pos.cast("long").alias("position")
     )

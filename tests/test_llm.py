@@ -460,3 +460,21 @@ def test_corpus_order_weighted_interleave(spark):
     assert [p for p, _, _ in out] == list(range(8))
     assert [s for _, s, _ in out] == ["a", "a", "b", "a", "a", "b", "a", "a"]
     assert [i for _, _, i in out] == [0, 1, 10, 2, 3, 11, 4, 5]
+
+
+def test_corpus_order_no_single_partition_exchange(spark):
+    """The global training position is closed-form arithmetic, never an
+    unpartitioned window: the physical plan must not funnel the corpus
+    through a SinglePartition exchange (WindowExec with no partitionBy
+    would — the 100 TB scale-killer the closed form exists to avoid)."""
+    from degenter_clickhouse_spark.llm.packing import corpus_order
+
+    rows = [("a", i) for i in range(6)] + [("b", 10 + i) for i in range(2)]
+    d = spark.createDataFrame(rows, ["source", "doc_id"])
+    plan = (
+        corpus_order(d, weights={"a": 2, "b": 1})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan, plan
