@@ -52,6 +52,7 @@ from .plans import (
 )
 from .plans import views
 from .sources import blocks as BLK
+from .operators.joins import dim_broadcast
 
 BASE_TABLES = (
     "tokens",
@@ -354,7 +355,7 @@ class DegenterEngine:
         reserve_mid = F.when(
             F.col("reserve_token") > 0, F.col("reserve_zig") / F.col("reserve_token")
         )
-        cands = cands.join(F.broadcast(lp), "pool_id", "left").withColumn(
+        cands = cands.join(dim_broadcast(lp), "pool_id", "left").withColumn(
             "mid_zig", F.coalesce(F.col("mid_zig"), reserve_mid)
         )
         return SW.route_via_uzig(requests, cands)
@@ -397,9 +398,9 @@ class DegenterEngine:
         )
         return (
             meta.join(tm.drop("denom", "updated_at"), "token_id", "left")
-            .join(F.broadcast(sec), "token_id", "left")
-            .join(F.broadcast(tops), "token_id", "left")
-            .join(F.broadcast(pls), "token_id", "left")
+            .join(dim_broadcast(sec), "token_id", "left")
+            .join(dim_broadcast(tops), "token_id", "left")
+            .join(dim_broadcast(pls), "token_id", "left")
         )
 
     def watchlist(self, wallet_id: int, bucket: str = "24h",

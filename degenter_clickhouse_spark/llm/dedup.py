@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import text as T
+from ..operators.joins import dim_broadcast
 
 
 def with_shingle_rows(docs: DataFrame, id_col: str = "doc_id", n: int = 3) -> DataFrame:
@@ -421,7 +422,7 @@ def contamination(
     bench_grams = with_shingle_rows(benchmark, id_col, n).select("h").distinct()
     train_grams = with_shingle_rows(train, id_col, n)
     hits = (
-        train_grams.join(F.broadcast(bench_grams), "h")
+        train_grams.join(dim_broadcast(bench_grams), "h")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from ..operators.joins import dim_broadcast
 
 SCALE = "1e12"
 
@@ -66,7 +67,7 @@ def brute_topk(
     c = with_norm(candidates, vec).select(
         F.col(id_col).alias("c_id"), F.col(vec).alias("c_vec"), F.col("norm2_s").alias("c_n2")
     )
-    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("c_id") != F.col("q_id"))
+    pairs = c.crossJoin(dim_broadcast(q)).filter(F.col("c_id") != F.col("q_id"))
     scored = pairs.withColumn("dot_s", scaled_dot("q_vec", "c_vec")).withColumn(
         "cosine", cosine_from_scaled(F.col("dot_s"), F.col("q_n2"), F.col("c_n2"))
     )
@@ -167,7 +168,7 @@ def lsh_topk(
         F.col(id_col).alias("c_id"), F.col(vec).alias("c_vec"),
         F.col("norm2_s").alias("c_n2"), "bucket",
     )
-    pairs = c.join(F.broadcast(q), "bucket").filter(F.col("c_id") != F.col("q_id"))
+    pairs = c.join(dim_broadcast(q), "bucket").filter(F.col("c_id") != F.col("q_id"))
     scored = pairs.withColumn("dot_s", scaled_dot("q_vec", "c_vec")).withColumn(
         "cosine", cosine_from_scaled(F.col("dot_s"), F.col("q_n2"), F.col("c_n2"))
     )
@@ -247,7 +248,7 @@ def assign_cells(
         f"* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * 1e12) AS BIGINT)), "
         f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
-    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn("dist", dist)
+    scored = vectors.crossJoin(dim_broadcast(centroids)).withColumn("dist", dist)
     w = Window.partitionBy(id_col).orderBy(F.col("dist").asc(), F.col("cell").asc())
     return (
         scored.withColumn("__rk", F.row_number().over(w))
@@ -259,7 +260,7 @@ def assign_cells(
 def _score_cell_pairs(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
     """Shared probe tail: score (query, candidate) pairs that co-occur
     in a cell, keep the per-query top-k (ties to lowest candidate)."""
-    pairs = c.join(F.broadcast(q), "cell").filter(F.col("c_id") != F.col("q_id"))
+    pairs = c.join(dim_broadcast(q), "cell").filter(F.col("c_id") != F.col("q_id"))
     scored = pairs.withColumn("dot_s", scaled_dot("q_vec", "c_vec")).withColumn(
         "cosine", cosine_from_scaled(F.col("dot_s"), F.col("q_n2"), F.col("c_n2"))
     ).dropDuplicates(["q_id", "c_id"])

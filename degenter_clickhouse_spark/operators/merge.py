@@ -16,6 +16,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from .joins import dim_broadcast
 
 
 def conditional_merge(
@@ -114,7 +115,7 @@ def upsert_write(
         updates.write.mode("overwrite").parquet(path)
         return
     survivors = current.join(
-        F.broadcast(updates.select(*keys).distinct()), on=list(keys), how="left_anti"
+        dim_broadcast(updates.select(*keys).distinct()), on=list(keys), how="left_anti"
     )
     merged = survivors.unionByName(updates.select(*current.columns))
     # localCheckpoint materializes the merge BEFORE the overwrite
@@ -177,6 +178,16 @@ def compact_table(
         )
     else:
         df.coalesce(files_per_partition).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    # swap with no window where neither copy exists: move the live table
+    # aside first, promote the compacted copy, then delete the old one.
+    # A crash between the renames leaves either the live table or both
+    # copies on disk — never zero. (os.rename requires tmp/old on the
+    # same filesystem as path; they are siblings of it by construction.
+    # On an object store this whole swap becomes one metadata commit.)
+    old = path.rstrip("/") + "._old"
+    if os.path.exists(old):
+        shutil.rmtree(old)  # leftover from a prior crash after promote
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     return {"files_before": before, "files_after": count_files(path)}

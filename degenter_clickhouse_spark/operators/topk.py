@@ -69,16 +69,24 @@ def paginate(
     with_total: bool = False,
 ) -> DataFrame:
     """O2 LIMIT/OFFSET pagination with optional grand total (A12/W3:
-    ``count() OVER ()`` api/routes/tokens.js:224-229). The total is an
-    empty-partition window — acceptable for page-sized results only; the
-    reference gates it behind ``includeTotal`` for the same reason.
+    ``count() OVER ()`` api/routes/tokens.js:224-229).
+
+    Shape: ``orderBy(...).offset(...).limit(...)`` plans as ONE
+    TakeOrderedAndProject(limit=offset+limit, offset=offset) — each
+    partition keeps a bounded heap and only offset+limit rows reach the
+    driver-side merge; the full input never crosses a single-partition
+    exchange (a global ``row_number`` window would shuffle the ENTIRE
+    frame to one task before slicing, SURVEY §2.7 O2). The optional
+    total is a broadcast one-row count — map-side partial counts, one
+    row per input partition through the exchange — NOT the reference's
+    ``COUNT(*) OVER ()`` empty-frame window, which would also funnel
+    every row through one task; the cost is a second scan of ``df``,
+    which is why the reference gates totals behind ``includeTotal``
+    and this port keeps the gate.
     """
     ordc = _cols(order)
     if with_total:
-        df = df.withColumn("total", F.count(F.lit(1)).over(Window.partitionBy()))
-    w = Window.partitionBy(F.lit(1)).orderBy(*ordc)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter((F.col("__rn") > offset) & (F.col("__rn") <= offset + limit))
-        .drop("__rn")
-    )
+        df = df.crossJoin(
+            F.broadcast(df.groupBy().agg(F.count(F.lit(1)).alias("total")))
+        )
+    return df.orderBy(*ordc).offset(offset).limit(limit)

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..operators import latest
 from . import views
+from ..operators.joins import dim_broadcast
 
 
 def _params(alerts: DataFrame, *fields: tuple[str, str]) -> DataFrame:
@@ -49,7 +50,7 @@ def eval_price_cross(alerts: DataFrame, prices: DataFrame, now: Column) -> DataF
         ("threshold", "double"),
     )
     lp = views.latest_prices(prices).select("pool_id", "latest_price_zig")
-    j = a.join(F.broadcast(lp), "pool_id", "left")
+    j = a.join(dim_broadcast(lp), "pool_id", "left")
     fired = F.when(
         F.col("direction") == "above", F.col("latest_price_zig") > F.col("threshold")
     ).otherwise(F.col("latest_price_zig") < F.col("threshold"))
@@ -107,7 +108,7 @@ def eval_large_trade(
     )
     lt = (
         large_trades.select("value_zig", "created_at")
-        .join(F.broadcast(bounds))
+        .join(dim_broadcast(bounds))
         .filter(
             (F.col("value_zig") >= F.col("__gmin"))
             & (
@@ -160,7 +161,7 @@ def eval_tvl_change(
     nowv = views.latest_pool_state(pool_state).select(
         "pool_id", F.col("reserve_quote_base").cast("double").alias("rq_now")
     )
-    j = a.join(F.broadcast(nowv), "pool_id", "left")
+    j = a.join(dim_broadcast(nowv), "pool_id", "left")
     past_all = pool_state.select(
         "pool_id", F.col("reserve_quote_base").cast("double").alias("rq"), "updated_at"
     )

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators import topk
+from ..operators.joins import dim_broadcast
 
 
 def holder_stats(holders: DataFrame) -> DataFrame:
@@ -50,7 +51,7 @@ def creator_pct(holders: DataFrame, tokens: DataFrame) -> DataFrame:
     )
     creators = tokens.select("token_id", "creator_address")
     cb = (
-        pos.join(F.broadcast(creators), "token_id")
+        pos.join(dim_broadcast(creators), "token_id")
         .filter(F.col("address") == F.col("creator_address"))
         .groupBy("token_id")
         .agg(F.sum(F.col("balance_base").cast("decimal(38,0)")).alias("creator_bal"))

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from .. import schemas as S
 from ..operators import latest
 from . import views
+from ..operators.joins import dim_broadcast
 
 BUCKETS = {"30m": 30, "1h": 60, "4h": 240, "24h": 1440}
 
@@ -79,7 +80,7 @@ def trade_volumes(
     )
     p = pools.select("pool_id", "base_token_id", "quote_token_id", "is_uzig_quote")
     qt = tokens.select(F.col("token_id").alias("quote_token_id"), F.col("exponent").alias("quote_exp"))
-    enriched = q.join(F.broadcast(p), "pool_id").join(F.broadcast(qt), "quote_token_id", "left")
+    enriched = q.join(dim_broadcast(p), "pool_id").join(dim_broadcast(qt), "quote_token_id", "left")
     # quote display units -> ZIG: native pools are already ZIG; non-uzig
     # quotes convert via the pool's OWN latest price_in_zig — LEFT JOIN
     # latest_prices ON pool_id, coalesce 0 (vol_enriched,
@@ -88,7 +89,7 @@ def trade_volumes(
         ppx = views.latest_prices(prices).select(
             "pool_id", F.col("latest_price_zig").alias("pool_px_zig")
         )
-        enriched = enriched.join(F.broadcast(ppx), "pool_id", "left")
+        enriched = enriched.join(dim_broadcast(ppx), "pool_id", "left")
         quote_px = F.when(F.col("is_uzig_quote"), F.lit(1.0)).otherwise(
             F.coalesce(F.col("pool_px_zig"), F.lit(0.0))
         )
@@ -125,9 +126,9 @@ def price_with_fallback(
     ).withColumnRenamed("close", "ohlcv_close")
     p = pools.select("pool_id", "base_token_id")
     return (
-        p.join(F.broadcast(direct), "pool_id", "left")
-        .join(F.broadcast(token_native), "base_token_id", "left")
-        .join(F.broadcast(bar_last), "pool_id", "left")
+        p.join(dim_broadcast(direct), "pool_id", "left")
+        .join(dim_broadcast(token_native), "base_token_id", "left")
+        .join(dim_broadcast(bar_last), "pool_id", "left")
         .select(
             "pool_id",
             F.coalesce("direct_price", "token_native_price", "ohlcv_close").alias(
@@ -158,11 +159,11 @@ def pool_tvl(
     qt = tokens.select(F.col("token_id").alias("quote_token_id"), F.col("exponent").alias("quote_exp"))
     p = pools.select("pool_id", "base_token_id", "quote_token_id", "is_uzig_quote")
     j = (
-        p.join(F.broadcast(state), "pool_id", "left")
-        .join(F.broadcast(base_px), "pool_id", "left")
-        .join(F.broadcast(tok_px), "quote_token_id", "left")
-        .join(F.broadcast(bt), "base_token_id", "left")
-        .join(F.broadcast(qt), "quote_token_id", "left")
+        p.join(dim_broadcast(state), "pool_id", "left")
+        .join(dim_broadcast(base_px), "pool_id", "left")
+        .join(dim_broadcast(tok_px), "quote_token_id", "left")
+        .join(dim_broadcast(bt), "base_token_id", "left")
+        .join(dim_broadcast(qt), "quote_token_id", "left")
     )
     quote_px = F.when(F.col("is_uzig_quote"), F.lit(1.0)).otherwise(
         F.coalesce(F.col("quote_px_lookup"), F.lit(0.0))
@@ -190,8 +191,8 @@ def rollup(
     base = pools.select("pool_id")
     out = (
         base.join(vols.drop("base_token_id", "quote_token_id", "is_uzig_quote"), "pool_id", "left")
-        .join(F.broadcast(px), "pool_id", "left")
-        .join(F.broadcast(tvl), "pool_id", "left")
+        .join(dim_broadcast(px), "pool_id", "left")
+        .join(dim_broadcast(tvl), "pool_id", "left")
     )
     return out.select(
         "pool_id",

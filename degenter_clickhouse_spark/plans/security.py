@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from ..functions import business
 from . import holders as H
+from ..operators.joins import dim_broadcast
 
 
 def scan(tokens: DataFrame, holders: DataFrame, now: Column) -> DataFrame:
@@ -23,8 +24,8 @@ def scan(tokens: DataFrame, holders: DataFrame, now: Column) -> DataFrame:
         "max_supply_base",
         "total_supply_base",
     )
-    j = t.join(F.broadcast(stats), "token_id", "left").join(
-        F.broadcast(cpct), "token_id", "left"
+    j = t.join(dim_broadcast(stats), "token_id", "left").join(
+        dim_broadcast(cpct), "token_id", "left"
     )
     age_days = F.datediff(now.cast("date"), F.col("created_at").cast("date"))
     fully_minted = (

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from .. import schemas as S
 from ..functions import business
 from . import views
+from ..operators.joins import dim_broadcast
 
 
 def candidate_pools(
@@ -33,7 +34,7 @@ def candidate_pools(
     p = pools.filter(F.col("is_uzig_quote")).select(
         "pool_id", "pair_contract", "base_token_id", "pair_type"
     )
-    j = p.join(F.broadcast(state), "pool_id", "left").join(F.broadcast(bt), "base_token_id", "left")
+    j = p.join(dim_broadcast(state), "pool_id", "left").join(dim_broadcast(bt), "base_token_id", "left")
     rz = F.coalesce(F.col("reserve_quote_base").cast("double"), F.lit(0.0)) / F.pow(
         F.lit(10.0), F.lit(S.UZIG_EXPONENT)
     )
@@ -52,7 +53,7 @@ def candidate_pools(
     )
     if pool_matrix_24h is not None:
         pm = pool_matrix_24h.select("pool_id", "tvl_zig", "vol_buy_zig", "vol_sell_zig")
-        out = out.join(F.broadcast(pm), "pool_id", "left").withColumn(
+        out = out.join(dim_broadcast(pm), "pool_id", "left").withColumn(
             "tvl_zig", F.coalesce("tvl_zig", "tvl_zig_approx")
         )
     else:
@@ -127,7 +128,7 @@ def _best_leg(
         "fee",
         "mid_zig",
     )
-    j = reqs.join(F.broadcast(cand), key, "left")
+    j = reqs.join(dim_broadcast(cand), key, "left")
     sim = business.simulate_xyk(
         F.lit(from_is_zig), amount, F.col("reserve_zig"), F.col("reserve_token"), F.col("fee")
     )

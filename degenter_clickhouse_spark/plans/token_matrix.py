@@ -18,6 +18,7 @@ from .. import schemas as S
 from ..operators import latest
 from . import pool_matrix as PM
 from . import views
+from ..operators.joins import dim_broadcast
 
 
 def token_price_guarded(
@@ -34,13 +35,13 @@ def token_price_guarded(
         "pool_id", F.col("base_token_id").alias("token_id")
     )
     bar_px = (
-        ohlcv_1m.join(F.broadcast(native_pools), "pool_id")
+        ohlcv_1m.join(dim_broadcast(native_pools), "pool_id")
         .groupBy("token_id")
         .agg(F.avg("close").alias("bar_px"))
     )
     exp = tokens.select("token_id", "exponent")
-    j = tok_px.join(F.broadcast(bar_px), "token_id", "left").join(
-        F.broadcast(exp), "token_id", "left"
+    j = tok_px.join(dim_broadcast(bar_px), "token_id", "left").join(
+        dim_broadcast(exp), "token_id", "left"
     )
     ratio = F.col("feed_px") / F.col("bar_px")
     rebased = (
@@ -91,7 +92,7 @@ def rollup(
             (F.col("action") == "swap")
             & (F.col("created_at") >= now - F.expr(f"INTERVAL {minutes} MINUTES"))
         )
-        .join(F.broadcast(native), "pool_id")
+        .join(dim_broadcast(native), "pool_id")
         .groupBy("token_id")
         .agg(
             F.countDistinct(
@@ -111,8 +112,8 @@ def rollup(
     )
     j = (
         t.join(per_token, "token_id", "left")
-        .join(F.broadcast(px), "token_id", "left")
-        .join(F.broadcast(hc), "token_id", "left")
+        .join(dim_broadcast(px), "token_id", "left")
+        .join(dim_broadcast(hc), "token_id", "left")
     )
     circ_disp = F.col("total_supply_base").cast("double") / F.pow(
         F.lit(10.0), F.coalesce(F.col("exponent"), F.lit(S.UZIG_EXPONENT))

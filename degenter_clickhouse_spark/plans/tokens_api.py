@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators import topk
+from ..operators.joins import dim_broadcast
 
 
 def _bucket(col: Column, step_sec: int) -> Column:
@@ -47,7 +48,7 @@ def ohlcv_series(
     semi join instead of a driver-side collect + isin."""
     if isinstance(pool_ids, DataFrame):
         src = ohlcv_1m.join(
-            F.broadcast(pool_ids.select("pool_id").distinct()),
+            dim_broadcast(pool_ids.select("pool_id").distinct()),
             "pool_id",
             "left_semi",
         )
@@ -210,7 +211,7 @@ def gainers_losers(
     native = pools.filter(F.col("is_uzig_quote")).select(
         "pool_id", F.col("base_token_id").alias("token_id")
     )
-    series = ohlcv_1m.join(F.broadcast(native), "pool_id")
+    series = ohlcv_1m.join(dim_broadcast(native), "pool_id")
     ordc = F.struct(F.col("bucket_start"), F.col("pool_id"))
     per_token = series.groupBy("token_id").agg(
         F.max_by(F.col("close"), ordc).alias("last_close"),

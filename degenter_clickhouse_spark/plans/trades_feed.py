@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from .. import schemas as S
 from ..functions import business
+from ..operators.joins import dim_broadcast
 
 
 def shape(
@@ -39,10 +40,10 @@ def shape(
         F.col("latest_price_zig").alias("quote_px"),
     )
     t = (
-        trades.join(F.broadcast(toff), "offer_asset_denom", "left")
-        .join(F.broadcast(task), "ask_asset_denom", "left")
-        .join(F.broadcast(p), "pool_id", "left")
-        .join(F.broadcast(qpx), "quote_token_id", "left")
+        trades.join(dim_broadcast(toff), "offer_asset_denom", "left")
+        .join(dim_broadcast(task), "ask_asset_denom", "left")
+        .join(dim_broadcast(p), "pool_id", "left")
+        .join(dim_broadcast(qpx), "quote_token_id", "left")
     )
     offer_disp = F.col("offer_amount_base").cast("double") / F.pow(
         F.lit(10.0), F.coalesce(F.col("offer_exp"), F.lit(S.UZIG_EXPONENT))

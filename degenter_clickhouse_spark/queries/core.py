@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 from .. import catalog
 from ..operators import dedupe, joins, latest, ohlcv, topk
 from . import register
+from ..operators.joins import dim_broadcast
 
 DEC = "decimal(25,6)"
 
@@ -739,8 +740,8 @@ def q_pool_matrix_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
     pools = t.select("pool_id").distinct()
     j = (
         pools.join(q, "pool_id", "left")
-        .join(F.broadcast(direct), "pool_id", "left")
-        .join(F.broadcast(barlast), "pool_id", "left")
+        .join(dim_broadcast(direct), "pool_id", "left")
+        .join(dim_broadcast(barlast), "pool_id", "left")
     )
     price = F.coalesce("direct_price", "close", F.lit(0.0))
     vol_buy = F.coalesce("vol_buy", F.lit(0.0))

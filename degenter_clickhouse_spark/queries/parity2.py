@@ -17,6 +17,7 @@ from ..functions import business, parse
 from ..operators import latest, ohlcv
 from . import register
 from .core import CHANGE_CUTOFF, DEC, O_TICKS, dsum, epoch, o_bars, o_dsum, spark_bars
+from ..operators.joins import dim_broadcast
 
 # ---------------------------------------------------------------------------
 # P2: sha256 tx-hash derivation
@@ -357,9 +358,9 @@ def q_price_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
         bars, keys=["pool_id"], values=["close"], order=["bucket_start"]
     ).withColumnRenamed("close", "bar_close")
     j = (
-        pools.join(F.broadcast(direct), "pool_id", "left")
-        .join(F.broadcast(anyp), "pool_id", "left")
-        .join(F.broadcast(barlast), "pool_id", "left")
+        pools.join(dim_broadcast(direct), "pool_id", "left")
+        .join(dim_broadcast(anyp), "pool_id", "left")
+        .join(dim_broadcast(barlast), "pool_id", "left")
     )
     return j.select(
         "pool_id",
@@ -405,7 +406,7 @@ def q_mcap_fdv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("circ")
     )
     px = latest.latest_by(t, keys=["pool_id"], values=["price"], order=["ts", "event_id"])
-    j = supply.join(F.broadcast(px), "pool_id")
+    j = supply.join(dim_broadcast(px), "pool_id")
     return j.select(
         "pool_id",
         "circ",

@@ -12,6 +12,7 @@ from .. import catalog
 from ..functions import parse
 from . import register
 from .core import dsum, o_dsum
+from ..operators.joins import dim_broadcast
 
 # ---------------------------------------------------------------------------
 # F8 + O6: NULL-metadata scan feeding a stalest-K refresh queue
@@ -92,7 +93,7 @@ GROUP BY o.o_custkey
 def q_set_rejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = catalog.load_table(spark, sf_dir, "orders")
     big = o.filter(F.col("o_totalprice") > 400000).select("o_custkey").distinct()
-    sib = o.join(F.broadcast(big), "o_custkey", "left_semi")
+    sib = o.join(dim_broadcast(big), "o_custkey", "left_semi")
     return sib.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.count(F.lit(1)).alias("n_sibling_orders"),
         dsum("o_totalprice").alias("sibling_total"),

@@ -37,6 +37,7 @@ from pyspark.sql import types as T
 from .. import schemas as S
 from ..functions import parse
 from ..operators import dedupe, joins, ohlcv
+from ..operators.joins import dim_broadcast
 
 RAW_SCHEMA = T.StructType(
     [
@@ -209,7 +210,7 @@ def extract_swaps(
         F.col("quote_denom").alias("pool_quote_denom"),
     )
     j = sw.join(
-        F.broadcast(p), sw["m"]["_contract_address"] == p["pair_contract"], "inner"
+        dim_broadcast(p), sw["m"]["_contract_address"] == p["pair_contract"], "inner"
     )
     execs = (
         ev.filter(F.col("event_type") == "execute")
@@ -221,7 +222,7 @@ def extract_swaps(
         else None
     )
     if execs is not None:
-        j = j.join(F.broadcast(execs), ["height", "tx_index", "msg_index"], "left")
+        j = j.join(dim_broadcast(execs), ["height", "tx_index", "msg_index"], "left")
         is_router = (F.col("sender") == F.lit(router_addr)) | F.coalesce(
             F.col("router_exec"), F.lit(False)
         )
@@ -264,7 +265,7 @@ def extract_liquidity(ev: DataFrame, pools_dim: DataFrame) -> DataFrame:
         e = _wasm(ev, action)
         m = F.col("m")
         share = F.coalesce(*[parse.digits_or_null(m[a]) for a in SHARE_ALIASES])
-        j = e.join(F.broadcast(p), e["m"]["_contract_address"] == p["pair_contract"])
+        j = e.join(dim_broadcast(p), e["m"]["_contract_address"] == p["pair_contract"])
         rows = j.select(
             "pool_id",
             "pair_contract",
@@ -296,7 +297,7 @@ def derive_pool_state(trades: DataFrame, pools_dim: DataFrame) -> DataFrame:
     by denom match; unmappable rows skipped."""
     p = pools_dim.select("pool_id", "base_denom", "quote_denom")
     t = trades.filter(F.col("reserve_asset1_denom").isNotNull()).join(
-        F.broadcast(p), "pool_id"
+        dim_broadcast(p), "pool_id"
     )
     base_amt = (
         F.when(F.col("reserve_asset1_denom") == F.col("base_denom"), F.col("reserve_asset1_amount"))
@@ -334,7 +335,7 @@ def derive_prices(
     )
     t = trades.filter(
         (F.col("action") == "swap") & F.col("reserve_asset1_denom").isNotNull()
-    ).join(F.broadcast(p), "pool_id")
+    ).join(dim_broadcast(p), "pool_id")
     base_amt = (
         F.when(F.col("reserve_asset1_denom") == F.col("base_denom"), F.col("reserve_asset1_amount"))
         .when(F.col("reserve_asset2_denom") == F.col("base_denom"), F.col("reserve_asset2_amount"))
@@ -366,7 +367,7 @@ def derive_prices(
         "msg_index",
     )
     if exp is not None:
-        out = out.join(F.broadcast(exp), out["token_id"] == exp["base_token_id"], "left").drop(
+        out = out.join(dim_broadcast(exp), out["token_id"] == exp["base_token_id"], "left").drop(
             "base_token_id"
         )
         e = F.col("exponent")

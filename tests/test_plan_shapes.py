@@ -81,6 +81,59 @@ def test_star_joins_broadcast(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_paginate_is_take_ordered(spark):
+    """paginate (O2) must plan as TakeOrderedAndProject — bounded
+    per-partition heaps merged at the driver — never a global
+    row_number/count window that funnels every row through one task.
+    With a total, the only SinglePartition exchange allowed is the
+    one-row final count aggregate (partial counts below it)."""
+    from pyspark.sql import functions as F
+
+    from degenter_clickhouse_spark.operators.topk import paginate
+
+    plan = _plan(REGISTRY["page_top_customers"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan  # old shape: count/row_number OVER ()
+    # without a total there is no single-partition exchange at all
+    base = spark.range(0, 1000).withColumn("v", (F.col("id") * 37) % 1000)
+    p2 = _plan(paginate(base, [F.col("v").asc()], limit=5, offset=10))
+    assert "TakeOrderedAndProject" in p2, p2
+    assert "SinglePartition" not in p2, p2
+
+
+def test_dim_broadcast_flag_and_threshold(spark):
+    """Dim joins are threshold-governed, not hard-wired: the default
+    keeps the broadcast hint (estimates are tiny at test scale); the
+    'never' mode and an exceeded size ceiling both degrade the same
+    join to a shuffle join instead of an unconditional 8 GB+ build."""
+    from pyspark.sql import functions as F
+
+    from degenter_clickhouse_spark.operators.joins import dim_join
+
+    fact = spark.range(0, 10_000).withColumn("k", F.col("id") % 100)
+    dim = spark.range(0, 100).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    conf = spark.conf
+    saved = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        # isolate the hint: no automatic broadcasts from Spark's own threshold
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p_default = _plan(dim_join(fact, dim, on="k"))
+        assert "BroadcastHashJoin" in p_default, p_default
+
+        conf.set("spark.degenter.dimBroadcast", "never")
+        p_never = _plan(dim_join(fact, dim, on="k"))
+        assert "BroadcastHashJoin" not in p_never, p_never
+
+        conf.set("spark.degenter.dimBroadcast", "auto")
+        conf.set("spark.degenter.dimBroadcast.maxBytes", "1")  # dim exceeds it
+        p_capped = _plan(dim_join(fact, dim, on="k"))
+        assert "BroadcastHashJoin" not in p_capped, p_capped
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        conf.unset("spark.degenter.dimBroadcast")
+        conf.unset("spark.degenter.dimBroadcast.maxBytes")
+
+
 def test_latest_value_partial_aggregation(spark):
     """The latest-row view aggregates with a map-side partial
     (partial_max_by BELOW the exchange), so the shuffle carries one
