@@ -16,8 +16,24 @@ Topology (all Structured Streaming built-ins):
   append to a quarantine table with the failing signal, because corpus
   pipelines audit their filters.
 
-Restart safety comes from the checkpoint directory, exactly like the
-trade indexer (S13/ST2).
+Restart safety: the checkpoint directory replays an interrupted batch
+(S13/ST2), and every sink write is IDEMPOTENT under that replay — each
+output is partitioned by ``__batch_id`` and written with dynamic
+partition overwrite, so re-running a batch replaces exactly its own
+partitions instead of appending duplicates (foreachBatch is
+at-least-once; batch content for a given id is deterministic, so the
+overwrite converges). This is the file-sink analogue of the trade
+indexer's anti-join replay guard.
+
+Online NEAR-dedup cost model (the 100 TB concern): band PROBING is a
+join of the small batch side against the persisted band keys — fine.
+VERIFICATION must not re-read the whole persisted shingle set per
+batch, so the shingle index is laid out partitioned by
+``__bucket = pmod(xxhash64(doc_id), N_SHINGLE_BUCKETS)`` and the
+verify step reads ONLY the buckets that hold candidate index docs
+(partition-pruned file scan; the candidate bucket list is collected —
+bounded by N_SHINGLE_BUCKETS, a constant). Verify input therefore
+scales with the batch's candidates, not with corpus size.
 """
 
 from __future__ import annotations
@@ -41,6 +57,11 @@ DOC_SCHEMA = T.StructType(
     ]
 )
 
+# shingle-index layout constant: buckets per doc-id hash. Raise with
+# corpus size so one bucket's files stay executor-sized; every probe
+# reads at most (candidate buckets) <= min(candidates, this) buckets.
+N_SHINGLE_BUCKETS = 16
+
 
 def quality_columns(df: DataFrame) -> DataFrame:
     """The batch quality signals as stream-safe column expressions."""
@@ -58,6 +79,146 @@ def quality_columns(df: DataFrame) -> DataFrame:
         .withColumn("word_rep_ratio", TX.word_repetition_ratio("__words"))
         .drop("__words")
     )
+
+
+def _doc_bucket(col: str) -> F.Column:
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(N_SHINGLE_BUCKETS)).cast("int")
+
+
+def _idempotent_write(df: DataFrame, path: str, batch_id: int, *extra_parts: str) -> None:
+    """Batch-scoped dynamic partition overwrite: replaying batch N
+    rewrites exactly batch N's partitions (idempotent under
+    foreachBatch's at-least-once contract)."""
+    (
+        df.withColumn("__batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id", *extra_parts)
+        .parquet(path)
+    )
+
+
+def candidate_index_shingles(
+    spark: SparkSession, idx_dir: str, cand_idx: DataFrame
+) -> DataFrame | None:
+    """The BOUNDED verify read: candidate index-doc ids map to their
+    layout buckets (a pure function of the id, no index lookup), the
+    bucket list collects driver-side (<= N_SHINGLE_BUCKETS values), and
+    the shingle read prunes to those partitions. Returns None when the
+    batch produced no index candidates (the read is skipped entirely)."""
+    buckets = [
+        r["b"]
+        for r in cand_idx.select(_doc_bucket("d1").alias("b")).distinct().collect()
+    ]
+    if not buckets:
+        return None
+    return (
+        spark.read.parquet(os.path.join(idx_dir, "shingles"))
+        .filter(F.col("__bucket").isin(buckets))
+        .select("d", "hs")
+    )
+
+
+def process_corpus_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    output_dir: str,
+    keep: F.Column,
+    near_dup_threshold: float | None,
+) -> None:
+    """One micro-batch of the corpus sink (module-level so replay
+    idempotency and the bounded probe are unit-testable outside a
+    stream). ``batch_df`` must carry DOC_SCHEMA + content_hash +
+    quality columns + reject_reason."""
+    from ..llm import dedup as D
+
+    idx_dir = os.path.join(output_dir, "minhash_idx")
+    batch_df = batch_df.cache()
+    to_unpersist = [batch_df]
+    try:
+        accepted = batch_df.filter(keep).drop("reject_reason")
+        rejected = batch_df.filter(~keep)
+        if near_dup_threshold is not None:
+            accepted = accepted.cache()
+            to_unpersist.append(accepted)
+            sh = D._minhash_shingles(accepted)
+            bands = D._minhash_bands(sh)
+            a = bands.alias("a")
+            if os.path.exists(os.path.join(idx_dir, "bands")):
+                idx_bands = (
+                    spark.read.parquet(os.path.join(idx_dir, "bands"))
+                    .select("d", "band", "key")
+                    .alias("b")
+                )
+                # vs the INDEX: any collision drops the NEW doc, no id
+                # ordering — an already-accepted near-duplicate wins even
+                # when the new doc's id is lower (ids need not arrive
+                # monotonically; the id-inequality guard only excludes
+                # self-pairs under a crash-replay where this batch's own
+                # partial index write is visible).
+                cand_idx = (
+                    a.join(
+                        idx_bands,
+                        (F.col("a.band") == F.col("b.band"))
+                        & (F.col("a.key") == F.col("b.key"))
+                        & (F.col("a.d") != F.col("b.d")),
+                    )
+                    .select(F.col("a.d").alias("d2"), F.col("b.d").alias("d1"))
+                    .distinct()
+                    .cache()
+                )
+                to_unpersist.append(cand_idx)
+                idx_sh = candidate_index_shingles(spark, idx_dir, cand_idx)
+            else:  # first batch: only batchmates can collide
+                cand_idx, idx_sh = None, None
+            # vs BATCHMATES: keep the earlier (lower-id) doc of the pair
+            b2 = bands.alias("b")
+            cand_new = (
+                a.join(
+                    b2,
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.key") == F.col("b.key"))
+                    & (F.col("a.d") > F.col("b.d")),
+                )
+                .select(F.col("a.d").alias("d2"), F.col("b.d").alias("d1"))
+                .distinct()
+            )
+            cand = cand_new if cand_idx is None else cand_new.unionByName(cand_idx)
+            all_sh = sh if idx_sh is None else sh.unionByName(idx_sh)
+            dup_ids = (
+                D._verify_jaccard(cand.distinct(), all_sh, near_dup_threshold)
+                .select(F.col("d2").alias("doc_id"))
+                .distinct()
+                .cache()
+            )
+            to_unpersist.append(dup_ids)
+            near = accepted.join(dup_ids, "doc_id", "left_semi").withColumn(
+                "reject_reason", F.lit("near_duplicate")
+            )
+            accepted = accepted.join(dup_ids, "doc_id", "left_anti")
+            rejected = rejected.unionByName(near, allowMissingColumns=True)
+            surv = dup_ids.withColumnRenamed("doc_id", "d")
+            _idempotent_write(
+                sh.join(surv, "d", "left_anti").withColumn("__bucket", _doc_bucket("d")),
+                os.path.join(idx_dir, "shingles"),
+                batch_id,
+                "__bucket",
+            )
+            _idempotent_write(
+                bands.join(surv, "d", "left_anti"),
+                os.path.join(idx_dir, "bands"),
+                batch_id,
+                "band",
+            )
+        _idempotent_write(accepted, os.path.join(output_dir, "accepted"), batch_id)
+        if rejected.limit(1).count():
+            _idempotent_write(
+                rejected, os.path.join(output_dir, "quarantine"), batch_id
+            )
+    finally:
+        for df in to_unpersist:
+            df.unpersist()
 
 
 def stream_corpus_ingest(
@@ -78,13 +239,13 @@ def stream_corpus_ingest(
 
     ``near_dup_threshold`` additionally enables ONLINE NEAR-dedup: each
     batch probes the growing MinHash index at ``output_dir/minhash_idx``
-    (band buckets + shingle sets, llm/dedup.py), quarantines docs whose
-    Jaccard against any earlier-accepted doc (or a lower-id batchmate)
-    reaches the threshold, and appends the survivors' LSH state to the
-    index — the corpus is never re-shingled, so per-batch cost tracks
+    (band buckets + bucket-partitioned shingle sets, llm/dedup.py),
+    quarantines docs whose Jaccard against any earlier-accepted doc (or
+    a lower-id batchmate) reaches the threshold, and appends the
+    survivors' LSH state to the index — the corpus is never
+    re-shingled, and verification reads only the candidate docs'
+    shingle buckets (see module docstring), so per-batch cost tracks
     the batch, not the corpus."""
-    from ..llm import dedup as D
-
     raw = spark.readStream.schema(DOC_SCHEMA).json(landing_dir)
     hashed = raw.withColumn("content_hash", F.md5(F.col("text")))
     deduped = hashed.withWatermark("event_ts", watermark).dropDuplicatesWithinWatermark(
@@ -100,64 +261,11 @@ def stream_corpus_ingest(
         .otherwise(F.lit(None).cast("string"))
     )
     tagged = scored.withColumn("reject_reason", reason)
-    idx_dir = os.path.join(output_dir, "minhash_idx")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.cache()
-        try:
-            accepted = batch_df.filter(keep).drop("reject_reason")
-            rejected = batch_df.filter(~keep)
-            if near_dup_threshold is not None:
-                accepted = accepted.cache()
-                sh = D._minhash_shingles(accepted)
-                bands = D._minhash_bands(sh)
-                if os.path.exists(os.path.join(idx_dir, "bands")):
-                    idx_bands = spark.read.parquet(os.path.join(idx_dir, "bands"))
-                    idx_sh = spark.read.parquet(os.path.join(idx_dir, "shingles"))
-                    all_bands = idx_bands.unionByName(bands)
-                    all_sh = idx_sh.unionByName(sh)
-                else:  # first batch: only batchmates can collide
-                    all_bands, all_sh = bands, sh
-                a, b = bands.alias("a"), all_bands.alias("b")
-                cand = (
-                    a.join(
-                        b,
-                        (F.col("a.band") == F.col("b.band"))
-                        & (F.col("a.key") == F.col("b.key"))
-                        # keep the EARLIER doc: a batch doc is dropped if
-                        # it near-dups the index or a lower-id batchmate
-                        & (F.col("a.d") > F.col("b.d")),
-                    )
-                    .select(F.col("a.d").alias("d2"), F.col("b.d").alias("d1"))
-                    .distinct()
-                )
-                dup_ids = (
-                    D._verify_jaccard(cand, all_sh, near_dup_threshold)
-                    .select(F.col("d2").alias("doc_id"))
-                    .distinct()
-                    .cache()
-                )
-                near = accepted.join(dup_ids, "doc_id", "left_semi").withColumn(
-                    "reject_reason", F.lit("near_duplicate")
-                )
-                accepted = accepted.join(dup_ids, "doc_id", "left_anti")
-                rejected = rejected.unionByName(near, allowMissingColumns=True)
-                surv = dup_ids.withColumnRenamed("doc_id", "d")
-                sh.join(surv, "d", "left_anti").write.mode("append").parquet(
-                    os.path.join(idx_dir, "shingles")
-                )
-                bands.join(surv, "d", "left_anti").write.mode("append").partitionBy(
-                    "band"
-                ).parquet(os.path.join(idx_dir, "bands"))
-            accepted.write.mode("append").parquet(
-                os.path.join(output_dir, "accepted")
-            )
-            if rejected.limit(1).count():
-                rejected.write.mode("append").parquet(
-                    os.path.join(output_dir, "quarantine")
-                )
-        finally:
-            batch_df.unpersist()
+        process_corpus_batch(
+            spark, batch_df, batch_id, output_dir, keep, near_dup_threshold
+        )
 
     writer = (
         tagged.writeStream.foreachBatch(process_batch)

@@ -224,6 +224,188 @@ def test_compact_table_reduces_files_preserves_data(spark, tmp_path):
     assert after.select(F.countDistinct("id")).collect()[0][0] == 500
 
 
+def _corpus_doc(i, text, ts="2024-01-01 10:00:00"):
+    return {"doc_id": i, "text": text, "lang": "en", "source": "src0",
+            "n_chars": len(text), "event_ts": ts}
+
+
+def _tagged_batch(spark, docs, min_words=5, max_rep_ratio=0.9):
+    """Build a frame shaped like the stream hands foreachBatch (doc
+    schema + content_hash + quality columns + reject_reason) plus the
+    matching keep predicate."""
+    from datetime import datetime
+
+    from degenter_clickhouse_spark.streaming import corpus as C
+
+    rows = [
+        {**d, "event_ts": datetime.fromisoformat(d["event_ts"])} for d in docs
+    ]
+    df = spark.createDataFrame(rows, C.DOC_SCHEMA)
+    df = C.quality_columns(df.withColumn("content_hash", F.md5(F.col("text"))))
+    keep = (F.col("n_words") >= min_words) & (F.col("word_rep_ratio") <= max_rep_ratio)
+    reason = (
+        F.when(F.col("n_words") < min_words, F.lit("too_short"))
+        .when(F.col("word_rep_ratio") > max_rep_ratio, F.lit("repetitive"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return df.withColumn("reject_reason", reason), keep
+
+
+def test_streaming_near_dedup_nonmonotonic_ids(spark, tmp_path):
+    """A new doc whose id is LOWER than an already-indexed near-dup
+    must still be quarantined: index collisions drop the new doc
+    regardless of id order (ids need not arrive monotonically)."""
+    import json as _json
+    import os
+
+    from degenter_clickhouse_spark.streaming.corpus import stream_corpus_ingest
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    base = ("the quick brown fox jumps over the lazy dog while the calm cat "
+            "watches the bright moon rise above the quiet hills tonight")
+    (landing / "b1.json").write_text(_json.dumps(_corpus_doc(100, base)))
+    stream_corpus_ingest(spark, str(landing), out, ckpt, near_dup_threshold=0.5)
+    (landing / "b2.json").write_text("\n".join([
+        _json.dumps(_corpus_doc(50, base.replace("lazy", "sleepy"),
+                                ts="2024-01-01 10:10:00")),
+        _json.dumps(_corpus_doc(60, "entirely different sentence about spark "
+                                    "adaptive shuffle partition planning",
+                                ts="2024-01-01 10:10:00")),
+    ]))
+    stream_corpus_ingest(spark, str(landing), out, ckpt, near_dup_threshold=0.5)
+    acc = sorted(r.doc_id for r in spark.read.parquet(
+        os.path.join(out, "accepted")).collect())
+    assert acc == [60, 100]
+    quar = {r.doc_id: r.reject_reason for r in spark.read.parquet(
+        os.path.join(out, "quarantine")).collect()}
+    assert quar == {50: "near_duplicate"}
+    idx_docs = {r.d for r in spark.read.parquet(
+        os.path.join(out, "minhash_idx", "shingles")).collect()}
+    assert idx_docs == {60, 100}
+
+
+def test_corpus_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running the same (batch_df,
+    batch_id) — a crash-replay — must not duplicate rows in accepted,
+    quarantine, or the LSH index (batch-scoped partition overwrite)."""
+    import os
+
+    from degenter_clickhouse_spark.streaming.corpus import process_corpus_batch
+
+    out = str(tmp_path / "out")
+    base = ("the quick brown fox jumps over the lazy dog while the calm cat "
+            "watches the bright moon rise above the quiet hills tonight")
+    tagged, keep = _tagged_batch(spark, [
+        _corpus_doc(1, base),
+        _corpus_doc(2, base.replace("quick", "swift")),  # near-dup of 1
+        _corpus_doc(3, "hi"),                            # too short
+    ])
+    for _ in range(2):  # second run simulates the crash-replay
+        process_corpus_batch(spark, tagged, 0, out, keep, 0.5)
+    acc = [r.doc_id for r in spark.read.parquet(os.path.join(out, "accepted")).collect()]
+    assert sorted(acc) == [1]
+    quar = [(r.doc_id, r.reject_reason) for r in spark.read.parquet(
+        os.path.join(out, "quarantine")).collect()]
+    assert sorted(quar) == [(2, "near_duplicate"), (3, "too_short")]
+    sh = spark.read.parquet(os.path.join(out, "minhash_idx", "shingles"))
+    assert [r.d for r in sh.collect()] == [1]  # exactly one row, once
+
+
+def test_streaming_near_dedup_verify_read_is_bucket_pruned(spark, tmp_path):
+    """Verification reads only the candidate docs' shingle buckets,
+    not the whole persisted index: with an index of several docs spread
+    over multiple buckets, a single-candidate probe must surface fewer
+    index docs than the corpus holds; no candidates reads nothing."""
+    import os
+
+    from degenter_clickhouse_spark.streaming import corpus as C
+    from degenter_clickhouse_spark.streaming.corpus import process_corpus_batch
+
+    out = str(tmp_path / "out")
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "one two three four five six seven eight nine",
+        "red orange yellow green blue indigo violet colors",
+        "spark shuffles partitions across many executor nodes",
+        "rivers flow down mountains into the wide sea",
+        "planets orbit stars inside spiral galaxy arms",
+    ]
+    tagged, keep = _tagged_batch(
+        spark, [_corpus_doc(i + 1, t) for i, t in enumerate(texts)]
+    )
+    process_corpus_batch(spark, tagged, 0, out, keep, 0.5)
+    idx_dir = os.path.join(out, "minhash_idx")
+    sh = spark.read.parquet(os.path.join(idx_dir, "shingles"))
+    n_index_docs = sh.select("d").distinct().count()
+    assert n_index_docs == 6
+    # precondition (deterministic): the six docs span more than one bucket
+    n_buckets = sh.select("__bucket").distinct().count()
+    assert n_buckets >= 2
+    # a probe with one candidate (index doc 3) reads only 3's bucket
+    cand = spark.createDataFrame([(100, 3)], "d2 long, d1 long")
+    pruned = C.candidate_index_shingles(spark, idx_dir, cand)
+    pruned_docs = {r.d for r in pruned.select("d").distinct().collect()}
+    assert 3 in pruned_docs
+    assert len(pruned_docs) < n_index_docs
+    # and zero candidates skips the index read entirely
+    empty = spark.createDataFrame([], "d2 long, d1 long")
+    assert C.candidate_index_shingles(spark, idx_dir, empty) is None
+
+
+def _delta_available() -> bool:
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_upsert_write_delta_merge(spark, tmp_path):
+    """The fmt='delta' branch runs a transactional MERGE (S10/S11 at
+    concurrent-writer scale, reference semantics core/tokens.js:387-415).
+    Skip-marked: delta-spark is not installable in this env (no pip);
+    when present, the branch must produce the same rows as the parquet
+    path on the identical update set."""
+    import pytest
+
+    if not _delta_available():
+        pytest.skip("delta-spark not installed in this env (pip unavailable)")
+    path = str(tmp_path / "tokens_delta")
+    t0 = spark.createDataFrame(
+        [(1, "alpha", 6), (2, "beta", 6)], "token_id long, name string, exponent int"
+    )
+    t0.write.format("delta").save(path)
+    upd = spark.createDataFrame(
+        [(2, "BETA2", 12), (9, "new", 6)], "token_id long, name string, exponent int"
+    )
+    M.upsert_write(spark, upd, path, keys=["token_id"], fmt="delta")
+    got = {r.token_id: r for r in spark.read.format("delta").load(path).collect()}
+    assert set(got) == {1, 2, 9}
+    assert got[2].name == "BETA2" and got[9].name == "new" and got[1].name == "alpha"
+
+
+def test_compact_table_swap_recovers_from_stale_old_copy(spark, tmp_path):
+    """The compaction swap renames the live table aside before
+    promoting the compacted copy (no instant with zero copies on disk);
+    a leftover ._old dir from a crash after promotion must not block
+    the next compaction."""
+    path = str(tmp_path / "t")
+    spark.range(0, 100).write.mode("append").parquet(path)
+    spark.range(100, 200).write.mode("append").parquet(path)
+    # simulate debris from a crash between promote and cleanup
+    spark.range(0, 5).write.parquet(path + "._old")
+    stats = M.compact_table(spark, path, partition_col=None, files_per_partition=1)
+    assert stats["files_after"] <= stats["files_before"]
+    import os
+
+    assert not os.path.exists(path + "._old")
+    assert spark.read.parquet(path).count() == 200
+
+
 def test_streaming_corpus_online_near_dedup(spark, tmp_path):
     """With near_dup_threshold set, each batch probes the growing
     MinHash index: a REWORDED near-duplicate (different content hash)
