@@ -520,6 +520,93 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(e.filter(F.col("vec_id") < 5), e, k=5)
 
 
+# The LSH probe is APPROXIMATE as an ANN method but fully DETERMINISTIC
+# as a computation (fixed hyperplane family, integer-scaled cosine), so
+# it has an exact oracle: top-k restricted to the probed buckets —
+# bucket itself plus every 1-bit-flip neighbor, mirroring lsh_topk's
+# multi-probe explode. Recall vs brute force stays a pytest claim.
+LSH_ANN_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, embedding, {_hyperplane_bucket_sql()} AS bucket,
+         {O_NORM2.format(e="embedding")} AS n2
+  FROM embeddings
+),
+qp AS (
+  SELECT vec_id, embedding, n2,
+         unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                 xor(bucket, 4), xor(bucket, 8)]) AS bucket
+  FROM v WHERE vec_id < 5
+),
+s AS (
+  SELECT qp.vec_id AS q_id, c.vec_id AS c_id,
+         ({O_DOT.format(a="qp.embedding", b="c.embedding")} / 1e12)
+         / (sqrt(qp.n2 / 1e12) * sqrt(c.n2 / 1e12)) AS cosine
+  FROM qp JOIN v c ON c.bucket = qp.bucket AND c.vec_id <> qp.vec_id
+)
+SELECT q_id, c_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, c_id ASC) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+
+# IVF cell-probe oracle: with SEED centroids (the k lowest-id vectors,
+# iters=0) the whole pipeline — Voronoi assignment by integer-scaled
+# L2, nprobe cells per query, exact cosine within probed cells — is
+# bit-deterministic and SQL-expressible. (Lloyd-fitted centroids use
+# float means whose summation order is engine-dependent, so the fitted
+# variant keeps its recall pytest instead of an oracle.)
+_O_L2 = (
+    "CAST(list_sum(list_transform(generate_series(1, len({a})), i -> "
+    "CAST(floor((CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
+    "(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * 1e12) AS BIGINT))) "
+    "AS BIGINT)"
+)
+
+IVF_ANN_ORACLE = f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id ASC) AS cell,
+         embedding AS centroid
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 8)
+),
+d AS (
+  SELECT v.vec_id, c.cell,
+         {_O_L2.format(a="v.embedding", b="c.centroid")} AS dist
+  FROM embeddings v CROSS JOIN cents c
+),
+ca AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+           ORDER BY dist ASC, cell ASC) AS rk FROM d
+  ) WHERE rk <= 1
+),
+qa AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+           ORDER BY dist ASC, cell ASC) AS rk FROM d WHERE vec_id < 5
+  ) WHERE rk <= 3
+),
+vn AS (
+  SELECT vec_id, embedding, {O_NORM2.format(e="embedding")} AS n2 FROM embeddings
+),
+p AS (
+  SELECT DISTINCT qa.vec_id AS q_id, ca.vec_id AS c_id
+  FROM qa JOIN ca ON ca.cell = qa.cell AND ca.vec_id <> qa.vec_id
+),
+s AS (
+  SELECT p.q_id, p.c_id,
+         ({O_DOT.format(a="qv.embedding", b="cv.embedding")} / 1e12)
+         / (sqrt(qv.n2 / 1e12) * sqrt(cv.n2 / 1e12)) AS cosine
+  FROM p JOIN vn qv ON qv.vec_id = p.q_id JOIN vn cv ON cv.vec_id = p.c_id
+)
+SELECT q_id, c_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, c_id ASC) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing: binary media -> Arrow-batched feature extraction
 # ---------------------------------------------------------------------------
@@ -622,10 +709,13 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # registered via queries.suites.embedding_ann_scalable
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF scale path (rows-only; recall vs brute force asserted in
-    tests/test_llm.py::test_ivf_topk_recall_and_cost)."""
+    """IVF cell probe with SEED centroids (iters=0: the k lowest-id
+    vectors) so the whole probe is exactly oracle-able — see
+    IVF_ANN_ORACLE. The Lloyd-FITTED path exercises identical probe
+    plumbing and keeps its recall + index pytest coverage
+    (tests/test_llm.py::test_ivf_topk_recall_and_cost)."""
     e = _embs(spark, sf_dir, parallel=True)
-    cents = similarity.fit_ivf_centroids(e, k=8, iters=2)
+    cents = similarity.fit_ivf_centroids(e, k=8, iters=0)
     return similarity.ivf_topk(e.filter(F.col("vec_id") < 5), e, cents, k=5, nprobe=3)
 
 

@@ -27,6 +27,8 @@ from . import register
 from .core import ANTI_ORACLE, SEMI_ORACLE, q_anti, q_semi
 from .llm import (
     FP_ORACLE,
+    IVF_ANN_ORACLE,
+    LSH_ANN_ORACLE,
     TOKEN_ORACLE,
     _langid_oracle,
     _quality_oracle,
@@ -469,12 +471,20 @@ def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # embedding_ann_scalable = embedding_lsh_ann + embedding_ivf_ann
-# (both approximate — rows-only by design; recall vs brute force is
-# asserted in tests/test_llm.py for each path)
+# Both are APPROXIMATE as ANN methods but DETERMINISTIC as computations
+# (fixed hyperplane family / seed centroids, integer-scaled math), so
+# each has an exact sub-oracle: top-k restricted to the probed
+# buckets/cells. Recall vs brute force stays asserted in tests/test_llm.py.
 # ---------------------------------------------------------------------------
 
+ANN_SCALABLE_ORACLE = f"""
+SELECT 'lsh' AS part, q_id, c_id, cosine, rank FROM ({LSH_ANN_ORACLE})
+UNION ALL
+SELECT 'ivf', q_id, c_id, cosine, rank FROM ({IVF_ANN_ORACLE})
+"""
 
-@register("embedding_ann_scalable", None)
+
+@register("embedding_ann_scalable", ANN_SCALABLE_ORACLE)
 def q_embedding_ann_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = q_lsh_ann(spark, sf_dir).select(
         F.lit("lsh").alias("part"),
