@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "change_pct",
     "session_frames",  # sessionization + full-frame first/last windows
     "swap_route_via_uzig",  # two-hop route: chained argmax simulations
+    "router_combine",  # per-tx leg folding (B8) over the full feed
+    "incremental_rollup",  # merge-with-delta rollup refresh (ST4)
     # LLM-pipeline scale paths (the quadratic jaccard baseline is
     # deliberately excluded — minhash_lsh is the at-scale variant)
     "dedup_exact",

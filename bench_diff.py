@@ -20,7 +20,7 @@ import json
 import sys
 
 FACTOR = 2.0
-DEFAULT_FLOOR = "BENCH_r02.json"
+DEFAULT_FLOOR = "BENCH_r03.json"
 
 
 def load_bench(text: str) -> dict:
