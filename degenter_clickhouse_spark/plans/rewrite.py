@@ -24,18 +24,25 @@ scalar subquery, which Catalyst decorrelates into a left outer join on
 its own. It is intentionally NOT a general SQL optimizer: one rewrite
 rule, for the one pattern the reference emits, applied before parsing.
 
-Why pre-parse and not a Catalyst rule: PySpark cannot author optimizer
+Why a pre-parse shim exists at all: PySpark cannot author optimizer
 rules — ``spark.experimental.extraOptimizations`` and
 ``spark.sql.extensions`` (``injectOptimizerRule``) both take JVM
 ``Rule[LogicalPlan]`` classes, which require compiled Scala/Java on the
 driver classpath; there is no py4j path to subclass them from Python.
-The documented swap-in point for a JVM deployment is a
-``SparkSessionExtensions`` that injects exactly this transformation
-(match ``ScalarSubquery(Sort(desc(order_col)) + Limit(1))`` correlated
-on ``key = outer`` over a known state table; replace with a probe of
-the matching ``latest_*`` aggregate) — semantics identical to this
-shim, but firing on the resolved plan, so alias/format variants are
-free. Until then the shim is pattern-complete for the reference's 8
+
+The COMPILED twin now exists: ``jvm/src/LatestRowRewrite.scala`` (built
+by ``jvm/build_jvm.sh`` with the Scala compiler shipped inside
+pyspark's jars) injects a post-hoc resolution rule that matches
+``ScalarSubquery(Limit 1 over Sort(order_col DESC))`` over the guarded
+state tables on the RESOLVED plan and rewrites it to a ``max_by``
+aggregate subquery — Catalyst's own RewriteCorrelatedScalarSubquery
+then plans the single-aggregation left outer join. Sessions built by
+``session.build_session`` load it automatically when the jar is
+present; alias/derived-table variants this regex cannot see are
+covered there (tests/test_catalyst_ext.py). This shim remains the
+fallback for vanilla sessions (e.g. the driver's in
+``__spark_entry__``), where extensions cannot be injected
+post-construction, and stays pattern-complete for the reference's 8
 call sites and their tested syntactic variants.
 """
 

@@ -27,11 +27,18 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Compiled Catalyst extension (correlated-latest-row rewrite; see
+# jvm/src/LatestRowRewrite.scala and plans/rewrite.py). Built by
+# jvm/build_jvm.sh with the Scala compiler shipped inside pyspark.
+EXT_JAR = os.path.join(os.path.dirname(__file__), "jvm", "degenter-spark-ext.jar")
+EXT_CLASS = "degenter.spark.DegenterSparkExtensions"
+
 
 def build_session(
     app_name: str = "degenter-spark",
     cpus: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    with_extension: bool = True,
 ) -> SparkSession:
     cpus = cpus or DEFAULT_CPUS
     builder = (
@@ -58,6 +65,13 @@ def build_session(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
     )
+    if with_extension and os.path.exists(EXT_JAR):
+        # session-construction-time only: extensions cannot be injected
+        # into a live session (the driver's vanilla session in
+        # __spark_entry__ keeps the pre-parse shim, plans/rewrite.py)
+        builder = builder.config(
+            "spark.driver.extraClassPath", EXT_JAR
+        ).config("spark.sql.extensions", EXT_CLASS)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
