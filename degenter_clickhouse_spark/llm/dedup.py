@@ -196,6 +196,37 @@ def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFra
     return j.filter(F.col("jaccard") >= threshold).select("d1", "d2", "jaccard")
 
 
+# shingle-index layout constant: buckets per doc-id hash. Raise with
+# corpus size so one bucket's files stay executor-sized; every probe
+# reads at most min(candidates, this) buckets.
+N_SHINGLE_BUCKETS = 16
+
+
+def _doc_bucket(col: str) -> F.Column:
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(N_SHINGLE_BUCKETS)).cast("int")
+
+
+def candidate_index_shingles(spark, idx_dir: str, cand: DataFrame) -> DataFrame | None:
+    """The BOUNDED index read shared by batch probe and streaming
+    ingest: candidate index-doc ids (column ``d1``) map to their layout
+    buckets (a pure function of the id — no index lookup), the bucket
+    list collects driver-side (<= N_SHINGLE_BUCKETS values), and the
+    shingle read prunes to those partitions. Returns None when there
+    are no index candidates (the read is skipped entirely)."""
+    import os
+
+    buckets = [
+        r["b"] for r in cand.select(_doc_bucket("d1").alias("b")).distinct().collect()
+    ]
+    if not buckets:
+        return None
+    return (
+        spark.read.parquet(os.path.join(idx_dir, "shingles"))
+        .filter(F.col("__bucket").isin(buckets))
+        .select("d", "hs")
+    )
+
+
 def build_minhash_index(
     docs: DataFrame, path: str, n: int = 3, id_col: str = "doc_id"
 ) -> None:
@@ -203,15 +234,19 @@ def build_minhash_index(
     new shards dedupe against the corpus WITHOUT re-shingling it (the
     incremental-corpus-growth workflow; same build-once/probe-many
     amortization as the IVF index). Bands are laid out partitioned by
-    band: a probe joins one band at a time and prunes the other
-    bands' files at the scan."""
+    band (a probe joins one band at a time, pruning the other bands'
+    files at the scan); shingles are partitioned by doc-id hash bucket
+    so Jaccard verification reads only the candidate docs' buckets
+    instead of the whole corpus's shingle state."""
     import os
 
     sh = _minhash_shingles(docs, id_col, n)
     _minhash_bands(sh).write.mode("overwrite").partitionBy("band").parquet(
         os.path.join(path, "bands")
     )
-    sh.write.mode("overwrite").parquet(os.path.join(path, "shingles"))
+    sh.withColumn("__bucket", _doc_bucket("d")).write.mode("overwrite").partitionBy(
+        "__bucket"
+    ).parquet(os.path.join(path, "shingles"))
 
 
 def minhash_probe(
@@ -224,31 +259,44 @@ def minhash_probe(
 ) -> DataFrame:
     """Near-dup pairs touching the NEW shard: new x corpus and
     new x new candidates from band-bucket equality, verified by exact
-    Jaccard over the union of persisted + fresh shingle sets. Only the
-    new shard is shingled; the corpus side streams off the index.
-    Returns (d1, d2, jaccard) with d1 < d2."""
+    Jaccard over the fresh shingle sets plus ONLY the candidate corpus
+    docs' shingle buckets (bucket-pruned file read — probe cost tracks
+    the shard and its collisions, not the corpus). Only the new shard
+    is shingled. Returns (d1, d2, jaccard) with d1 < d2."""
     import os
 
-    idx_bands = spark.read.parquet(os.path.join(path, "bands"))
-    idx_sh = spark.read.parquet(os.path.join(path, "shingles"))
+    idx_bands = spark.read.parquet(os.path.join(path, "bands")).select(
+        "d", "band", "key"
+    )
     new_sh = _minhash_shingles(new_docs, id_col, n)
     new_bands = _minhash_bands(new_sh)
     all_bands = idx_bands.unionByName(new_bands)
     a, b = new_bands.alias("a"), all_bands.alias("b")
-    cand = (
+    # keep roles: nd = new-shard doc, od = the other side (corpus or
+    # batchmate) — needed to prune the index read to corpus candidates.
+    # The pair set is read twice (bucket collect + verify) and is
+    # collision-sized, so materialize it once.
+    cand_raw = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.d") != F.col("b.d")),
         )
-        .select(
-            F.least(F.col("a.d"), F.col("b.d")).alias("d1"),
-            F.greatest(F.col("a.d"), F.col("b.d")).alias("d2"),
-        )
+        .select(F.col("a.d").alias("nd"), F.col("b.d").alias("od"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    return _verify_jaccard(cand, idx_sh.unionByName(new_sh), threshold)
+    idx_cand = cand_raw.join(
+        new_sh.select(F.col("d")), cand_raw["od"] == F.col("d"), "left_anti"
+    ).select(F.col("od").alias("d1"))
+    idx_sh = candidate_index_shingles(spark, path, idx_cand)
+    all_sh = new_sh if idx_sh is None else new_sh.unionByName(idx_sh)
+    cand = cand_raw.select(
+        F.least(F.col("nd"), F.col("od")).alias("d1"),
+        F.greatest(F.col("nd"), F.col("od")).alias("d2"),
+    ).distinct()
+    return _verify_jaccard(cand, all_sh, threshold)
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -57,10 +57,10 @@ DOC_SCHEMA = T.StructType(
     ]
 )
 
-# shingle-index layout constant: buckets per doc-id hash. Raise with
-# corpus size so one bucket's files stay executor-sized; every probe
-# reads at most (candidate buckets) <= min(candidates, this) buckets.
-N_SHINGLE_BUCKETS = 16
+# layout constants and the bounded index read live with the batch LSH
+# operators (llm/dedup.py) — one definition for both ingest paths
+from ..llm.dedup import N_SHINGLE_BUCKETS  # noqa: F401 (re-export)
+from ..llm.dedup import _doc_bucket, candidate_index_shingles  # noqa: F401
 
 
 def quality_columns(df: DataFrame) -> DataFrame:
@@ -81,10 +81,6 @@ def quality_columns(df: DataFrame) -> DataFrame:
     )
 
 
-def _doc_bucket(col: str) -> F.Column:
-    return F.pmod(F.xxhash64(F.col(col)), F.lit(N_SHINGLE_BUCKETS)).cast("int")
-
-
 def _idempotent_write(df: DataFrame, path: str, batch_id: int, *extra_parts: str) -> None:
     """Batch-scoped dynamic partition overwrite: replaying batch N
     rewrites exactly batch N's partitions (idempotent under
@@ -95,27 +91,6 @@ def _idempotent_write(df: DataFrame, path: str, batch_id: int, *extra_parts: str
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("__batch_id", *extra_parts)
         .parquet(path)
-    )
-
-
-def candidate_index_shingles(
-    spark: SparkSession, idx_dir: str, cand_idx: DataFrame
-) -> DataFrame | None:
-    """The BOUNDED verify read: candidate index-doc ids map to their
-    layout buckets (a pure function of the id, no index lookup), the
-    bucket list collects driver-side (<= N_SHINGLE_BUCKETS values), and
-    the shingle read prunes to those partitions. Returns None when the
-    batch produced no index candidates (the read is skipped entirely)."""
-    buckets = [
-        r["b"]
-        for r in cand_idx.select(_doc_bucket("d1").alias("b")).distinct().collect()
-    ]
-    if not buckets:
-        return None
-    return (
-        spark.read.parquet(os.path.join(idx_dir, "shingles"))
-        .filter(F.col("__bucket").isin(buckets))
-        .select("d", "hs")
     )
 
 

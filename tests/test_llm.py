@@ -348,6 +348,19 @@ def test_minhash_index_probe_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert (1, 900001) in got and got[(1, 900001)] == 1.0
+    # the index shingle layout is bucket-partitioned, and a probe's
+    # verify read prunes to the candidate docs' buckets (bounded read)
+    import os
+
+    assert any(
+        p.startswith("__bucket=") for p in os.listdir(os.path.join(idx, "shingles"))
+    )
+    cand = spark.createDataFrame([(1,)], "d1 long")
+    pruned = dedup.candidate_index_shingles(spark, idx, cand)
+    n_idx = spark.read.parquet(os.path.join(idx, "shingles")).select("d").distinct().count()
+    assert 0 < pruned.select("d").distinct().count() < n_idx
+    empty = spark.createDataFrame([], "d1 long")
+    assert dedup.candidate_index_shingles(spark, idx, empty) is None
 
 
 def test_hash_embed_feeds_similarity_stack(spark):
