@@ -48,7 +48,9 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_resolution",  # pair -> connected-component resolution
     "embedding_ann_topk",
+    "embedding_ann_scalable",  # LSH multi-probe + IVF cell probe
     "embedding_neardup",
     "text_analysis",  # lang-id + quality + token counts + fingerprint
     "multimodal_features",
