@@ -64,6 +64,23 @@ def merge_token_metadata(tokens: DataFrame, meta_updates: DataFrame) -> DataFram
     )
 
 
+def _swap_dirs(path: str, tmp: str) -> None:
+    """Promote ``tmp`` over ``path`` with no instant where neither copy
+    exists: live table moves aside first, the new copy takes its place,
+    then the old one is deleted. A crash between the renames leaves the
+    live table or both copies — never zero. os.rename requires the dirs
+    to share a filesystem (they are siblings by construction); on an
+    object store this swap becomes one manifest/metadata commit."""
+    import shutil
+
+    old = path.rstrip("/") + "._old"
+    if os.path.exists(old):
+        shutil.rmtree(old)  # leftover from a prior crash after promote
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
 def upsert_write(
     spark,
     updates: DataFrame,
@@ -118,9 +135,13 @@ def upsert_write(
         dim_broadcast(updates.select(*keys).distinct()), on=list(keys), how="left_anti"
     )
     merged = survivors.unionByName(updates.select(*current.columns))
-    # localCheckpoint materializes the merge BEFORE the overwrite
-    # truncates its own input path
-    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+    # write-to-temp + atomic-ish swap: overwriting the live path would
+    # first truncate it (a crash mid-write loses the table) and also
+    # truncate the plan's own input; the swap leaves either the old or
+    # both copies on disk at every instant (see _swap_dirs)
+    tmp = path.rstrip("/") + "._upserting"
+    merged.write.mode("overwrite").parquet(tmp)
+    _swap_dirs(path, tmp)
 
 
 def snapshot_overwrite(
@@ -155,7 +176,6 @@ def compact_table(
     Returns {"files_before": n, "files_after": m}.
     """
     import glob
-    import shutil
 
     def count_files(p: str) -> int:
         return len(
@@ -178,16 +198,5 @@ def compact_table(
         )
     else:
         df.coalesce(files_per_partition).write.mode("overwrite").parquet(tmp)
-    # swap with no window where neither copy exists: move the live table
-    # aside first, promote the compacted copy, then delete the old one.
-    # A crash between the renames leaves either the live table or both
-    # copies on disk — never zero. (os.rename requires tmp/old on the
-    # same filesystem as path; they are siblings of it by construction.
-    # On an object store this whole swap becomes one metadata commit.)
-    old = path.rstrip("/") + "._old"
-    if os.path.exists(old):
-        shutil.rmtree(old)  # leftover from a prior crash after promote
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    _swap_dirs(path, tmp)
     return {"files_before": before, "files_after": count_files(path)}
