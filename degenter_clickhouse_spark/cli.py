@@ -1,11 +1,15 @@
 """Process entry points mirroring the reference's three binaries
 (package.json:8-10): ``indexer`` (stream raw blocks into facts),
 ``jobs`` (periodic rollups/alerts), and ``query`` (ad-hoc SQL over the
-engine views — the API layer's data surface without the HTTP shell).
+engine views — the API layer's data surface without the HTTP shell) —
+plus the engine-native maintenance/LLM-pipeline commands.
 
     python -m degenter_clickhouse_spark.cli indexer --landing DIR --storage DIR
     python -m degenter_clickhouse_spark.cli jobs --storage DIR --output DIR [--once]
     python -m degenter_clickhouse_spark.cli query --storage DIR --sql "SELECT ..."
+    python -m degenter_clickhouse_spark.cli corpus-ingest --landing DIR \
+        --output DIR --checkpoint DIR [--near-dup-threshold 0.5]
+    python -m degenter_clickhouse_spark.cli compact --path DIR [--partition-col dt]
 """
 
 from __future__ import annotations
@@ -36,6 +40,29 @@ def main(argv: list[str] | None = None) -> int:
     qr.add_argument("--sql", required=True)
     qr.add_argument("--limit", type=int, default=50)
 
+    ci = sub.add_parser(
+        "corpus-ingest",
+        help="stream documents: exact-dedup, quality gate, online near-dedup",
+    )
+    ci.add_argument("--landing", required=True)
+    ci.add_argument("--output", required=True)
+    ci.add_argument("--checkpoint", required=True)
+    ci.add_argument("--min-words", type=int, default=5)
+    ci.add_argument("--max-rep-ratio", type=float, default=0.9)
+    ci.add_argument("--watermark", default="1 hour")
+    ci.add_argument(
+        "--near-dup-threshold",
+        type=float,
+        default=None,
+        help="enable online MinHash near-dedup at this Jaccard threshold",
+    )
+    ci.add_argument("--once", action="store_true", help="drain and exit (availableNow)")
+
+    cp = sub.add_parser("compact", help="small-file compaction (lakehouse OPTIMIZE)")
+    cp.add_argument("--path", required=True)
+    cp.add_argument("--partition-col", default="dt")
+    cp.add_argument("--files-per-partition", type=int, default=1)
+
     args = p.parse_args(argv)
     from .session import build_session
 
@@ -53,6 +80,36 @@ def main(argv: list[str] | None = None) -> int:
         )
         if not args.once:
             q.awaitTermination()
+        return 0
+    if args.cmd == "corpus-ingest":
+        from .streaming import corpus
+
+        q = corpus.stream_corpus_ingest(
+            spark,
+            args.landing,
+            args.output,
+            args.checkpoint,
+            min_words=args.min_words,
+            max_rep_ratio=args.max_rep_ratio,
+            watermark=args.watermark,
+            near_dup_threshold=args.near_dup_threshold,
+            available_now=args.once,
+        )
+        if not args.once:
+            q.awaitTermination()
+        return 0
+    if args.cmd == "compact":
+        from .operators.merge import compact_table
+
+        pc = args.partition_col if args.partition_col != "none" else None
+        print(
+            compact_table(
+                spark,
+                args.path,
+                partition_col=pc,
+                files_per_partition=args.files_per_partition,
+            )
+        )
         return 0
     from .engine import DegenterEngine
 

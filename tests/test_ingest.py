@@ -417,3 +417,40 @@ def test_cli_indexer_jobs_query_end_to_end(spark, tmp_path, capsys):
     ]) == 0
     out = capsys.readouterr().out
     assert "|n" in out and "|2" in out  # count table printed: 2 priced pools
+
+
+def test_cli_corpus_ingest_and_compact(spark, tmp_path, capsys):
+    """The maintenance/LLM-pipeline entry points: corpus-ingest --once
+    drains a document landing zone through the online dedup + quality
+    gate; compact collapses an append-fragmented table."""
+    import json as _json
+
+    from degenter_clickhouse_spark.cli import main
+
+    landing = tmp_path / "docs"
+    landing.mkdir()
+    good = "the quick brown fox jumps over the lazy dog again tonight"
+    (landing / "b.json").write_text("\n".join([
+        _json.dumps({"doc_id": 1, "text": good, "lang": "en", "source": "s",
+                     "n_chars": len(good), "event_ts": "2024-01-01 10:00:00"}),
+        _json.dumps({"doc_id": 2, "text": "hi", "lang": "en", "source": "s",
+                     "n_chars": 2, "event_ts": "2024-01-01 10:00:00"}),
+    ]))
+    out_dir = str(tmp_path / "corpus")
+    assert main([
+        "corpus-ingest", "--landing", str(landing), "--output", out_dir,
+        "--checkpoint", str(tmp_path / "cckpt"),
+        "--near-dup-threshold", "0.5", "--once",
+    ]) == 0
+    assert [r.doc_id for r in spark.read.parquet(f"{out_dir}/accepted").collect()] == [1]
+    assert [r.reject_reason for r in spark.read.parquet(
+        f"{out_dir}/quarantine").collect()] == ["too_short"]
+
+    tbl = str(tmp_path / "tbl")
+    spark.range(0, 50).write.mode("append").parquet(tbl)
+    spark.range(50, 100).write.mode("append").parquet(tbl)
+    capsys.readouterr()
+    assert main(["compact", "--path", tbl, "--partition-col", "none",
+                 "--files-per-partition", "1"]) == 0
+    assert "files_after" in capsys.readouterr().out
+    assert spark.read.parquet(tbl).count() == 100
