@@ -170,6 +170,39 @@ def test_packing_invariants(spark):
     assert per_pack.filter(F.col("n") != F.col("max_pos") + 1).count() == 0
 
 
+@given(
+    counts=st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=5),
+    weights=st.lists(st.integers(min_value=1, max_value=4), min_size=5, max_size=5),
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_corpus_order_closed_form_matches_bruteforce(spark, counts, weights):
+    """The closed-form training position (arithmetic over the
+    per-source count/weight table) equals the brute-force sort by
+    (cycle, source, slot) for arbitrary source counts and weights:
+    positions are a 0..n-1 permutation in exactly that order."""
+    from degenter_clickhouse_spark.llm.packing import corpus_order
+
+    srcs = [f"s{chr(ord('a') + i)}" for i in range(len(counts))]
+    w = {s: weights[i] for i, s in enumerate(srcs)}
+    rows = [(s, i * 100 + j) for i, s in enumerate(srcs) for j in range(counts[i])]
+    if not rows:
+        return
+    # brute-force model of the documented semantics
+    keyed = []
+    for s, doc in rows:
+        rn = sum(1 for s2, d2 in rows if s2 == s and d2 < doc)
+        keyed.append(((rn // w[s], s, rn % w[s]), s, doc))
+    expected = [
+        (pos, s, doc) for pos, (_, s, doc) in enumerate(sorted(keyed))
+    ]
+    d = spark.createDataFrame(rows, ["source", "doc_id"])
+    got = sorted(
+        (r.position, r.source, r.doc_id)
+        for r in corpus_order(d, weights=w).collect()
+    )
+    assert got == expected
+
+
 def test_chunking_reconstructs_documents(spark):
     """Dropping each chunk's leading overlap (except chunk 0) and
     concatenating in chunk order reproduces the original word sequence
