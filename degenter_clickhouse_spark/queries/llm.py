@@ -773,10 +773,15 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# The composite corpus filter: language + quality + near-dup verdicts
-# folded into one keep/drop decision per document — the full
-# training-data cleaning pipeline as a single plan
+# The composite corpus filter: language + quality + near-dup + unigram-LM
+# verdicts folded into one keep/drop decision per document — the full
+# training-data cleaning pipeline as a single plan. The LM model fits on
+# the doc_id % 10 == 0 reference split (decontamination's convention) so
+# out-of-vocabulary rates are meaningful; gate = OOV rate <= 20%,
+# expressed in integer math (n_oov * 5 <= n_terms) for hash exactness.
 # ---------------------------------------------------------------------------
+
+from ..llm.lm import SCALE as LM_SCALE  # noqa: E402
 
 
 def _corpus_filter_oracle() -> str:
@@ -797,22 +802,39 @@ q AS (
          CAST(len(list_filter(string_split(text, ' '),
               x -> list_contains([{stop_lits}], x))) AS BIGINT) AS n_stop
   FROM documents
+),
+rt AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents
+       WHERE doc_id % 10 = 0),
+v AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM rt GROUP BY term),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM v),
+sv AS (SELECT term, (c * {LM_SCALE}) // total AS sc FROM v, tot),
+dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+lm AS (
+  SELECT dt.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_lm_terms,
+         CAST(SUM(CASE WHEN sv.sc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+  FROM dt LEFT JOIN sv USING (term) GROUP BY dt.doc_id
 )
 SELECT d.doc_id,
        COALESCE(c.canonical_id, d.doc_id) = d.doc_id AS dedup_keep,
        q.n_words >= 20 AS length_keep,
        CAST(q.n_stop AS DOUBLE) / q.n_words < 0.5 AS quality_keep,
+       lm.n_oov * 5 <= lm.n_lm_terms AS lm_keep,
        (COALESCE(c.canonical_id, d.doc_id) = d.doc_id)
          AND q.n_words >= 20
-         AND CAST(q.n_stop AS DOUBLE) / q.n_words < 0.5 AS keep
+         AND CAST(q.n_stop AS DOUBLE) / q.n_words < 0.5
+         AND lm.n_oov * 5 <= lm.n_lm_terms AS keep
 FROM documents d
 JOIN q ON q.doc_id = d.doc_id
+JOIN lm ON lm.doc_id = d.doc_id
 LEFT JOIN canon c ON c.doc_id = d.doc_id
 """
 
 
 @register("corpus_filter_pipeline", _corpus_filter_oracle())
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import lm
+
     docs = _docs(spark, sf_dir, parallel=True)
     pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
     resolution = dedup.dedup_resolution(docs, pairs).select(
@@ -824,15 +846,20 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("words").cast("bigint").alias("n_words"),
         T.stopword_count("words", T.ENGLISH_STOPWORDS).cast("bigint").alias("n_stop"),
     )
-    j = q.join(resolution, "doc_id")
+    rarity = lm.unigram_rarity(
+        docs, ref=docs.filter(F.col("doc_id") % 10 == 0)
+    ).select("doc_id", "n_lm_terms", "n_oov")
+    j = q.join(resolution, "doc_id").join(rarity, "doc_id")
     length_keep = F.col("n_words") >= 20
     quality_keep = F.col("n_stop").cast("double") / F.col("n_words") < 0.5
+    lm_keep = F.col("n_oov") * 5 <= F.col("n_lm_terms")
     return j.select(
         "doc_id",
         F.col("dedup_keep"),
         length_keep.alias("length_keep"),
         quality_keep.alias("quality_keep"),
-        (F.col("dedup_keep") & length_keep & quality_keep).alias("keep"),
+        lm_keep.alias("lm_keep"),
+        (F.col("dedup_keep") & length_keep & quality_keep & lm_keep).alias("keep"),
     )
 
 

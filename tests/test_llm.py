@@ -457,6 +457,28 @@ def test_corpus_pipeline_composes_end_to_end(spark, tmp_path):
     assert packed_ids.isdisjoint(dup_ids)
 
 
+def test_unigram_rarity_exact_and_oov(spark):
+    """The unigram-LM scorer (CCNet-style filter, exact-integer form):
+    self-reference makes OOV zero; a foreign-vocabulary doc scored
+    against a reference corpus shows full OOV; the scaled frequency sum
+    matches hand arithmetic."""
+    from degenter_clickhouse_spark.llm import lm
+
+    ref = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], ["doc_id", "text"]
+    )  # counts: a=3, b=1, c=1, total=5
+    scored = {r.doc_id: r for r in lm.unigram_rarity(ref).collect()}
+    assert all(r.n_oov == 0 for r in scored.values())  # self-reference
+    sc_a, sc_b = 3 * lm.SCALE // 5, 1 * lm.SCALE // 5
+    assert scored[1].tf_sum_scaled == 2 * sc_a + sc_b
+    assert scored[1].rarity_score == (2 * sc_a + sc_b) / 3 / lm.SCALE
+    # foreign vocabulary vs the same reference: every token OOV
+    alien = spark.createDataFrame([(9, "x y z z")], ["doc_id", "text"])
+    out = lm.unigram_rarity(alien, ref=ref).collect()[0]
+    assert out.n_lm_terms == 4 and out.n_oov == 4 and out.tf_sum_scaled == 0
+    assert out.rarity_score == 0.0
+
+
 def test_corpus_order_weighted_interleave(spark):
     """weights {a:2, b:1}: each cycle is a,a,b while both sources last;
     exhausted sources drop out and the tail keeps its order; positions
