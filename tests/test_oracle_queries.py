@@ -39,7 +39,15 @@ def test_results_invariant_to_shuffle_partitioning(spark):
     import pandas as pd
 
     default = spark.conf.get("spark.sql.shuffle.partitions")
-    names = ["pricing_summary", "vocab_stats", "dedup_minhash_lsh"]
+    names = [
+        "pricing_summary",
+        "vocab_stats",
+        "dedup_minhash_lsh",
+        # round-4 additions: closed-form interleave feeds packing;
+        # integer-scaled ANN probes; unigram-LM filter columns
+        "embedding_ann_scalable",
+        "corpus_filter_pipeline",
+    ]
 
     def run_all():
         out = {}
