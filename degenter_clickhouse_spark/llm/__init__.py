@@ -1,1 +1,1 @@
-from . import dedup, multimodal, packing, similarity, text  # noqa: F401
+from . import bpe, dedup, lm, multimodal, packing, similarity, text  # noqa: F401

@@ -457,6 +457,72 @@ def test_corpus_pipeline_composes_end_to_end(spark, tmp_path):
     assert packed_ids.isdisjoint(dup_ids)
 
 
+def _py_bpe(word_counts, n_merges):
+    """Reference BPE implementation: greedy most-frequent adjacent pair,
+    lexicographic tie-break, left-to-right non-overlapping merges."""
+    words = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                pairs[k] = pairs.get(k, 0) + word_counts[w]
+        if not pairs:
+            break
+        (left, right), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append((left, right))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges, words
+
+
+def test_bpe_merges_match_reference_implementation(spark):
+    """Distributed BPE fitting returns exactly the merge list a
+    sequential reference implementation produces (greedy max pair,
+    lexicographic ties, non-overlapping application), and tokenizing
+    with it conserves characters."""
+    from degenter_clickhouse_spark import catalog
+    from degenter_clickhouse_spark.llm import bpe
+
+    docs = (
+        catalog.load_table(spark, "/root/testdata/sf0.001", "documents")
+        .filter(F.col("doc_id") < 30)
+        .select("doc_id", "text")
+    )
+    wc = {
+        r.word: r.cnt for r in bpe.word_counts(docs).collect()
+    }
+    want_merges, want_words = _py_bpe(wc, 8)
+    got = bpe.fit_bpe_merges(docs, n_merges=8)
+    assert got == want_merges
+    # applying the merges reproduces the reference segmentation
+    toks = bpe.apply_bpe(docs, got).collect()
+    assert len(toks) == docs.count()
+    for r in toks:
+        assert r.n_tokens == len(r.tokens)
+    # character conservation: concatenated tokens == concatenated words
+    one = sorted(toks, key=lambda r: r.doc_id)[0]
+    doc_text = docs.filter(F.col("doc_id") == one.doc_id).collect()[0].text
+    assert "".join(one.tokens) == doc_text.replace(" ", "")
+    # the overlapping-merge edge case: "aaa" + (a,a) -> [aa, a]
+    tiny = spark.createDataFrame([(1, "aaa aaa")], ["doc_id", "text"])
+    m = bpe.fit_bpe_merges(tiny, n_merges=1)
+    assert m == [("a", "a")]
+    t = bpe.apply_bpe(tiny, m).collect()[0]
+    assert sorted(t.tokens) == ["a", "a", "aa", "aa"]
+
+
 def test_unigram_rarity_exact_and_oov(spark):
     """The unigram-LM scorer (CCNet-style filter, exact-integer form):
     self-reference makes OOV zero; a foreign-vocabulary doc scored
