@@ -24,7 +24,17 @@ DEFAULT_CADENCES = {
     "leaderboard": 60,  # LEADERBOARD_SEC (jobs/leaderboards.js:5)
     "security": 180,    # SECURITY_SCAN_SEC (jobs/token-security.js:6)
     "alerts": 10,       # ALERTS_SEC (jobs/alerts.js:5)
+    # maintenance: the reference's partitions job slot (jobs/partitions.js
+    # — a no-op under ClickHouse because MergeTree self-compacts; a
+    # parquet lake needs the OPTIMIZE pass done explicitly)
+    "compact": 3600,
 }
+
+# append-written outputs that fragment over time; compacted when the
+# file count crosses the threshold (rewriting a handful of files would
+# cost more than the scan-planning it saves)
+COMPACT_TABLES = ("alert_events",)
+COMPACT_MIN_FILES = 16
 
 
 class JobsRunner:
@@ -36,7 +46,10 @@ class JobsRunner:
         self.last_run: dict[str, float] = {}
 
     def _due(self, job: str, at: float) -> bool:
-        return at - self.last_run.get(job, 0.0) >= self.cadences[job]
+        # a job that has never run is due immediately (first tick runs
+        # everything, regardless of how the clock relates to cadence)
+        last = self.last_run.get(job)
+        return last is None or at - last >= self.cadences[job]
 
     def _write(self, df, name: str) -> None:
         df.write.mode("overwrite").parquet(os.path.join(self.output_dir, name))
@@ -83,6 +96,21 @@ class JobsRunner:
                 "alerts", AL.record_fired(self.engine.table("alerts"), fired, now)
             )
             ran.append("alerts")
+        if self._due("compact", at):
+            import glob as _glob
+
+            from .operators.merge import compact_table
+
+            for name in COMPACT_TABLES:
+                path = os.path.join(self.output_dir, name)
+                n_files = len(
+                    _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+                )
+                if n_files >= COMPACT_MIN_FILES:
+                    compact_table(
+                        self.engine.spark, path, partition_col=None
+                    )
+            ran.append("compact")
         for job in ran:
             self.last_run[job] = at
         return ran

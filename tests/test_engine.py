@@ -139,7 +139,7 @@ def test_jobs_runner_tick_and_cadence(spark, engine, dom, tmp_path):  # noqa: F8
     out = str(tmp_path / "jobs")
     runner = JobsRunner(engine, out)
     ran = runner.tick(at=1000.0, now_col=_now())
-    assert set(ran) == {"matrix", "leaderboard", "security", "alerts"}
+    assert set(ran) == {"matrix", "leaderboard", "security", "alerts", "compact"}
     pm = spark.read.parquet(f"{out}/pool_matrix")
     assert pm.select("bucket").distinct().count() == 4
     assert spark.read.parquet(f"{out}/alert_events").count() > 0
@@ -150,6 +150,34 @@ def test_jobs_runner_tick_and_cadence(spark, engine, dom, tmp_path):  # noqa: F8
     assert ran3 == ["alerts"]
     # fired alerts were throttled by the write-back
     assert spark.read.parquet(f"{out}/alert_events").count() >= 1
+
+
+def test_jobs_runner_compacts_fragmented_outputs(spark, engine, dom, tmp_path):  # noqa: F811
+    """The maintenance job collapses an append-fragmented output table
+    once it crosses the file threshold, preserving rows; below the
+    threshold it leaves the table alone (rewrite costs more than it
+    saves)."""
+    import glob
+    import os
+
+    from degenter_clickhouse_spark.jobs import JobsRunner
+
+    out = str(tmp_path / "jobs")
+    frag = os.path.join(out, "alert_events")
+    for i in range(5):  # 5 appends x 4 tasks -> 20 files (>= threshold)
+        spark.range(i * 10, i * 10 + 10).repartition(4).write.mode(
+            "append"
+        ).parquet(frag)
+    n_before = len(glob.glob(os.path.join(frag, "**", "*.parquet"), recursive=True))
+    assert n_before >= 16
+    runner = JobsRunner(engine, out)
+    ran = runner.tick(at=1000.0, now_col=_now())
+    assert "compact" in ran
+    n_after = len(glob.glob(os.path.join(frag, "**", "*.parquet"), recursive=True))
+    assert n_after < n_before
+    # no alerts table registered in this test -> nothing appended; the
+    # compaction preserved exactly the original rows
+    assert spark.read.parquet(frag).count() == 50
 
 
 def test_token_detail_nested_assembly(spark, engine):
