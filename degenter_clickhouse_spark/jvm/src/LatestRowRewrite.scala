@@ -31,10 +31,11 @@ package degenter.spark
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, Attribute, Descending, Literal, NamedExpression, SortOrder
+  Alias, Ascending, Attribute, CreateStruct, Descending, Expression, Literal,
+  NamedExpression, NullsLast, SortDirection, SortOrder
 }
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Complete, MaxBy
+  AggregateExpression, Complete, MaxBy, MinBy
 }
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -69,32 +70,67 @@ object LatestRowRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  // SELECT col ... ORDER BY ord DESC, as the analyzer shapes it: either
-  // Project above Sort (ORDER BY column not in the select list; the
-  // analyzer widened a lower Project and trims on top) or Sort directly
-  // above a single-column Project (ORDER BY the selected column).
+  // Uniform-direction ORDER BY keys collapse to one ordering
+  // expression: a single key as-is, multiple keys as a struct (struct
+  // comparison is field-wise lexicographic — exactly multi-key sort
+  // semantics when every key shares the direction). DESC -> max_by,
+  // ASC -> min_by (the reference's O3 latest-1 and O4 earliest-1
+  // lookups respectively).
+  private object UniformOrder {
+    // min_by/max_by skip NULL ordering keys, but a Sort places them
+    // per its null ordering — rewriting is only sound when the key
+    // cannot be NULL, or NULLs sort LAST (so LIMIT 1 also skips them;
+    // the degenerate every-row-null group still differs and keeps the
+    // original plan via the nullable guard).
+    private def keyOk(so: SortOrder): Boolean =
+      !so.child.nullable || so.nullOrdering == NullsLast
+
+    def unapply(order: Seq[SortOrder]): Option[(Expression, SortDirection)] =
+      order match {
+        case Seq(so @ SortOrder(ord, dir, _, _)) if keyOk(so) =>
+          Some((ord, dir))
+        case many
+            if many.nonEmpty && many.map(_.direction).distinct.size == 1 &&
+              many.forall(so => !so.child.nullable) =>
+          // struct comparison with a NULL field has its own ordering;
+          // multi-key therefore requires non-nullable keys outright
+          Some((CreateStruct(many.map(_.child)), many.head.direction))
+        case _ => None
+      }
+  }
+
+  // SELECT col ... ORDER BY keys LIMIT 1, as the analyzer shapes it:
+  // either Project above Sort (ORDER BY column not in the select list;
+  // the analyzer widened a lower Project and trims on top) or Sort
+  // directly above a single-column Project (ORDER BY the selected
+  // column).
   private def asMaxBy(plan: LogicalPlan): Option[LogicalPlan] = plan match {
     case Project(
           Seq(out: Attribute),
-          Sort(Seq(SortOrder(ord, Descending, _, _)), true, child, _)
+          Sort(UniformOrder(ord, dir), true, child, _)
         ) if child.outputSet.contains(out) =>
-      Some(aggregate(out, ord, child))
+      Some(aggregate(out, ord, dir, child))
     case Sort(
-          Seq(SortOrder(ord, Descending, _, _)),
+          UniformOrder(ord, dir),
           true,
           Project(Seq(out: Attribute), child),
           _
         ) if ord.references.subsetOf(child.outputSet) =>
-      Some(aggregate(out, ord, child))
+      Some(aggregate(out, ord, dir, child))
     case _ => None
   }
 
   private def aggregate(
       out: Attribute,
-      ord: org.apache.spark.sql.catalyst.expressions.Expression,
+      ord: Expression,
+      dir: SortDirection,
       child: LogicalPlan
   ): LogicalPlan = {
-    val agg = AggregateExpression(MaxBy(out, ord), Complete, isDistinct = false)
+    val fn = dir match {
+      case Descending => MaxBy(out, ord)
+      case Ascending  => MinBy(out, ord)
+    }
+    val agg = AggregateExpression(fn, Complete, isDistinct = false)
     // keep the original exprId so the outer ScalarSubquery reference
     // (plan.output.head) stays valid without touching the parent
     val named: NamedExpression = Alias(agg, out.name)(exprId = out.exprId)

@@ -33,10 +33,14 @@ driver classpath; there is no py4j path to subclass them from Python.
 The COMPILED twin now exists: ``jvm/src/LatestRowRewrite.scala`` (built
 by ``jvm/build_jvm.sh`` with the Scala compiler shipped inside
 pyspark's jars) injects a post-hoc resolution rule that matches
-``ScalarSubquery(Limit 1 over Sort(order_col DESC))`` over the guarded
-state tables on the RESOLVED plan and rewrites it to a ``max_by``
-aggregate subquery — Catalyst's own RewriteCorrelatedScalarSubquery
-then plans the single-aggregation left outer join. Sessions built by
+``ScalarSubquery(Limit 1 over Sort(...))`` over the guarded state
+tables on the RESOLVED plan and rewrites it to a ``max_by`` (DESC) or
+``min_by`` (ASC, the O4 earliest-1 lookup) aggregate subquery —
+uniform-direction multi-key sorts collapse to struct ordering, and a
+null-ordering guard skips cases where a NULL key could win the sort
+(min_by/max_by ignore null keys). Catalyst's own
+RewriteCorrelatedScalarSubquery then plans the single-aggregation left
+outer join. Sessions built by
 ``session.build_session`` load it automatically when the jar is
 present; alias/derived-table variants this regex cannot see are
 covered there (tests/test_catalyst_ext.py). This shim remains the

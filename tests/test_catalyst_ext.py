@@ -87,6 +87,81 @@ def test_rule_fires_on_alias_variant_regex_cannot_see(spark, views):
     assert "max_by" in _opt_plan(df)
 
 
+def test_rule_earliest_row_and_null_ordering_guard(spark, views):
+    """ASC LIMIT 1 (the reference's earliest-1 lookup, O4) rewrites to
+    min_by when NULLs cannot win the sort (NULLS LAST or non-nullable
+    key); the default ASC NULLS FIRST on a nullable key is left to
+    Spark's own decorrelation — min_by skips null keys, so rewriting
+    there would change which row wins."""
+    if not _ext_active(spark):
+        pytest.skip("extension jar not loaded in this session")
+    asc_safe = spark.sql(
+        """
+        SELECT p.pool_id,
+               (SELECT price_in_zig FROM prices
+                WHERE token_id = p.quote_token_id
+                ORDER BY updated_at ASC NULLS LAST LIMIT 1) AS v
+        FROM pools p
+        """
+    )
+    assert "min_by" in _opt_plan(asc_safe)
+    assert sorted((r.pool_id, r.v) for r in asc_safe.collect()) == [
+        (100, 5.0), (101, 7.0), (102, None),
+    ]
+    asc_default = spark.sql(
+        """
+        SELECT p.pool_id,
+               (SELECT price_in_zig FROM prices
+                WHERE token_id = p.quote_token_id
+                ORDER BY updated_at ASC LIMIT 1) AS v
+        FROM pools p
+        """
+    )
+    plan = _opt_plan(asc_default)
+    assert "min_by" not in plan and "max_by" not in plan, plan
+    # and Spark's own plan still answers correctly
+    assert sorted((r.pool_id, r.v) for r in asc_default.collect()) == [
+        (100, 5.0), (101, 7.0), (102, None),
+    ]
+
+
+def test_rule_multikey_struct_ordering(spark, views):
+    """A uniform-direction multi-key ORDER BY over NON-nullable keys
+    rewrites to max_by/min_by over a struct (field-wise comparison =
+    multi-key sort); nullable keys keep the original plan."""
+    import pyspark.sql.types as T
+
+    if not _ext_active(spark):
+        pytest.skip("extension jar not loaded in this session")
+    schema = T.StructType(
+        [
+            T.StructField("token_id", T.LongType(), False),
+            T.StructField("height", T.LongType(), False),
+            T.StructField("msg_index", T.LongType(), False),
+            T.StructField("v", T.DoubleType(), True),
+        ]
+    )
+    spark.createDataFrame(
+        [(1, 5, 2, 5.0), (1, 5, 1, 4.0), (1, 4, 9, 3.0), (2, 7, 0, 9.0)],
+        schema,
+    ).createOrReplaceTempView("pool_state")  # guarded table name
+    df = spark.sql(
+        """
+        SELECT p.pool_id,
+               (SELECT v FROM pool_state
+                WHERE token_id = p.quote_token_id
+                ORDER BY height ASC, msg_index ASC LIMIT 1) AS first_v
+        FROM pools p
+        """
+    )
+    plan = _opt_plan(df)
+    assert "min_by" in plan, plan
+    assert sorted((r.pool_id, r.first_v) for r in df.collect()) == [
+        (100, 3.0), (101, 9.0), (102, None),
+    ]
+    spark.catalog.dropTempView("pool_state")
+
+
 def test_rule_leaves_unlisted_tables_alone(spark, views):
     """Only the configured state tables rewrite; arbitrary user tables
     keep Spark's own (window-based) decorrelation untouched."""
