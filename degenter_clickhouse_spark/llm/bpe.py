@@ -110,9 +110,11 @@ def fit_bpe_merges(
             break
         left, right = top[0]["l"], top[0]["r"]
         merges.append((left, right))
+        # lazy: the NEXT iteration's pair-count is the materializing
+        # action, so each merge costs one job instead of two
         words = words.select(
             "word", "cnt", _apply_merge("syms", left, right).alias("syms")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return merges
 
 

@@ -376,8 +376,13 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # thread the previous label through, so convergence detection
+        # is a column (no extra self-join) and the per-iteration job
+        # count is ONE: the full-pass change count doubles as the
+        # action that materializes the lazy checkpoint
         stepped = labels.join(neighbor_min, "node", "left").select(
             "node",
+            F.col("label").alias("old_label"),
             F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
         )
         jump = labels.select(
@@ -387,21 +392,18 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             stepped.join(jump, stepped["label"] == jump["j_node"], "left")
             .select(
                 "node",
+                "old_label",
                 F.least(
                     F.col("label"), F.coalesce("j_label", "label")
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = new_labels.agg(
+            F.sum((F.col("label") != F.col("old_label")).cast("long")).alias("n")
+        ).collect()[0]["n"]
+        labels = new_labels.select("node", "label")
+        if not changed:
             break
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("canonical_id")
