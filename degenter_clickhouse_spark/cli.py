@@ -10,6 +10,8 @@ plus the engine-native maintenance/LLM-pipeline commands.
     python -m degenter_clickhouse_spark.cli corpus-ingest --landing DIR \
         --output DIR --checkpoint DIR [--near-dup-threshold 0.5]
     python -m degenter_clickhouse_spark.cli compact --path DIR [--partition-col dt]
+    python -m degenter_clickhouse_spark.cli import-pools --csv FILE \
+        --storage DIR [--dry]
 """
 
 from __future__ import annotations
@@ -63,6 +65,14 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--partition-col", default="dt")
     cp.add_argument("--files-per-partition", type=int, default=1)
 
+    ip = sub.add_parser(
+        "import-pools",
+        help="pools CSV backfill (normalize pairs, skip existing contracts)",
+    )
+    ip.add_argument("--csv", required=True)
+    ip.add_argument("--storage", required=True)
+    ip.add_argument("--dry", action="store_true", help="print would-be inserts only")
+
     args = p.parse_args(argv)
     from .session import build_session
 
@@ -110,6 +120,28 @@ def main(argv: list[str] | None = None) -> int:
                 files_per_partition=args.files_per_partition,
             )
         )
+        return 0
+    if args.cmd == "import-pools":
+        import os as _os
+
+        from .sources.csv_pools import import_pools
+
+        pools_path = _os.path.join(args.storage, "pools")
+        try:
+            existing = spark.read.parquet(pools_path)
+        except Exception:
+            existing = None
+        rows = import_pools(spark, args.csv, existing_pools=existing, dry=args.dry)
+        if args.dry:
+            rows.show(50, truncate=False)
+            print("would insert:", rows.count())
+            return 0
+        # materialize before the append: the anti-join re-lists the
+        # pools dir at execution, so a lazy plan re-run after the write
+        # would see its own inserts
+        rows = rows.localCheckpoint(eager=True)
+        rows.write.mode("append").parquet(pools_path)
+        print("inserted:", rows.count())
         return 0
     from .engine import DegenterEngine
 

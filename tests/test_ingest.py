@@ -454,3 +454,38 @@ def test_cli_corpus_ingest_and_compact(spark, tmp_path, capsys):
                  "--files-per-partition", "1"]) == 0
     assert "files_after" in capsys.readouterr().out
     assert spark.read.parquet(tbl).count() == 100
+
+
+def test_cli_import_pools_csv(spark, tmp_path, capsys):
+    """The pools CSV backfill entry point: --dry previews without
+    writing; a real run appends normalized rows; re-running the same
+    CSV inserts nothing (anti-join on pair_contract)."""
+    from degenter_clickhouse_spark.cli import main
+
+    csv = tmp_path / "pools.csv"
+    csv.write_text(
+        "pair_contract,pair,pair_type,lp_token_denom,created_at\n"
+        "zig1poolaaa,coin.zig1f.utok-uzig,xyk,lp/aaa,2024-01-01 00:00:00\n"
+        "zig1poolbbb,uzig-coin.zig1g.uoth,,lp/bbb,2024-01-02 00:00:00\n"
+    )
+    storage = str(tmp_path / "storage")
+    capsys.readouterr()
+    assert main(["import-pools", "--csv", str(csv), "--storage", storage,
+                 "--dry"]) == 0
+    assert "would insert: 2" in capsys.readouterr().out
+    import os
+
+    assert not os.path.exists(os.path.join(storage, "pools"))  # dry wrote nothing
+    assert main(["import-pools", "--csv", str(csv), "--storage", storage]) == 0
+    assert "inserted: 2" in capsys.readouterr().out
+    pools = {r.pair_contract: r for r in spark.read.parquet(
+        os.path.join(storage, "pools")).collect()}
+    assert set(pools) == {"zig1poolaaa", "zig1poolbbb"}
+    # uzig forced to the quote side regardless of CSV order
+    assert pools["zig1poolbbb"].quote_denom == "uzig"
+    assert pools["zig1poolbbb"].base_denom == "coin.zig1g.uoth"
+    assert pools["zig1poolbbb"].pair_type == "xyk"  # default filled
+    # idempotent: same CSV again inserts nothing
+    assert main(["import-pools", "--csv", str(csv), "--storage", storage]) == 0
+    assert "inserted: 0" in capsys.readouterr().out
+    assert spark.read.parquet(os.path.join(storage, "pools")).count() == 2
