@@ -63,6 +63,10 @@ def build_session(
         # -- Arrow for any pandas-UDF path (LLM ops, multimodal) --
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # zstd over the default snappy: ~30-50% smaller fact tables at
+        # comparable scan speed — at 100 TB that is tens of TB of
+        # storage and network per full scan (decode stays vectorized)
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
     )
     if with_extension and os.path.exists(EXT_JAR):
@@ -112,6 +116,7 @@ def tune_existing(spark: SparkSession) -> SparkSession:
         "spark.sql.broadcastTimeout": "600",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.parquet.compression.codec": "zstd",
     }
     for k, v in rt.items():
         try:
