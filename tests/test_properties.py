@@ -203,6 +203,38 @@ def test_corpus_order_closed_form_matches_bruteforce(spark, counts, weights):
     assert got == expected
 
 
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="abcd", min_size=1, max_size=6),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    n_merges=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_fit_matches_reference_on_random_corpora(spark, docs, n_merges):
+    """Distributed BPE equals the sequential reference for arbitrary
+    tiny corpora: same greedy merge list (count-desc, lexicographic
+    ties), same early stop when no pair repeats."""
+    from degenter_clickhouse_spark.llm import bpe
+
+    from .test_llm import _py_bpe
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    wc = {}
+    for _, text in rows:
+        for w in text.split(" "):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    want, _ = _py_bpe(wc, n_merges)
+    assert bpe.fit_bpe_merges(d, n_merges=n_merges) == want
+
+
 def test_chunking_reconstructs_documents(spark):
     """Dropping each chunk's leading overlap (except chunk 0) and
     concatenating in chunk order reproduces the original word sequence
