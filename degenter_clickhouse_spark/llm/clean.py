@@ -1,0 +1,192 @@
+"""Corpus cleaning operators beyond whole-document dedup: exact
+substring (duplicate n-gram span) detection/removal and BM25 ranked
+retrieval.
+
+Whole-doc dedup (llm/dedup.py) misses boilerplate REPEATED INSIDE
+otherwise-distinct documents — license headers, navigation chrome,
+templated paragraphs. Production pipelines remove those at the
+substring level ("Deduplicating Training Data Makes Language Models
+Better" uses a suffix array to find substrings occurring >= 2 times in
+the corpus and deletes them). A literal distributed suffix array is a
+poor fit for the DataFrame model; the fixed-width n-gram formulation
+below finds the same spans (any duplicated substring of >= n tokens is
+a run of duplicated n-grams, and maximal runs are recovered exactly by
+interval-merging the flagged gram positions):
+
+1. explode word-position n-grams — map-only;
+2. grams occurring >= min_count times in the corpus — one shuffle on
+   the gram (high-cardinality key, no skew hot-spot at 100 TB; an
+   aggregate-then-semi-join, never a self-join);
+3. merge each doc's flagged positions into maximal [start, end) token
+   spans — gaps-and-islands with windows PARTITIONED BY doc (never a
+   global window);
+4. (optional) rebuild the text without the spanned tokens — a per-doc
+   higher-order-function filter, no explode, no shuffle.
+
+BM25 is the classic probabilistic relevance score; here it is a
+two-aggregation DataFrame plan (tf per doc-term, df per term) with the
+corpus scalars (N, avgdl) folded in via a broadcast single-row cross
+join, and a TakeOrdered top-k — no global window, no driver loop.
+
+These are beyond-reference LLM-pipeline operators (the reference has
+no corpus tooling); they are registered in the EXTENDED query registry
+(queries/clean_ext.py) with DuckDB oracle twins checked by pytest.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import text as TX
+
+
+def positioned_ngrams(
+    docs: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per (doc, token position, n-gram string). Map-only."""
+    grams = TX.shingles("__ws", n)
+    return (
+        docs.select(id_col, F.split(F.col(text_col), " ").alias("__ws"))
+        .select(id_col, F.posexplode(grams).alias("pos", "gram"))
+    )
+
+
+def duplicate_ngram_spans(
+    docs: DataFrame,
+    n: int = 5,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal token spans [span_start, span_end) covered by n-grams
+    that occur >= ``min_count`` times corpus-wide (across or within
+    docs). Adjacent/overlapping flagged grams merge into one span, so
+    a duplicated substring of any length >= n comes out as exactly one
+    interval per occurrence."""
+    g = positioned_ngrams(docs, n, id_col, text_col)
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") >= min_count)
+        .select("gram")
+    )
+    flagged = g.join(dup, "gram", "left_semi").select(id_col, "pos")
+    # gaps-and-islands, windows partitioned by doc (scale-safe)
+    byd = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(n)).over(
+        byd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = (
+        flagged.withColumn(
+            "__new", (F.col("pos") > F.coalesce(prev_end, F.lit(-1))).cast("long")
+        )
+        .withColumn("__island", F.sum("__new").over(byd))
+    )
+    return isl.groupBy(id_col, "__island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(n)).alias("span_end"),
+        (F.max("pos") + F.lit(n) - F.min("pos")).alias("span_tokens"),
+    ).drop("__island")
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rebuild each doc's text with every spanned token removed.
+
+    The span list is grouped to one array per doc and applied with a
+    positional higher-order filter over the token array — the doc's
+    row never explodes and the only shuffle is the span groupBy (tiny:
+    spans, not tokens). Output: (id, cleaned_text, kept_tokens,
+    removed_tokens)."""
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    ws = F.split(F.col(text_col), " ")
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("__spans"),
+        lambda sp: (i >= sp["span_start"]) & (i < sp["span_end"]),
+    )
+    kept = F.filter(ws, lambda x, i: ~covered(i))
+    out = (
+        docs.join(per_doc, id_col, "left")
+        .withColumn(
+            "__spans",
+            F.coalesce(
+                "__spans",
+                F.array().cast("array<struct<span_start:long,span_end:long>>"),
+            ),
+        )
+        .select(
+            id_col,
+            F.array_join(kept, " ").alias("cleaned_text"),
+            F.size(kept).cast("long").alias("kept_tokens"),
+            (F.size(ws) - F.size(kept)).cast("long").alias("removed_tokens"),
+        )
+    )
+    return out
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 ranked retrieval: top-k docs for a bag-of-words query.
+
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))  (Robertson/Lucene)
+    score  = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Plan shape: tokens are filtered to the query terms BEFORE the tf
+    aggregation (the explode-filter collapses 100 TB of corpus to the
+    posting lists of |q| terms), df and the corpus scalars are
+    dimension-sized broadcasts, and the final top-k is orderBy+limit
+    (TakeOrderedAndProject — no single-partition window). Per-term
+    scores are rounded then DECIMAL-summed so the result is identical
+    across engines and partitionings."""
+    ws = F.split(F.col(text_col), " ")
+    base = docs.select(id_col, ws.alias("__ws")).select(
+        id_col, F.size("__ws").cast("long").alias("dl"), "__ws"
+    )
+    toks = base.select(id_col, "dl", F.explode("__ws").alias("term")).filter(
+        F.col("term").isin(query_terms)
+    )
+    tf = toks.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("dl").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    scored = tf.join(F.broadcast(dfx), "term").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    per_doc = (
+        scored.withColumn(
+            "__s", F.round(term_score, 9).cast("decimal(38,12)")
+        )
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum("__s").cast("double"), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+    )
+    return per_doc.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

@@ -31,10 +31,24 @@ class QueryDef:
 
 REGISTRY: dict[str, QueryDef] = {}
 
+# Queries beyond the driver gate's 50-entry cap: same (builder, oracle)
+# contract, oracle-checked by pytest (tests/test_oracle_queries.py)
+# instead of the driver. Keeps the curated 50 driver rows stable while
+# new operators still get exact cross-engine verification.
+EXTENDED_REGISTRY: dict[str, QueryDef] = {}
+
 
 def register(name: str, oracle: str | None):
     def deco(fn):
         REGISTRY[name] = QueryDef(name=name, fn=fn, oracle=oracle)
+        return fn
+
+    return deco
+
+
+def register_extended(name: str, oracle: str | None):
+    def deco(fn):
+        EXTENDED_REGISTRY[name] = QueryDef(name=name, fn=fn, oracle=oracle)
         return fn
 
     return deco
@@ -51,9 +65,16 @@ def register(name: str, oracle: str | None):
 DRIVER_QUERY_CAP = 50
 
 
-def load_registry() -> dict[str, QueryDef]:
+def load_registry(extended: bool = False) -> dict[str, QueryDef]:
     # import for side effect of filling REGISTRY
     from . import core, llm, parity2, parity3, suites  # noqa: F401
+
+    if extended:
+        from . import clean_ext  # noqa: F401
+
+        full = dict(load_registry())
+        full.update(EXTENDED_REGISTRY)
+        return full
 
     # oracle-bearing entries first: if the gate ever evaluates fewer
     # than all entries, the rows-only (no-oracle) checks are the ones

@@ -1,0 +1,159 @@
+"""EXTENDED-registry queries: substring-level corpus cleaning + BM25
+(llm/clean.py). These sit beyond the driver gate's 50-entry cap, so
+their oracle checks run in pytest (tests/test_oracle_queries.py) — the
+same exact rows/schema/hash compare the driver performs, at sf0.001.
+
+Beyond-reference operators: the reference engine has no corpus
+tooling; these follow the exact-substring dedup of Lee et al. 2022
+("Deduplicating Training Data Makes Language Models Better") and
+classic BM25, re-expressed as DataFrame plans (see llm/clean.py
+docstring for the scale shapes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import register_extended
+from .llm import _docs
+
+SPAN_N = 5
+
+_SPANS_CORE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, t.i - 1 AS pos,
+         array_to_string(ws[t.i : t.i + {SPAN_N - 1}], ' ') AS gram
+  FROM w, unnest(generate_series(1, greatest(len(ws) - {SPAN_N - 1}, 0))) AS t(i)
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+f AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+brk AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > coalesce(max(pos + {SPAN_N}) OVER (
+      PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+    THEN 1 ELSE 0 END AS is_new
+  FROM f
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM brk
+),
+spans AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(min(pos) AS BIGINT) AS span_start,
+         CAST(max(pos) + {SPAN_N} AS BIGINT) AS span_end,
+         CAST(max(pos) + {SPAN_N} - min(pos) AS BIGINT) AS span_tokens
+  FROM isl GROUP BY doc_id, island
+)
+"""
+
+SPANS_ORACLE = _SPANS_CORE + "SELECT * FROM spans"
+
+CLEAN_ORACLE = _SPANS_CORE + f""",
+tok AS (
+  SELECT w.doc_id, t.i - 1 AS pos, ws[t.i] AS tk
+  FROM w, unnest(generate_series(1, len(ws))) AS t(i)
+),
+kept AS (
+  SELECT tok.doc_id, tok.pos, tok.tk FROM tok
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans
+    WHERE spans.doc_id = tok.doc_id
+      AND tok.pos >= spans.span_start AND tok.pos < spans.span_end)
+)
+SELECT CAST(w.doc_id AS BIGINT) AS doc_id,
+       coalesce(k.cleaned, '') AS cleaned_text,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS kept_tokens,
+       CAST(len(w.ws) - coalesce(k.n_kept, 0) AS BIGINT) AS removed_tokens
+FROM w LEFT JOIN (
+  SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS cleaned,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+) k USING (doc_id)
+"""
+
+BM25_TERMS = ["spark", "window", "merge"]
+BM25_K = 25
+_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+BM25_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+base AS (SELECT doc_id, len(ws) AS dl, ws FROM w),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(CAST(dl AS DECIMAL(38,0))) AS DOUBLE) / count(*) AS avgdl
+  FROM base
+),
+tok AS (
+  SELECT doc_id, dl, t.tk AS term
+  FROM base, unnest(ws) AS t(tk)
+  WHERE t.tk IN ({_TERMS_SQL})
+),
+tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln(1.0 + (stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+           * tf.tf * {1.2 + 1.0}
+           / (tf.tf + {1.2} * (1.0 - {0.75} + {0.75} * tf.dl / stats.avgdl)),
+           9) AS DECIMAL(38,12)) AS s
+  FROM tf JOIN dfx USING (term) CROSS JOIN stats
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       round(CAST(sum(s) AS DOUBLE), 6) AS score,
+       CAST(count(*) AS BIGINT) AS n_terms
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
+@register_extended("dup_ngram_spans", SPANS_ORACLE)
+def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, detection half: maximal >= 5-token spans
+    whose every 5-gram occurs >= 2 times corpus-wide."""
+    from ..llm import clean as C
+
+    d = _docs(spark, sf_dir, parallel=True)
+    s = C.duplicate_ngram_spans(d, n=SPAN_N, min_count=2)
+    return s.select(
+        F.col("doc_id").cast("long"),
+        F.col("span_start").cast("long"),
+        F.col("span_end").cast("long"),
+        F.col("span_tokens").cast("long"),
+    )
+
+
+@register_extended("span_dedup_clean", CLEAN_ORACLE)
+def q_span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, removal half: corpus text rebuilt with
+    every duplicated span deleted."""
+    from ..llm import clean as C
+
+    d = _docs(spark, sf_dir, parallel=True)
+    spans = C.duplicate_ngram_spans(d, n=SPAN_N, min_count=2)
+    out = C.remove_duplicate_spans(d, spans)
+    return out.select(
+        F.col("doc_id").cast("long"),
+        "cleaned_text",
+        "kept_tokens",
+        "removed_tokens",
+    )
+
+
+@register_extended("bm25_search", BM25_ORACLE)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval for a fixed bag-of-words query."""
+    from ..llm import clean as C
+
+    d = _docs(spark, sf_dir, parallel=True)
+    out = C.bm25_topk(d, BM25_TERMS, k=BM25_K)
+    return out.select(
+        F.col("doc_id").cast("long"), "score", F.col("n_terms").cast("long")
+    )

@@ -1,0 +1,121 @@
+"""Semantics + plan-shape tests for llm/clean.py (exact-substring
+span dedup and BM25). Oracle parity at corpus scale is covered by
+test_oracle_queries.py over the EXTENDED registry; these tests pin the
+hand-checkable semantics and the 100 TB plan contracts."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from degenter_clickhouse_spark.llm.clean import (
+    bm25_topk,
+    duplicate_ngram_spans,
+    remove_duplicate_spans,
+)
+
+
+def _mk_docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+
+W = "w{}".format  # unique filler words
+
+
+def test_shared_substring_becomes_one_merged_span(spark):
+    # docs 0 and 1 share an 8-token run; its 4 overlapping 5-grams must
+    # merge into ONE [start, end) span per doc, exactly covering the run
+    shared = " ".join(W(i) for i in range(8))
+    a = "a0 a1 a2 " + shared + " a3 a4"
+    b = "b0 " + shared + " b1 b2 b3 b4"
+    c = " ".join(f"c{i}" for i in range(12))
+    spans = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in duplicate_ngram_spans(_mk_docs(spark, [a, b, c]), n=5).collect()
+    }
+    assert spans == {(0, 3, 11, 8), (1, 1, 9, 8)}
+
+
+def test_within_doc_repeat_is_flagged(spark):
+    run = " ".join(W(i) for i in range(5))
+    text = run + " x0 x1 x2 " + run
+    [r0, r1] = sorted(
+        duplicate_ngram_spans(_mk_docs(spark, [text]), n=5).collect(),
+        key=lambda r: r.span_start,
+    )
+    assert (r0.span_start, r0.span_end) == (0, 5)
+    assert (r1.span_start, r1.span_end) == (8, 13)
+
+
+def test_remove_spans_rebuilds_text(spark):
+    shared = " ".join(W(i) for i in range(6))
+    a = "a0 a1 " + shared + " a2"
+    b = shared  # fully covered -> empty after removal
+    c = "c0 c1 c2 c3 c4 c5"  # untouched
+    docs = _mk_docs(spark, [a, b, c])
+    spans = duplicate_ngram_spans(docs, n=5)
+    out = {r.doc_id: r for r in remove_duplicate_spans(docs, spans).collect()}
+    assert out[0].cleaned_text == "a0 a1 a2"
+    assert (out[0].kept_tokens, out[0].removed_tokens) == (3, 6)
+    assert out[1].cleaned_text == "" and out[1].kept_tokens == 0
+    assert out[2].cleaned_text == c and out[2].removed_tokens == 0
+
+
+def test_bm25_matches_reference_formula(spark):
+    texts = [
+        "spark spark window alpha beta",
+        "spark gamma delta epsilon zeta eta theta iota",
+        "window window window kappa",
+        "alpha beta gamma delta",  # no query terms -> absent
+    ]
+    got = {
+        r.doc_id: (r.score, r.n_terms)
+        for r in bm25_topk(_mk_docs(spark, texts), ["spark", "window"], k=10).collect()
+    }
+    assert 3 not in got and set(got) == {0, 1, 2}
+
+    # sequential reference implementation
+    toks = [t.split(" ") for t in texts]
+    n, avgdl = len(toks), sum(len(t) for t in toks) / len(toks)
+    dfx = {
+        q: sum(1 for t in toks if q in t) for q in ("spark", "window")
+    }
+
+    def score(d):
+        s = 0.0
+        for q in ("spark", "window"):
+            tf = toks[d].count(q)
+            if not tf:
+                continue
+            idf = math.log(1.0 + (n - dfx[q] + 0.5) / (dfx[q] + 0.5))
+            s += round(
+                idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(toks[d]) / avgdl)),
+                9,
+            )
+        return round(s, 6)
+
+    for d, (sc, _) in got.items():
+        assert abs(sc - score(d)) < 1e-9, (d, sc, score(d))
+
+
+def test_clean_plans_stay_jvm_side_with_no_global_window(spark):
+    docs = _mk_docs(spark, ["x0 x1 x2 x3 x4 y", "x0 x1 x2 x3 x4 z"])
+    spans = duplicate_ngram_spans(docs, n=5)
+    for df in (spans, remove_duplicate_spans(docs, spans)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "SinglePartition" not in plan, plan
+
+
+def test_bm25_plan_is_take_ordered(spark):
+    docs = _mk_docs(spark, ["spark window a b", "spark c d e"])
+    plan = (
+        bm25_topk(docs, ["spark", "window"], k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan

@@ -10,7 +10,9 @@ from degenter_clickhouse_spark.queries import load_registry
 
 from .helpers import SF_DIR, assert_matches_oracle
 
-REGISTRY = load_registry()
+# extended=True: also oracle-check the beyond-cap entries the driver
+# gate never sees (queries/clean_ext.py)
+REGISTRY = load_registry(extended=True)
 ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
 ROWS_ONLY_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
 
