@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "corpus_sampling",  # stratified hash sample + domain quota
     "vocab_stats",  # explode -> tf/df agg -> top-K
     "doc_chunking",  # overlapping token windows, map-only
+    "span_dedup_clean",  # exact-substring span detect + removal (EXTENDED)
+    "bm25_search",  # two-agg posting-list score + TakeOrdered (EXTENDED)
 ]
 
 
@@ -81,7 +83,7 @@ def main() -> None:
     # drowning the one JSON line this script exists to print. Real
     # failures still surface as Python exceptions (nonzero exit).
     spark.sparkContext.setLogLevel("FATAL")
-    reg = load_registry()
+    reg = load_registry(extended=True)
     names = [n for n in BENCH_QUERIES if n in reg]
     # warm up the JVM + file listing once so timings measure the queries
     reg[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

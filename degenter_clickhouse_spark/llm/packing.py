@@ -86,6 +86,62 @@ def pack_stats(packed: DataFrame, budget: int, group_col: str = "source") -> Dat
     )
 
 
+def temperature_sample(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled mixture downsampling: keep rates per source
+    proportional to p_s^alpha (renormalized), the standard way to
+    flatten a skewed source mixture for training (alpha=1 keeps the
+    natural mix, alpha->0 approaches uniform-over-sources). Output has
+    ~``target_frac`` of the corpus with source s expected at
+    q_s = n_s^alpha / sum_t n_t^alpha of the sample.
+
+    Fully declarative and map-shaped at 100 TB: one dimension-sized
+    groupBy for the per-source counts, the rate table broadcast back,
+    and a deterministic multiplicative-hash uniform per doc (no RNG
+    state, reproducible across runs/partitionings). Rates are
+    rounded and the rate-table sums DECIMAL-accumulated so the kept
+    set is engine- and shuffle-order-exact (with alpha=0.5 the pow is
+    sqrt — correctly rounded in IEEE 754, so cross-engine identical).
+    """
+    KNUTH, U32 = 2654435761, 2**32
+    c = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    z = c.agg(
+        F.sum(
+            F.pow(F.col("__n").cast("double"), F.lit(alpha)).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("__z"),
+        F.sum("__n").alias("__total"),
+    )
+    rates = c.crossJoin(F.broadcast(z)).select(
+        group_col,
+        F.least(
+            F.lit(1.0),
+            F.round(
+                F.pow(F.col("__n").cast("double"), F.lit(alpha))
+                / F.col("__z")
+                * (F.lit(target_frac) * F.col("__total"))
+                / F.col("__n"),
+                9,
+            ),
+        ).alias("keep_rate"),
+    )
+    u = ((F.col(id_col) * F.lit(KNUTH)) % F.lit(U32)).cast("double") / F.lit(
+        float(U32)
+    )
+    return (
+        docs.join(F.broadcast(rates), group_col)
+        .withColumn("__u", u)
+        .filter(F.col("__u") < F.col("keep_rate"))
+        .drop("__u")
+    )
+
+
 def corpus_order(
     docs: DataFrame,
     weights: dict[str, int],

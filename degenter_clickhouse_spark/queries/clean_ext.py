@@ -114,6 +114,40 @@ ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
 """
 
 
+TEMP_ALPHA = 0.5
+TEMP_FRAC = 0.5
+
+TEMP_SAMPLE_ORACLE = f"""
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+z AS (
+  SELECT CAST(sum(CAST(pow(n, {TEMP_ALPHA}) AS DECIMAL(38,12))) AS DOUBLE) AS z,
+         CAST(sum(n) AS BIGINT) AS total
+  FROM c
+),
+r AS (
+  SELECT source,
+         least(1.0, round(pow(n, {TEMP_ALPHA}) / z.z
+                          * ({TEMP_FRAC} * z.total) / n, 9)) AS keep_rate
+  FROM c, z
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source, r.keep_rate
+FROM documents d JOIN r USING (source)
+WHERE CAST((d.doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0
+      < r.keep_rate
+"""
+
+
+@register_extended("temperature_sampling", TEMP_SAMPLE_ORACLE)
+def q_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.5) mixture downsampling to ~50% of
+    the corpus — per-source keep rates proportional to sqrt(share)."""
+    from ..llm.packing import temperature_sample
+
+    d = _docs(spark, sf_dir)
+    out = temperature_sample(d, alpha=TEMP_ALPHA, target_frac=TEMP_FRAC)
+    return out.select(F.col("doc_id").cast("long"), "source", "keep_rate")
+
+
 @register_extended("dup_ngram_spans", SPANS_ORACLE)
 def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup, detection half: maximal >= 5-token spans

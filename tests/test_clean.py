@@ -101,6 +101,33 @@ def test_bm25_matches_reference_formula(spark):
         assert abs(sc - score(d)) < 1e-9, (d, sc, score(d))
 
 
+def test_temperature_sample_flattens_mixture(spark):
+    """alpha=0.5 rates must equal the closed form sqrt-share formula,
+    and the kept set must be exactly the multiplicative-hash filter —
+    reproducible, no RNG."""
+    from degenter_clickhouse_spark.llm.packing import temperature_sample
+
+    rows = [(i, "big") for i in range(900)] + [(1000 + i, "small") for i in range(100)]
+    d = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = temperature_sample(d, alpha=0.5, target_frac=0.5).collect()
+
+    z = math.sqrt(900) + math.sqrt(100)
+    rate = {
+        "big": min(1.0, round(math.sqrt(900) / z * 500 / 900, 9)),
+        "small": min(1.0, round(math.sqrt(100) / z * 500 / 100, 9)),
+    }
+    # small source is upsampled toward uniform: rate 1.0 (clipped)
+    assert rate["small"] == 1.0 and rate["big"] < 0.5
+    expect = {
+        i
+        for i, s in rows
+        if (i * 2654435761) % 2**32 / 2**32 < rate[s]
+    }
+    assert {r.doc_id for r in out} == expect
+    for r in out:
+        assert abs(r.keep_rate - rate[r.source]) < 1e-12
+
+
 def test_clean_plans_stay_jvm_side_with_no_global_window(spark):
     docs = _mk_docs(spark, ["x0 x1 x2 x3 x4 y", "x0 x1 x2 x3 x4 z"])
     spans = duplicate_ngram_spans(docs, n=5)
