@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 from collections.abc import Sequence
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -64,6 +65,56 @@ def merge_token_metadata(tokens: DataFrame, meta_updates: DataFrame) -> DataFram
     )
 
 
+class TableLockTimeout(RuntimeError):
+    pass
+
+
+@contextmanager
+def _table_lock(path: str, timeout_s: float = 60.0, stale_s: float = 3600.0):
+    """Advisory per-table writer lock for the plain-parquet
+    read-modify-swap paths: ``mkdir`` is atomic on POSIX (and on object
+    stores becomes a conditional-put), so exactly one writer enters the
+    critical section; others poll until ``timeout_s`` then raise
+    ``TableLockTimeout`` instead of silently interleaving and losing
+    one writer's rows. A lock older than ``stale_s`` (crashed holder)
+    is broken. This serializes writers — it does not make them
+    transactional; ``fmt="delta"`` remains the concurrent-writer seam
+    (reference semantics: single-writer jobs runner, jobs/runner.js).
+    """
+    import json
+    import time
+
+    lock = path.rstrip("/") + "._lock"
+    deadline = time.monotonic() + timeout_s
+    while True:
+        try:
+            os.makedirs(os.path.dirname(lock) or ".", exist_ok=True)
+            os.mkdir(lock)
+            break
+        except FileExistsError:
+            try:
+                age = time.time() - os.stat(lock).st_mtime
+                if age > stale_s:
+                    os.rmdir(lock)  # crashed holder; next loop retries
+                    continue
+            except FileNotFoundError:
+                continue  # raced with the holder's release
+            if time.monotonic() >= deadline:
+                raise TableLockTimeout(
+                    f"writer lock on {path} held for {age:.0f}s; "
+                    "concurrent upsert/compact of the same parquet table"
+                )
+            time.sleep(0.05)
+    try:
+        with open(os.path.join(lock, "holder.json"), "w") as f:
+            json.dump({"pid": os.getpid(), "ts": time.time()}, f)
+        yield
+    finally:
+        import shutil
+
+        shutil.rmtree(lock, ignore_errors=True)
+
+
 def _swap_dirs(path: str, tmp: str) -> None:
     """Promote ``tmp`` over ``path`` with no instant where neither copy
     exists: live table moves aside first, the new copy takes its place,
@@ -87,6 +138,7 @@ def upsert_write(
     path: str,
     keys: Sequence[str],
     fmt: str = "parquet",
+    lock_timeout_s: float = 60.0,
 ) -> None:
     """S10/S11 write seam: key-based upsert of ``updates`` into the
     table at ``path``. This is THE swap-in point for a transactional
@@ -126,22 +178,26 @@ def upsert_write(
         return
     if fmt != "parquet":
         raise ValueError(f"unsupported fmt: {fmt!r} (parquet|delta)")
-    try:
-        current = spark.read.parquet(path)
-    except Exception:
-        updates.write.mode("overwrite").parquet(path)
-        return
-    survivors = current.join(
-        dim_broadcast(updates.select(*keys).distinct()), on=list(keys), how="left_anti"
-    )
-    merged = survivors.unionByName(updates.select(*current.columns))
-    # write-to-temp + atomic-ish swap: overwriting the live path would
-    # first truncate it (a crash mid-write loses the table) and also
-    # truncate the plan's own input; the swap leaves either the old or
-    # both copies on disk at every instant (see _swap_dirs)
-    tmp = path.rstrip("/") + "._upserting"
-    merged.write.mode("overwrite").parquet(tmp)
-    _swap_dirs(path, tmp)
+    with _table_lock(path, timeout_s=lock_timeout_s):
+        try:
+            current = spark.read.parquet(path)
+        except Exception:
+            updates.write.mode("overwrite").parquet(path)
+            return
+        survivors = current.join(
+            dim_broadcast(updates.select(*keys).distinct()),
+            on=list(keys),
+            how="left_anti",
+        )
+        merged = survivors.unionByName(updates.select(*current.columns))
+        # write-to-temp + atomic-ish swap: overwriting the live path
+        # would first truncate it (a crash mid-write loses the table)
+        # and also truncate the plan's own input; the swap leaves either
+        # the old or both copies on disk at every instant (see
+        # _swap_dirs)
+        tmp = path.rstrip("/") + "._upserting"
+        merged.write.mode("overwrite").parquet(tmp)
+        _swap_dirs(path, tmp)
 
 
 def snapshot_overwrite(
@@ -186,17 +242,18 @@ def compact_table(
             ]
         )
 
-    before = count_files(path)
-    df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "._compacting"
-    if partition_col is not None and partition_col in df.columns:
-        (
-            df.repartition(files_per_partition, F.col(partition_col))
-            .write.mode("overwrite")
-            .partitionBy(partition_col)
-            .parquet(tmp)
-        )
-    else:
-        df.coalesce(files_per_partition).write.mode("overwrite").parquet(tmp)
-    _swap_dirs(path, tmp)
-    return {"files_before": before, "files_after": count_files(path)}
+    with _table_lock(path):
+        before = count_files(path)
+        df = spark.read.parquet(path)
+        tmp = path.rstrip("/") + "._compacting"
+        if partition_col is not None and partition_col in df.columns:
+            (
+                df.repartition(files_per_partition, F.col(partition_col))
+                .write.mode("overwrite")
+                .partitionBy(partition_col)
+                .parquet(tmp)
+            )
+        else:
+            df.coalesce(files_per_partition).write.mode("overwrite").parquet(tmp)
+        _swap_dirs(path, tmp)
+        return {"files_before": before, "files_after": count_files(path)}

@@ -448,3 +448,41 @@ def test_streaming_corpus_online_near_dedup(spark, tmp_path):
     idx_docs = {r.d for r in spark.read.parquet(
         os.path.join(out, "minhash_idx", "shingles")).collect()}
     assert idx_docs == {1, 3}
+
+
+def test_table_lock_serializes_writers(spark, tmp_path):
+    """The parquet upsert path takes a per-table advisory lock: a held
+    lock times out a second writer (instead of interleaving
+    read-modify-swap and silently dropping one writer's rows), a
+    released lock admits it, and a stale lock from a crashed holder is
+    broken."""
+    import os
+    import threading
+    import time
+
+    import pytest
+
+    path = str(tmp_path / "locked")
+    t0 = spark.createDataFrame([(1, "a")], "token_id long, name string")
+    M.upsert_write(spark, t0, path, keys=["token_id"])
+    assert not os.path.exists(path + "._lock")  # released after write
+
+    # contention: hold the lock, expect the writer to give up
+    os.mkdir(path + "._lock")
+    upd = spark.createDataFrame([(2, "b")], "token_id long, name string")
+    with pytest.raises(M.TableLockTimeout):
+        M.upsert_write(spark, upd, path, keys=["token_id"], lock_timeout_s=0.3)
+    # release mid-wait: a delayed unlock lets the writer proceed
+    t = threading.Timer(0.5, os.rmdir, args=(path + "._lock",))
+    t.start()
+    M.upsert_write(spark, upd, path, keys=["token_id"])
+    t.join()
+    assert {r.token_id for r in spark.read.parquet(path).collect()} == {1, 2}
+
+    # stale lock (crashed holder): broken and the write proceeds
+    os.mkdir(path + "._lock")
+    old = time.time() - 7200
+    os.utime(path + "._lock", (old, old))
+    upd2 = spark.createDataFrame([(3, "c")], "token_id long, name string")
+    M.upsert_write(spark, upd2, path, keys=["token_id"])
+    assert {r.token_id for r in spark.read.parquet(path).collect()} == {1, 2, 3}

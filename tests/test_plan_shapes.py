@@ -19,7 +19,7 @@ from degenter_clickhouse_spark.queries import load_registry
 
 from .helpers import SF_DIR
 
-REGISTRY = load_registry()
+REGISTRY = load_registry(extended=True)
 
 # Arrow-batched Python is the *designed* slow path for these (binary
 # decode / order-dependent per-group state); everything else must stay

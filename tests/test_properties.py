@@ -369,3 +369,62 @@ def test_pair_normalize_first_dash_and_swap(spark):
     for pair, base, quote in rows:
         assert got[pair].base_denom == base, pair
         assert got[pair].quote_denom == quote, pair
+
+
+span_docs = st.lists(
+    st.lists(st.sampled_from("a b c".split()), min_size=0, max_size=14).map(
+        " ".join
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(texts=span_docs)
+@_settings
+def test_duplicate_ngram_spans_match_bruteforce(spark, texts):
+    """Span detection + removal vs a sequential reference: same merged
+    [start, end) intervals, and the cleaned text is exactly the
+    uncovered tokens. The 3-letter alphabet forces heavy gram
+    collisions (within- and cross-doc)."""
+    from collections import Counter
+
+    from degenter_clickhouse_spark.llm.clean import (
+        duplicate_ngram_spans,
+        remove_duplicate_spans,
+    )
+
+    n = 3
+    toks = [t.split(" ") for t in texts]
+    cnt = Counter(
+        " ".join(tk[i : i + n])
+        for tk in toks
+        for i in range(len(tk) - n + 1)
+    )
+    want = set()
+    covered = {d: set() for d in range(len(toks))}
+    for d, tk in enumerate(toks):
+        spans = []
+        for i in range(len(tk) - n + 1):
+            if cnt[" ".join(tk[i : i + n])] < 2:
+                continue
+            if spans and i <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], i + n)
+            else:
+                spans.append([i, i + n])
+        for s, e in spans:
+            want.add((d, s, e))
+            covered[d].update(range(s, e))
+
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    sp = duplicate_ngram_spans(docs, n=n)
+    got = {(r.doc_id, r.span_start, r.span_end) for r in sp.collect()}
+    assert got == want
+
+    cleaned = {
+        r.doc_id: r.cleaned_text
+        for r in remove_duplicate_spans(docs, sp).collect()
+    }
+    for d, tk in enumerate(toks):
+        expect = " ".join(t for i, t in enumerate(tk) if i not in covered[d])
+        assert cleaned[d] == expect, (d, texts[d])
