@@ -17,6 +17,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -497,3 +499,43 @@ def dedup_resolution(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") 
         F.coalesce("canonical_id", F.col(id_col)).alias("canonical_id"),
         (F.coalesce("canonical_id", F.col(id_col)) == F.col(id_col)).alias("keep"),
     )
+
+
+def leakage_free_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    fracs: Sequence[tuple[str, float]] = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/val/test assignment that never lets near-duplicates
+    straddle a split boundary (the classic eval-leakage bug): documents
+    are first resolved to their near-dup cluster (iterative min-label
+    propagation over ``pairs``), then the CLUSTER id — not the doc id —
+    is hashed into [0, 1) and bucketed by the cumulative fractions, so
+    every member of a cluster lands in the same split.
+
+    Deterministic end-to-end (multiplicative hash, no RNG) and
+    scale-shaped: the only data-sized operations are the cluster
+    left-join and a map-side hash/bucket; fractions arrive as literal
+    comparisons. Output: (id, group_id, split).
+    """
+    clusters = neardup_clusters(pairs)
+    g = (
+        docs.select(id_col)
+        .join(clusters, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("canonical_id", F.col(id_col)).alias("group_id"),
+        )
+    )
+    KNUTH, U32 = 2654435761, 2**32
+    u = ((F.col("group_id") * F.lit(KNUTH)) % F.lit(U32)).cast("double") / F.lit(
+        float(U32)
+    )
+    expr, acc = None, 0.0
+    for name, frac in list(fracs)[:-1]:
+        acc += float(frac)
+        expr = F.when(u < acc, name) if expr is None else expr.when(u < acc, name)
+    last = list(fracs)[-1][0]
+    split = expr.otherwise(last) if expr is not None else F.lit(last)
+    return g.withColumn("split", split)

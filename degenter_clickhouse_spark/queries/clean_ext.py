@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import register_extended
-from .llm import _docs
+from .llm import _docs, _minhash_ctes
 
 SPAN_N = 5
 
@@ -112,6 +112,48 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM scored GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
 """
+
+
+def _leakage_split_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+edges AS (SELECT d1 AS a, d2 AS b FROM nd_pairs
+          UNION SELECT d2, d1 FROM nd_pairs),
+comp(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT c.a, e.b FROM comp c JOIN edges e ON e.a = c.b
+),
+canon AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id FROM comp GROUP BY a),
+g AS (
+  SELECT d.doc_id, COALESCE(c.canonical_id, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN canon c ON c.doc_id = d.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(group_id AS BIGINT) AS group_id,
+       CASE WHEN u < 0.9 THEN 'train'
+            WHEN u < 0.95 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT *, CAST((group_id * 2654435761) % 4294967296 AS DOUBLE)
+            / 4294967296.0 AS u
+  FROM g
+)
+"""
+
+
+@register_extended("leakage_free_split", _leakage_split_oracle())
+def q_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test assignment: near-duplicate docs
+    (MinHash-LSH pairs, jaccard >= 0.5) always share a split."""
+    from ..llm import dedup as D
+
+    d = _docs(spark, sf_dir, parallel=True)
+    pairs = D.minhash_lsh_pairs(d, threshold=0.5)
+    out = D.leakage_free_split(d, pairs)
+    return out.select(
+        F.col("doc_id").cast("long"), F.col("group_id").cast("long"), "split"
+    )
 
 
 TEMP_ALPHA = 0.5

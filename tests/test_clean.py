@@ -146,3 +146,26 @@ def test_bm25_plan_is_take_ordered(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_leakage_free_split_keeps_clusters_together(spark):
+    """Members of a near-dup cluster must land in the same split, and
+    the split is the hash bucket of the cluster's canonical id."""
+    from degenter_clickhouse_spark.llm.dedup import leakage_free_split
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
+    # clusters: {0,3,7}, {2,5}; rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 7), (2, 5)], ["d1", "d2"]
+    )
+    out = {r.doc_id: r for r in leakage_free_split(docs, pairs).collect()}
+    assert {out[i].group_id for i in (0, 3, 7)} == {0}
+    assert {out[i].group_id for i in (2, 5)} == {2}
+    assert len({out[i].split for i in (0, 3, 7)}) == 1
+    assert len({out[i].split for i in (2, 5)}) == 1
+    for i in (1, 4, 6, 8, 9):
+        assert out[i].group_id == i
+    for i in range(10):
+        u = (out[i].group_id * 2654435761) % 2**32 / 2**32
+        want = "train" if u < 0.9 else ("val" if u < 0.95 else "test")
+        assert out[i].split == want, (i, u)
