@@ -12,6 +12,10 @@ plus the engine-native maintenance/LLM-pipeline commands.
     python -m degenter_clickhouse_spark.cli compact --path DIR [--partition-col dt]
     python -m degenter_clickhouse_spark.cli import-pools --csv FILE \
         --storage DIR [--dry]
+    python -m degenter_clickhouse_spark.cli corpus-clean --input DOCS \
+        --output DIR [--ngram 5 --min-count 2]
+    python -m degenter_clickhouse_spark.cli corpus-split --input DOCS \
+        --output DIR [--threshold 0.5 --fracs train=0.9,val=0.05,test=0.05]
 """
 
 from __future__ import annotations
@@ -64,6 +68,30 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--path", required=True)
     cp.add_argument("--partition-col", default="dt")
     cp.add_argument("--files-per-partition", type=int, default=1)
+
+    cc = sub.add_parser(
+        "corpus-clean",
+        help="exact-substring dedup: detect duplicated n-gram spans and "
+        "write cleaned docs + span audit table",
+    )
+    cc.add_argument("--input", required=True, help="documents parquet dir/file")
+    cc.add_argument("--output", required=True)
+    cc.add_argument("--ngram", type=int, default=5)
+    cc.add_argument("--min-count", type=int, default=2)
+
+    cs = sub.add_parser(
+        "corpus-split",
+        help="leakage-free train/val/test assignment (near-dup clusters "
+        "never straddle a split)",
+    )
+    cs.add_argument("--input", required=True, help="documents parquet dir/file")
+    cs.add_argument("--output", required=True)
+    cs.add_argument("--threshold", type=float, default=0.5)
+    cs.add_argument(
+        "--fracs",
+        default="train=0.9,val=0.05,test=0.05",
+        help="name=frac pairs, comma-separated, in bucket order",
+    )
 
     ip = sub.add_parser(
         "import-pools",
@@ -120,6 +148,35 @@ def main(argv: list[str] | None = None) -> int:
                 files_per_partition=args.files_per_partition,
             )
         )
+        return 0
+    if args.cmd == "corpus-clean":
+        import os as _os
+
+        from .llm.clean import duplicate_ngram_spans, remove_duplicate_spans
+
+        docs = spark.read.parquet(args.input)
+        spans = duplicate_ngram_spans(
+            docs, n=args.ngram, min_count=args.min_count
+        ).localCheckpoint(eager=True)
+        spans.write.mode("overwrite").parquet(_os.path.join(args.output, "spans"))
+        cleaned = remove_duplicate_spans(docs, spans)
+        cleaned.write.mode("overwrite").parquet(
+            _os.path.join(args.output, "cleaned")
+        )
+        print("spans:", spans.count())
+        return 0
+    if args.cmd == "corpus-split":
+        from .llm.dedup import leakage_free_split, minhash_lsh_pairs
+
+        docs = spark.read.parquet(args.input)
+        fracs = [
+            (kv.split("=")[0], float(kv.split("=")[1]))
+            for kv in args.fracs.split(",")
+        ]
+        pairs = minhash_lsh_pairs(docs, threshold=args.threshold)
+        leakage_free_split(docs, pairs, fracs=fracs).write.mode(
+            "overwrite"
+        ).parquet(args.output)
         return 0
     if args.cmd == "import-pools":
         import os as _os

@@ -489,3 +489,48 @@ def test_cli_import_pools_csv(spark, tmp_path, capsys):
     assert main(["import-pools", "--csv", str(csv), "--storage", storage]) == 0
     assert "inserted: 0" in capsys.readouterr().out
     assert spark.read.parquet(os.path.join(storage, "pools")).count() == 2
+
+
+def test_cli_corpus_clean_and_split(spark, tmp_path, capsys):
+    """Batch LLM-pipeline entry points: corpus-clean writes the span
+    audit + cleaned text tables; corpus-split writes leakage-free split
+    assignments with cluster-mates co-located."""
+    from degenter_clickhouse_spark.cli import main
+
+    docs_path = str(tmp_path / "docs_in")
+    run = " ".join(f"s{i}" for i in range(6))
+    spark.createDataFrame(
+        [
+            (0, "a0 a1 " + run + " a2"),
+            (1, run),
+            (2, "c0 c1 c2 c3 c4 c5"),
+        ],
+        ["doc_id", "text"],
+    ).write.parquet(docs_path)
+
+    out = str(tmp_path / "cleaned_out")
+    assert main(["corpus-clean", "--input", docs_path, "--output", out]) == 0
+    spans = spark.read.parquet(out + "/spans")
+    cleaned = {
+        r.doc_id: r.cleaned_text
+        for r in spark.read.parquet(out + "/cleaned").collect()
+    }
+    assert spans.count() == 2  # one span in doc 0, one in doc 1
+    assert cleaned[0] == "a0 a1 a2" and cleaned[1] == "" and cleaned[2].startswith("c0")
+
+    split_in = str(tmp_path / "split_in")
+    dup = " ".join(f"d{i}" for i in range(10))
+    spark.createDataFrame(
+        [(0, dup), (1, dup), (2, "z0 z1 z2 z3 z4 z5 z6 z7 z8 z9")],
+        ["doc_id", "text"],
+    ).write.parquet(split_in)
+    split_out = str(tmp_path / "split_out")
+    assert main([
+        "corpus-split", "--input", split_in, "--output", split_out,
+        "--fracs", "train=0.8,val=0.1,test=0.1",
+    ]) == 0
+    rows = {r.doc_id: r for r in spark.read.parquet(split_out).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert all(r.split in {"train", "val", "test"} for r in rows.values())
+    # docs 0 and 1 are exact near-dups (jaccard 1.0) -> same cluster/split
+    assert rows[0].split == rows[1].split and rows[0].group_id == rows[1].group_id
