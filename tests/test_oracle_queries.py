@@ -49,6 +49,11 @@ def test_results_invariant_to_shuffle_partitioning(spark):
         # integer-scaled ANN probes; unigram-LM filter columns
         "embedding_ann_scalable",
         "corpus_filter_pipeline",
+        # extended-registry ops: span merge via per-doc windows;
+        # cluster-hash split; DECIMAL-summed BM25 scores
+        "span_dedup_clean",
+        "leakage_free_split",
+        "bm25_search",
     ]
 
     def run_all():
