@@ -68,6 +68,12 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--path", required=True)
     cp.add_argument("--partition-col", default="dt")
     cp.add_argument("--files-per-partition", type=int, default=1)
+    cp.add_argument(
+        "--zorder-by",
+        default=None,
+        help="comma-separated columns: rewrite clustered on the Z-curve "
+        "(OPTIMIZE ZORDER analogue; overrides --partition-col)",
+    )
 
     cc = sub.add_parser(
         "corpus-clean",
@@ -140,12 +146,14 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.merge import compact_table
 
         pc = args.partition_col if args.partition_col != "none" else None
+        zb = args.zorder_by.split(",") if args.zorder_by else None
         print(
             compact_table(
                 spark,
                 args.path,
-                partition_col=pc,
+                partition_col=None if zb else pc,
                 files_per_partition=args.files_per_partition,
+                zorder_by=zb,
             )
         )
         return 0

@@ -219,6 +219,7 @@ def compact_table(
     path: str,
     partition_col: str | None = "dt",
     files_per_partition: int = 1,
+    zorder_by: Sequence[str] | None = None,
 ) -> dict[str, int]:
     """Small-file compaction for append-heavy tables (every streaming
     micro-batch appends a file per task; a 60s-cadence ingest makes
@@ -251,6 +252,20 @@ def compact_table(
                 df.repartition(files_per_partition, F.col(partition_col))
                 .write.mode("overwrite")
                 .partitionBy(partition_col)
+                .parquet(tmp)
+            )
+        elif zorder_by:
+            # OPTIMIZE ZORDER analogue: rewrite clustered on the
+            # Z-curve so footer min-max stats prune files for
+            # predicates on any of the clustering columns
+            from .layout import with_zvalue
+
+            (
+                with_zvalue(df, zorder_by)
+                .repartitionByRange(max(files_per_partition, 1), F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+                .write.mode("overwrite")
                 .parquet(tmp)
             )
         else:

@@ -93,3 +93,82 @@ def test_streaming_bars_watermarked(spark, tmp_path):
     assert got[(2, "10:00")].trade_count == 1
     # the watermark-pushing event's own window is NOT final yet
     assert (2, "10:30") not in got
+
+
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
+    """Z-order layout: after zorder_write on (user_id, ts), each
+    parquet file's footer min-max range for user_id must cover a small
+    slice of the domain (so a per-user scan prunes most files), while a
+    purely time-ordered write leaves every file spanning ~the full
+    user range. Row fidelity is exact."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from degenter_clickhouse_spark.operators.layout import zorder_write
+
+    df = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    base_dir = str(tmp_path / "time_ordered")
+    (
+        df.repartitionByRange(32, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(base_dir)
+    )
+    z_dir = str(tmp_path / "zordered")
+    zorder_write(df, z_dir, ["user_id", "ts"], n_files=32)
+
+    def user_span_frac(d: str) -> float:
+        spans, los, his = [], [], []
+        for p in glob.glob(d + "/*.parquet"):
+            md = pq.ParquetFile(p).metadata
+            idx = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == "user_id"
+            )
+            lo = min(md.row_group(g).column(idx).statistics.min
+                     for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max
+                     for g in range(md.num_row_groups))
+            spans.append(hi - lo)
+            los.append(lo)
+            his.append(hi)
+        full = max(his) - min(los)
+        return sum(spans) / (full * len(spans))
+
+    base_frac, z_frac = user_span_frac(base_dir), user_span_frac(z_dir)
+    # time-ordered files each span ~the whole user domain (~1.0);
+    # z-ordered files must each cover a small rectangle
+    assert base_frac > 0.8, base_frac
+    assert z_frac < 0.5 * base_frac, (z_frac, base_frac)
+
+    got = spark.read.parquet(z_dir)
+    assert got.count() == df.count()
+    assert (
+        got.agg(F.sum("event_id")).first()[0]
+        == df.agg(F.sum("event_id")).first()[0]
+    )
+    assert sorted(got.columns) == sorted(df.columns)
+
+
+def test_compact_zorder_rewrites_clustered(spark, tmp_path):
+    """compact_table(zorder_by=...) is the OPTIMIZE ZORDER seam: same
+    rows, target file count, and per-file user_id ranges shrink vs the
+    fragmented input."""
+    from degenter_clickhouse_spark.operators.merge import compact_table
+
+    path = str(tmp_path / "events")
+    df = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    df.repartition(40).write.parquet(path)  # fragmented, interleaved
+
+    out = compact_table(
+        spark, path, partition_col=None, files_per_partition=16,
+        zorder_by=["user_id", "ts"],
+    )
+    assert out["files_after"] <= 16 < out["files_before"]
+    got = spark.read.parquet(path)
+    assert got.count() == df.count()
+    assert (
+        got.agg(F.sum("event_id")).first()[0]
+        == df.agg(F.sum("event_id")).first()[0]
+    )
