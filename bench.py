@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "doc_chunking",  # overlapping token windows, map-only
     "span_dedup_clean",  # exact-substring span detect + removal (EXTENDED)
     "bm25_search",  # two-agg posting-list score + TakeOrdered (EXTENDED)
+    "bigram_fluency",  # integer Laplace bigram LM scoring (EXTENDED)
 ]
 
 

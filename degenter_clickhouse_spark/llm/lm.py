@@ -82,3 +82,117 @@ def unigram_rarity(
         / F.col("n_lm_terms").cast("double")
         / F.lit(float(SCALE)),
     )
+
+
+def fit_bigram(ref: DataFrame, text_col: str = "text"):
+    """Laplace-smoothed bigram model as exact integers (the CCNet
+    perplexity filter's determinism-safe twin, one order up from
+    unigram): for every reference word pair,
+
+        sc = (c(w1,w2) + 1) * SCALE div (c(w1,·) + V)
+
+    — the scaled conditional probability p(w2|w1) with add-1
+    smoothing. All counts stay BIGINT and the division is integer
+    ``div``, so model and scores are bit-identical across engines and
+    shuffle orders (no ``log``; see module docstring for why the mean
+    scaled probability replaces mean log-probability).
+
+    Returns (model, contexts, v): the (w1, w2, sc) model, the
+    (w1, c1) context totals, and the vocabulary size V — everything a
+    scorer needs to smooth unseen pairs/contexts identically.
+    """
+    w = ref.select(F.split(F.col(text_col), " ").alias("ws"))
+    pairs = w.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws) - 1), "
+                "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2)) "
+                "ELSE CAST(array() AS ARRAY<STRUCT<w1:STRING, w2:STRING>>) END"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    contexts = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    v = (
+        ref.select(F.explode(F.split(F.col(text_col), " ")).alias("t"))
+        .agg(F.countDistinct("t").cast("long").alias("v"))
+    )
+    model = (
+        c12.join(dim_broadcast(contexts), "w1")
+        .crossJoin(dim_broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            F.expr(f"(c12 + 1) * CAST({SCALE} AS BIGINT) div (c1 + v)").alias("sc"),
+        )
+    )
+    return model, contexts, v
+
+
+def bigram_fluency(
+    docs: DataFrame,
+    ref: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document fluency under the reference bigram model: the mean
+    smoothed p(w2|w1) over the doc's word pairs, exact-integer scaled.
+    Unseen pair in a seen context -> the Laplace floor
+    ``SCALE div (c1 + V)``; unseen context -> the uniform prior
+    ``SCALE div (2V)``. LOW score = word sequences the reference never
+    produces (garbled/foreign/boilerplate candidates); single-word
+    docs score NULL (no bigrams).
+
+    Output: (id, n_bigrams, n_unseen_pairs, n_unseen_contexts,
+    fluency_sum_scaled, fluency_score)."""
+    model, contexts, v = fit_bigram(ref if ref is not None else docs, text_col)
+    w = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("ws"))
+    pairs = w.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws) - 1), "
+                "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2)) "
+                "ELSE CAST(array() AS ARRAY<STRUCT<w1:STRING, w2:STRING>>) END"
+            )
+        ).alias("p"),
+    ).select(id_col, "p.w1", "p.w2")
+    j = (
+        pairs.join(model, ["w1", "w2"], "left")
+        .join(dim_broadcast(contexts), "w1", "left")
+        .crossJoin(dim_broadcast(v))
+    )
+    floor_seen = F.expr(f"CAST({SCALE} AS BIGINT) div (c1 + v)")
+    uniform = F.expr(f"CAST({SCALE} AS BIGINT) div (2 * v)")
+    sc_eff = F.coalesce(
+        F.col("sc"), F.when(F.col("c1").isNotNull(), floor_seen).otherwise(uniform)
+    )
+    agg = (
+        j.select(
+            F.col(id_col),
+            sc_eff.alias("sc_eff"),
+            F.col("sc").isNull().cast("long").alias("unseen_pair"),
+            F.col("c1").isNull().cast("long").alias("unseen_ctx"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("unseen_pair").cast("long").alias("n_unseen_pairs"),
+            F.sum("unseen_ctx").cast("long").alias("n_unseen_contexts"),
+            F.sum("sc_eff").cast("long").alias("fluency_sum_scaled"),
+        )
+    )
+    out = docs.select(id_col).join(agg, id_col, "left")
+    return out.select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("n_unseen_pairs", F.lit(0)).alias("n_unseen_pairs"),
+        F.coalesce("n_unseen_contexts", F.lit(0)).alias("n_unseen_contexts"),
+        F.coalesce("fluency_sum_scaled", F.lit(0)).alias("fluency_sum_scaled"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.col("fluency_sum_scaled").cast("double")
+            / F.col("n_bigrams").cast("double")
+            / F.lit(float(SCALE)),
+        ).alias("fluency_score"),
+    )

@@ -156,6 +156,77 @@ def q_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BIGRAM_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+rp AS (
+  SELECT ws[t.i] AS w1, ws[t.i + 1] AS w2
+  FROM w, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS t(i)
+),
+c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM rp GROUP BY 1, 2),
+ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+vv AS (
+  SELECT CAST(count(DISTINCT t.tk) AS BIGINT) AS v
+  FROM w, unnest(ws) AS t(tk)
+),
+model AS (
+  SELECT w1, w2, (c12 + 1) * 1000000000 // (c1 + v) AS sc
+  FROM c12 JOIN ctx USING (w1) CROSS JOIN vv
+),
+dp AS (
+  SELECT doc_id, ws[t.i] AS w1, ws[t.i + 1] AS w2
+  FROM w, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS t(i)
+),
+j AS (
+  SELECT dp.doc_id,
+         coalesce(m.sc,
+           CASE WHEN c.c1 IS NOT NULL THEN 1000000000 // (c.c1 + vv.v)
+                ELSE 1000000000 // (2 * vv.v) END) AS sc_eff,
+         CASE WHEN m.sc IS NULL THEN 1 ELSE 0 END AS up,
+         CASE WHEN c.c1 IS NULL THEN 1 ELSE 0 END AS uc
+  FROM dp
+  LEFT JOIN model m ON m.w1 = dp.w1 AND m.w2 = dp.w2
+  LEFT JOIN ctx c ON c.w1 = dp.w1
+  CROSS JOIN vv
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(up) AS BIGINT) AS n_unseen_pairs,
+         CAST(sum(uc) AS BIGINT) AS n_unseen_contexts,
+         CAST(sum(sc_eff) AS BIGINT) AS fluency_sum_scaled
+  FROM j GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(a.n_unseen_pairs, 0) AS BIGINT) AS n_unseen_pairs,
+       CAST(coalesce(a.n_unseen_contexts, 0) AS BIGINT) AS n_unseen_contexts,
+       CAST(coalesce(a.fluency_sum_scaled, 0) AS BIGINT) AS fluency_sum_scaled,
+       CASE WHEN coalesce(a.n_bigrams, 0) > 0 THEN
+         CAST(a.fluency_sum_scaled AS DOUBLE) / a.n_bigrams / 1000000000.0
+       END AS fluency_score
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
+@register_extended("bigram_fluency", BIGRAM_ORACLE)
+def q_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-smoothed bigram-LM fluency per doc (self-referenced
+    model) — the exact-integer twin of a CCNet perplexity filter, one
+    order above the unigram rarity stage."""
+    from ..llm.lm import bigram_fluency
+
+    d = _docs(spark, sf_dir, parallel=True)
+    out = bigram_fluency(d)
+    return out.select(
+        F.col("doc_id").cast("long"),
+        "n_bigrams",
+        "n_unseen_pairs",
+        "n_unseen_contexts",
+        "fluency_sum_scaled",
+        "fluency_score",
+    )
+
+
 TEMP_ALPHA = 0.5
 TEMP_FRAC = 0.5
 

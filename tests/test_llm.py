@@ -579,3 +579,58 @@ def test_corpus_order_no_single_partition_exchange(spark):
         .toString()
     )
     assert "SinglePartition" not in plan, plan
+
+
+def test_bigram_fluency_matches_sequential_reference(spark):
+    """Exact-integer bigram scores equal a sequential Laplace-smoothed
+    reference, and in-distribution text outscores scrambled text."""
+    from collections import Counter
+
+    from degenter_clickhouse_spark.llm.lm import SCALE, bigram_fluency
+
+    ref_texts = [
+        "the cat sat on the mat",
+        "the dog sat on the rug",
+        "the cat ran to the dog",
+    ]
+    cand = [
+        (0, "the cat sat on the rug"),   # fluent under the model
+        (1, "rug the on sat cat the"),   # same words, scrambled
+        (2, "zz qq"),                    # unseen context
+        (3, "solo"),                     # no bigrams
+    ]
+    ref = spark.createDataFrame([(t,) for t in ref_texts], ["text"])
+    docs = spark.createDataFrame(cand, ["doc_id", "text"])
+    got = {r.doc_id: r for r in bigram_fluency(docs, ref=ref).collect()}
+
+    # sequential reference
+    rp = [
+        (ws[i], ws[i + 1])
+        for ws in (t.split(" ") for t in ref_texts)
+        for i in range(len(ws) - 1)
+    ]
+    c12 = Counter(rp)
+    c1 = Counter(w1 for w1, _ in rp)
+    vocab = {w for t in ref_texts for w in t.split(" ")}
+    V = len(vocab)
+
+    def score(text):
+        ws = text.split(" ")
+        out = []
+        for i in range(len(ws) - 1):
+            w1, w2 = ws[i], ws[i + 1]
+            if (w1, w2) in c12:
+                out.append((c12[(w1, w2)] + 1) * SCALE // (c1[w1] + V))
+            elif w1 in c1:
+                out.append(SCALE // (c1[w1] + V))
+            else:
+                out.append(SCALE // (2 * V))
+        return out
+
+    for d, text in cand:
+        exp = score(text)
+        assert got[d].n_bigrams == len(exp), d
+        assert got[d].fluency_sum_scaled == sum(exp), d
+    assert got[0].fluency_score > got[1].fluency_score > 0
+    assert got[2].n_unseen_contexts == 1
+    assert got[3].n_bigrams == 0 and got[3].fluency_score is None
