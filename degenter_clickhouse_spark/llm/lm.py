@@ -145,7 +145,6 @@ def bigram_fluency(
 
     Output: (id, n_bigrams, n_unseen_pairs, n_unseen_contexts,
     fluency_sum_scaled, fluency_score)."""
-    model, contexts, v = fit_bigram(ref if ref is not None else docs, text_col)
     w = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("ws"))
     pairs = w.select(
         F.col(id_col),
@@ -157,6 +156,11 @@ def bigram_fluency(
             )
         ).alias("p"),
     ).select(id_col, "p.w1", "p.w2")
+    # (measured: checkpointing the pair frame to share it between model
+    # fit and scoring does NOT help — the (w1, w2)-key shuffles
+    # dominate, not the explode — so the model fit stays a plain
+    # second pass through fit_bigram)
+    model, contexts, v = fit_bigram(ref if ref is not None else docs, text_col)
     j = (
         pairs.join(model, ["w1", "w2"], "left")
         .join(dim_broadcast(contexts), "w1", "left")
