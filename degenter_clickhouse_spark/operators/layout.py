@@ -84,21 +84,45 @@ def with_zvalue(
     )
 
 
+def bloom_options(
+    cols: Sequence[str], expected_ndv: int = 1_000_000
+) -> dict[str, str]:
+    """Parquet bloom-filter writer options for point-lookup columns.
+    Min-max stats can't prune equality probes on high-cardinality
+    unsorted keys (a tx_hash lookup matches every file's range); a
+    bloom filter answers "definitely not in this file/row-group" in a
+    few KB, so exists-style probes (the reference's trade-dedupe
+    lookup, core/block-processor.js:199-206) skip almost all data.
+    Spark's parquet reader consumes them automatically for `=` and
+    IN predicates."""
+    opts: dict[str, str] = {}
+    for c in cols:
+        opts[f"parquet.bloom.filter.enabled#{c}"] = "true"
+        opts[f"parquet.bloom.filter.expected.ndv#{c}"] = str(int(expected_ndv))
+    return opts
+
+
 def zorder_write(
     df: DataFrame,
     path: str,
     cols: Sequence[str],
     n_files: int = 32,
     bits: int = 16,
+    bloom_cols: Sequence[str] | None = None,
+    bloom_ndv: int = 1_000_000,
 ) -> None:
     """Cluster ``df`` on the Z-curve over ``cols`` and write ``path``
     as ``n_files`` range-partitioned, internally-sorted parquet files.
-    One range shuffle; every file covers a contiguous curve segment."""
+    One range shuffle; every file covers a contiguous curve segment.
+    ``bloom_cols`` additionally writes bloom filters for equality
+    pruning on keys z-ordering can't help (see bloom_options)."""
     zdf = with_zvalue(df, cols, bits)
-    (
+    w = (
         zdf.repartitionByRange(n_files, F.col("__z"))
         .sortWithinPartitions("__z")
         .drop("__z")
         .write.mode("overwrite")
-        .parquet(path)
     )
+    for k, v in bloom_options(bloom_cols or [], bloom_ndv).items():
+        w = w.option(k, v)
+    w.parquet(path)

@@ -172,3 +172,35 @@ def test_compact_zorder_rewrites_clustered(spark, tmp_path):
         got.agg(F.sum("event_id")).first()[0]
         == df.agg(F.sum("event_id")).first()[0]
     )
+
+
+def test_bloom_filter_options_write_filters(spark, tmp_path):
+    """bloom_options columns actually carry bloom filters: the files
+    grow by ~the filter size vs an identical write without them, and
+    point lookups still return exact results."""
+    import glob
+    import os
+
+    from degenter_clickhouse_spark.operators.layout import zorder_write
+
+    df = spark.read.parquet("/root/testdata/sf0.01/events.parquet").withColumn(
+        "h", F.sha2(F.col("event_id").cast("string"), 256)
+    )
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloomed")
+    zorder_write(df, plain, ["user_id", "ts"], n_files=4)
+    zorder_write(
+        df, bloomed, ["user_id", "ts"], n_files=4,
+        bloom_cols=["h"], bloom_ndv=20_000,
+    )
+
+    def total(d):
+        return sum(
+            os.path.getsize(p) for p in glob.glob(d + "/*.parquet")
+        )
+
+    assert total(bloomed) > total(plain) + 4 * 1024  # filters present
+    probe = df.select("h").limit(1).first()[0]
+    assert (
+        spark.read.parquet(bloomed).filter(F.col("h") == probe).count()
+        == df.filter(F.col("h") == probe).count()
+    )
