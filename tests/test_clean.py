@@ -169,3 +169,58 @@ def test_leakage_free_split_keeps_clusters_together(spark):
         u = (out[i].group_id * 2654435761) % 2**32 / 2**32
         want = "train" if u < 0.9 else ("val" if u < 0.95 else "test")
         assert out[i].split == want, (i, u)
+
+
+def test_corpus_pipeline_end_to_end(spark):
+    """The full training-data chain over real testdata: span-clean ->
+    leakage-free split -> temperature sample (train only) -> token
+    count -> greedy pack -> training order. Row conservation and the
+    packing/order invariants hold at every stage."""
+    from degenter_clickhouse_spark.llm.clean import (
+        duplicate_ngram_spans,
+        remove_duplicate_spans,
+    )
+    from degenter_clickhouse_spark.llm.dedup import (
+        leakage_free_split,
+        minhash_lsh_pairs,
+    )
+    from degenter_clickhouse_spark.llm.packing import (
+        corpus_order,
+        greedy_pack,
+        temperature_sample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_docs = docs.count()
+
+    spans = duplicate_ngram_spans(docs, n=5)
+    cleaned = remove_duplicate_spans(docs, spans)
+    assert cleaned.count() == n_docs  # cleaning never drops docs
+
+    splits = leakage_free_split(docs, minhash_lsh_pairs(docs, threshold=0.5))
+    assert splits.count() == n_docs
+    train = cleaned.join(
+        splits.filter(F.col("split") == "train").select("doc_id"), "doc_id"
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    n_train = train.count()
+    assert 0 < n_train <= n_docs
+
+    sampled = temperature_sample(train, alpha=0.5, target_frac=0.8)
+    n_sampled = sampled.count()
+    assert 0 < n_sampled <= n_train
+
+    with_tokens = sampled.withColumn("tokens", F.col("kept_tokens"))
+    packed = greedy_pack(with_tokens.filter(F.col("tokens") > 0), budget=512)
+    stats = packed.groupBy("source", "pack_id").agg(
+        F.sum("tokens").alias("pack_tokens"), F.count("*").alias("n")
+    )
+    # no multi-doc pack exceeds the budget (single oversized docs may)
+    assert (
+        stats.filter((F.col("pack_tokens") > 512) & (F.col("n") > 1)).count() == 0
+    )
+
+    ordered = corpus_order(
+        sampled.select("doc_id", "source"), weights={"src0": 2}, default_weight=1
+    )
+    pos = sorted(r.position for r in ordered.collect())
+    assert pos == list(range(n_sampled))  # dense, contiguous, no dupes
