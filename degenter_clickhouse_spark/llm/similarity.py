@@ -392,3 +392,26 @@ def hash_embed(
             ).alias("embedding"),
         )
     )
+
+
+def cluster_documents(
+    docs: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    dim: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unsupervised domain clustering for corpus curation: hash-trick
+    embed every document (zero-shuffle column expressions), fit k
+    centroids with the deterministic DataFrame-native Lloyd's loop the
+    IVF index uses, and assign each doc its cluster. The standard
+    corpus-mixture discovery step (cluster -> inspect -> reweight /
+    filter per cluster) with no model server and no RNG — same corpus,
+    same clusters, on any partitioning. Output: (id, cluster)."""
+    emb = hash_embed(docs, dim=dim, text_col=text_col, id_col=id_col)
+    cents = fit_ivf_centroids(emb, k=k, iters=iters)
+    return (
+        assign_cells(emb, cents)
+        .select(F.col("vec_id").alias(id_col), F.col("cell").alias("cluster"))
+    )

@@ -224,3 +224,24 @@ def test_corpus_pipeline_end_to_end(spark):
     )
     pos = sorted(r.position for r in ordered.collect())
     assert pos == list(range(n_sampled))  # dense, contiguous, no dupes
+
+
+def test_cluster_documents_deterministic_and_groups_neardups(spark):
+    """Domain clustering: deterministic across runs, at most k
+    clusters, and exact-duplicate texts always share a cluster."""
+    from degenter_clickhouse_spark.llm.similarity import cluster_documents
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    # plant exact dups with fresh ids
+    dups = docs.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    d = docs.unionByName(dups)
+    a = {r.doc_id: r.cluster for r in cluster_documents(d, k=8, iters=2).collect()}
+    b = {r.doc_id: r.cluster for r in cluster_documents(d, k=8, iters=2).collect()}
+    assert a == b  # deterministic
+    assert len(set(a.values())) <= 8
+    for i in range(5):
+        assert a[i] == a[i + 100000]  # identical text -> identical cluster
