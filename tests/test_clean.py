@@ -245,3 +245,37 @@ def test_cluster_documents_deterministic_and_groups_neardups(spark):
     assert len(set(a.values())) <= 8
     for i in range(5):
         assert a[i] == a[i + 100000]  # identical text -> identical cluster
+
+
+def test_new_ops_handle_empty_and_degenerate_input(spark):
+    """Empty corpora and sub-n docs must produce empty/zero results,
+    not errors — the driver regenerates testdata between rounds."""
+    from degenter_clickhouse_spark.llm.clean import (
+        bm25_topk,
+        duplicate_ngram_spans,
+        remove_duplicate_spans,
+    )
+    from degenter_clickhouse_spark.llm.dedup import leakage_free_split
+    from degenter_clickhouse_spark.llm.packing import temperature_sample
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert duplicate_ngram_spans(empty, n=5).count() == 0
+    assert remove_duplicate_spans(
+        empty, duplicate_ngram_spans(empty, n=5)
+    ).count() == 0
+    assert bm25_topk(empty, ["x"], k=5).count() == 0
+
+    short = spark.createDataFrame([(1, "a b"), (2, "c")], ["doc_id", "text"])
+    assert duplicate_ngram_spans(short, n=5).count() == 0
+    out = {r.doc_id: r for r in remove_duplicate_spans(
+        short, duplicate_ngram_spans(short, n=5)
+    ).collect()}
+    assert out[1].cleaned_text == "a b" and out[2].removed_tokens == 0
+
+    e2 = spark.createDataFrame([], "doc_id long, source string")
+    assert temperature_sample(
+        e2.withColumn("text", F.lit("x")), target_frac=0.5
+    ).count() == 0
+    pairs = spark.createDataFrame([], "d1 long, d2 long")
+    s = {r.doc_id: r.split for r in leakage_free_split(short, pairs).collect()}
+    assert set(s) == {1, 2}
