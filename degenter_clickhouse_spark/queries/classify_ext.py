@@ -1,0 +1,115 @@
+"""EXTENDED-registry queries for llm/classify.py: nearest-centroid
+classification and k-NN majority-vote labeling over the embeddings
+table. Beyond the driver gate's 50-entry cap, so the exact oracle
+checks run in pytest (tests/test_oracle_queries.py) at sf0.001.
+
+Beyond-reference operators (the reference has no ML surface); they
+follow the CCNet/fastText quality-filter pattern re-expressed as
+DataFrame plans — see llm/classify.py for the scale shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..llm import classify
+from . import register_extended
+from .llm import O_DOT, O_NORM2, _embs
+
+# Per-label centroid as list<double>: integer-scaled component sums
+# (floor(x*1e6) BIGINT) so mean components are bit-identical to Spark.
+_CENT_CTES = """
+comp AS (
+  SELECT label,
+         unnest(range(0, len(embedding))) AS idx,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS cs
+  FROM embeddings
+),
+per AS (
+  SELECT label, idx, SUM(cs) AS s, COUNT(*) AS n
+  FROM comp GROUP BY label, idx
+),
+cent AS (
+  SELECT label AS cand_label,
+         list(CAST(s AS DOUBLE) / n / 1e6 ORDER BY idx) AS centroid
+  FROM per GROUP BY label
+)
+"""
+
+CENTROID_ORACLE = (
+    "WITH "
+    + _CENT_CTES
+    + f""",
+scored AS (
+  SELECT e.vec_id, e.label, c.cand_label,
+         {O_DOT.format(a="e.embedding", b="c.centroid")} AS dot_s,
+         {O_NORM2.format(e="e.embedding")} AS vn2,
+         {O_NORM2.format(e="c.centroid")} AS cn2
+  FROM embeddings e CROSS JOIN cent c
+),
+cosed AS (
+  SELECT vec_id, label, cand_label,
+         (dot_s / 1e12) / (sqrt(vn2 / 1e12) * sqrt(cn2 / 1e12)) AS cosine
+  FROM scored
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY cosine DESC, cand_label ASC) AS rn
+  FROM cosed
+)
+SELECT vec_id, label, cand_label AS pred_label, cosine
+FROM ranked WHERE rn = 1
+"""
+)
+
+
+@register_extended("centroid_classify", CENTROID_ORACLE)
+def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir, parallel=True)
+    cents = classify.class_centroids(e)
+    return classify.nearest_centroid(e, cents)
+
+
+_KNN_K = 5
+
+KNN_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, embedding,
+         {O_NORM2.format(e="embedding")} AS n2
+  FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS vec_id, a.label AS label,
+         b.vec_id AS nb_id, b.label AS nb_label,
+         ({O_DOT.format(a="a.embedding", b="b.embedding")} / 1e12)
+           / (sqrt(a.n2 / 1e12) * sqrt(b.n2 / 1e12)) AS cosine
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+),
+topk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY cosine DESC, nb_id ASC) AS rn
+  FROM p
+),
+votes AS (
+  SELECT vec_id, label, nb_label, COUNT(*) AS votes
+  FROM topk WHERE rn <= {_KNN_K}
+  GROUP BY vec_id, label, nb_label
+),
+win AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY votes DESC, nb_label ASC) AS rv
+  FROM votes
+)
+SELECT vec_id, label, nb_label AS pred_label, votes,
+       (nb_label = label) AS agree
+FROM win WHERE rv = 1
+"""
+
+
+@register_extended("knn_label_vote", KNN_ORACLE)
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir, parallel=True)
+    return classify.knn_vote(e, k=_KNN_K).select(
+        "vec_id", "label", "pred_label", F.col("votes").cast("long").alias("votes"), "agree"
+    )

@@ -1,0 +1,97 @@
+"""llm/classify.py: distributed classifiers over the embeddings table.
+
+The exact-oracle checks for centroid_classify / knn_label_vote live in
+test_oracle_queries.py (extended registry); here we test the iterative
+logistic-regression trainer against a sequential numpy reference and
+the blocked knn_vote variant's semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from degenter_clickhouse_spark import catalog
+from degenter_clickhouse_spark.llm import classify
+
+from .helpers import SF_DIR
+
+POS = 3
+ITERS = 8
+LR = 0.5
+L2 = 1e-3
+
+
+def _numpy_logreg(X, y, iters=ITERS, lr=LR, l2=L2):
+    n, dim = X.shape
+    w = np.zeros(dim)
+    b = 0.0
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+        err = p - y
+        gw = X.T @ err
+        w = w - lr * (gw / n + l2 * w)
+        b = b - lr * err.sum() / n
+    return w, b
+
+
+@pytest.fixture(scope="module")
+def emb_np(spark):
+    df = catalog.load_table(spark, SF_DIR, "embeddings").toPandas()
+    X = np.array(df["embedding"].tolist(), dtype=np.float64)
+    y = (df["label"].to_numpy() == POS).astype(np.float64)
+    return df, X, y
+
+
+def test_fit_logreg_matches_numpy(spark, emb_np):
+    _, X, y = emb_np
+    e = catalog.load_table(spark, SF_DIR, "embeddings")
+    w, b = classify.fit_logreg(e, positive_label=POS, iters=ITERS, lr=LR, l2=L2)
+    w_ref, b_ref = _numpy_logreg(X, y)
+    # DECIMAL gradient sums vs numpy float64 sums: identical up to the
+    # float64 reduction-order noise that compounds over ITERS steps
+    np.testing.assert_allclose(np.array(w), w_ref, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(b, b_ref, rtol=1e-7, atol=1e-10)
+
+
+def test_predict_logreg_matches_numpy_probs(spark, emb_np):
+    df, X, y = emb_np
+    w_ref, b_ref = _numpy_logreg(X, y)
+    e = catalog.load_table(spark, SF_DIR, "embeddings")
+    scored = (
+        classify.predict_logreg(e, list(w_ref), b_ref).toPandas().set_index("vec_id")
+    )
+    probs_ref = 1.0 / (1.0 + np.exp(-(X @ w_ref + b_ref)))
+    got = scored.loc[df["vec_id"]]["prob"].to_numpy()
+    np.testing.assert_allclose(got, probs_ref, rtol=1e-9, atol=1e-12)
+    # the fitted filter must beat the base rate on its training set
+    acc = ((probs_ref >= 0.5) == (y == 1.0)).mean()
+    assert acc >= (y == 0.0).mean()
+
+
+def test_knn_vote_blocked_subset_of_brute(spark):
+    """Blocking restricts candidate neighbors to the bucket, so every
+    blocked vote is computed from a subset of the brute pair set, and
+    within-label blocking trivially predicts the stored label."""
+    e = catalog.load_table(spark, SF_DIR, "embeddings")
+    blocked = classify.knn_vote(e, k=3, group_col="label").toPandas()
+    assert (blocked["pred_label"] == blocked["label"]).all()
+    assert blocked["agree"].all()
+    n = e.count()
+    assert len(blocked) == n
+
+
+def test_class_centroids_shape_and_mean(spark, emb_np):
+    df, X, _ = emb_np
+    e = catalog.load_table(spark, SF_DIR, "embeddings")
+    cents = classify.class_centroids(e).toPandas().set_index("label")
+    labels = df["label"].unique()
+    assert set(cents.index) == set(labels)
+    for lbl in labels:
+        mask = df["label"].to_numpy() == lbl
+        # integer-scaled mean: floor(x*1e6) sums / n / 1e6 — within
+        # quantization of the true mean
+        ref = X[mask].mean(axis=0)
+        got = np.array(cents.loc[lbl]["centroid"])
+        assert cents.loc[lbl]["n"] == mask.sum()
+        np.testing.assert_allclose(got, ref, atol=1e-6 + 1e-12)
