@@ -133,6 +133,59 @@ def remove_duplicate_spans(
     return out
 
 
+def line_dedup(
+    docs: DataFrame,
+    sep: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style global line deduplication: every exact-duplicate line
+    keeps exactly ONE occurrence corpus-wide (the lexicographically
+    first (doc_id, position)); all other occurrences are removed and
+    each doc's text is rebuilt from its surviving lines.
+
+    Scale shape: one shuffle on the line value for the winner
+    aggregation (high-cardinality key — the only hot spots are
+    degenerate lines like the empty string, which `min(struct)` still
+    reduces map-side), then a key join back and a per-doc rebuild with
+    windows/groupBys PARTITIONED BY doc. No global window, no driver
+    state. Output: (id, cleaned_text, kept_lines, removed_lines).
+    """
+    lines = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    winner = lines.groupBy("line").agg(
+        F.min(F.struct(F.col("__id").alias("d"), F.col("pos").alias("p"))).alias("__w")
+    )
+    kept = lines.join(winner, "line").filter(
+        (F.col("__id") == F.col("__w.d")) & (F.col("pos") == F.col("__w.p"))
+    )
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda t: t["line"],
+            ),
+            sep,
+        ).alias("cleaned_text"),
+        F.count(F.lit(1)).alias("kept_lines"),
+    )
+    n_lines = F.size(F.split(F.col(text_col), sep)).cast("long")
+    return (
+        docs.select(F.col(id_col).alias("__id"), n_lines.alias("__n"))
+        .join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+            F.coalesce("kept_lines", F.lit(0)).cast("long").alias("kept_lines"),
+            (F.col("__n") - F.coalesce("kept_lines", F.lit(0)))
+            .cast("long")
+            .alias("removed_lines"),
+        )
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],

@@ -304,3 +304,68 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("doc_id").cast("long"), "score", F.col("n_terms").cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style global line dedup. The synthetic docs have no newlines, so
+# the query deterministically line-ifies each doc first (fixed 12-token
+# lines) — same convention as the dedup queries' synthesized
+# duplicates; the operator itself is separator-generic.
+# ---------------------------------------------------------------------------
+
+LINE_W = 12
+
+LINE_DEDUP_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+l AS (
+  SELECT doc_id, t.i - 1 AS pos,
+         array_to_string(ws[(t.i - 1) * {LINE_W} + 1 : t.i * {LINE_W}], ' ') AS line
+  FROM w, unnest(generate_series(1,
+         greatest(CAST(ceil(len(ws) / {LINE_W}.0) AS BIGINT), 1))) AS t(i)
+),
+win AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM l
+),
+reb AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY pos) AS cleaned_text,
+         count(*) AS kept_lines
+  FROM win WHERE rn = 1 GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       coalesce(r.cleaned_text, '') AS cleaned_text,
+       CAST(coalesce(r.kept_lines, 0) AS BIGINT) AS kept_lines,
+       CAST(t.n_lines - coalesce(r.kept_lines, 0) AS BIGINT) AS removed_lines
+FROM tot t LEFT JOIN reb r USING (doc_id)
+"""
+
+
+def _lineified(d: DataFrame) -> DataFrame:
+    ws = F.split(F.col("text"), " ")
+    n_lines = F.greatest(
+        F.ceil(F.size(ws) / F.lit(float(LINE_W))).cast("int"), F.lit(1)
+    )
+    lines = F.transform(
+        F.sequence(F.lit(1), n_lines),
+        lambda i: F.array_join(
+            F.slice(ws, (i - F.lit(1)) * F.lit(LINE_W) + F.lit(1), F.lit(LINE_W)),
+            " ",
+        ),
+    )
+    return d.select("doc_id", F.array_join(lines, "\n").alias("text"))
+
+
+@register_extended("line_dedup", LINE_DEDUP_ORACLE)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global line dedup over line-ified docs: each exact-duplicate
+    line survives only at its first (doc_id, pos) occurrence."""
+    from ..llm import clean as C
+
+    d = _docs(spark, sf_dir, parallel=True)
+    out = C.line_dedup(_lineified(d), sep="\n")
+    return out.select(
+        F.col("doc_id").cast("long"), "cleaned_text", "kept_lines", "removed_lines"
+    )

@@ -1,0 +1,117 @@
+"""EXTENDED-registry corpus-statistics queries: per-source quality
+report (the domain/source-level filtering step of a training-data
+pipeline — flag whole sources whose aggregate signals fall below
+thresholds, as CCNet/RefinedWeb do per-domain) and an exact
+token-length histogram (the corpus profile that drives context-length
+and packing-budget choices).
+
+Both are single-aggregation plans with map-side partials: the shuffle
+carries sources x metrics (resp. buckets) rows regardless of corpus
+size. DECIMAL accumulation keeps every double bit-identical across
+engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import register_extended
+from .llm import _docs
+
+MIN_MEAN_TOKENS = 45.0
+MAX_SHORT_SHARE = 0.25
+SHORT_TOKENS = 40
+BUCKET_W = 16
+
+SOURCE_QUALITY_ORACLE = f"""
+WITH base AS (
+  SELECT source, lang, len(string_split(text, ' ')) AS toks, n_chars
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(CAST(toks AS DECIMAL(38,0))) AS DOUBLE) / count(*), 6)
+         AS mean_tokens,
+       round(CAST(sum(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) / count(*), 6)
+         AS mean_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       round(CAST(sum(CASE WHEN toks < {SHORT_TOKENS} THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS short_share,
+       (round(CAST(sum(CAST(toks AS DECIMAL(38,0))) AS DOUBLE) / count(*), 6)
+          < {MIN_MEAN_TOKENS}
+        OR round(CAST(sum(CASE WHEN toks < {SHORT_TOKENS} THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) > {MAX_SHORT_SHARE})
+         AS blocked
+FROM base GROUP BY source
+"""
+
+
+@register_extended("source_quality_report", SOURCE_QUALITY_ORACLE)
+def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.size(F.split(F.col("text"), " ")).alias("toks")
+    base = d.select("source", "lang", toks, "n_chars")
+    mean_tokens = F.round(
+        F.sum(F.col("toks").cast("decimal(38,0)")).cast("double")
+        / F.count(F.lit(1)),
+        6,
+    )
+    short_share = F.round(
+        F.sum(F.when(F.col("toks") < SHORT_TOKENS, 1).otherwise(0)).cast("double")
+        / F.count(F.lit(1)),
+        6,
+    )
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        mean_tokens.alias("mean_tokens"),
+        F.round(
+            F.sum(F.col("n_chars").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        short_share.alias("short_share"),
+        (
+            (mean_tokens < F.lit(MIN_MEAN_TOKENS))
+            | (short_share > F.lit(MAX_SHORT_SHARE))
+        ).alias("blocked"),
+    )
+
+
+LENGTH_HISTOGRAM_ORACLE = f"""
+WITH base AS (
+  SELECT len(string_split(text, ' ')) AS toks FROM documents
+),
+tot AS (SELECT count(*) AS n FROM base)
+SELECT CAST((toks // {BUCKET_W}) * {BUCKET_W} AS BIGINT) AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(toks) AS BIGINT) AS min_tokens,
+       CAST(max(toks) AS BIGINT) AS max_tokens,
+       round(CAST(count(*) AS DOUBLE) / any_value(tot.n), 6) AS share
+FROM base CROSS JOIN tot
+GROUP BY 1
+"""
+
+
+@register_extended("length_histogram", LENGTH_HISTOGRAM_ORACLE)
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    base = d.select(F.size(F.split(F.col("text"), " ")).alias("toks"))
+    tot = base.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        base.crossJoin(F.broadcast(tot))
+        .groupBy(
+            (F.floor(F.col("toks") / BUCKET_W) * BUCKET_W)
+            .cast("long")
+            .alias("bucket_lo")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("toks").cast("long").alias("min_tokens"),
+            F.max("toks").cast("long").alias("max_tokens"),
+            F.round(F.count(F.lit(1)).cast("double") / F.first("n"), 6).alias(
+                "share"
+            ),
+        )
+    )
