@@ -144,7 +144,14 @@ def bigram_fluency(
     docs score NULL (no bigrams).
 
     Output: (id, n_bigrams, n_unseen_pairs, n_unseen_contexts,
-    fluency_sum_scaled, fluency_score)."""
+    fluency_sum_scaled, fluency_score).
+
+    Plan shape: sub-2-word docs explode to ONE sentinel (null, null)
+    pair, so every doc survives the per-doc aggregation and no join
+    back to the doc table is needed; the model and context tables are
+    dimension-sized (vocabulary-bounded) governed broadcasts. The only
+    corpus-sized shuffle in the scoring half is the per-doc groupBy —
+    scan, explode, broadcast-lookups, one hash aggregation."""
     w = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("ws"))
     pairs = w.select(
         F.col(id_col),
@@ -152,47 +159,48 @@ def bigram_fluency(
             F.expr(
                 "CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws) - 1), "
                 "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2)) "
-                "ELSE CAST(array() AS ARRAY<STRUCT<w1:STRING, w2:STRING>>) END"
+                "ELSE array(struct(CAST(NULL AS STRING) AS w1, "
+                "CAST(NULL AS STRING) AS w2)) END"
             )
         ).alias("p"),
     ).select(id_col, "p.w1", "p.w2")
     # (measured: checkpointing the pair frame to share it between model
-    # fit and scoring does NOT help — the (w1, w2)-key shuffles
-    # dominate, not the explode — so the model fit stays a plain
-    # second pass through fit_bigram)
+    # fit and scoring does NOT help — the model-fit (w1, w2) shuffle
+    # dominates, not the explode — so the fit stays a plain second pass)
     model, contexts, v = fit_bigram(ref if ref is not None else docs, text_col)
     j = (
-        pairs.join(model, ["w1", "w2"], "left")
+        pairs.join(dim_broadcast(model), ["w1", "w2"], "left")
         .join(dim_broadcast(contexts), "w1", "left")
         .crossJoin(dim_broadcast(v))
     )
     floor_seen = F.expr(f"CAST({SCALE} AS BIGINT) div (c1 + v)")
     uniform = F.expr(f"CAST({SCALE} AS BIGINT) div (2 * v)")
+    real = F.col("w1").isNotNull()
     sc_eff = F.coalesce(
         F.col("sc"), F.when(F.col("c1").isNotNull(), floor_seen).otherwise(uniform)
     )
     agg = (
         j.select(
             F.col(id_col),
-            sc_eff.alias("sc_eff"),
-            F.col("sc").isNull().cast("long").alias("unseen_pair"),
-            F.col("c1").isNull().cast("long").alias("unseen_ctx"),
+            F.when(real, sc_eff).otherwise(F.lit(0)).alias("sc_eff"),
+            (real & F.col("sc").isNull()).cast("long").alias("unseen_pair"),
+            (real & F.col("c1").isNull()).cast("long").alias("unseen_ctx"),
+            real.cast("long").alias("is_pair"),
         )
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("is_pair").cast("long").alias("n_bigrams"),
             F.sum("unseen_pair").cast("long").alias("n_unseen_pairs"),
             F.sum("unseen_ctx").cast("long").alias("n_unseen_contexts"),
             F.sum("sc_eff").cast("long").alias("fluency_sum_scaled"),
         )
     )
-    out = docs.select(id_col).join(agg, id_col, "left")
-    return out.select(
+    return agg.select(
         id_col,
-        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
-        F.coalesce("n_unseen_pairs", F.lit(0)).alias("n_unseen_pairs"),
-        F.coalesce("n_unseen_contexts", F.lit(0)).alias("n_unseen_contexts"),
-        F.coalesce("fluency_sum_scaled", F.lit(0)).alias("fluency_sum_scaled"),
+        "n_bigrams",
+        "n_unseen_pairs",
+        "n_unseen_contexts",
+        "fluency_sum_scaled",
         F.when(
             F.col("n_bigrams") > 0,
             F.col("fluency_sum_scaled").cast("double")

@@ -215,7 +215,11 @@ def q_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     order above the unigram rarity stage."""
     from ..llm.lm import bigram_fluency
 
-    d = _docs(spark, sf_dir, parallel=True)
+    # measured at sf0.1: the repartition costs more than the extra
+    # parallelism buys now that the model join broadcasts (1.2s plain
+    # vs 2.1s parallel warm) — the heavy lifting is the fit's own
+    # (w1, w2) aggregation, which parallelizes via its shuffle anyway
+    d = _docs(spark, sf_dir, parallel=False)
     out = bigram_fluency(d)
     return out.select(
         F.col("doc_id").cast("long"),
