@@ -70,7 +70,7 @@ def load_registry(extended: bool = False) -> dict[str, QueryDef]:
     from . import core, llm, parity2, parity3, suites  # noqa: F401
 
     if extended:
-        from . import classify_ext, clean_ext, stats_ext  # noqa: F401
+        from . import classify_ext, clean_ext, joins_ext, stats_ext  # noqa: F401
 
         full = dict(load_registry())
         full.update(EXTENDED_REGISTRY)

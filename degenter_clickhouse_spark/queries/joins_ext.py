@@ -1,0 +1,104 @@
+"""EXTENDED-registry queries for operators/asof.py, oracle-checked
+against DuckDB's NATIVE ``ASOF JOIN`` (and a plain theta join for the
+range case) — the strongest possible cross-engine check for these
+operators: two completely different algorithms must agree bit-for-bit.
+
+Fixtures come from the events table: clicks as-of matched to each
+user's most recent prior purchase; error-event intervals range-joined
+to the views that happen inside them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..operators.asof import asof_join, range_join
+from . import register_extended
+
+# Right side deduped to one row per (user_id, ts) by greatest payload
+# struct — the operator's documented tie rule, mirrored here so DuckDB
+# ASOF never sees ambiguous duplicates.
+ASOF_ORACLE = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts, max(value) AS pvalue
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id,
+       CAST(c.user_id AS BIGINT) AS user_id,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS ts_s,
+       c.value AS click_value,
+       p.pvalue AS purchase_value,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_ts_s
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+@register_extended("asof_join_events", ASOF_ORACLE)
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = catalog.load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("pvalue")
+    )
+    out = asof_join(clicks, purchases, on="ts", by=["user_id"])
+    return out.select(
+        "event_id",
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("ts_s"),
+        F.col("value").alias("click_value"),
+        F.col("pvalue").alias("purchase_value"),
+        F.unix_timestamp(F.col("ts_r").cast("timestamp")).alias("purchase_ts_s"),
+    )
+
+
+RANGE_W = 1800  # error window: [ts, ts + 30 min)
+
+RANGE_ORACLE = f"""
+WITH errs AS (
+  SELECT event_id, user_id, ts AS t0, ts + INTERVAL {RANGE_W} SECOND AS t1
+  FROM events WHERE event_type = 'error'
+),
+views AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+)
+SELECT e.event_id,
+       CAST(e.user_id AS BIGINT) AS user_id,
+       CAST(count(v.ts) AS BIGINT) AS n_views,
+       CAST(coalesce(sum(CAST(round(v.value * 1e6) AS BIGINT)), 0) AS BIGINT)
+         AS view_value_sum_scaled
+FROM errs e JOIN views v
+  ON e.user_id = v.user_id AND e.t0 <= v.ts AND v.ts < e.t1
+GROUP BY e.event_id, e.user_id
+"""
+
+
+@register_extended("range_join_events", RANGE_ORACLE)
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = catalog.load_table(spark, sf_dir, "events")
+    errs = ev.filter(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr(f"INTERVAL {RANGE_W} SECOND")).alias("t1"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts"), F.col("value").alias("vvalue")
+    )
+    pairs = range_join(
+        errs, views, start="t0", end="t1", point="vts", by=["user_id"],
+        bucket_width=float(RANGE_W),
+    )
+    return pairs.groupBy("event_id", F.col("user_id").cast("long").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.sum(F.expr("CAST(round(vvalue * 1e6) AS BIGINT)"))
+        .cast("long")
+        .alias("view_value_sum_scaled"),
+    )

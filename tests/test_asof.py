@@ -1,0 +1,94 @@
+"""operators/asof.py semantics beyond the DuckDB-oracle checks in
+test_oracle_queries.py (backward direction + bucketized range join):
+forward direction, tolerance nulling, the duplicate-right tie rule,
+and bucket-width invariance of range_join."""
+
+from __future__ import annotations
+
+import pytest
+
+from degenter_clickhouse_spark.operators.asof import asof_join, range_join
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 15, "c"), (3, 5, "d")],
+        "k long, t long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 8, 200.0), (1, 18, 300.0), (2, 15, 400.0), (2, 30, 500.0)],
+        "k long, t long, v double",
+    )
+    return left, right
+
+
+def _rows(df):
+    return {r["tag"]: (r["v"], r["t_r"]) for r in df.collect()}
+
+
+def test_backward_matches_and_tie_rule(spark, frames):
+    left, right = frames
+    out = _rows(asof_join(left, right, on="t", by=["k"]))
+    # duplicate right rows at (1, 8): greatest payload struct wins
+    assert out["a"] == (200.0, 8)
+    assert out["b"] == (300.0, 18)
+    # equal timestamps match (<=)
+    assert out["c"] == (400.0, 15)
+    # no earlier right row -> nulls, left row preserved
+    assert out["d"] == (None, None)
+
+
+def test_forward_direction(spark, frames):
+    left, right = frames
+    out = _rows(asof_join(left, right, on="t", by=["k"], direction="forward"))
+    assert out["a"] == (300.0, 18)  # smallest t_r >= 10
+    assert out["b"] == (None, None)  # nothing at or after 20 for k=1
+    assert out["c"] == (400.0, 15)  # equal ts matches forward too
+    assert out["d"] == (None, None)  # k=3 has no right rows
+
+
+def test_tolerance_nulls_far_matches(spark, frames):
+    left, right = frames
+    out = _rows(asof_join(left, right, on="t", by=["k"], tolerance=2.0))
+    assert out["a"] == (200.0, 8)  # gap 2 <= 2
+    assert out["b"] == (300.0, 18)  # gap 2
+    assert out["c"] == (400.0, 15)  # gap 0
+    assert out["d"] == (None, None)
+    none_left = _rows(asof_join(left, right, on="t", by=["k"], tolerance=1.0))
+    assert none_left["a"] == (None, None)  # gap 2 > 1
+
+
+def test_asof_join_is_single_shuffle(spark, frames):
+    """The whole operator costs exactly one Exchange (the keyed
+    window's) — no pre-dedup aggregation, no join."""
+    left, right = frames
+    plan = (
+        asof_join(left, right, on="t", by=["k"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_bucket_width_invariance(spark):
+    left = spark.createDataFrame(
+        [(1, 0.0, 10.0, "i1"), (1, 5.0, 6.0, "i2"), (2, 100.0, 200.0, "i3")],
+        "k long, s double, e double, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 0.0), (1, 5.5), (1, 9.999), (1, 10.0), (2, 150.0), (2, 99.9)],
+        "k long, p double",
+    )
+
+    def pairs(width):
+        got = range_join(left, right, start="s", end="e", point="p", by=["k"],
+                         bucket_width=width)
+        return sorted((r["tag"], r["p"]) for r in got.collect())
+
+    expect = [("i1", 0.0), ("i1", 5.5), ("i1", 9.999), ("i2", 5.5), ("i3", 150.0)]
+    for width in (1.0, 3.0, 10.0, 1000.0):
+        assert pairs(width) == expect, width
+    # end-exclusive: p=10.0 not in [0, 10); start-inclusive: p=0.0 in
+    # (asserted by expect above)
