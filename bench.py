@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     "span_dedup_clean",  # exact-substring span detect + removal (EXTENDED)
     "bm25_search",  # two-agg posting-list score + TakeOrdered (EXTENDED)
     "bigram_fluency",  # integer Laplace bigram LM scoring (EXTENDED)
+    "line_dedup",  # C4-style global line winner + doc rebuild (EXTENDED)
+    "asof_join_events",  # single-shuffle union-and-carry as-of join (EXTENDED)
+    "knn_label_vote",  # k-NN majority vote over embeddings (EXTENDED)
 ]
 
 

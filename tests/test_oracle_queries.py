@@ -54,6 +54,12 @@ def test_results_invariant_to_shuffle_partitioning(spark):
         "span_dedup_clean",
         "leakage_free_split",
         "bm25_search",
+        # round-4 session 2: single-shuffle window carry with struct
+        # tie-ordering; integer-scaled centroid means; global line
+        # winner via min-struct
+        "asof_join_events",
+        "centroid_classify",
+        "line_dedup",
     ]
 
     def run_all():
