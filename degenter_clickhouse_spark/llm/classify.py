@@ -228,22 +228,26 @@ def fit_logreg(
             .withColumn("__m", margin)
             .withColumn("__e", err)
         )
+        # bias folded in as feature index `dim` (constant 1.0), so the
+        # whole gradient is ONE aggregation job per iteration
         grad_rows = (
-            rows.select(F.col("__e"), F.posexplode("x").alias("idx", "xi"))
+            rows.select(
+                F.col("__e"),
+                F.posexplode(F.concat(F.col("x"), F.array(F.lit(1.0)))).alias(
+                    "idx", "xi"
+                ),
+            )
             .groupBy("idx")
             .agg(
                 F.sum((F.col("__e") * F.col("xi")).cast("decimal(38,18)")).alias("g")
             )
             .collect()
         )
-        gb = rows.agg(F.sum(F.col("__e").cast("decimal(38,18)")).alias("g")).collect()[
-            0
-        ]["g"]
-        g = [0.0] * dim
+        g = [0.0] * (dim + 1)
         for r in grad_rows:
             g[r["idx"]] = float(r["g"])
-        w = [wi - lr * (gi / n + l2 * wi) for wi, gi in zip(w, g)]
-        b = b - lr * float(gb) / n
+        w = [wi - lr * (gi / n + l2 * wi) for wi, gi in zip(w, g[:dim])]
+        b = b - lr * g[dim] / n
     return w, b
 
 

@@ -6,6 +6,8 @@ and bucket-width invariance of range_join."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 from degenter_clickhouse_spark.operators.asof import asof_join, range_join
 
@@ -92,3 +94,51 @@ def test_range_join_bucket_width_invariance(spark):
         assert pairs(width) == expect, width
     # end-exclusive: p=10.0 not in [0, 10); start-inclusive: p=0.0 in
     # (asserted by expect above)
+
+
+_row = st.tuples(
+    st.integers(min_value=1, max_value=3),  # key
+    st.integers(min_value=0, max_value=40),  # time
+    st.integers(min_value=0, max_value=9),  # payload
+)
+
+_settings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _brute_asof(lrows, rrows, direction):
+    out = {}
+    for i, (k, t, _) in enumerate(lrows):
+        if direction == "backward":
+            cand = [(rt, v) for rk, rt, v in rrows if rk == k and rt <= t]
+            best = max(cand) if cand else None
+        else:
+            cand = [(-rt, v) for rk, rt, v in rrows if rk == k and rt >= t]
+            best = max(cand) if cand else None
+            best = (-best[0], best[1]) if best else None
+        out[i] = best
+    return out
+
+
+@given(
+    lrows=st.lists(_row, min_size=1, max_size=25),
+    rrows=st.lists(_row, min_size=0, max_size=25),
+    direction=st.sampled_from(["backward", "forward"]),
+)
+@_settings
+def test_asof_join_matches_bruteforce(spark, lrows, rrows, direction):
+    """Random small inputs (duplicate keys/times included) against a
+    sequential reference: the nearest-time rule, the <=/>= equality
+    edges, and the greatest-payload tie rule all must agree."""
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t, _) in enumerate(lrows)], "i long, k long, t long"
+    )
+    right = spark.createDataFrame(rrows, "k long, t long, v long")
+    got = {
+        r["i"]: (None if r["t_r"] is None else (r["t_r"], r["v"]))
+        for r in asof_join(left, right, on="t", by=["k"], direction=direction).collect()
+    }
+    assert got == _brute_asof(lrows, rrows, direction)
