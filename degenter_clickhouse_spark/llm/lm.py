@@ -84,6 +84,76 @@ def unigram_rarity(
     )
 
 
+def collocations(
+    ref: DataFrame,
+    min_count: int = 5,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k collocated word pairs by pointwise lift — the phrase-mining
+    pass that feeds tokenizer vocabularies and boilerplate detectors:
+
+        lift(w1, w2) = P(w1, w2) / (P(w1) * P(w2))
+                     = (c12 / N2) / ((c1 / N1) * (c2 / N1))
+
+    computed as ``round((c12 * N1 * N1) / (c1 * c2 * N2), 6)`` in
+    DOUBLE — every operand is an exact integer below 2^53 and the
+    expression is pointwise (no reduction), so the rounded value is
+    bit-identical across engines; no logs, so no transcendental drift
+    (log-PMI orders identically to lift).
+
+    Plan: one (w1, w2) pair aggregation + one unigram aggregation,
+    broadcast totals, TakeOrdered top-k. ``min_count`` prunes the pair
+    table before the unigram joins."""
+    w = ref.select(F.split(F.col(text_col), " ").alias("ws"))
+    pairs = w.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws) - 1), "
+                "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2)) "
+                "ELSE CAST(array() AS ARRAY<STRUCT<w1:STRING, w2:STRING>>) END"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c12 = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+    n2 = pairs.agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    uni = ref.select(F.explode(F.split(F.col(text_col), " ")).alias("t")).groupBy(
+        "t"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n1 = uni.agg(F.sum("c").cast("long").alias("n1"))
+    scored = (
+        c12.join(dim_broadcast(uni.select(F.col("t").alias("w1"), F.col("c").alias("c1"))), "w1")
+        .join(dim_broadcast(uni.select(F.col("t").alias("w2"), F.col("c").alias("c2"))), "w2")
+        .crossJoin(dim_broadcast(n1))
+        .crossJoin(dim_broadcast(n2))
+        .withColumn(
+            "lift",
+            F.round(
+                (
+                    F.col("c12").cast("double")
+                    * F.col("n1").cast("double")
+                    * F.col("n1").cast("double")
+                )
+                / (
+                    F.col("c1").cast("double")
+                    * F.col("c2").cast("double")
+                    * F.col("n2").cast("double")
+                ),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.select("w1", "w2", "c12", "lift")
+        .orderBy(F.col("lift").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(k)
+    )
+
+
 def fit_bigram(ref: DataFrame, text_col: str = "text"):
     """Laplace-smoothed bigram model as exact integers (the CCNet
     perplexity filter's determinism-safe twin, one order up from

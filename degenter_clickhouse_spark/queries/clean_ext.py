@@ -373,3 +373,49 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("doc_id").cast("long"), "cleaned_text", "kept_lines", "removed_lines"
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI-style collocation mining (phrase discovery): pointwise lift over
+# bigram vs unigram frequencies, exact integer counts, one rounded
+# pointwise double per surviving pair
+# ---------------------------------------------------------------------------
+
+COLLOC_MIN = 5
+COLLOC_K = 50
+
+COLLOC_ORACLE = f"""
+WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+pr AS (
+  SELECT ws[t.i] AS w1, ws[t.i + 1] AS w2
+  FROM w, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS t(i)
+),
+c12 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+  FROM pr GROUP BY 1, 2 HAVING count(*) >= {COLLOC_MIN}
+),
+n2 AS (SELECT CAST(count(*) AS BIGINT) AS n2 FROM pr),
+uni AS (
+  SELECT t.tk AS t, CAST(count(*) AS BIGINT) AS c
+  FROM w, unnest(ws) AS t(tk) GROUP BY 1
+),
+n1 AS (SELECT CAST(sum(c) AS BIGINT) AS n1 FROM uni)
+SELECT c12.w1, c12.w2, c12.c12,
+       round((CAST(c12 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE))
+             / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE) * CAST(n2 AS DOUBLE)),
+             6) AS lift
+FROM c12
+JOIN uni u1 ON u1.t = c12.w1
+JOIN uni u2 ON u2.t = c12.w2
+CROSS JOIN n1 CROSS JOIN n2
+ORDER BY lift DESC, c12.w1 ASC, c12.w2 ASC
+LIMIT {COLLOC_K}
+"""
+
+
+@register_extended("collocations", COLLOC_ORACLE)
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.lm import collocations
+
+    d = _docs(spark, sf_dir)
+    return collocations(d, min_count=COLLOC_MIN, k=COLLOC_K)
