@@ -64,6 +64,11 @@ BENCH_QUERIES = [
     "line_dedup",  # C4-style global line winner + doc rebuild (EXTENDED)
     "asof_join_events",  # single-shuffle union-and-carry as-of join (EXTENDED)
     "knn_label_vote",  # k-NN majority vote over embeddings (EXTENDED)
+    "quantile_summary",  # exact percentile family, int + double inputs (EXTENDED)
+    "temperature_sampling",  # mixture-flattening hash sample (EXTENDED)
+    "leakage_free_split",  # cluster-coherent train/val/test split (EXTENDED)
+    "range_join_events",  # bucketized interval-point range join (EXTENDED)
+    "collocations",  # PMI-style bigram lift mining (EXTENDED)
 ]
 
 
@@ -105,6 +110,13 @@ def main() -> None:
             reg[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # several ops localCheckpoint/cache intermediates per invocation
+        # (shingle frames, candidate indexes); across runs x queries the
+        # never-unpersisted blocks pile up to executor-memory pressure
+        # that bled 1.6s queries out to 12s+ late in a 36-query session.
+        # Clearing between queries measures each op cold-cache/warm-JVM,
+        # which is also the realistic per-job state on a cluster.
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     # host-load disclosure: single-node timings on a shared hypervisor
     # swing with neighbor load (observed 17s..35s for identical code);

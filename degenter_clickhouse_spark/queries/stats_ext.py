@@ -79,6 +79,72 @@ def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUANTILE_ORACLE = """
+WITH doc_q AS (
+  SELECT 'doc_chars' AS part, source AS key,
+         CAST(count(*) AS BIGINT) AS n,
+         quantile_cont(n_chars, 0.25) AS p25,
+         quantile_cont(n_chars, 0.5)  AS p50,
+         quantile_cont(n_chars, 0.75) AS p75,
+         quantile_cont(n_chars, 0.95) AS p95
+  FROM documents GROUP BY source
+),
+ev_q AS (
+  SELECT 'event_value' AS part, event_type AS key,
+         CAST(count(*) AS BIGINT) AS n,
+         quantile_cont(value, 0.25) AS p25,
+         quantile_cont(value, 0.5)  AS p50,
+         quantile_cont(value, 0.75) AS p75,
+         quantile_cont(value, 0.95) AS p95
+  FROM events GROUP BY event_type
+)
+SELECT * FROM doc_q UNION ALL SELECT * FROM ev_q
+"""
+
+
+def _pcts(col: str):
+    return [
+        F.percentile(F.col(col), p).alias(a)
+        for p, a in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.95, "p95")]
+    ]
+
+
+@register_extended("quantile_summary", QUANTILE_ORACLE)
+def q_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantile family (ClickHouse ``quantileExact*`` analogue).
+
+    Spark's ``percentile`` aggregate and DuckDB's ``quantile_cont``
+    share the linear-interpolation definition ``lower + frac * (upper -
+    lower)`` over the sorted group, so the doubles match bit-for-bit —
+    no rounding shim needed (verified on both the integer ``n_chars``
+    and the double ``events.value`` inputs). Two grouped aggregations
+    over dimension-sized key sets, unioned with a part tag.
+
+    Scale note: exact percentiles sort each group's values inside one
+    aggregation buffer — fine for dimension-sized groups (sources,
+    event types). For billion-row groups the sketch path is
+    ``approx_percentile`` (t-digest-style, mergeable, map-side
+    partials); its error bound vs this exact op is pytest-checked in
+    ``test_approx_percentile_within_accuracy``.
+    """
+    from .. import catalog
+
+    d = _docs(spark, sf_dir)
+    doc_q = d.groupBy(F.col("source").alias("key")).agg(
+        F.count(F.lit(1)).alias("n"), *_pcts("n_chars")
+    )
+    ev = catalog.load_table(spark, sf_dir, "events")
+    ev_q = ev.groupBy(F.col("event_type").alias("key")).agg(
+        F.count(F.lit(1)).alias("n"), *_pcts("value")
+    )
+    cols = ["part", "key", "n", "p25", "p50", "p75", "p95"]
+    return (
+        doc_q.select(F.lit("doc_chars").alias("part"), "*")
+        .select(*cols)
+        .unionAll(ev_q.select(F.lit("event_value").alias("part"), "*").select(*cols))
+    )
+
+
 LENGTH_HISTOGRAM_ORACLE = f"""
 WITH base AS (
   SELECT len(string_split(text, ' ')) AS toks FROM documents
