@@ -152,11 +152,42 @@ def knn_vote(
         F.col(vec).alias("vb"),
         F.col("norm2_s").alias("nb"),
     )
-    cond = F.col("vec_id") != F.col("nb_id")
+    # cosine is symmetric, so score each unordered pair ONCE (id <
+    # id join — half the dot products, the dominant cost: higher-order
+    # array aggregates are interpreted, not codegen'd) and mirror the
+    # scored row for the other direction; the mirror is a map-only
+    # union of already-small (ids, labels, cosine) rows.
+    cond = F.col("vec_id") < F.col("nb_id")
     if group_col:
         cond = (F.col("g") == F.col("gb")) & cond
-    pairs = a.join(b, cond).withColumn(
-        "cosine", cosine_from_scaled(scaled_dot("va", "vb"), F.col("na"), F.col("nb"))
+    def _dir(id1, l1, id2, l2):
+        return F.struct(
+            F.col(id1).alias("vec_id"),
+            F.col(l1).alias("label"),
+            F.col(id2).alias("nb_id"),
+            F.col(l2).alias("nb_label"),
+            F.col("cosine").alias("cosine"),
+        )
+
+    # each unordered pair explodes into both directions IN THE SAME
+    # STAGE (map-side, after the single cosine evaluation) — a
+    # self-union would re-run the join, a checkpoint would pay
+    # materialization I/O; this pays neither
+    pairs = (
+        a.join(b, cond)
+        .withColumn(
+            "cosine",
+            cosine_from_scaled(scaled_dot("va", "vb"), F.col("na"), F.col("nb")),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    _dir("vec_id", "label", "nb_id", "nb_label"),
+                    _dir("nb_id", "nb_label", "vec_id", "label"),
+                )
+            ).alias("p")
+        )
+        .select("p.*")
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("nb_id").asc())
     top = pairs.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)

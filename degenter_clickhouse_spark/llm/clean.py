@@ -243,3 +243,168 @@ def bm25_topk(
         )
     )
     return per_doc.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Persisted inverted index (the build-once/search-many BM25 workflow)
+# ---------------------------------------------------------------------------
+
+TERM_BUCKETS = 64
+
+
+def _term_bucket(col):
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(TERM_BUCKETS)).cast("int")
+
+
+def _postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    ws = F.split(F.col(text_col), " ")
+    base = docs.select(id_col, ws.alias("__ws")).select(
+        id_col, F.size("__ws").cast("long").alias("dl"), "__ws"
+    )
+    return (
+        base.select(id_col, "dl", F.explode("__ws").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("bucket", _term_bucket("term"))
+    )
+
+
+def build_text_index(
+    docs: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+) -> None:
+    """Persist the corpus's BM25 state so searches never re-tokenize it
+    (completing the build-once/probe-many index family: MinHash bands
+    for dedup, IVF cells for ANN, posting lists for retrieval).
+
+    Layout: ``postings/`` = (doc, term, tf, dl) PARTITIONED BY a
+    64-way term-hash bucket — a query's terms map to at most |q|
+    buckets, so the scan prunes every other bucket's files; df is NOT
+    stored but derived from the pruned postings at search time (a
+    term's postings live wholly inside its bucket, so the pruned count
+    is the exact df — and it stays correct under appends for free).
+    ``docs/`` = (doc_id, dl) for the effectively-once update anti-join.
+    ``stats/`` = one row of exact integers (n_docs, sum_dl) so
+    incremental updates merge by addition, never a corpus rescan.
+    """
+    import os
+
+    _postings(docs, id_col, text_col).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(os.path.join(path, "postings"))
+    ws = F.split(F.col(text_col), " ")
+    d = docs.select(
+        F.col(id_col), F.size(ws).cast("long").alias("dl")
+    )
+    d.write.mode("overwrite").parquet(os.path.join(path, "docs"))
+    d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "stats"))
+
+
+def update_text_index(
+    spark,
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Append a new shard's postings; effectively-once via an anti-join
+    on the doc table (column-pruned id scan, the blocks.ingest
+    pattern). Stats merge by integer addition — no corpus rescan.
+    Returns the number of newly indexed docs.
+
+    The stats rewrite is read-then-overwrite (single-writer seam, like
+    operators/merge.upsert_write's parquet path); searches running
+    concurrently with an update see either the old or the new stats,
+    both self-consistent.
+    """
+    import os
+
+    existing = spark.read.parquet(os.path.join(path, "docs")).select(id_col)
+    fresh = new_docs.join(existing, on=id_col, how="left_anti").cache()
+    try:
+        n_new = fresh.count()
+        if not n_new:
+            return 0
+        ws = F.split(F.col(text_col), " ")
+        d = fresh.select(F.col(id_col), F.size(ws).cast("long").alias("dl"))
+        # read EVERYTHING needed from the pre-append state before the
+        # first write: appending to path/docs refreshes that path's
+        # file index and invalidates every cached plan reading it —
+        # including fresh's anti-join, which would then recompute
+        # against the post-append table and collapse to zero rows
+        old = spark.read.parquet(os.path.join(path, "stats")).collect()[0]
+        delta = d.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").cast("long").alias("s")
+        ).collect()[0]
+        _postings(fresh, id_col, text_col).write.mode("append").partitionBy(
+            "bucket"
+        ).parquet(os.path.join(path, "postings"))
+        d.write.mode("append").parquet(os.path.join(path, "docs"))
+        spark.createDataFrame(
+            [(old["n_docs"] + delta["n"], old["sum_dl"] + delta["s"])],
+            "n_docs bigint, sum_dl bigint",
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "stats"))
+    finally:
+        fresh.unpersist()
+    return n_new
+
+
+def text_index_search(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k against the persisted index — bit-identical to
+    ``bm25_topk`` on the same corpus (pytest-checked), but the scan
+    touches only the query terms' hash-bucket partitions instead of
+    tokenizing the corpus.
+
+    The bucket literals come from a 3-row local DataFrame job (xxhash64
+    is JVM-side only); they become static partition filters, so file
+    pruning happens at planning time, before a single posting is read.
+    """
+    import os
+
+    buckets = [
+        r["bucket"]
+        for r in spark.createDataFrame([(t,) for t in query_terms], "term string")
+        .select(_term_bucket("term").alias("bucket"))
+        .distinct()
+        .collect()
+    ]
+    postings = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .where(F.col("bucket").isin(buckets))
+        .where(F.col("term").isin(query_terms))
+    )
+    dfx = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = spark.read.parquet(os.path.join(path, "stats")).select(
+        "n_docs",
+        (F.col("sum_dl").cast("decimal(38,0)").cast("double") / F.col("n_docs")).alias(
+            "avgdl"
+        ),
+    )
+    scored = postings.join(F.broadcast(dfx), "term").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    per_doc = (
+        scored.withColumn("__s", F.round(term_score, 9).cast("decimal(38,12)"))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum("__s").cast("double"), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+    )
+    return per_doc.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

@@ -279,3 +279,69 @@ def test_new_ops_handle_empty_and_degenerate_input(spark):
     pairs = spark.createDataFrame([], "d1 long, d2 long")
     s = {r.doc_id: r.split for r in leakage_free_split(short, pairs).collect()}
     assert set(s) == {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# persisted inverted index
+# ---------------------------------------------------------------------------
+
+
+def test_text_index_search_matches_direct(spark, tmp_path):
+    from degenter_clickhouse_spark import catalog
+    from degenter_clickhouse_spark.llm.clean import (
+        build_text_index,
+        text_index_search,
+    )
+
+    docs = catalog.load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "idx")
+    build_text_index(docs, path)
+    terms = ["the", "data", "pipeline"]
+    direct = bm25_topk(docs, terms, k=10).collect()
+    indexed = text_index_search(spark, path, terms, k=10).collect()
+    assert [tuple(r) for r in indexed] == [tuple(r) for r in direct]
+
+
+def test_text_index_update_equals_rebuild(spark, tmp_path):
+    from degenter_clickhouse_spark import catalog
+    from degenter_clickhouse_spark.llm.clean import (
+        build_text_index,
+        text_index_search,
+        update_text_index,
+    )
+
+    docs = catalog.load_table(spark, "/root/testdata/sf0.001", "documents")
+    old = docs.where(F.col("doc_id") < 400)
+    new = docs.where(F.col("doc_id") >= 380)  # overlaps 20 already-indexed
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_text_index(old, inc)
+    assert update_text_index(spark, new, inc) == new.join(
+        old, "doc_id", "left_anti"
+    ).count()
+    # re-sending the same shard is a no-op
+    assert update_text_index(spark, new, inc) == 0
+    build_text_index(docs, full)
+    terms = ["the", "data", "model"]
+    assert [
+        tuple(r) for r in text_index_search(spark, inc, terms, k=10).collect()
+    ] == [tuple(r) for r in text_index_search(spark, full, terms, k=10).collect()]
+
+
+def test_text_index_search_prunes_buckets(spark, tmp_path):
+    from degenter_clickhouse_spark import catalog
+    from degenter_clickhouse_spark.llm.clean import (
+        build_text_index,
+        text_index_search,
+    )
+
+    docs = catalog.load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "idx")
+    build_text_index(docs, path)
+    plan = text_index_search(spark, path, ["the"])._jdf.queryExecution().executedPlan().toString()
+    # the single query term maps to one hash bucket; the scan must carry
+    # a static partition filter on it (planning-time file pruning)
+    assert "bucket" in plan and "PartitionFilters: [" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), f"empty partition filters in:\n{plan[:2000]}"
