@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "leakage_free_split",  # cluster-coherent train/val/test split (EXTENDED)
     "range_join_events",  # bucketized interval-point range join (EXTENDED)
     "collocations",  # PMI-style bigram lift mining (EXTENDED)
+    "rollup_totals",  # single-pass ROLLUP grouping sets (EXTENDED)
 ]
 
 

@@ -181,3 +181,55 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+ROLLUP_ORACLE = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(CAST(CAST(ts AS DATE) AS VARCHAR), 'ALL') AS bucket_day,
+       CAST(GROUPING(event_type) AS INT) AS g_type,
+       CAST(GROUPING(CAST(ts AS DATE)) AS INT) AS g_day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS volume
+FROM events
+GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
+"""
+
+
+@register_extended("rollup_totals", ROLLUP_ORACLE)
+def q_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with subtotal + grand-total rows (the ClickHouse
+    ``GROUP BY ... WITH ROLLUP`` / ``WITH TOTALS`` modifier family).
+
+    Spark's ``rollup`` relation expands to grouping sets inside ONE
+    aggregation (each input row expands to its grouping-set variants
+    map-side, partial aggregation intact — no per-level re-scan).
+    ``grouping()`` flags distinguish a real NULL key from a subtotal
+    row; the displayed keys coalesce to 'ALL' like the reference UI's
+    totals row. DECIMAL-accumulated volume keeps the three aggregation
+    levels bit-identical across engines.
+    """
+    from .. import catalog
+
+    t = catalog.ticks(spark, sf_dir)
+    base = t.select(
+        "event_type", F.to_date("ts").alias("__day"), F.col("price")
+    )
+    return (
+        base.rollup("event_type", "__day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("price").cast("decimal(25,6)")).cast("double").alias("volume"),
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("__day").cast("int").alias("g_day"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("__day").cast("string"), F.lit("ALL")).alias(
+                "bucket_day"
+            ),
+            "g_type",
+            "g_day",
+            "n_events",
+            "volume",
+        )
+    )
