@@ -107,6 +107,42 @@ def main(argv: list[str] | None = None) -> int:
     ip.add_argument("--storage", required=True)
     ip.add_argument("--dry", action="store_true", help="print would-be inserts only")
 
+    it = sub.add_parser(
+        "index-text",
+        help="build or incrementally update the persisted BM25 inverted index",
+    )
+    it.add_argument("--input", required=True, help="documents parquet dir/file")
+    it.add_argument("--index", required=True, help="index root path")
+    it.add_argument(
+        "--update",
+        action="store_true",
+        help="append a new shard to an existing index (effectively-once)",
+    )
+
+    se = sub.add_parser("search", help="BM25 top-k against a persisted text index")
+    se.add_argument("--index", required=True)
+    se.add_argument("--query", required=True, help="space-separated terms")
+    se.add_argument("-k", type=int, default=10)
+
+    sh = sub.add_parser(
+        "shard",
+        help="write deterministic training shards + manifest",
+    )
+    sh.add_argument("--input", required=True)
+    sh.add_argument("--output", required=True)
+    sh.add_argument("--n-shards", type=int, required=True)
+    sh.add_argument("--key", default="doc_id")
+    sh.add_argument("--token-col", default=None)
+    sh.add_argument("--order-col", default=None)
+
+    ji = sub.add_parser(
+        "jsonl-ingest",
+        help="append a JSONL drop into the parquet corpus "
+        "(corrupt lines quarantined, re-ingest is a no-op)",
+    )
+    ji.add_argument("--input", required=True, help="jsonl path/glob")
+    ji.add_argument("--corpus", required=True, help="corpus parquet dir")
+
     args = p.parse_args(argv)
     from .session import build_session
 
@@ -185,6 +221,44 @@ def main(argv: list[str] | None = None) -> int:
         leakage_free_split(docs, pairs, fracs=fracs).write.mode(
             "overwrite"
         ).parquet(args.output)
+        return 0
+    if args.cmd == "index-text":
+        from .llm.clean import build_text_index, update_text_index
+
+        docs = spark.read.parquet(args.input)
+        if args.update:
+            print("new docs indexed:", update_text_index(spark, docs, args.index))
+        else:
+            build_text_index(docs, args.index)
+            print("indexed:", docs.count())
+        return 0
+    if args.cmd == "search":
+        from .llm.clean import text_index_search
+
+        for r in text_index_search(
+            spark, args.index, args.query.split(), k=args.k
+        ).collect():
+            print(r["doc_id"], r["score"], r["n_terms"])
+        return 0
+    if args.cmd == "shard":
+        from .llm.shard import write_shards
+
+        manifest = write_shards(
+            spark,
+            spark.read.parquet(args.input),
+            args.output,
+            n_shards=args.n_shards,
+            key_col=args.key,
+            token_col=args.token_col,
+            order_col=args.order_col,
+        )
+        for r in manifest.orderBy("shard").collect():
+            print(r.asDict())
+        return 0
+    if args.cmd == "jsonl-ingest":
+        from .sources.corpus_jsonl import ingest_jsonl
+
+        print(ingest_jsonl(spark, args.input, args.corpus))
         return 0
     if args.cmd == "import-pools":
         import os as _os
