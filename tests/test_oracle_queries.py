@@ -60,6 +60,12 @@ def test_results_invariant_to_shuffle_partitioning(spark):
         "asof_join_events",
         "centroid_classify",
         "line_dedup",
+        # round-4 session 3: percentile interpolation over per-group
+        # sorted buffers; grouping-sets expansion with DECIMAL volume;
+        # symmetric-pair knn explode
+        "quantile_summary",
+        "rollup_totals",
+        "knn_label_vote",
     ]
 
     def run_all():

@@ -428,3 +428,43 @@ def test_duplicate_ngram_spans_match_bruteforce(spark, texts):
     for d, tk in enumerate(toks):
         expect = " ".join(t for i, t in enumerate(tk) if i not in covered[d])
         assert cleaned[d] == expect, (d, texts[d])
+
+
+# ---------------------------------------------------------------------------
+# persisted text index == direct BM25 on arbitrary corpora
+# ---------------------------------------------------------------------------
+
+_word = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg"])
+_doc = st.lists(_word, min_size=1, max_size=12).map(" ".join)
+
+
+@given(
+    texts=st.lists(_doc, min_size=1, max_size=20),
+    q=st.lists(_word, min_size=1, max_size=3, unique=True),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_text_index_search_equals_direct_on_random_corpora(
+    spark, tmp_path_factory, texts, q
+):
+    """The persisted-index search path (partition-pruned postings,
+    derived df, integer-merged stats) must be bit-identical to the
+    direct bm25_topk plan on ANY corpus — including all-duplicate
+    docs, single-word docs, and query terms absent from the corpus."""
+    from degenter_clickhouse_spark.llm.clean import (
+        bm25_topk,
+        build_text_index,
+        text_index_search,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    path = str(tmp_path_factory.mktemp("bm25idx"))
+    build_text_index(docs, path)
+    direct = [tuple(r) for r in bm25_topk(docs, q, k=5).collect()]
+    indexed = [tuple(r) for r in text_index_search(spark, path, q, k=5).collect()]
+    assert indexed == direct
