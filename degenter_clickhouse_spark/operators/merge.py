@@ -155,6 +155,13 @@ def upsert_write(
       concurrent writers at 100 TB. Requires the delta-spark package
       and a Delta-enabled session; raises a clear error otherwise.
       (Iceberg's ``MERGE INTO`` SQL is the equivalent seam.)
+    * ``fmt="versioned"``: the engine-native manifest-versioned table
+      (operators/versioned.py) — atomic pointer-swap commits, snapshot
+      isolation for readers, time travel, and per-file rewrite cost;
+      dependency-free, so the transactional path is TESTED in this
+      environment (tests/test_versioned.py) instead of gated on an
+      uninstallable package. Requires the table to have been created
+      with ``versioned.vt_write``.
     """
     if fmt == "delta":
         try:
@@ -176,8 +183,13 @@ def upsert_write(
             .execute()
         )
         return
+    if fmt == "versioned":
+        from .versioned import vt_upsert
+
+        vt_upsert(spark, updates, path, keys=list(keys))
+        return
     if fmt != "parquet":
-        raise ValueError(f"unsupported fmt: {fmt!r} (parquet|delta)")
+        raise ValueError(f"unsupported fmt: {fmt!r} (parquet|delta|versioned)")
     with _table_lock(path, timeout_s=lock_timeout_s):
         try:
             current = spark.read.parquet(path)

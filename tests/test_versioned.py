@@ -1,0 +1,122 @@
+"""Manifest-versioned parquet tables (operators/versioned.py): atomic
+commits, snapshot isolation / time travel, file-pruned copy-on-write
+MERGE, crash-orphan vacuum, and parity with the directory-swap upsert.
+"""
+
+from __future__ import annotations
+
+
+
+import pytest
+
+
+from degenter_clickhouse_spark.operators import merge as M
+from degenter_clickhouse_spark.operators import versioned as V
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ["token_id", "price", "updated"])
+
+
+def _snap(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_write_append_read_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t")
+    assert V.vt_write(spark, _df(spark, [(1, 1.0, 10), (2, 2.0, 10)]), path) == 1
+    assert V.vt_append(spark, _df(spark, [(3, 3.0, 11)]), path) == 2
+    assert _snap(V.vt_read(spark, path)) == [(1, 1.0, 10), (2, 2.0, 10), (3, 3.0, 11)]
+    # time travel: v1 still readable after the append
+    assert _snap(V.vt_read(spark, path, version=1)) == [(1, 1.0, 10), (2, 2.0, 10)]
+
+
+def test_upsert_matches_directory_swap_semantics(spark, tmp_path):
+    base = [(1, 1.0, 10), (2, 2.0, 10), (3, 3.0, 10)]
+    upd = [(2, 20.0, 11), (4, 4.0, 11)]
+    vt = str(tmp_path / "vt")
+    V.vt_write(spark, _df(spark, base), vt)
+    V.vt_upsert(spark, _df(spark, upd), vt, keys=["token_id"])
+    swap = str(tmp_path / "swap")
+    _df(spark, base).write.parquet(swap)
+    M.upsert_write(spark, _df(spark, upd), swap, keys=["token_id"])
+    assert _snap(V.vt_read(spark, vt)) == _snap(spark.read.parquet(swap))
+
+
+def test_upsert_rewrites_only_hit_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    # two single-file commits -> two data files with disjoint keys
+    V.vt_write(spark, _df(spark, [(1, 1.0, 10)]).coalesce(1), path)
+    V.vt_append(spark, _df(spark, [(2, 2.0, 10)]).coalesce(1), path)
+    before = V._manifest(path, 2)["files"]
+    V.vt_upsert(spark, _df(spark, [(2, 20.0, 11)]).coalesce(1), path, ["token_id"])
+    after = V._manifest(path, 3)["files"]
+    # the file holding token 1 must carry over BY REFERENCE
+    carried = set(before) & set(after)
+    assert len(carried) == 1
+    assert _snap(V.vt_read(spark, path)) == [(1, 1.0, 10), (2, 20.0, 11)]
+
+
+def test_delete_by_key(spark, tmp_path):
+    path = str(tmp_path / "t")
+    V.vt_write(spark, _df(spark, [(1, 1.0, 10), (2, 2.0, 10)]), path)
+    V.vt_delete(spark, path, ["token_id"], _df(spark, [(2, 0.0, 0)]))
+    assert _snap(V.vt_read(spark, path)) == [(1, 1.0, 10)]
+
+
+def test_uncommitted_files_invisible_and_vacuumed(spark, tmp_path):
+    path = str(tmp_path / "t")
+    V.vt_write(spark, _df(spark, [(1, 1.0, 10)]), path)
+    # simulate a crash after data-file write, before commit: orphan
+    # files exist but LATEST still points at v1
+    V._write_data_files(spark, _df(spark, [(9, 9.0, 99)]), path)
+    assert _snap(V.vt_read(spark, path)) == [(1, 1.0, 10)]
+    removed = V.vt_vacuum(path, keep_versions=1)
+    assert removed > 0
+    assert _snap(V.vt_read(spark, path)) == [(1, 1.0, 10)]
+
+
+def test_vacuum_drops_old_versions_keeps_recent(spark, tmp_path):
+    path = str(tmp_path / "t")
+    V.vt_write(spark, _df(spark, [(1, 1.0, 10)]).coalesce(1), path)
+    V.vt_write(spark, _df(spark, [(2, 2.0, 11)]).coalesce(1), path)
+    V.vt_write(spark, _df(spark, [(3, 3.0, 12)]).coalesce(1), path)
+    V.vt_vacuum(path, keep_versions=2)
+    with pytest.raises(FileNotFoundError):
+        V.vt_read(spark, path, version=1)
+    assert _snap(V.vt_read(spark, path, version=2)) == [(2, 2.0, 11)]
+    assert _snap(V.vt_read(spark, path)) == [(3, 3.0, 12)]
+    assert [h["version"] for h in V.vt_history(path)] == [2, 3]
+
+
+def test_version_conflict_detected(spark, tmp_path):
+    path = str(tmp_path / "t")
+    V.vt_write(spark, _df(spark, [(1, 1.0, 10)]), path)
+    # a lock-bypassing writer advanced LATEST between read and commit
+    files = V._manifest(path, 1)["files"]
+    with pytest.raises(V.VersionConflict):
+        V._commit(path, parent=0, files=files, op="write")
+    # the table is untouched
+    assert V.vt_version(path) == 1
+    assert _snap(V.vt_read(spark, path)) == [(1, 1.0, 10)]
+
+
+def test_snapshot_read_stable_across_concurrent_commit(spark, tmp_path):
+    path = str(tmp_path / "t")
+    V.vt_write(spark, _df(spark, [(1, 1.0, 10)]), path)
+    snapshot = V.vt_read(spark, path, version=V.vt_version(path))
+    V.vt_upsert(spark, _df(spark, [(1, 99.0, 11)]), path, ["token_id"])
+    # the pre-commit snapshot still evaluates to the old contents
+    assert _snap(snapshot) == [(1, 1.0, 10)]
+    assert _snap(V.vt_read(spark, path)) == [(1, 99.0, 11)]
+
+
+def test_upsert_write_fmt_versioned_seam(spark, tmp_path):
+    path = str(tmp_path / "t")
+    V.vt_write(spark, _df(spark, [(1, 1.0, 10), (2, 2.0, 10)]), path)
+    M.upsert_write(
+        spark, _df(spark, [(2, 20.0, 11), (3, 3.0, 11)]), path,
+        keys=["token_id"], fmt="versioned",
+    )
+    assert _snap(V.vt_read(spark, path)) == [(1, 1.0, 10), (2, 20.0, 11), (3, 3.0, 11)]
+    assert V.vt_history(path)[-1]["op"] == "upsert"
