@@ -143,6 +143,15 @@ def main(argv: list[str] | None = None) -> int:
     ji.add_argument("--input", required=True, help="jsonl path/glob")
     ji.add_argument("--corpus", required=True, help="corpus parquet dir")
 
+    vt = sub.add_parser(
+        "vt",
+        help="manifest-versioned table maintenance (history/compact/vacuum)",
+    )
+    vt.add_argument("action", choices=["history", "compact", "vacuum"])
+    vt.add_argument("--path", required=True)
+    vt.add_argument("--target-files", type=int, default=8)
+    vt.add_argument("--keep-versions", type=int, default=2)
+
     args = p.parse_args(argv)
     from .session import build_session
 
@@ -221,6 +230,17 @@ def main(argv: list[str] | None = None) -> int:
         leakage_free_split(docs, pairs, fracs=fracs).write.mode(
             "overwrite"
         ).parquet(args.output)
+        return 0
+    if args.cmd == "vt":
+        from .operators import versioned as _vt
+
+        if args.action == "history":
+            for h in _vt.vt_history(args.path):
+                print(h)
+        elif args.action == "compact":
+            print("compacted to v", _vt.vt_compact(spark, args.path, args.target_files))
+        else:
+            print("removed files:", _vt.vt_vacuum(args.path, args.keep_versions))
         return 0
     if args.cmd == "index-text":
         from .llm.clean import build_text_index, update_text_index

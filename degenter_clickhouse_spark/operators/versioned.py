@@ -101,7 +101,13 @@ def _write_data_files(spark: SparkSession, df: DataFrame, path: str) -> list[str
     return names
 
 
-def _commit(path: str, parent: int, files: list[str], op: str) -> int:
+def _commit(
+    path: str,
+    parent: int,
+    files: list[str],
+    op: str,
+    extra: dict | None = None,
+) -> int:
     """Write manifest ``parent+1`` then atomically advance LATEST.
     Callers hold the writer lock; the optimistic check still guards
     against a lock-bypassing writer."""
@@ -111,8 +117,10 @@ def _commit(path: str, parent: int, files: list[str], op: str) -> int:
         )
     version = parent + 1
     os.makedirs(_vdir(path), exist_ok=True)
+    meta = {"version": version, "parent": parent, "op": op, "files": files}
+    meta.update(extra or {})
     with open(os.path.join(_vdir(path), f"{version}.json"), "w") as f:
-        json.dump({"version": version, "parent": parent, "op": op, "files": files}, f)
+        json.dump(meta, f)
     tmp = _latest_file(path) + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         f.write(str(version))
@@ -267,3 +275,50 @@ def vt_vacuum(path: str, keep_versions: int = 2) -> int:
             except FileNotFoundError:
                 pass
         return removed
+
+
+def vt_append_batch(
+    spark: SparkSession, df: DataFrame, path: str, batch_id: int
+) -> int | None:
+    """Exactly-once streaming sink primitive for ``foreachBatch``.
+
+    foreachBatch is at-least-once: after a crash between sink write and
+    checkpoint commit, Spark REPLAYS the last micro-batch. Plain
+    appends then duplicate rows (the round-3 streaming-corpus advice
+    item, fixed there with batch-id-scoped paths). Here the manifest
+    itself records the batch id, and a replayed id is detected by
+    walking the manifest chain — the append becomes a no-op (returns
+    None), so at-least-once delivery + idempotent commit = exactly-once
+    table contents.
+
+    Only the tail of the chain needs to be consistent for this to hold
+    (a replay can only ever be of the most recent batches, bounded by
+    the checkpoint); vacuuming manifests older than the checkpoint
+    horizon is therefore safe.
+    """
+    with _table_lock(path):
+        parent = vt_version(path)
+        v = parent
+        while v:
+            m = _manifest(path, v)
+            if m.get("batch_id") == batch_id:
+                return None  # replayed micro-batch: already committed
+            v = m["parent"]
+        old = _manifest(path, parent)["files"] if parent else []
+        files = _write_data_files(spark, df, path)
+        return _commit(
+            path, parent, old + files, "append_batch", extra={"batch_id": batch_id}
+        )
+
+
+def vt_compact(spark: SparkSession, path: str, target_files: int = 8) -> int:
+    """Rewrite the current snapshot as ``target_files`` files in one
+    new version — the OPTIMIZE step for append-fragmented tables.
+    History (and time travel to pre-compaction versions) is preserved
+    until ``vt_vacuum`` reclaims it; readers mid-scan on the old
+    version are untouched because their files are immutable."""
+    with _table_lock(path):
+        parent = vt_version(path)
+        current = vt_read(spark, path, parent)
+        files = _write_data_files(spark, current.coalesce(target_files), path)
+        return _commit(path, parent, files, "compact")

@@ -120,3 +120,26 @@ def test_upsert_write_fmt_versioned_seam(spark, tmp_path):
     )
     assert _snap(V.vt_read(spark, path)) == [(1, 1.0, 10), (2, 20.0, 11), (3, 3.0, 11)]
     assert V.vt_history(path)[-1]["op"] == "upsert"
+
+
+def test_append_batch_replay_is_noop(spark, tmp_path):
+    path = str(tmp_path / "t")
+    assert V.vt_append_batch(spark, _df(spark, [(1, 1.0, 10)]), path, batch_id=0) == 1
+    assert V.vt_append_batch(spark, _df(spark, [(2, 2.0, 11)]), path, batch_id=1) == 2
+    # crash-replay of the last micro-batch: same id, no new version
+    assert V.vt_append_batch(spark, _df(spark, [(2, 2.0, 11)]), path, batch_id=1) is None
+    assert V.vt_version(path) == 2
+    assert _snap(V.vt_read(spark, path)) == [(1, 1.0, 10), (2, 2.0, 11)]
+
+
+def test_compact_preserves_contents_and_history(spark, tmp_path):
+    path = str(tmp_path / "t")
+    V.vt_write(spark, _df(spark, [(1, 1.0, 10)]).repartition(4), path)
+    V.vt_append(spark, _df(spark, [(2, 2.0, 11)]).repartition(4), path)
+    n_before = V.vt_history(path)[-1]["n_files"]
+    V.vt_compact(spark, path, target_files=1)
+    hist = V.vt_history(path)
+    assert hist[-1]["op"] == "compact" and hist[-1]["n_files"] < n_before
+    assert _snap(V.vt_read(spark, path)) == [(1, 1.0, 10), (2, 2.0, 11)]
+    # pre-compaction version still time-travels
+    assert _snap(V.vt_read(spark, path, version=2)) == [(1, 1.0, 10), (2, 2.0, 11)]
