@@ -322,3 +322,42 @@ def vt_compact(spark: SparkSession, path: str, target_files: int = 8) -> int:
         current = vt_read(spark, path, parent)
         files = _write_data_files(spark, current.coalesce(target_files), path)
         return _commit(path, parent, files, "compact")
+
+
+def vt_changes(
+    spark: SparkSession, path: str, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Row-level diff between two versions (the change-data-feed
+    analogue): each output row is a table row tagged ``__change`` =
+    'insert' | 'delete'; an update surfaces as delete + insert of the
+    key's old/new rows.
+
+    Cost is file-pruned like the merges that produced the versions:
+    files present in BOTH manifests are identical by immutability and
+    are skipped entirely — only each side's exclusive files are read,
+    and the anti-joins run over those subsets. Incremental consumers
+    (downstream rollup refresh, cache invalidation) read the delta, not
+    the table.
+    """
+    to_v = to_version if to_version is not None else vt_version(path)
+    a = set(_manifest(path, from_version)["files"])
+    b = set(_manifest(path, to_v)["files"])
+    only_a, only_b = sorted(a - b), sorted(b - a)
+
+    def _scan(names):
+        return spark.read.parquet(
+            *[os.path.join(path, _DATA, n) for n in names]
+        )
+
+    if not only_a and not only_b:
+        base = vt_read(spark, path, to_v)
+        return base.withColumn("__change", F.lit("insert")).limit(0)
+    if not only_a:
+        return _scan(only_b).withColumn("__change", F.lit("insert"))
+    if not only_b:
+        return _scan(only_a).withColumn("__change", F.lit("delete"))
+    old, new = _scan(only_a), _scan(only_b)
+    cols = old.columns
+    inserts = new.exceptAll(old).withColumn("__change", F.lit("insert"))
+    deletes = old.exceptAll(new).withColumn("__change", F.lit("delete"))
+    return inserts.unionByName(deletes).select(*cols, "__change")

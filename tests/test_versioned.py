@@ -143,3 +143,24 @@ def test_compact_preserves_contents_and_history(spark, tmp_path):
     assert _snap(V.vt_read(spark, path)) == [(1, 1.0, 10), (2, 2.0, 11)]
     # pre-compaction version still time-travels
     assert _snap(V.vt_read(spark, path, version=2)) == [(1, 1.0, 10), (2, 2.0, 11)]
+
+
+def test_changes_between_versions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    V.vt_write(spark, _df(spark, [(1, 1.0, 10), (2, 2.0, 10)]).coalesce(1), path)
+    V.vt_upsert(spark, _df(spark, [(2, 20.0, 11), (3, 3.0, 11)]).coalesce(1), path, ["token_id"])
+    # the single-file table is rewritten whole, but the row-level diff
+    # still reduces to: update of 2 (delete old + insert new), insert 3
+    # — row 1 survives identically on both sides so exceptAll drops it
+    ch = sorted(tuple(r) for r in V.vt_changes(spark, path, 1, 2).collect())
+    assert ch == [
+        (2, 2.0, 10, "delete"),
+        (2, 20.0, 11, "insert"),
+        (3, 3.0, 11, "insert"),
+    ]
+    # an append version diffs as pure inserts without reading old files
+    V.vt_append(spark, _df(spark, [(4, 4.0, 12)]).coalesce(1), path)
+    ch2 = sorted(tuple(r) for r in V.vt_changes(spark, path, 2, 3).collect())
+    assert ch2 == [(4, 4.0, 12, "insert")]
+    # identical versions -> empty
+    assert V.vt_changes(spark, path, 3, 3).count() == 0
