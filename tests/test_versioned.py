@@ -164,3 +164,47 @@ def test_changes_between_versions(spark, tmp_path):
     assert ch2 == [(4, 4.0, 12, "insert")]
     # identical versions -> empty
     assert V.vt_changes(spark, path, 3, 3).count() == 0
+
+
+def test_append_batch_as_foreachbatch_sink(spark, tmp_path):
+    """vt_append_batch driven by a REAL foreachBatch stream: two
+    availableNow drains from the same checkpoint commit each
+    micro-batch exactly once into the versioned table, and every
+    commit is visible to plain vt_read with full history."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [T.StructField("token_id", T.LongType()), T.StructField("price", T.DoubleType())]
+    )
+
+    def drain():
+        stream = spark.readStream.schema(schema).json(str(landing))
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: V.vt_append_batch(spark, df, table, bid)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    (landing / "a.json").write_text(
+        "\n".join(_json.dumps({"token_id": i, "price": float(i)}) for i in (1, 2))
+    )
+    drain()
+    assert sorted(r.token_id for r in V.vt_read(spark, table).collect()) == [1, 2]
+    (landing / "b.json").write_text(_json.dumps({"token_id": 3, "price": 3.0}))
+    drain()
+    assert sorted(r.token_id for r in V.vt_read(spark, table).collect()) == [1, 2, 3]
+    assert [h["op"] for h in V.vt_history(table)] == ["append_batch", "append_batch"]
+    # a manual replay of the last committed batch id is refused
+    last_bid = 1
+    df = spark.createDataFrame([(3, 3.0)], schema)
+    assert V.vt_append_batch(spark, df, table, last_bid) is None
