@@ -32,11 +32,15 @@ version they read (``VersionConflict`` otherwise) — lock plus
 optimistic check, the same discipline Delta applies per commit.
 
 MERGE cost model: ``vt_upsert`` touches only the files that CONTAIN a
-matching key — membership is decided by scanning the key column of the
-current snapshot tagged with ``input_file_name()`` (column-pruned; at
-scale the same decision reads parquet footer min/max instead).
-Untouched files carry over into the new manifest by reference; the
-rewrite cost is proportional to the files hit, not the table.
+matching key. Candidate selection is two-stage: manifest-recorded
+per-file column ranges (``stats_cols=`` on ``vt_write``; collected from
+parquet footers at write time, maintained by every later commit)
+eliminate files without any scan, then a column-pruned
+``input_file_name()`` semi scan over only the candidates decides exact
+membership. Untouched files carry over into the new manifest by
+reference; the rewrite cost is proportional to the files hit, not the
+table. ``vt_read(where=(col, lo, hi))`` prunes by the same ranges
+before Spark plans the scan.
 """
 
 from __future__ import annotations
@@ -128,26 +132,112 @@ def _commit(
     return version
 
 
+def _collect_stats(path: str, names: list[str], cols: list[str]) -> dict:
+    """Per-file [min, max] of ``cols`` from parquet footers (pyarrow —
+    no Spark job, no data read). This is the Iceberg/Delta write-side
+    discipline: the writer records column ranges for the files it just
+    produced, and every later read or merge prunes against the manifest
+    instead of opening footers table-wide. Columns whose stats are
+    missing or not JSON-representable are skipped (readers treat a
+    missing entry as 'might match' — always conservative)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    want = set(cols)
+    for n in names:
+        md = pq.ParquetFile(os.path.join(path, _DATA, n)).metadata
+        agg: dict[str, list] = {}
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for i in range(rg.num_columns):
+                col = rg.column(i)
+                name = col.path_in_schema
+                st = col.statistics
+                if name not in want or st is None or not st.has_min_max:
+                    continue
+                mn, mx = st.min, st.max
+                if not isinstance(mn, (int, float, str)):
+                    continue
+                if name in agg:
+                    agg[name] = [min(agg[name][0], mn), max(agg[name][1], mx)]
+                else:
+                    agg[name] = [mn, mx]
+        if agg:
+            out[n] = agg
+    return out
+
+
+def _carry_stats(parent_manifest: dict, kept: list[str], new_stats: dict) -> dict:
+    """Manifest stats for a child version: carried-over files keep the
+    parent's entries, new files get the freshly collected ones."""
+    old = parent_manifest.get("stats", {})
+    stats = {f: old[f] for f in kept if f in old}
+    stats.update(new_stats)
+    return stats
+
+
+def _pruned_files(manifest: dict, where: tuple[str, object, object]) -> list[str]:
+    """Files whose recorded [min, max] for ``where=(col, lo, hi)`` can
+    intersect the range; files without stats always survive."""
+    col, lo, hi = where
+    keep = []
+    for f in manifest["files"]:
+        s = manifest.get("stats", {}).get(f, {}).get(col)
+        if s is None or not (hi < s[0] or lo > s[1]):
+            keep.append(f)
+    return keep
+
+
 def vt_read(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    where: tuple[str, object, object] | None = None,
 ) -> DataFrame:
     """Snapshot read of ``version`` (default: latest). Time travel =
-    pass any still-retained version number."""
+    pass any still-retained version number.
+
+    ``where=(col, lo, hi)`` prunes files by the manifest's recorded
+    column ranges BEFORE Spark plans the scan — zero footers opened for
+    skipped files; pair it with the matching ``.filter`` for row-level
+    exactness (the pruning is file-granular, like Iceberg's)."""
     v = version if version is not None else vt_version(path)
     if v == 0:
         raise FileNotFoundError(f"no committed version at {path}")
-    files = _manifest(path, v)["files"]
+    m = _manifest(path, v)
+    files = _pruned_files(m, where) if where else m["files"]
+    if not files:
+        # preserve the schema: scan one manifest file with a false filter
+        return (
+            spark.read.parquet(os.path.join(path, _DATA, m["files"][0]))
+            .where(F.lit(False))
+        )
     return spark.read.parquet(
         *[os.path.join(path, _DATA, f) for f in files]
     )
 
 
-def vt_write(spark: SparkSession, df: DataFrame, path: str) -> int:
-    """Create the table (v1) or replace its entire contents."""
+def vt_write(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Create the table (v1) or replace its entire contents.
+    ``stats_cols`` configures which columns get manifest-recorded
+    min/max ranges — every later commit maintains them automatically
+    and reads/merges prune files against them."""
     with _table_lock(path):
         parent = vt_version(path)
+        cols = stats_cols
+        if cols is None and parent:
+            cols = _manifest(path, parent).get("stats_cols") or []
+        cols = cols or []
         files = _write_data_files(spark, df, path)
-        return _commit(path, parent, files, "write")
+        extra = {"stats_cols": cols}
+        if cols:
+            extra["stats"] = _collect_stats(path, files, cols)
+        return _commit(path, parent, files, "write", extra=extra)
 
 
 def vt_append(spark: SparkSession, df: DataFrame, path: str) -> int:
@@ -155,9 +245,65 @@ def vt_append(spark: SparkSession, df: DataFrame, path: str) -> int:
     files are referenced, never read or rewritten."""
     with _table_lock(path):
         parent = vt_version(path)
-        old = _manifest(path, parent)["files"] if parent else []
+        pm = _manifest(path, parent) if parent else {}
+        old = pm.get("files", [])
+        cols = pm.get("stats_cols") or []
         files = _write_data_files(spark, df, path)
-        return _commit(path, parent, old + files, "append")
+        extra = {"stats_cols": cols}
+        if cols:
+            extra["stats"] = _carry_stats(pm, old, _collect_stats(path, files, cols))
+        return _commit(path, parent, old + files, "append", extra=extra)
+
+
+def _hit_file_names(
+    spark: SparkSession, path: str, pm: dict, keyset: DataFrame, keys: list[str]
+) -> set[str]:
+    """Files of manifest ``pm`` that contain at least one key from
+    ``keyset``. Two stages, both pruned:
+
+    1. manifest-stats range check — when every key column carries
+       recorded ranges, a file whose [min, max] cannot intersect the
+       keyset's overall bounds is eliminated WITHOUT any scan (at
+       scale this is the stage that turns a point-update on a
+       clustered table into a handful of candidate files);
+    2. exact membership — a column-pruned ``input_file_name()`` semi
+       scan over only the surviving candidates.
+    """
+    files = pm["files"]
+    stats_cols = pm.get("stats_cols") or []
+    if files and all(k in stats_cols for k in keys):
+        bounds = keyset.agg(
+            *[F.min(k).alias(f"lo_{k}") for k in keys],
+            *[F.max(k).alias(f"hi_{k}") for k in keys],
+        ).collect()[0]
+        candidates = files
+        for k in keys:
+            candidates = [
+                f
+                for f in candidates
+                if f
+                in set(
+                    _pruned_files(
+                        {"files": candidates, "stats": pm.get("stats", {})},
+                        (k, bounds[f"lo_{k}"], bounds[f"hi_{k}"]),
+                    )
+                )
+            ]
+    else:
+        candidates = files
+    if not candidates:
+        return set()
+    scan = spark.read.parquet(
+        *[os.path.join(path, _DATA, f) for f in candidates]
+    )
+    hit = (
+        scan.withColumn("__file", F.input_file_name())
+        .join(dim_broadcast(keyset), keys, "left_semi")
+        .select("__file")
+        .distinct()
+        .collect()
+    )
+    return {os.path.basename(r["__file"]) for r in hit}
 
 
 def vt_upsert(
@@ -170,36 +316,32 @@ def vt_upsert(
     over by reference. Equivalent to Delta's ``MERGE WHEN MATCHED
     UPDATE ALL WHEN NOT MATCHED INSERT ALL`` for whole-row updates —
     the semantics of merge.upsert_write, now with snapshot isolation
-    and per-file rewrite cost.
+    and per-file rewrite cost. Candidate files come from
+    ``_hit_file_names`` (manifest-stats range prune, then exact scan).
     """
     with _table_lock(path):
         parent = vt_version(path)
         if not parent:
             files = _write_data_files(spark, updates, path)
-            return _commit(path, parent, files, "upsert")
-        manifest = _manifest(path, parent)["files"]
-        current = vt_read(spark, path, parent)
-        hit = (
-            current.withColumn("__file", F.input_file_name())
-            .join(dim_broadcast(updates.select(*keys).distinct()), keys, "left_semi")
-            .select("__file")
-            .distinct()
-            .collect()
-        )
-        hit_names = {os.path.basename(r["__file"]) for r in hit}
-        kept = [f for f in manifest if f not in hit_names]
+            return _commit(path, parent, files, "upsert", extra={"stats_cols": []})
+        pm = _manifest(path, parent)
+        keyset = updates.select(*keys).distinct()
+        hit_names = _hit_file_names(spark, path, pm, keyset, keys)
+        kept = [f for f in pm["files"] if f not in hit_names]
         if hit_names:
             touched = spark.read.parquet(
                 *[os.path.join(path, _DATA, f) for f in sorted(hit_names)]
             )
-            survivors = touched.join(
-                dim_broadcast(updates.select(*keys).distinct()), keys, "left_anti"
-            )
+            survivors = touched.join(dim_broadcast(keyset), keys, "left_anti")
             rewritten = survivors.unionByName(updates)
         else:
             rewritten = updates
         files = _write_data_files(spark, rewritten, path)
-        return _commit(path, parent, kept + files, "upsert")
+        cols = pm.get("stats_cols") or []
+        extra = {"stats_cols": cols}
+        if cols:
+            extra["stats"] = _carry_stats(pm, kept, _collect_stats(path, files, cols))
+        return _commit(path, parent, kept + files, "upsert", extra=extra)
 
 
 def vt_delete(
@@ -209,27 +351,22 @@ def vt_delete(
     same file-pruned rewrite as ``vt_upsert``."""
     with _table_lock(path):
         parent = vt_version(path)
-        manifest = _manifest(path, parent)["files"]
-        current = vt_read(spark, path, parent)
-        hit = (
-            current.withColumn("__file", F.input_file_name())
-            .join(dim_broadcast(matching.select(*keys).distinct()), keys, "left_semi")
-            .select("__file")
-            .distinct()
-            .collect()
-        )
-        hit_names = {os.path.basename(r["__file"]) for r in hit}
-        kept = [f for f in manifest if f not in hit_names]
+        pm = _manifest(path, parent)
+        keyset = matching.select(*keys).distinct()
+        hit_names = _hit_file_names(spark, path, pm, keyset, keys)
+        kept = [f for f in pm["files"] if f not in hit_names]
         files: list[str] = []
         if hit_names:
             touched = spark.read.parquet(
                 *[os.path.join(path, _DATA, f) for f in sorted(hit_names)]
             )
-            survivors = touched.join(
-                dim_broadcast(matching.select(*keys).distinct()), keys, "left_anti"
-            )
+            survivors = touched.join(dim_broadcast(keyset), keys, "left_anti")
             files = _write_data_files(spark, survivors, path)
-        return _commit(path, parent, kept + files, "delete")
+        cols = pm.get("stats_cols") or []
+        extra = {"stats_cols": cols}
+        if cols:
+            extra["stats"] = _carry_stats(pm, kept, _collect_stats(path, files, cols))
+        return _commit(path, parent, kept + files, "delete", extra=extra)
 
 
 def vt_history(path: str) -> list[dict]:
@@ -304,10 +441,15 @@ def vt_append_batch(
             if m.get("batch_id") == batch_id:
                 return None  # replayed micro-batch: already committed
             v = m["parent"]
-        old = _manifest(path, parent)["files"] if parent else []
+        pm = _manifest(path, parent) if parent else {}
+        old = pm.get("files", [])
+        cols = pm.get("stats_cols") or []
         files = _write_data_files(spark, df, path)
+        extra: dict = {"batch_id": batch_id, "stats_cols": cols}
+        if cols:
+            extra["stats"] = _carry_stats(pm, old, _collect_stats(path, files, cols))
         return _commit(
-            path, parent, old + files, "append_batch", extra={"batch_id": batch_id}
+            path, parent, old + files, "append_batch", extra=extra
         )
 
 
@@ -321,7 +463,11 @@ def vt_compact(spark: SparkSession, path: str, target_files: int = 8) -> int:
         parent = vt_version(path)
         current = vt_read(spark, path, parent)
         files = _write_data_files(spark, current.coalesce(target_files), path)
-        return _commit(path, parent, files, "compact")
+        cols = _manifest(path, parent).get("stats_cols") or []
+        extra = {"stats_cols": cols}
+        if cols:
+            extra["stats"] = _collect_stats(path, files, cols)
+        return _commit(path, parent, files, "compact", extra=extra)
 
 
 def vt_changes(

@@ -208,3 +208,37 @@ def test_append_batch_as_foreachbatch_sink(spark, tmp_path):
     last_bid = 1
     df = spark.createDataFrame([(3, 3.0)], schema)
     assert V.vt_append_batch(spark, df, table, last_bid) is None
+
+
+def test_stats_pruned_read_and_merge(spark, tmp_path):
+    """Manifest-recorded column ranges: vt_read(where=...) skips files
+    whose [min, max] cannot match, and vt_upsert's candidate scan only
+    opens files whose key range intersects the update keys."""
+    path = str(tmp_path / "t")
+    # three files with disjoint token_id ranges, ranges recorded
+    V.vt_write(spark, _df(spark, [(i, float(i), 10) for i in (1, 2)]).coalesce(1),
+               path, stats_cols=["token_id"])
+    V.vt_append(spark, _df(spark, [(i, float(i), 10) for i in (10, 11)]).coalesce(1), path)
+    V.vt_append(spark, _df(spark, [(i, float(i), 10) for i in (20, 21)]).coalesce(1), path)
+    m = V._manifest(path, 3)
+    assert len(m["files"]) == 3 and len(m["stats"]) == 3
+    # file-granular pruning: the middle range selects exactly one file
+    pruned = V._pruned_files(m, ("token_id", 10, 11))
+    assert len(pruned) == 1
+    got = V.vt_read(spark, path, where=("token_id", 10, 11))
+    assert sorted(r.token_id for r in got.collect()) == [10, 11]
+    # a range hitting nothing yields an empty frame with the schema
+    assert V.vt_read(spark, path, where=("token_id", 500, 600)).count() == 0
+    # upsert of token 20: stats restrict candidates to the third file
+    keyset = _df(spark, [(20, 0.0, 0)]).select("token_id").distinct()
+    hits = V._hit_file_names(spark, path, m, keyset, ["token_id"])
+    assert len(hits) == 1
+    V.vt_upsert(spark, _df(spark, [(20, 99.0, 11)]).coalesce(1), path, ["token_id"])
+    m4 = V._manifest(path, 4)
+    # the two untouched files carried over WITH their stats entries
+    assert len(set(m["files"]) & set(m4["files"])) == 2
+    assert all(f in m4["stats"] for f in m4["files"])
+    assert _snap(V.vt_read(spark, path)) == [
+        (1, 1.0, 10), (2, 2.0, 10), (10, 10.0, 10),
+        (11, 11.0, 10), (20, 99.0, 11), (21, 21.0, 10),
+    ]
