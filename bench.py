@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "range_join_events",  # bucketized interval-point range join (EXTENDED)
     "collocations",  # PMI-style bigram lift mining (EXTENDED)
     "rollup_totals",  # single-pass ROLLUP grouping sets (EXTENDED)
+    "twap_vwap",  # time/volume-weighted average price (EXTENDED)
 ]
 
 

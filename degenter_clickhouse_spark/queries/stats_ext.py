@@ -233,3 +233,90 @@ def q_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "volume",
         )
     )
+
+
+TWAP_VWAP_ORACLE = """
+WITH ticks AS (
+  SELECT user_id AS pool_id, value AS price, event_id, ts FROM events
+),
+dt AS (
+  SELECT pool_id, price,
+         lead(epoch_us(ts)) OVER (PARTITION BY pool_id
+                                  ORDER BY ts, event_id) - epoch_us(ts)
+           AS dt_us
+  FROM ticks
+),
+twap AS (
+  SELECT 'twap' AS part, CAST(pool_id AS VARCHAR) AS key,
+         round(CAST(SUM(CAST(price * dt_us AS DECIMAL(38,6))) AS DOUBLE)
+               / SUM(dt_us), 6) AS wavg,
+         CAST(count(*) AS BIGINT) AS n
+  FROM dt WHERE dt_us IS NOT NULL GROUP BY pool_id
+),
+vwap AS (
+  SELECT 'vwap' AS part, l_returnflag || '/' || l_linestatus AS key,
+         round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+               / CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE), 6)
+           AS wavg,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT * FROM twap UNION ALL SELECT * FROM vwap
+"""
+
+
+@register_extended("twap_vwap", TWAP_VWAP_ORACLE)
+def q_twap_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted and volume-weighted average price (the TWAP/VWAP
+    pair every price-oracle and execution-quality report needs;
+    ClickHouse ``avgWeighted`` family).
+
+    TWAP: each tick's price weighted by microseconds until the pool's
+    next tick (lag-free ``lead`` over a per-pool window — never a
+    global window), last tick excluded (no forward duration). VWAP:
+    plain weighted mean over the fact table, one aggregation with
+    map-side partials. Products are IEEE pointwise; the reductions run
+    through DECIMAL so both engines and any partitioning agree bitwise.
+    """
+    from pyspark.sql.window import Window
+
+    from .. import catalog
+
+    t = catalog.ticks(spark, sf_dir)
+    w = Window.partitionBy("pool_id").orderBy("ts", "event_id")
+    # events.ts can arrive TIMESTAMP_NTZ (testdata vintage); the cast to
+    # TIMESTAMP is exact under the UTC session and matches DuckDB's
+    # epoch_us on the naive value
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    dt = t.select(
+        "pool_id",
+        "price",
+        (F.lead(us).over(w) - us).alias("dt_us"),
+    ).where(F.col("dt_us").isNotNull())
+    twap = dt.groupBy(F.col("pool_id").cast("string").alias("key")).agg(
+        F.round(
+            F.sum((F.col("price") * F.col("dt_us")).cast("decimal(38,6)")).cast(
+                "double"
+            )
+            / F.sum("dt_us"),
+            6,
+        ).alias("wavg"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    vwap = li.groupBy(
+        F.concat_ws("/", "l_returnflag", "l_linestatus").alias("key")
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).cast("double")
+            / F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double"),
+            6,
+        ).alias("wavg"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cols = ["part", "key", "wavg", "n"]
+    return (
+        twap.select(F.lit("twap").alias("part"), "*")
+        .select(*cols)
+        .unionAll(vwap.select(F.lit("vwap").alias("part"), "*").select(*cols))
+    )
