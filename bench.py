@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "collocations",  # PMI-style bigram lift mining (EXTENDED)
     "rollup_totals",  # single-pass ROLLUP grouping sets (EXTENDED)
     "twap_vwap",  # time/volume-weighted average price (EXTENDED)
+    "window_funnel",  # sequential-conversion funnel (EXTENDED)
 ]
 
 

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import register_extended
+from ..operators.joins import dim_broadcast
 from .llm import _docs
 
 MIN_MEAN_TOKENS = 45.0
@@ -319,4 +320,89 @@ def q_twap_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         twap.select(F.lit("twap").alias("part"), "*")
         .select(*cols)
         .unionAll(vwap.select(F.lit("vwap").alias("part"), "*").select(*cols))
+    )
+
+
+FUNNEL_DAYS = 7
+
+WINDOW_FUNNEL_ORACLE = f"""
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > t1.t1
+    AND e.ts <= t1.t1 + INTERVAL {FUNNEL_DAYS} DAY
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN t1 USING (user_id) JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+    AND e.ts <= t1.t1 + INTERVAL {FUNNEL_DAYS} DAY
+  GROUP BY e.user_id
+)
+SELECT t1.user_id,
+       CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3
+                 WHEN t2.t2 IS NOT NULL THEN 2
+                 ELSE 1 END AS INT) AS level,
+       CAST(floor(epoch(t1.t1)) AS BIGINT) AS entered_ts
+FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+"""
+
+
+@register_extended("window_funnel", WINDOW_FUNNEL_ORACLE)
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-conversion funnel (ClickHouse ``windowFunnel``):
+    deepest signup -> view -> purchase chain, strictly time-ordered,
+    completed within {FUNNEL_DAYS} days of the user's FIRST signup.
+
+    Relational formulation instead of ClickHouse's per-user state
+    machine: one conditional-min aggregation per funnel step, each
+    joined back on the (dimension-sized) user key — steps are
+    broadcast joins over one fact scan each, map-side partials intact,
+    no per-user event sorting and no window function at all. Depth-k
+    funnels are k passes over the (filtered) fact table; each pass
+    prunes to one event type at the scan.
+    """
+    from .. import catalog
+
+    ev = catalog.load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    t1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    limit = F.col("t1") + F.expr(f"INTERVAL {FUNNEL_DAYS} DAYS")
+    t2 = (
+        ev.where(F.col("event_type") == "view")
+        .join(dim_broadcast(t1), "user_id")
+        .where((F.col("ts") > F.col("t1")) & (F.col("ts") <= limit))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(dim_broadcast(t1), "user_id")
+        .join(dim_broadcast(t2), "user_id")
+        .where((F.col("ts") > F.col("t2")) & (F.col("ts") <= limit))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .otherwise(1)
+            .cast("int")
+            .alias("level"),
+            F.unix_timestamp(F.col("t1").cast("timestamp")).alias("entered_ts"),
+        )
     )
