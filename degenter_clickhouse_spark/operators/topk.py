@@ -90,3 +90,38 @@ def paginate(
             F.broadcast(df.groupBy().agg(F.count(F.lit(1)).alias("total")))
         )
     return df.orderBy(*ordc).offset(offset).limit(limit)
+
+
+def frequent_items(
+    df: DataFrame, col: str, k: int, pool_factor: int = 4
+) -> DataFrame:
+    """Heavy hitters at scale (ClickHouse ``topK``): exact top-k counts
+    WITHOUT a full-cardinality shuffle.
+
+    Two phases: (1) ``approx_top_k`` sketches a candidate pool of
+    ``k * pool_factor`` items — mergeable, map-side partials, only
+    sketch summaries cross the exchange; (2) the candidate set
+    broadcasts into a semi-join and the survivors get ONE exact
+    filtered aggregation. The exact groupBy-everything-then-TakeOrdered
+    form (vocab_stats) shuffles every distinct key; on a 100 TB
+    high-cardinality column that shuffle IS the job, while this plan's
+    exchanges carry sketch bytes + candidate rows only.
+
+    Exactness: returned counts are always exact (phase 2 recounts).
+    The top-k MEMBERSHIP is exact whenever the true k-th item lands in
+    the sketch's candidate pool — guaranteed for skewed (Zipfian)
+    columns, which is the only regime where this operator is the right
+    choice; for near-uniform columns use the exact form. The pytest
+    compares against the exact plan on a real word corpus.
+    """
+    cands = (
+        df.agg(F.expr(f"approx_top_k({col}, {int(k) * int(pool_factor)})").alias("tk"))
+        .select(F.explode("tk").alias("t"))
+        .select(F.col("t.item").alias(col))
+    )
+    exact = (
+        df.join(F.broadcast(cands), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return exact.orderBy(F.col("cnt").desc(), F.col(col).asc()).limit(k)

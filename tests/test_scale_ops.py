@@ -204,3 +204,27 @@ def test_bloom_filter_options_write_filters(spark, tmp_path):
         spark.read.parquet(bloomed).filter(F.col("h") == probe).count()
         == df.filter(F.col("h") == probe).count()
     )
+
+
+def test_frequent_items_matches_exact_topk(spark):
+    """Sketch-candidates + exact-recount heavy hitters must equal the
+    exact groupBy top-k on a skewed real-word column (the regime the
+    operator is for), including exact counts."""
+    from pyspark.sql import functions as F
+
+    from degenter_clickhouse_spark import catalog
+    from degenter_clickhouse_spark.operators.topk import frequent_items
+
+    words = (
+        catalog.load_table(spark, SF_DIR, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+    )
+    got = frequent_items(words, "w", k=20).collect()
+    want = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(20)
+        .collect()
+    )
+    assert [(r["w"], r["cnt"]) for r in got] == [(r["w"], r["cnt"]) for r in want]
