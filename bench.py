@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "rollup_totals",  # single-pass ROLLUP grouping sets (EXTENDED)
     "twap_vwap",  # time/volume-weighted average price (EXTENDED)
     "window_funnel",  # sequential-conversion funnel (EXTENDED)
+    "retention_cohorts",  # cohort retention flags (EXTENDED)
 ]
 
 

@@ -406,3 +406,71 @@ def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp(F.col("t1").cast("timestamp")).alias("entered_ts"),
         )
     )
+
+
+RETENTION_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+flags AS (
+  SELECT f.user_id, CAST(f.t0 AS DATE) AS cohort_day,
+         max(CASE WHEN e.ts > f.t0 AND e.ts <= f.t0 + INTERVAL 1 DAY
+                  THEN 1 ELSE 0 END) AS r1,
+         max(CASE WHEN e.ts > f.t0 AND e.ts <= f.t0 + INTERVAL 7 DAY
+                  THEN 1 ELSE 0 END) AS r7,
+         max(CASE WHEN e.ts > f.t0 AND e.ts <= f.t0 + INTERVAL 14 DAY
+                  THEN 1 ELSE 0 END) AS r14
+  FROM first_seen f LEFT JOIN events e USING (user_id)
+  GROUP BY f.user_id, CAST(f.t0 AS DATE)
+)
+SELECT CAST(CAST(cohort_day AS VARCHAR) AS VARCHAR) AS cohort_day,
+       CAST(count(*) AS BIGINT) AS cohort_users,
+       CAST(SUM(r1) AS BIGINT) AS d1,
+       CAST(SUM(r7) AS BIGINT) AS d7,
+       CAST(SUM(r14) AS BIGINT) AS d14,
+       round(CAST(SUM(r7) AS DOUBLE) / count(*), 6) AS d7_rate
+FROM flags GROUP BY cohort_day
+"""
+
+
+@register_extended("retention_cohorts", RETENTION_ORACLE)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (ClickHouse ``retention`` aggregate): per
+    first-signup-day cohort, how many users act again within 1/7/14
+    days. One conditional-flag aggregation per user (first_seen is a
+    dimension-sized broadcast into the fact join), then a cohort-day
+    rollup — two aggregations with map-side partials, no windows.
+    """
+    from .. import catalog
+
+    ev = catalog.load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = (
+        catalog.load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+
+    def within(days):
+        return F.max(
+            F.when(
+                (F.col("ts") > F.col("t0"))
+                & (F.col("ts") <= F.col("t0") + F.expr(f"INTERVAL {days} DAYS")),
+                1,
+            ).otherwise(0)
+        )
+
+    flags = (
+        dim_broadcast(first_seen)
+        .join(ev, "user_id", "left")
+        .groupBy("user_id", F.col("t0").cast("date").alias("cohort_day"))
+        .agg(within(1).alias("r1"), within(7).alias("r7"), within(14).alias("r14"))
+    )
+    return flags.groupBy(F.col("cohort_day").cast("string").alias("cohort_day")).agg(
+        F.count(F.lit(1)).alias("cohort_users"),
+        F.sum("r1").alias("d1"),
+        F.sum("r7").alias("d7"),
+        F.sum("r14").alias("d14"),
+        F.round(F.sum("r7").cast("double") / F.count(F.lit(1)), 6).alias("d7_rate"),
+    )
