@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "twap_vwap",  # time/volume-weighted average price (EXTENDED)
     "window_funnel",  # sequential-conversion funnel (EXTENDED)
     "retention_cohorts",  # cohort retention flags (EXTENDED)
+    "moving_stats",  # sliding-frame rolling aggregates (EXTENDED)
 ]
 
 

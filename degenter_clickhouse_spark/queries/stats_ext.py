@@ -474,3 +474,68 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("r14").alias("d14"),
         F.round(F.sum("r7").cast("double") / F.count(F.lit(1)), 6).alias("d7_rate"),
     )
+
+
+MOVING_STATS_ORACLE = """
+WITH bars AS (
+  SELECT user_id AS pool_id,
+         CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_ts,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS vol,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT pool_id, bucket_ts, vol,
+       round(CAST(SUM(CAST(vol AS DECIMAL(25,6)))
+                    OVER w AS DOUBLE) / COUNT(*) OVER w, 6) AS sma5,
+       CAST(MAX(vol) OVER w AS DOUBLE) AS hi5,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_window
+FROM bars
+WINDOW w AS (PARTITION BY pool_id ORDER BY bucket_ts
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register_extended("moving_stats", MOVING_STATS_ORACLE)
+def q_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-frame rolling aggregates (ClickHouse
+    ``groupArrayMovingAvg``/``WINDOW ... ROWS BETWEEN`` family): per
+    pool, hourly volume bars with a 5-bar moving average and rolling
+    high.
+
+    Every window PARTITIONs BY pool — one shuffle on the pool key,
+    then per-key sorted frames; never a global window. The moving
+    average is SUM/COUNT with DECIMAL accumulation (identical frame
+    contents in both engines because the ROWS frame over the unique
+    (pool, bucket) key is deterministic).
+    """
+    from pyspark.sql.window import Window
+
+    from .. import catalog
+
+    t = catalog.ticks(spark, sf_dir)
+    bars = t.groupBy(
+        "pool_id",
+        (F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 3600) * 3600)
+        .cast("long")
+        .alias("bucket_ts"),
+    ).agg(
+        F.sum(F.col("price").cast("decimal(25,6)")).cast("double").alias("vol"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = (
+        Window.partitionBy("pool_id")
+        .orderBy("bucket_ts")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return bars.select(
+        "pool_id",
+        "bucket_ts",
+        "vol",
+        F.round(
+            F.sum(F.col("vol").cast("decimal(25,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            6,
+        ).alias("sma5"),
+        F.max("vol").over(w).cast("double").alias("hi5"),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+    )
