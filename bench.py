@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "window_funnel",  # sequential-conversion funnel (EXTENDED)
     "retention_cohorts",  # cohort retention flags (EXTENDED)
     "moving_stats",  # sliding-frame rolling aggregates (EXTENDED)
+    "ema_bars",  # sequential EMA via per-key array fold (EXTENDED)
 ]
 
 

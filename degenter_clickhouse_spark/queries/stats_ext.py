@@ -539,3 +539,94 @@ def q_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("vol").over(w).cast("double").alias("hi5"),
         F.count(F.lit(1)).over(w).alias("n_window"),
     )
+
+
+EMA_ALPHA = 0.25  # exactly representable in binary: bit-stable fold
+
+EMA_ORACLE = f"""
+WITH RECURSIVE bars AS (
+  SELECT user_id AS pool_id,
+         CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_ts,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS vol
+  FROM events GROUP BY 1, 2
+),
+numbered AS (
+  SELECT pool_id, bucket_ts, vol,
+         row_number() OVER (PARTITION BY pool_id ORDER BY bucket_ts) AS rn
+  FROM bars
+),
+ema AS (
+  SELECT pool_id, bucket_ts, vol, rn, vol AS ema FROM numbered WHERE rn = 1
+  UNION ALL
+  SELECT n.pool_id, n.bucket_ts, n.vol, n.rn,
+         {EMA_ALPHA} * n.vol + (1 - {EMA_ALPHA}) * e.ema
+  FROM numbered n JOIN ema e
+    ON n.pool_id = e.pool_id AND n.rn = e.rn + 1
+)
+SELECT pool_id, bucket_ts, vol, ema FROM ema
+"""
+
+
+@register_extended("ema_bars", EMA_ORACLE)
+def q_ema_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential moving average (ClickHouse
+    ``exponentialMovingAverage``) — an inherently SEQUENTIAL recurrence
+    (ema_i = a*x_i + (1-a)*ema_{i-1}) with no windowed-SQL form.
+
+    Spark expression: each pool's bars collect into one sorted array
+    and ``aggregate()`` folds the recurrence left-to-right — pure
+    column expressions, no UDF; the shuffle is one groupBy on the pool
+    key and the fold is map-side. The per-key series must fit an array
+    cell, which matches the serving-layer regime (the reference caps
+    chart series at 5000 bars); unbounded-history EMA belongs to the
+    streaming path (`streaming/stateful.py`'s carried state pattern).
+    The oracle is a recursive CTE computing the same double recurrence
+    — both engines evaluate a*x + (1-a)*s in IEEE doubles, so the raw
+    doubles match bit-for-bit (no rounding shim: round() itself is the
+    one operation whose implementation differs between the engines at
+    representation boundaries).
+    """
+    from .. import catalog
+
+    t = catalog.ticks(spark, sf_dir)
+    bars = t.groupBy(
+        "pool_id",
+        (F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 3600) * 3600)
+        .cast("long")
+        .alias("bucket_ts"),
+    ).agg(F.sum(F.col("price").cast("decimal(25,6)")).cast("double").alias("vol"))
+    series = bars.groupBy("pool_id").agg(
+        F.array_sort(F.collect_list(F.struct("bucket_ts", "vol"))).alias("s")
+    )
+    a = float(EMA_ALPHA)
+    folded = series.select(
+        "pool_id",
+        F.aggregate(
+            "s",
+            F.expr("CAST(array() AS ARRAY<STRUCT<bucket_ts: BIGINT, vol: DOUBLE, ema: DOUBLE>>)"),
+            lambda acc, x: F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        x["bucket_ts"].alias("bucket_ts"),
+                        x["vol"].alias("vol"),
+                        F.when(
+                            F.size(acc) == 0, x["vol"]
+                        )
+                        .otherwise(
+                            F.lit(a) * x["vol"]
+                            + F.lit(1.0 - a)
+                            * F.element_at(acc, -1)["ema"]
+                        )
+                        .alias("ema"),
+                    )
+                ),
+            ),
+        ).alias("out"),
+    )
+    return folded.select("pool_id", F.explode("out").alias("o")).select(
+        "pool_id",
+        F.col("o.bucket_ts").alias("bucket_ts"),
+        F.col("o.vol").alias("vol"),
+        F.col("o.ema").alias("ema"),
+    )

@@ -66,6 +66,13 @@ def test_results_invariant_to_shuffle_partitioning(spark):
         "quantile_summary",
         "rollup_totals",
         "knn_label_vote",
+        # behavioral-analytics family: DECIMAL rollups under grouped
+        # flags, rolling ROWS frames, duration-weighted means
+        "twap_vwap",
+        "window_funnel",
+        "retention_cohorts",
+        "moving_stats",
+        "ema_bars",
     ]
 
     def run_all():
