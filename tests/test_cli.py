@@ -1,0 +1,80 @@
+"""CLI entry points (degenter_clickhouse_spark.cli) driven through
+main() — batch subcommands only (streaming entry points are covered by
+the streaming tests on their underlying functions). build_session's
+getOrCreate reuses the test session, so these run in-process."""
+
+from __future__ import annotations
+
+import json
+
+from degenter_clickhouse_spark import catalog
+from degenter_clickhouse_spark.cli import main
+from degenter_clickhouse_spark.operators import versioned as V
+
+from .helpers import SF_DIR
+
+DOCS = f"{SF_DIR}/documents.parquet"
+
+
+def test_cli_index_text_build_update_search(spark, tmp_path, capsys):
+    idx = str(tmp_path / "idx")
+    assert main(["index-text", "--input", DOCS, "--index", idx]) == 0
+    assert "indexed: 500" in capsys.readouterr().out
+    # update with the same corpus: everything already indexed
+    assert main(["index-text", "--input", DOCS, "--index", idx, "--update"]) == 0
+    assert "new docs indexed: 0" in capsys.readouterr().out
+    assert main(["search", "--index", idx, "--query", "the data", "-k", "3"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 3 and all(len(line.split()) == 3 for line in out)
+
+
+def test_cli_shard_writes_manifest(spark, tmp_path, capsys):
+    out_dir = str(tmp_path / "sh")
+    assert (
+        main(
+            [
+                "shard",
+                "--input",
+                DOCS,
+                "--output",
+                out_dir,
+                "--n-shards",
+                "4",
+                "--key",
+                "doc_id",
+                "--token-col",
+                "n_chars",
+            ]
+        )
+        == 0
+    )
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 4
+    assert spark.read.parquet(out_dir).count() == 500
+
+
+def test_cli_jsonl_ingest(spark, tmp_path, capsys):
+    drop = tmp_path / "d.jsonl"
+    drop.write_text(
+        json.dumps({"doc_id": 1, "text": "a b", "lang": "en", "source": "web"})
+        + "\nnot json\n"
+    )
+    corpus = str(tmp_path / "corpus")
+    assert main(["jsonl-ingest", "--input", str(drop), "--corpus", corpus]) == 0
+    assert "'new': 1" in capsys.readouterr().out
+    assert spark.read.parquet(corpus).count() == 1
+
+
+def test_cli_vt_maintenance(spark, tmp_path, capsys):
+    path = str(tmp_path / "t")
+    df = catalog.load_table(spark, SF_DIR, "region")
+    V.vt_write(spark, df.repartition(3), path)
+    V.vt_append(spark, df.repartition(3), path)
+    assert main(["vt", "history", "--path", path]) == 0
+    hist = capsys.readouterr().out.strip().splitlines()
+    assert len(hist) == 2
+    assert main(["vt", "compact", "--path", path, "--target-files", "1"]) == 0
+    capsys.readouterr()
+    assert main(["vt", "vacuum", "--path", path, "--keep-versions", "1"]) == 0
+    assert "removed files:" in capsys.readouterr().out
+    assert V.vt_read(spark, path).count() == df.count() * 2
