@@ -58,3 +58,38 @@ def approx_distinct(col: str | Column, rsd: float = 0.01) -> Column:
     ClickHouse uniqExact / Spark countDistinct); rsd = relative
     standard deviation."""
     return F.approx_count_distinct(col, rsd)
+
+
+def distinct_state(
+    df: DataFrame, keys: Sequence[str], col: str | Column, lgk: int = 12
+) -> DataFrame:
+    """Mergeable distinct-count STATE per key (ClickHouse ``uniqState``
+    into an AggregatingMergeTree): a Datasketches HLL sketch as a
+    binary column, persistable in a rollup table.
+
+    The point at 100 TB: distinct counts don't sum across rollup rows
+    (a trader active on two days is two rows but one trader), so
+    pre-aggregated uniques normally force a raw-data rescan per query
+    range. Sketch states merge losslessly instead — materialize one
+    sketch per (key, day) once, answer any date-range uniques query by
+    unioning the covered days' sketches (``distinct_merge``), never
+    touching raw data again. Same pattern as the engine's other
+    persisted partials (plans/incremental.py) extended to the one
+    aggregate that is not algebraic.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(c, F.lit(lgk)).alias("uniq_state")
+    )
+
+
+def distinct_merge(states: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Merge persisted sketch states (ClickHouse ``uniqMerge``): union
+    the sketches per key and estimate. Input rows are partials from
+    ``distinct_state`` (possibly different grains — filter to the
+    range first); output is one estimate per key."""
+    return states.groupBy(*keys).agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("uniq_state"))).alias(
+            "uniq_estimate"
+        )
+    )

@@ -228,3 +228,39 @@ def test_frequent_items_matches_exact_topk(spark):
         .collect()
     )
     assert [(r["w"], r["cnt"]) for r in got] == [(r["w"], r["cnt"]) for r in want]
+
+
+def test_distinct_state_merge_equals_direct_sketch(spark):
+    """uniqState/uniqMerge pattern: per-day persisted sketches merged
+    over a range must give EXACTLY the estimate of sketching the range
+    directly (HLL union is lossless at equal lgK), and land within
+    HLL tolerance of the true distinct count."""
+    from pyspark.sql import functions as F
+
+    from degenter_clickhouse_spark.operators.skew import (
+        distinct_merge,
+        distinct_state,
+    )
+
+    t = catalog.ticks(spark, SF_DIR).withColumn("day", F.to_date("ts"))
+    # per-(type, day) states — the materialized rollup grain
+    daily = distinct_state(t, ["event_type", "day"], "pool_id")
+    merged = {
+        r["event_type"]: r["uniq_estimate"]
+        for r in distinct_merge(daily, ["event_type"]).collect()
+    }
+    direct = {
+        r["event_type"]: r["direct"]
+        for r in t.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("pool_id", F.lit(12))).alias("direct"))
+        .collect()
+    }
+    assert merged == direct  # lossless merge
+    true = {
+        r["event_type"]: r["n"]
+        for r in t.groupBy("event_type")
+        .agg(F.countDistinct("pool_id").alias("n"))
+        .collect()
+    }
+    for k, est in merged.items():
+        assert abs(est - true[k]) <= max(3, 0.05 * true[k])
