@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "retention_cohorts",  # cohort retention flags (EXTENDED)
     "moving_stats",  # sliding-frame rolling aggregates (EXTENDED)
     "ema_bars",  # sequential EMA via per-key array fold (EXTENDED)
+    "trigram_fluency",  # order-3 stupid-backoff LM scoring (EXTENDED)
 ]
 
 

@@ -278,3 +278,139 @@ def bigram_fluency(
             / F.lit(float(SCALE)),
         ).alias("fluency_score"),
     )
+
+
+def _doc_trigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2, w3) per word trigram; docs with < 3 words explode
+    to ONE (null, null, null) sentinel so every doc survives the
+    scoring aggregation without a join back."""
+    w = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("ws"))
+    return w.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ws) >= 3 THEN transform(sequence(1, size(ws) - 2), "
+                "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2, "
+                "element_at(ws, i + 2) AS w3)) "
+                "ELSE array(struct(CAST(NULL AS STRING) AS w1, "
+                "CAST(NULL AS STRING) AS w2, CAST(NULL AS STRING) AS w3)) END"
+            )
+        ).alias("t"),
+    ).select(id_col, "t.w1", "t.w2", "t.w3")
+
+
+def fit_backoff_trigram(ref: DataFrame, text_col: str = "text"):
+    """Order-3 stupid-backoff model (Brants et al. 2007, 'Large
+    Language Models in Machine Translation') as exact integers:
+
+        S(w3|w1,w2) = c123/c12            if the trigram was seen
+                    = 0.4 * c23/c2        else if the bigram was seen
+                    = 0.16 * c3/N         else
+
+    The backoff factor 0.4 = 2/5 is rational, so every score is a pure
+    BIGINT expression (``c * 2 * SCALE div (5 * ctx)`` etc.) — the
+    whole model is transcendental-free and bit-identical across
+    engines, like the unigram/bigram stages. Backoff weights are folded
+    INTO the three score tables at fit time, so scoring is three left
+    joins and one ``coalesce``.
+
+    Context counts derive from the same order's numerators (c12 =
+    sum of c123 over w3), the standard normalization that makes each
+    order's scores sum to <= 1 over its context.
+
+    Returns (tri, bi, uni): (w1,w2,w3,sc3), (w2,w3,sc2), (w3,sc1).
+    """
+    tris = _doc_trigrams(
+        ref.select(F.lit(0).alias("__id"), text_col), "__id", text_col
+    ).where(F.col("w1").isNotNull())
+    c3 = tris.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).cast("long").alias("c123")
+    )
+    c12 = c3.groupBy("w1", "w2").agg(F.sum("c123").cast("long").alias("c12"))
+    tri = c3.join(dim_broadcast(c12), ["w1", "w2"]).select(
+        "w1", "w2", "w3",
+        F.expr(f"c123 * CAST({SCALE} AS BIGINT) div c12").alias("sc3"),
+    )
+    w = ref.select(F.split(F.col(text_col), " ").alias("ws"))
+    bi_pairs = w.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws) - 1), "
+                "i -> struct(element_at(ws, i) AS w2, element_at(ws, i + 1) AS w3)) "
+                "ELSE CAST(array() AS ARRAY<STRUCT<w2:STRING, w3:STRING>>) END"
+            )
+        ).alias("p")
+    ).select("p.w2", "p.w3")
+    c23 = bi_pairs.groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).cast("long").alias("c23")
+    )
+    c2 = c23.groupBy("w2").agg(F.sum("c23").cast("long").alias("c2"))
+    bi = c23.join(dim_broadcast(c2), "w2").select(
+        "w2", "w3",
+        F.expr(f"2 * c23 * CAST({SCALE} AS BIGINT) div (5 * c2)").alias("sc2"),
+    )
+    toks = ref.select(F.explode(F.split(F.col(text_col), " ")).alias("w3"))
+    cu = toks.groupBy("w3").agg(F.count(F.lit(1)).cast("long").alias("cu"))
+    n = cu.agg(F.sum("cu").cast("long").alias("n"))
+    uni = cu.crossJoin(dim_broadcast(n)).select(
+        "w3",
+        F.expr(f"4 * cu * CAST({SCALE} AS BIGINT) div (25 * n)").alias("sc1"),
+    )
+    return tri, bi, uni
+
+
+def trigram_fluency(
+    docs: DataFrame,
+    ref: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document fluency under the order-3 stupid-backoff model —
+    the upgrade CCNet-style pipelines make when bigram filtering is
+    too blunt: trigrams catch garbled word order the lower orders
+    can't. Output per doc: ``n_trigrams``, ``n_backoff_bi`` (trigram
+    unseen, bigram hit), ``n_backoff_uni``, ``n_oov`` (no order knew
+    w3), ``fluency_sum_scaled`` (exact BIGINT), ``fluency_score``
+    (the one float: sum / n / SCALE). Docs with < 3 words score NULL.
+
+    Plan: explode (sentinel for short docs), three governed-broadcast
+    model joins, one per-doc hash aggregation — the corpus crosses one
+    shuffle, the models are vocabulary-bounded."""
+    tri, bi, uni = fit_backoff_trigram(ref if ref is not None else docs, text_col)
+    t = _doc_trigrams(docs, id_col, text_col)
+    j = (
+        t.join(dim_broadcast(tri), ["w1", "w2", "w3"], "left")
+        .join(dim_broadcast(bi), ["w2", "w3"], "left")
+        .join(dim_broadcast(uni), ["w3"], "left")
+    )
+    real = F.col("w1").isNotNull()
+    sc_eff = F.coalesce("sc3", "sc2", "sc1", F.lit(0))
+    agg = j.groupBy(id_col).agg(
+        F.sum(real.cast("long")).alias("n_trigrams"),
+        F.sum((real & F.col("sc3").isNull() & F.col("sc2").isNotNull()).cast("long"))
+        .alias("n_backoff_bi"),
+        F.sum(
+            (
+                real
+                & F.col("sc3").isNull()
+                & F.col("sc2").isNull()
+                & F.col("sc1").isNotNull()
+            ).cast("long")
+        ).alias("n_backoff_uni"),
+        F.sum(
+            (real & F.col("sc3").isNull() & F.col("sc2").isNull() & F.col("sc1").isNull())
+            .cast("long")
+        ).alias("n_oov"),
+        F.sum(F.when(real, sc_eff).otherwise(F.lit(0))).cast("long").alias(
+            "fluency_sum_scaled"
+        ),
+    )
+    return agg.withColumn(
+        "fluency_score",
+        F.when(
+            F.col("n_trigrams") > 0,
+            F.col("fluency_sum_scaled").cast("double")
+            / F.col("n_trigrams").cast("double")
+            / F.lit(float(SCALE)),
+        ),
+    )

@@ -419,3 +419,88 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     return collocations(d, min_count=COLLOC_MIN, k=COLLOC_K)
+
+
+TRIGRAM_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+rt AS (
+  SELECT ws[t.i] AS w1, ws[t.i + 1] AS w2, ws[t.i + 2] AS w3
+  FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
+),
+c3 AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c123 FROM rt GROUP BY 1, 2, 3),
+c12 AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12 FROM c3 GROUP BY 1, 2),
+tri AS (
+  SELECT w1, w2, w3, c123 * 1000000000 // c12 AS sc3
+  FROM c3 JOIN c12 USING (w1, w2)
+),
+rb AS (
+  SELECT ws[t.i] AS w2, ws[t.i + 1] AS w3
+  FROM w, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS t(i)
+),
+c23 AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS c23 FROM rb GROUP BY 1, 2),
+c2 AS (SELECT w2, CAST(sum(c23) AS BIGINT) AS c2 FROM c23 GROUP BY 1),
+bi AS (
+  SELECT w2, w3, 2 * c23 * 1000000000 // (5 * c2) AS sc2
+  FROM c23 JOIN c2 USING (w2)
+),
+cu AS (
+  SELECT t.tk AS w3, CAST(count(*) AS BIGINT) AS cu
+  FROM w, unnest(ws) AS t(tk) GROUP BY 1
+),
+nn AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM cu),
+uni AS (SELECT w3, 4 * cu * 1000000000 // (25 * n) AS sc1 FROM cu CROSS JOIN nn),
+dt AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3 THEN ws[t.i] END AS w1,
+         CASE WHEN len(ws) >= 3 THEN ws[t.i + 1] END AS w2,
+         CASE WHEN len(ws) >= 3 THEN ws[t.i + 2] END AS w3
+  FROM w, unnest(CASE WHEN len(ws) >= 3
+                      THEN generate_series(1, len(ws) - 2)
+                      ELSE [0] END) AS t(i)
+),
+j AS (
+  SELECT dt.doc_id,
+         dt.w1 IS NOT NULL AS real,
+         tri.sc3, bi.sc2, uni.sc1,
+         coalesce(tri.sc3, bi.sc2, uni.sc1, 0) AS sc_eff
+  FROM dt
+  LEFT JOIN tri ON tri.w1 = dt.w1 AND tri.w2 = dt.w2 AND tri.w3 = dt.w3
+  LEFT JOIN bi ON bi.w2 = dt.w2 AND bi.w3 = dt.w3
+  LEFT JOIN uni ON uni.w3 = dt.w3
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN real THEN 1 ELSE 0 END) AS BIGINT) AS n_trigrams,
+       CAST(sum(CASE WHEN real AND sc3 IS NULL AND sc2 IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff_bi,
+       CAST(sum(CASE WHEN real AND sc3 IS NULL AND sc2 IS NULL
+                     AND sc1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_backoff_uni,
+       CAST(sum(CASE WHEN real AND sc3 IS NULL AND sc2 IS NULL AND sc1 IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(sum(CASE WHEN real THEN sc_eff ELSE 0 END) AS BIGINT)
+         AS fluency_sum_scaled,
+       CASE WHEN sum(CASE WHEN real THEN 1 ELSE 0 END) > 0
+            THEN CAST(sum(CASE WHEN real THEN sc_eff ELSE 0 END) AS DOUBLE)
+                 / sum(CASE WHEN real THEN 1 ELSE 0 END) / 1000000000
+       END AS fluency_score
+FROM j GROUP BY doc_id
+"""
+
+
+@register_extended("trigram_fluency", TRIGRAM_ORACLE)
+def q_trigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 stupid-backoff LM fluency (self-referenced model): the
+    exact-integer, transcendental-free twin of a trigram perplexity
+    filter — trigram hit, else 0.4x the bigram score, else 0.16x the
+    unigram relative frequency."""
+    from ..llm.lm import trigram_fluency
+
+    return trigram_fluency(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_trigrams",
+        "n_backoff_bi",
+        "n_backoff_uni",
+        "n_oov",
+        "fluency_sum_scaled",
+        "fluency_score",
+    )

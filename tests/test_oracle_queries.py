@@ -73,6 +73,7 @@ def test_results_invariant_to_shuffle_partitioning(spark):
         "retention_cohorts",
         "moving_stats",
         "ema_bars",
+        "trigram_fluency",
     ]
 
     def run_all():
