@@ -333,7 +333,11 @@ def vt_upsert(
                 *[os.path.join(path, _DATA, f) for f in sorted(hit_names)]
             )
             survivors = touched.join(dim_broadcast(keyset), keys, "left_anti")
-            rewritten = survivors.unionByName(updates)
+            # the anti-join reorders columns (join keys first); restore
+            # the table's column order so every data file shares one
+            # field order (vt_changes diffs files positionally, and
+            # mixed orders would misalign its exceptAll)
+            rewritten = survivors.unionByName(updates).select(*touched.columns)
         else:
             rewritten = updates
         files = _write_data_files(spark, rewritten, path)
@@ -361,7 +365,7 @@ def vt_delete(
                 *[os.path.join(path, _DATA, f) for f in sorted(hit_names)]
             )
             survivors = touched.join(dim_broadcast(keyset), keys, "left_anti")
-            files = _write_data_files(spark, survivors, path)
+            files = _write_data_files(spark, survivors.select(*touched.columns), path)
         cols = pm.get("stats_cols") or []
         extra = {"stats_cols": cols}
         if cols:
@@ -504,6 +508,7 @@ def vt_changes(
         return _scan(only_a).withColumn("__change", F.lit("delete"))
     old, new = _scan(only_a), _scan(only_b)
     cols = old.columns
+    new = new.select(*cols)  # align by name: exceptAll is positional
     inserts = new.exceptAll(old).withColumn("__change", F.lit("insert"))
     deletes = old.exceptAll(new).withColumn("__change", F.lit("delete"))
     return inserts.unionByName(deletes).select(*cols, "__change")

@@ -72,3 +72,57 @@ def trailing_volumes(
             "traders"
         ),
     )
+
+
+def refresh_partials_from_changes(
+    spark,
+    trades_table: str,
+    partials_path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> int:
+    """CDC-driven partial maintenance: bring the stored per-(pool,
+    minute) partials up to date with a versioned trades table
+    (operators/versioned.py) by reading ONLY the row-level delta since
+    ``from_version`` — never the fact table.
+
+    Any (pool, minute) group touched by an insert or delete is
+    recomputed from the current snapshot restricted to those groups (a
+    broadcast semi-join — bounded by the delta's group count, not the
+    table) and upserted into the partials store. Recompute-per-touched-
+    group rather than algebraic +/- because the signer SET cannot
+    decrement; for pure-append streams the restriction set equals the
+    new minutes, so the cost is identical either way.
+
+    Returns the number of (pool, minute) groups refreshed. The caller
+    persists ``to_version`` as its CDC cursor (the jobs-runner pattern:
+    one cursor per consumer, stored next to the rollup).
+    """
+    from pyspark.sql import functions as F  # local: keep module header slim
+
+    from ..operators.joins import dim_broadcast
+    from ..operators.merge import upsert_write
+    from ..operators.versioned import vt_changes, vt_read, vt_version
+
+    to_v = to_version if to_version is not None else vt_version(trades_table)
+    ch = vt_changes(spark, trades_table, from_version, to_v)
+    minute = F.date_trunc("minute", F.col("created_at")).alias("minute")
+    touched = (
+        ch.filter(F.col("action") == "swap")
+        .select("pool_id", minute)
+        .distinct()
+        .cache()
+    )
+    try:
+        n = touched.count()
+        if not n:
+            return 0
+        current = vt_read(spark, trades_table, to_v)
+        scoped = current.withColumn("minute", minute).join(
+            dim_broadcast(touched), ["pool_id", "minute"], "left_semi"
+        )
+        fresh = minute_partials(scoped.drop("minute"))
+        upsert_write(spark, fresh, partials_path, keys=["pool_id", "minute"])
+    finally:
+        touched.unpersist()
+    return n

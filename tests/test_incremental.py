@@ -53,3 +53,39 @@ def test_partials_merge_replayed_appends(spark, dom):  # noqa: F811
     assert {(r.pool_id, r.tx_buy, r.tx_sell) for r in a} == {
         (r.pool_id, r.tx_buy, r.tx_sell) for r in b
     }
+
+
+def test_refresh_partials_from_vt_changes(spark, dom, tmp_path):  # noqa: F811
+    """CDC-driven maintenance: after upserting a delta into the
+    versioned trades table, refreshing only the changed (pool, minute)
+    groups reproduces exactly the partials of a full recompute."""
+    from degenter_clickhouse_spark.operators import versioned as V
+
+    trades = dom["trades_clean"]
+    table = str(tmp_path / "trades_vt")
+    parts = str(tmp_path / "partials")
+    half = trades.limit(trades.count() // 2).cache()
+    V.vt_write(spark, half, table)
+    INC.minute_partials(half).write.parquet(parts)
+    # delta: the remaining trades arrive (keyed upsert on trade_id-ish
+    # tuple; use tx_hash+msg_index which is unique in the fixture)
+    V.vt_upsert(spark, trades, table, keys=["tx_hash", "msg_index"])
+    n = INC.refresh_partials_from_changes(spark, table, parts, from_version=1)
+    assert n > 0
+    got = {
+        (r.pool_id, r.minute): (r.tx_buy, r.tx_sell, sorted(r.signers))
+        for r in spark.read.parquet(parts).collect()
+    }
+    want = {
+        (r.pool_id, r.minute): (r.tx_buy, r.tx_sell, sorted(r.signers))
+        for r in INC.minute_partials(V.vt_read(spark, table)).collect()
+    }
+    half.unpersist()
+    assert got == want
+    # no-op refresh when the cursor is current
+    assert (
+        INC.refresh_partials_from_changes(
+            spark, table, parts, from_version=V.vt_version(table)
+        )
+        == 0
+    )
