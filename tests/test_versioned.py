@@ -242,3 +242,58 @@ def test_stats_pruned_read_and_merge(spark, tmp_path):
         (1, 1.0, 10), (2, 2.0, 10), (10, 10.0, 10),
         (11, 11.0, 10), (20, 99.0, 11), (21, 21.0, 10),
     ]
+
+
+def test_random_op_sequences_match_model(spark, tmp_path):
+    """Model-based check: random write/append/upsert/delete/compact
+    sequences applied to a versioned table and to a plain dict model
+    must agree after every op, and every retained version must
+    time-travel to the snapshot recorded when it was committed."""
+    import random
+
+    rng = random.Random(20260814)
+    for trial in range(3):
+        path = str(tmp_path / f"t{trial}")
+        snapshots: dict[int, list] = {}
+
+        def rows(n_lo=1, n_hi=5):
+            return [
+                (rng.randrange(12), round(rng.uniform(0, 100), 3), rng.randrange(50))
+                for _ in range(rng.randint(n_lo, n_hi))
+            ]
+
+        V.vt_write(spark, _df(spark, rows()), path)
+
+        def snap():
+            return sorted(tuple(r) for r in V.vt_read(spark, path).collect())
+
+        snapshots[V.vt_version(path)] = snap()
+        for _ in range(8):
+            op = rng.choice(["append", "upsert", "delete", "compact"])
+            data = rows()
+            df = _df(spark, data)
+            before = snap()
+            if op == "append":
+                V.vt_append(spark, df, path)
+                want = sorted(before + [tuple(r) for r in data])
+            elif op == "upsert":
+                V.vt_upsert(spark, df, path, keys=["token_id"])
+                keys = {d[0] for d in data}
+                survivors = [r for r in before if r[0] not in keys]
+                want = sorted(survivors + [tuple(r) for r in data])
+            elif op == "delete":
+                V.vt_delete(spark, path, ["token_id"], df)
+                keys = {d[0] for d in data}
+                want = sorted(r for r in before if r[0] not in keys)
+            else:
+                V.vt_compact(spark, path, target_files=2)
+                want = before
+            got = snap()
+            assert got == want, (trial, op)
+            snapshots[V.vt_version(path)] = got
+        # every retained version still time-travels to its snapshot
+        for v, expected in snapshots.items():
+            assert (
+                sorted(tuple(r) for r in V.vt_read(spark, path, version=v).collect())
+                == expected
+            ), (trial, v)
