@@ -193,6 +193,7 @@ def vt_read(
     path: str,
     version: int | None = None,
     where: tuple[str, object, object] | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Snapshot read of ``version`` (default: latest). Time travel =
     pass any still-retained version number.
@@ -200,19 +201,27 @@ def vt_read(
     ``where=(col, lo, hi)`` prunes files by the manifest's recorded
     column ranges BEFORE Spark plans the scan — zero footers opened for
     skipped files; pair it with the matching ``.filter`` for row-level
-    exactness (the pruning is file-granular, like Iceberg's)."""
+    exactness (the pruning is file-granular, like Iceberg's).
+
+    ``merge_schema=True`` unions field sets across data files (schema
+    evolution: an append may carry added columns; older files read
+    NULL for them). Keyed mutations require one schema — run
+    ``vt_compact`` after an evolving append before ``vt_upsert`` /
+    ``vt_delete`` / ``vt_changes`` (their per-file anti-joins and
+    positional diffs assume uniform files)."""
     v = version if version is not None else vt_version(path)
     if v == 0:
         raise FileNotFoundError(f"no committed version at {path}")
     m = _manifest(path, v)
     files = _pruned_files(m, where) if where else m["files"]
+    reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
     if not files:
         # preserve the schema: scan one manifest file with a false filter
         return (
-            spark.read.parquet(os.path.join(path, _DATA, m["files"][0]))
+            reader.parquet(os.path.join(path, _DATA, m["files"][0]))
             .where(F.lit(False))
         )
-    return spark.read.parquet(
+    return reader.parquet(
         *[os.path.join(path, _DATA, f) for f in files]
     )
 

@@ -297,3 +297,30 @@ def test_random_op_sequences_match_model(spark, tmp_path):
                 sorted(tuple(r) for r in V.vt_read(spark, path, version=v).collect())
                 == expected
             ), (trial, v)
+
+
+def test_schema_evolution_read(spark, tmp_path):
+    path = str(tmp_path / "t")
+    V.vt_write(spark, _df(spark, [(1, 1.0, 10)]), path)
+    evolved = spark.createDataFrame(
+        [(2, 2.0, 11, "eth")], ["token_id", "price", "updated", "chain"]
+    )
+    V.vt_append(spark, evolved, path)
+    got = V.vt_read(spark, path, merge_schema=True)
+    assert set(got.columns) == {"token_id", "price", "updated", "chain"}
+    rows = {r["token_id"]: r["chain"] for r in got.collect()}
+    assert rows == {1: None, 2: "eth"}
+    # compact normalizes every file to the merged schema for the keyed ops
+    # (compact reads without mergeSchema by default -> pass through read)
+    norm = V.vt_read(spark, path, merge_schema=True)
+    V.vt_write(spark, norm, path)
+    V.vt_upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, 9.0, 12, "zig")], ["token_id", "price", "updated", "chain"]
+        ),
+        path,
+        keys=["token_id"],
+    )
+    final = {r["token_id"]: r["chain"] for r in V.vt_read(spark, path).collect()}
+    assert final == {1: "zig", 2: "eth"}
