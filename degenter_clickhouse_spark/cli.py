@@ -147,7 +147,8 @@ def main(argv: list[str] | None = None) -> int:
         "vt",
         help="manifest-versioned table maintenance (history/compact/vacuum)",
     )
-    vt.add_argument("action", choices=["history", "compact", "vacuum"])
+    vt.add_argument("action", choices=["history", "compact", "vacuum", "changes"])
+    vt.add_argument("--from-version", type=int, default=1)
     vt.add_argument("--path", required=True)
     vt.add_argument("--target-files", type=int, default=8)
     vt.add_argument("--keep-versions", type=int, default=2)
@@ -237,6 +238,9 @@ def main(argv: list[str] | None = None) -> int:
         if args.action == "history":
             for h in _vt.vt_history(args.path):
                 print(h)
+        elif args.action == "changes":
+            for r in _vt.vt_changes(spark, args.path, args.from_version).collect():
+                print(r.asDict())
         elif args.action == "compact":
             print("compacted to v", _vt.vt_compact(spark, args.path, args.target_files))
         else:
