@@ -30,11 +30,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def minute_partials(trades: DataFrame) -> DataFrame:
+def minute_partials(trades: DataFrame, sketch_signers: bool = False) -> DataFrame:
     """Per (pool_id, minute): decomposed partial aggregates of the
-    swap stream. Append-only; replays merge at read (ST6-style)."""
+    swap stream. Append-only; replays merge at read (ST6-style).
+
+    ``sketch_signers=True`` swaps the exact signer set for a
+    Datasketches HLL state column (constant size per row regardless of
+    signer cardinality — the documented escape hatch for pool-minutes
+    with unbounded distinct signers); ``trailing_volumes`` merges
+    either representation."""
     t = trades.filter(F.col("action") == "swap")
     minute = F.date_trunc("minute", F.col("created_at")).alias("minute")
+    signer_partial = (
+        F.hll_sketch_agg("signer", F.lit(12)).alias("signers_sk")
+        if sketch_signers
+        else F.collect_set("signer").alias("signers")
+    )
     return t.groupBy("pool_id", minute).agg(
         F.sum(
             F.when(F.col("direction") == "buy", F.col("offer_amount_base")).otherwise(F.lit(0))
@@ -48,7 +59,7 @@ def minute_partials(trades: DataFrame) -> DataFrame:
         # signers (jobs/matrix-rollups.js:37) and neither does
         # trade_volumes — '' must stay a set member here or the merged
         # distinct count drifts one below the direct rollup
-        F.collect_set("signer").alias("signers"),
+        signer_partial,
     )
 
 
@@ -63,14 +74,21 @@ def trailing_volumes(
     # minutes): lower bound is the minute containing (now - N)
     lo = F.date_trunc("minute", now - F.expr(f"INTERVAL {window_minutes} MINUTES"))
     w = partials.filter((F.col("minute") >= lo) & (F.col("minute") <= now))
+    traders = (
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("signers_sk")))
+        .cast("long")
+        .alias("traders")
+        if "signers_sk" in partials.columns
+        else F.size(F.array_distinct(F.flatten(F.collect_list("signers"))))
+        .cast("long")
+        .alias("traders")
+    )
     return w.groupBy("pool_id").agg(
         F.sum("vol_buy_base").alias("vol_buy_base"),
         F.sum("vol_sell_base").alias("vol_sell_base"),
         F.sum("tx_buy").alias("tx_buy"),
         F.sum("tx_sell").alias("tx_sell"),
-        F.size(F.array_distinct(F.flatten(F.collect_list("signers")))).cast("long").alias(
-            "traders"
-        ),
+        traders,
     )
 
 

@@ -89,3 +89,28 @@ def test_refresh_partials_from_vt_changes(spark, dom, tmp_path):  # noqa: F811
         )
         == 0
     )
+
+
+def test_sketch_signer_partials_within_tolerance(spark, dom):  # noqa: F811
+    """HLL-state signer partials (the unbounded-cardinality escape
+    hatch) merge to trader counts matching the exact path — equal at
+    fixture cardinalities, and all other columns stay exact."""
+    exact = {
+        r.pool_id: r
+        for r in INC.trailing_volumes(
+            INC.minute_partials(dom["trades_clean"]), _now(), 1440
+        ).collect()
+    }
+    sk = {
+        r.pool_id: r
+        for r in INC.trailing_volumes(
+            INC.minute_partials(dom["trades_clean"], sketch_signers=True),
+            _now(),
+            1440,
+        ).collect()
+    }
+    assert set(exact) == set(sk)
+    for pid, e in exact.items():
+        s = sk[pid]
+        assert (s.tx_buy, s.tx_sell) == (e.tx_buy, e.tx_sell)
+        assert abs(s.traders - e.traders) <= max(2, 0.05 * e.traders)
