@@ -383,6 +383,11 @@ def text_index_search(
         .where(F.col("bucket").isin(buckets))
         .where(F.col("term").isin(query_terms))
     )
+    dead = _tombstones(spark, path, id_col)
+    if dead is not None:
+        # logically-deleted docs drop out of tf AND df here, so the
+        # pruned-postings df derivation stays exact under deletion
+        postings = postings.join(F.broadcast(dead), id_col, "left_anti")
     dfx = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = spark.read.parquet(os.path.join(path, "stats")).select(
         "n_docs",
@@ -408,3 +413,85 @@ def text_index_search(
         )
     )
     return per_doc.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def delete_from_text_index(
+    spark, doc_ids: DataFrame, path: str, id_col: str = "doc_id"
+) -> int:
+    """Logical deletion (right-to-be-forgotten path): postings are
+    partitioned by TERM bucket, so a doc's rows are spread across every
+    bucket and physical deletion would rewrite the whole index. Instead
+    the doc ids append to a tombstone table (``_deleted``) that
+    ``text_index_search`` anti-joins (dimension-sized broadcast), and
+    the exact-integer stats decrement immediately — scores are correct
+    from the moment this returns. ``compact_text_index`` applies
+    tombstones physically. Returns the number of docs newly deleted."""
+    import os
+
+    docs = spark.read.parquet(os.path.join(path, "docs"))
+    hit = docs.join(doc_ids.select(id_col).distinct(), id_col, "left_semi")
+    dead = _tombstones(spark, path, id_col)
+    if dead is not None:
+        # already-tombstoned docs must not decrement the stats twice —
+        # re-sending a deletion request is a no-op, like every other
+        # ingest-side mutation in this engine
+        hit = hit.join(dead, id_col, "left_anti")
+    hit = hit.cache()
+    try:
+        n = hit.count()
+        if not n:
+            return 0
+        delta = hit.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").cast("long").alias("s")
+        ).collect()[0]
+        hit.select(id_col).write.mode("append").parquet(
+            os.path.join(path, "_deleted")
+        )
+        old = spark.read.parquet(os.path.join(path, "stats")).collect()[0]
+        spark.createDataFrame(
+            [(old["n_docs"] - delta["n"], old["sum_dl"] - delta["s"])],
+            "n_docs bigint, sum_dl bigint",
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "stats"))
+    finally:
+        hit.unpersist()
+    return n
+
+
+def _tombstones(spark, path: str, id_col: str = "doc_id"):
+    import os
+
+    p = os.path.join(path, "_deleted")
+    if not os.path.exists(p):
+        return None
+    return spark.read.parquet(p).select(id_col).distinct()
+
+
+def compact_text_index(spark, path: str, id_col: str = "doc_id") -> int:
+    """Apply tombstones physically: rewrite postings and the doc table
+    without deleted docs, clear ``_deleted``. Stats were already
+    decremented at delete time, so they are untouched. Returns the
+    number of tombstoned docs applied."""
+    import os
+    import shutil
+
+    dead = _tombstones(spark, path, id_col)
+    if dead is None:
+        return 0
+    n = dead.count()
+    if n:
+        for sub, part in (("postings", "bucket"), ("docs", None)):
+            p = os.path.join(path, sub)
+            kept = spark.read.parquet(p).join(dead, id_col, "left_anti")
+            tmp = p + "._compacting"
+            w = kept.write.mode("overwrite")
+            if part:
+                w = w.partitionBy(part)
+            w.parquet(tmp)
+            old = p + "._old"
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            os.rename(p, old)
+            os.rename(tmp, p)
+            shutil.rmtree(old)
+    shutil.rmtree(os.path.join(path, "_deleted"))
+    return n

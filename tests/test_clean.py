@@ -345,3 +345,40 @@ def test_text_index_search_prunes_buckets(spark, tmp_path):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and m.group(1).strip(), f"empty partition filters in:\n{plan[:2000]}"
+
+
+def test_text_index_delete_and_compact(spark, tmp_path):
+    """Tombstoned docs vanish from search results AND from the derived
+    df/stats immediately; physical compaction reproduces exactly the
+    index built without them."""
+    from degenter_clickhouse_spark import catalog
+    from degenter_clickhouse_spark.llm.clean import (
+        build_text_index,
+        compact_text_index,
+        delete_from_text_index,
+        text_index_search,
+    )
+
+    docs = catalog.load_table(spark, "/root/testdata/sf0.001", "documents")
+    full, survivors_only = str(tmp_path / "full"), str(tmp_path / "ref")
+    build_text_index(docs, full)
+    terms = ["the", "data", "model"]
+    victims = [
+        r["doc_id"] for r in text_index_search(spark, full, terms, k=3).collect()
+    ]
+    vdf = spark.createDataFrame([(v,) for v in victims], ["doc_id"])
+    assert delete_from_text_index(spark, vdf, full) == 3
+    assert delete_from_text_index(spark, vdf, full) == 0  # idempotent
+    build_text_index(
+        docs.join(vdf, "doc_id", "left_anti"), survivors_only
+    )
+    got = [tuple(r) for r in text_index_search(spark, full, terms, k=10).collect()]
+    want = [
+        tuple(r) for r in text_index_search(spark, survivors_only, terms, k=10).collect()
+    ]
+    assert got == want and not (set(victims) & {r[0] for r in got})
+    # physical compaction: same results, tombstones gone
+    assert compact_text_index(spark, full) == 3
+    after = [tuple(r) for r in text_index_search(spark, full, terms, k=10).collect()]
+    assert after == want
+    assert compact_text_index(spark, full) == 0
