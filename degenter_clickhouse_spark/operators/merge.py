@@ -212,6 +212,41 @@ def upsert_write(
         _swap_dirs(path, tmp)
 
 
+def delete_keys(
+    spark,
+    path: str,
+    keys: Sequence[str],
+    matching: DataFrame,
+    fmt: str = "parquet",
+    lock_timeout_s: float = 60.0,
+) -> None:
+    """Keyed DELETE companion to ``upsert_write``: remove from the table
+    at ``path`` every row whose key tuple appears in ``matching``.
+    Needed by CDC consumers (plans/incremental.py) where a delta can
+    retract a group entirely — an upsert alone would leave the stale
+    row behind. Same fmt seams as upsert_write."""
+    if fmt == "versioned":
+        from .versioned import vt_delete
+
+        vt_delete(spark, path, keys=list(keys), matching=matching)
+        return
+    if fmt != "parquet":
+        raise ValueError(f"unsupported fmt: {fmt!r} (parquet|versioned)")
+    with _table_lock(path, timeout_s=lock_timeout_s):
+        try:
+            current = spark.read.parquet(path)
+        except Exception:
+            return  # no table: nothing to delete
+        survivors = current.join(
+            dim_broadcast(matching.select(*keys).distinct()),
+            on=list(keys),
+            how="left_anti",
+        ).select(*current.columns)
+        tmp = path.rstrip("/") + "._deleting"
+        survivors.write.mode("overwrite").parquet(tmp)
+        _swap_dirs(path, tmp)
+
+
 def snapshot_overwrite(
     df: DataFrame, path: str, partition_col: str = "token_id"
 ) -> None:

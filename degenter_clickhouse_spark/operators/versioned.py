@@ -102,6 +102,18 @@ def _write_data_files(spark: SparkSession, df: DataFrame, path: str) -> list[str
         os.rename(os.path.join(stage, f), os.path.join(data_dir, name))
         names.append(name)
     shutil.rmtree(stage)
+    if not names:
+        # an input with zero partitions (e.g. a delete whose survivor
+        # frame is empty) can emit no files at all; every manifest must
+        # reference >=1 file so vt_read can always recover the schema —
+        # force one (empty) file
+        df.repartition(1).write.mode("overwrite").parquet(stage)
+        for f in sorted(os.listdir(stage)):
+            if f.endswith(".parquet"):
+                name = f"{uuid.uuid4().hex}.parquet"
+                os.rename(os.path.join(stage, f), os.path.join(data_dir, name))
+                names.append(name)
+        shutil.rmtree(stage)
     return names
 
 
@@ -147,6 +159,7 @@ def _collect_stats(path: str, names: list[str], cols: list[str]) -> dict:
     for n in names:
         md = pq.ParquetFile(os.path.join(path, _DATA, n)).metadata
         agg: dict[str, list] = {}
+        covered: dict[str, int] = {}  # row groups with usable stats per col
         for g in range(md.num_row_groups):
             rg = md.row_group(g)
             for i in range(rg.num_columns):
@@ -158,10 +171,19 @@ def _collect_stats(path: str, names: list[str], cols: list[str]) -> dict:
                 mn, mx = st.min, st.max
                 if not isinstance(mn, (int, float, str)):
                     continue
+                covered[name] = covered.get(name, 0) + 1
                 if name in agg:
                     agg[name] = [min(agg[name][0], mn), max(agg[name][1], mx)]
                 else:
                     agg[name] = [mn, mx]
+        # a range is only safe to record when EVERY row group of the
+        # file contributed stats for the column; a partial range
+        # under-covers the file and pruning against it would silently
+        # skip matching rows (externally-written files can carry stats
+        # on some row groups only)
+        agg = {
+            k: v for k, v in agg.items() if covered.get(k) == md.num_row_groups
+        }
         if agg:
             out[n] = agg
     return out
@@ -216,7 +238,15 @@ def vt_read(
     files = _pruned_files(m, where) if where else m["files"]
     reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
     if not files:
-        # preserve the schema: scan one manifest file with a false filter
+        # preserve the schema: scan one manifest file with a false
+        # filter. _write_data_files guarantees every commit references
+        # >=1 file, so m["files"] is non-empty for tables written by
+        # this module; guard anyway for externally-authored manifests.
+        if not m["files"]:
+            raise FileNotFoundError(
+                f"version {v} at {path} references no data files; "
+                "cannot recover a schema for an empty read"
+            )
         return (
             reader.parquet(os.path.join(path, _DATA, m["files"][0]))
             .where(F.lit(False))
@@ -282,11 +312,17 @@ def _hit_file_names(
     stats_cols = pm.get("stats_cols") or []
     if files and all(k in stats_cols for k in keys):
         bounds = keyset.agg(
+            F.count(F.lit(1)).alias("__n"),
             *[F.min(k).alias(f"lo_{k}") for k in keys],
             *[F.max(k).alias(f"hi_{k}") for k in keys],
         ).collect()[0]
+        if bounds["__n"] == 0:
+            return set()  # empty delta: no file can contain a match
         candidates = files
         for k in keys:
+            lo, hi = bounds[f"lo_{k}"], bounds[f"hi_{k}"]
+            if lo is None or hi is None:
+                continue  # all-null key column: range prune can't apply
             candidates = [
                 f
                 for f in candidates
@@ -294,7 +330,7 @@ def _hit_file_names(
                 in set(
                     _pruned_files(
                         {"files": candidates, "stats": pm.get("stats", {})},
-                        (k, bounds[f"lo_{k}"], bounds[f"hi_{k}"]),
+                        (k, lo, hi),
                     )
                 )
             ]
@@ -450,7 +486,12 @@ def vt_append_batch(
         parent = vt_version(path)
         v = parent
         while v:
-            m = _manifest(path, v)
+            try:
+                m = _manifest(path, v)
+            except FileNotFoundError:
+                break  # vacuum horizon: older manifests are gone, and a
+                # replay can only be of batches newer than the
+                # checkpoint — the walk is complete
             if m.get("batch_id") == batch_id:
                 return None  # replayed micro-batch: already committed
             v = m["parent"]

@@ -112,6 +112,12 @@ def refresh_partials_from_changes(
     decrement; for pure-append streams the restriction set equals the
     new minutes, so the cost is identical either way.
 
+    A touched group whose swaps were ALL deleted yields no recomputed
+    row — its stale partial must be REMOVED, not merely left un-upserted
+    (otherwise trailing_volumes overcounts forever): groups in the
+    touched set but absent from the recompute are deleted from the
+    store after the upsert.
+
     Returns the number of (pool, minute) groups refreshed. The caller
     persists ``to_version`` as its CDC cursor (the jobs-runner pattern:
     one cursor per consumer, stored next to the rollup).
@@ -119,7 +125,7 @@ def refresh_partials_from_changes(
     from pyspark.sql import functions as F  # local: keep module header slim
 
     from ..operators.joins import dim_broadcast
-    from ..operators.merge import upsert_write
+    from ..operators.merge import delete_keys, upsert_write
     from ..operators.versioned import vt_changes, vt_read, vt_version
 
     to_v = to_version if to_version is not None else vt_version(trades_table)
@@ -139,8 +145,20 @@ def refresh_partials_from_changes(
         scoped = current.withColumn("minute", minute).join(
             dim_broadcast(touched), ["pool_id", "minute"], "left_semi"
         )
-        fresh = minute_partials(scoped.drop("minute"))
-        upsert_write(spark, fresh, partials_path, keys=["pool_id", "minute"])
+        fresh = minute_partials(scoped.drop("minute")).cache()
+        try:
+            upsert_write(spark, fresh, partials_path, keys=["pool_id", "minute"])
+            # groups whose swaps were ALL deleted produce no fresh row:
+            # their stale partials must go, or trailing windows overcount
+            vacated = touched.join(
+                fresh.select("pool_id", "minute"), ["pool_id", "minute"], "left_anti"
+            )
+            if not vacated.isEmpty():
+                delete_keys(
+                    spark, partials_path, keys=["pool_id", "minute"], matching=vacated
+                )
+        finally:
+            fresh.unpersist()
     finally:
         touched.unpersist()
     return n

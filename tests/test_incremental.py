@@ -114,3 +114,44 @@ def test_sketch_signer_partials_within_tolerance(spark, dom):  # noqa: F811
         s = sk[pid]
         assert (s.tx_buy, s.tx_sell) == (e.tx_buy, e.tx_sell)
         assert abs(s.traders - e.traders) <= max(2, 0.05 * e.traders)
+
+
+def test_refresh_removes_vacated_groups(spark, dom, tmp_path):  # noqa: F811
+    """ADVICE r4: a CDC delta that deletes ALL swaps of a (pool, minute)
+    group must remove the group's stale partial row — otherwise
+    trailing_volumes overcounts forever."""
+    from degenter_clickhouse_spark.operators import versioned as V
+
+    trades = dom["trades_clean"]
+    table = str(tmp_path / "trades_vt")
+    parts = str(tmp_path / "partials")
+    V.vt_write(spark, trades, table)
+    INC.minute_partials(trades).write.parquet(parts)
+    # pick one (pool, minute) group and delete every one of its swaps
+    victim = (
+        trades.filter(F.col("action") == "swap")
+        .select(
+            "pool_id", F.date_trunc("minute", F.col("created_at")).alias("minute")
+        )
+        .limit(1)
+        .collect()[0]
+    )
+    doomed = trades.filter(
+        (F.col("pool_id") == victim.pool_id)
+        & (F.date_trunc("minute", F.col("created_at")) == victim.minute)
+        & (F.col("action") == "swap")
+    )
+    assert doomed.count() > 0
+    V.vt_delete(spark, table, ["tx_hash", "msg_index"], doomed)
+    n = INC.refresh_partials_from_changes(spark, table, parts, from_version=1)
+    assert n >= 1
+    got = {
+        (r.pool_id, r.minute): (r.tx_buy, r.tx_sell)
+        for r in spark.read.parquet(parts).collect()
+    }
+    want = {
+        (r.pool_id, r.minute): (r.tx_buy, r.tx_sell)
+        for r in INC.minute_partials(V.vt_read(spark, table)).collect()
+    }
+    assert (victim.pool_id, victim.minute) not in got
+    assert got == want

@@ -324,3 +324,91 @@ def test_schema_evolution_read(spark, tmp_path):
     )
     final = {r["token_id"]: r["chain"] for r in V.vt_read(spark, path).collect()}
     assert final == {1: "zig", 2: "eth"}
+
+
+def test_append_batch_survives_vacuum(spark, tmp_path):
+    """ADVICE r4: the replay walk must stop at the vacuum horizon
+    instead of crashing on a missing manifest — a vacuumed table keeps
+    accepting appends, and replay detection still works over the
+    retained tail."""
+    path = str(tmp_path / "t")
+    for bid in range(4):
+        V.vt_append_batch(spark, _df(spark, [(bid, float(bid), bid)]), path, batch_id=bid)
+    V.vt_vacuum(path, keep_versions=2)  # manifests 1..2 gone
+    # new batch commits fine (walk breaks at the horizon)
+    assert V.vt_append_batch(spark, _df(spark, [(9, 9.0, 9)]), path, batch_id=4) == 5
+    # replay of a RETAINED batch id is still refused
+    assert V.vt_append_batch(spark, _df(spark, [(9, 9.0, 9)]), path, batch_id=4) is None
+    assert V.vt_version(path) == 5
+
+
+def test_delete_all_rows_then_read(spark, tmp_path):
+    """ADVICE r4: deleting every row must leave a readable (empty)
+    table — the manifest always references at least one data file so
+    the schema survives."""
+    path = str(tmp_path / "t")
+    V.vt_write(spark, _df(spark, [(1, 1.0, 10), (2, 2.0, 10)]), path)
+    V.vt_delete(spark, path, ["token_id"], _df(spark, [(1, 0.0, 0), (2, 0.0, 0)]))
+    got = V.vt_read(spark, path)
+    assert got.count() == 0
+    assert got.columns == ["token_id", "price", "updated"]
+    # pruned read on the empty table also keeps the schema
+    assert V.vt_read(spark, path, where=("token_id", 0, 99)).columns == [
+        "token_id", "price", "updated",
+    ]
+    # and the table accepts new data afterwards
+    V.vt_append(spark, _df(spark, [(3, 3.0, 11)]), path)
+    assert _snap(V.vt_read(spark, path)) == [(3, 3.0, 11)]
+
+
+def test_empty_delta_upsert_and_delete_commit_noop(spark, tmp_path):
+    """ADVICE r4: an empty updates/matching frame used to crash the
+    stats bounds check (None < min TypeError); it must commit cleanly
+    and leave the contents unchanged."""
+    path = str(tmp_path / "t")
+    V.vt_write(
+        spark, _df(spark, [(1, 1.0, 10), (2, 2.0, 10)]), path,
+        stats_cols=["token_id"],
+    )
+    empty = _df(spark, [(1, 1.0, 10)]).where("token_id < 0")
+    V.vt_upsert(spark, empty, path, keys=["token_id"])
+    assert _snap(V.vt_read(spark, path)) == [(1, 1.0, 10), (2, 2.0, 10)]
+    V.vt_delete(spark, path, ["token_id"], empty)
+    assert _snap(V.vt_read(spark, path)) == [(1, 1.0, 10), (2, 2.0, 10)]
+
+
+def test_statless_files_never_pruned(spark, tmp_path):
+    """ADVICE r4 (stats under-coverage): a data file whose footer lacks
+    usable statistics for a stats column must get NO manifest range —
+    readers then treat it as 'might match' and never skip it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os as _os
+
+    path = str(tmp_path / "t")
+    V.vt_write(
+        spark, _df(spark, [(1, 1.0, 10)]).coalesce(1), path, stats_cols=["token_id"]
+    )
+    # hand-author a stats-free parquet file (external-writer scenario)
+    data_dir = _os.path.join(path, "data")
+    ext = "ext-no-stats.parquet"
+    tbl = pa.table(
+        {"token_id": pa.array([500], pa.int64()),
+         "price": pa.array([5.0], pa.float64()),
+         "updated": pa.array([99], pa.int64())}
+    )
+    pq.write_table(tbl, _os.path.join(data_dir, ext), write_statistics=False)
+    m1 = V._manifest(path, 1)
+    # splice the external file into a new manifest the way an append would
+    stats = V._carry_stats(m1, m1["files"], V._collect_stats(path, [ext], ["token_id"]))
+    assert ext not in stats  # no range recorded -> conservative
+    V._commit(path, 1, m1["files"] + [ext], "append",
+              extra={"stats_cols": ["token_id"], "stats": stats})
+    # a pruned read whose range excludes the KNOWN file must still scan
+    # the stats-free one and find its row
+    got = V.vt_read(spark, path, where=("token_id", 400, 600))
+    assert [r.token_id for r in got.collect()] == [500]
+    # and a keyed upsert must still locate the row inside it
+    keyset = _df(spark, [(500, 0.0, 0)]).select("token_id").distinct()
+    hits = V._hit_file_names(spark, path, V._manifest(path, 2), keyset, ["token_id"])
+    assert ext in hits
