@@ -63,7 +63,11 @@ BENCH_QUERIES = [
     "bigram_fluency",  # integer Laplace bigram LM scoring (EXTENDED)
     "line_dedup",  # C4-style global line winner + doc rebuild (EXTENDED)
     "asof_join_events",  # single-shuffle union-and-carry as-of join (EXTENDED)
-    "knn_label_vote",  # k-NN majority vote over embeddings (EXTENDED)
+    # k-NN majority vote: the REGISTERED default is the hyperplane-
+    # bucketed multi-probe variant (bounded pair join); the brute
+    # all-pairs form stays in the extended registry as the small-scale
+    # baseline but is deliberately NOT benched (it is the O(n^2) job)
+    "knn_label_vote_blocked",
     "quantile_summary",  # exact percentile family, int + double inputs (EXTENDED)
     "temperature_sampling",  # mixture-flattening hash sample (EXTENDED)
     "leakage_free_split",  # cluster-coherent train/val/test split (EXTENDED)

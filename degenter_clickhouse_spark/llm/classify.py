@@ -123,6 +123,7 @@ def knn_vote(
     vectors: DataFrame,
     k: int = 5,
     group_col: str | None = None,
+    probe_bits: int = 0,
     id_col: str = "vec_id",
     label_col: str = "label",
     vec: str = "embedding",
@@ -134,6 +135,14 @@ def knn_vote(
     ``group_col=None`` scores all pairs — the correctness baseline.
     At scale pass a blocking column (hyperplane bucket, IVF cell) so
     the pair join is bounded per bucket, mirroring neardup_pairs.
+    ``probe_bits=b`` (requires an INT ``group_col``) additionally
+    scores pairs whose buckets differ in exactly one of the low ``b``
+    bits — LSH multi-probe, which recovers most of the recall a single
+    bucket loses while keeping the pair count bounded by
+    ``(1 + b) x corpus^2 / 2^bits``. Hamming distance is symmetric, so
+    the unordered-pair optimization below stays valid: a qualifying
+    pair matches exactly one probe (the 0-flip for same-bucket pairs,
+    the single differing bit otherwise) — no duplicate scoring.
     Ties break on (count desc, label asc); neighbor rank ties break on
     (cosine desc, neighbor id asc) — total order, engine-independent.
     """
@@ -145,6 +154,16 @@ def knn_vote(
         F.col(vec).alias("va"),
         F.col("norm2_s").alias("na"),
     )
+    if group_col and probe_bits:
+        a = a.withColumn(
+            "g",
+            F.explode(
+                F.array(
+                    F.col("g"),
+                    *[F.col("g").bitwiseXOR(1 << j) for j in range(probe_bits)],
+                )
+            ),
+        )
     b = v.select(
         *([F.col(group_col).alias("gb")] if group_col else []),
         F.col(id_col).alias("nb_id"),

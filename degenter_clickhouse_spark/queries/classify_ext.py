@@ -13,9 +13,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..llm import classify
+from ..llm import classify, similarity
 from . import register_extended
-from .llm import O_DOT, O_NORM2, _embs
+from .llm import O_DOT, O_NORM2, _embs, _hyperplane_bucket_sql
 
 # Per-label centroid as list<double>: integer-scaled component sums
 # (floor(x*1e6) BIGINT) so mean components are bit-identical to Spark.
@@ -112,4 +112,68 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embs(spark, sf_dir, parallel=True)
     return classify.knn_vote(e, k=_KNN_K).select(
         "vec_id", "label", "pred_label", F.col("votes").cast("long").alias("votes"), "agree"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocked k-NN vote — the REGISTERED default (VERDICT r4 #1): the pair
+# join is bounded per hyperplane bucket instead of all-pairs, exactly
+# the recipe that made embedding_ann_scalable exact — the bucketing is
+# deterministic, so the oracle restricts its pair CTE to in-bucket
+# pairs and the whole pipeline hash-compares. Recall vs the brute
+# baseline stays a pytest claim (tests/test_classify.py); the brute
+# form above remains the small-scale baseline.
+# ---------------------------------------------------------------------------
+
+KNN_BLOCKED_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, embedding,
+         {_hyperplane_bucket_sql()} AS bucket,
+         {O_NORM2.format(e="embedding")} AS n2
+  FROM embeddings
+),
+qp AS (
+  SELECT vec_id, label, embedding, n2,
+         unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                 xor(bucket, 4), xor(bucket, 8)]) AS bucket
+  FROM v
+),
+p AS (
+  SELECT a.vec_id AS vec_id, a.label AS label,
+         b.vec_id AS nb_id, b.label AS nb_label,
+         ({O_DOT.format(a="a.embedding", b="b.embedding")} / 1e12)
+           / (sqrt(a.n2 / 1e12) * sqrt(b.n2 / 1e12)) AS cosine
+  FROM qp a JOIN v b ON b.bucket = a.bucket AND a.vec_id <> b.vec_id
+),
+topk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY cosine DESC, nb_id ASC) AS rn
+  FROM p
+),
+votes AS (
+  SELECT vec_id, label, nb_label, COUNT(*) AS votes
+  FROM topk WHERE rn <= {_KNN_K}
+  GROUP BY vec_id, label, nb_label
+),
+win AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY votes DESC, nb_label ASC) AS rv
+  FROM votes
+)
+SELECT vec_id, label, nb_label AS pred_label, votes,
+       (nb_label = label) AS agree
+FROM win WHERE rv = 1
+"""
+
+
+@register_extended("knn_label_vote_blocked", KNN_BLOCKED_ORACLE)
+def q_knn_label_vote_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir, parallel=True).withColumn(
+        "bucket", similarity.hyperplane_bucket()
+    )
+    return classify.knn_vote(
+        e, k=_KNN_K, group_col="bucket", probe_bits=similarity.N_HYPERPLANES
+    ).select(
+        "vec_id", "label", "pred_label",
+        F.col("votes").cast("long").alias("votes"), "agree",
     )

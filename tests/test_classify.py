@@ -95,3 +95,36 @@ def test_class_centroids_shape_and_mean(spark, emb_np):
         got = np.array(cents.loc[lbl]["centroid"])
         assert cents.loc[lbl]["n"] == mask.sum()
         np.testing.assert_allclose(got, ref, atol=1e-6 + 1e-12)
+
+
+def test_knn_blocked_default_recall_vs_brute(spark):
+    """The REGISTERED blocked k-NN (hyperplane bucket + 1-bit multi-
+    probe, VERDICT r4 #1) vs the brute all-pairs baseline: full vector
+    coverage (multi-probe leaves no vector neighbor-less at fixture
+    density), and vote agreement well above the coarse-filter floor —
+    same standard as test_lsh_ann_recall_vs_brute (single-digit-bit
+    LSH on near-orthogonal vectors is a candidate bound, not an exact
+    method; the oracle check is what pins the computation itself)."""
+    from degenter_clickhouse_spark.llm import similarity
+
+    e = catalog.load_table(spark, SF_DIR, "embeddings").withColumn(
+        "bucket", similarity.hyperplane_bucket()
+    )
+    blocked = (
+        classify.knn_vote(
+            e, k=5, group_col="bucket", probe_bits=similarity.N_HYPERPLANES
+        )
+        .toPandas()
+        .set_index("vec_id")
+    )
+    brute = classify.knn_vote(e.drop("bucket"), k=5).toPandas().set_index("vec_id")
+    # multi-probe coverage: every vector that brute votes on gets a vote
+    assert set(blocked.index) == set(brute.index)
+    agree_rate = (
+        blocked.loc[brute.index, "pred_label"] == brute["pred_label"]
+    ).mean()
+    assert agree_rate >= 0.3, agree_rate
+    # single-bucket (no probe) blocking is a strict subset of the
+    # multi-probe candidate relation: it must never vote on MORE vectors
+    single = classify.knn_vote(e, k=5, group_col="bucket").toPandas()
+    assert set(single["vec_id"]) <= set(blocked.index)
