@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "doc_chunking",  # overlapping token windows, map-only
     "span_dedup_clean",  # exact-substring span detect + removal (EXTENDED)
     "bm25_search",  # two-agg posting-list score + TakeOrdered (EXTENDED)
+    "hybrid_retrieval",  # BM25 + dense-ANN reciprocal-rank fusion
     "bigram_fluency",  # integer Laplace bigram LM scoring (EXTENDED)
     "line_dedup",  # C4-style global line winner + doc rebuild (EXTENDED)
     "asof_join_events",  # single-shuffle union-and-carry as-of join (EXTENDED)
@@ -129,6 +130,59 @@ def main() -> None:
         # which is also the realistic per-job state on a cluster.
         spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
+    # Ingest/streaming surfaces (VERDICT r4 #5): ST1-ST7 regressions
+    # were invisible in the per-round artifact because BENCH_r* carried
+    # only query times. Fixed synthetic workloads (same params every
+    # round => comparable round-over-round): full blocks-ingest
+    # events/s, and streaming-corpus docs/s with exact-only and with
+    # online near-dedup. SPARK_GRAFT_BENCH_INGEST=0 skips (fast loop).
+    ingest: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_INGEST", "1") != "0":
+        import shutil
+        import tempfile
+
+        from bench_corpus import make_shards
+        from bench_ingest import make_blocks
+        from degenter_clickhouse_spark.sources import blocks as _blocks
+        from degenter_clickhouse_spark.streaming.corpus import (
+            stream_corpus_ingest,
+        )
+
+        n_blocks, swaps = 1000, 25
+        raw = spark.read.schema(_blocks.RAW_SCHEMA).json(
+            spark.sparkContext.parallelize(make_blocks(n_blocks, swaps), 32)
+        ).localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        out = _blocks.ingest(raw)
+        for df in out.values():
+            df.count()
+        ingest["ingest_events_per_sec"] = round(
+            n_blocks * swaps / (time.perf_counter() - t0), 1
+        )
+        spark.catalog.clearCache()
+
+        n_docs, n_shards = 6000, 4
+        for key, thr in (
+            ("corpus_docs_per_sec", None),
+            ("corpus_docs_per_sec_neardup", 0.5),
+        ):
+            work = Path(tempfile.mkdtemp(prefix="bench_corpus_"))
+            try:
+                landing = work / "landing"
+                landing.mkdir()
+                make_shards(landing, n_docs, n_shards)
+                t0 = time.perf_counter()
+                stream_corpus_ingest(
+                    spark,
+                    str(landing),
+                    str(work / "out"),
+                    str(work / "ckpt"),
+                    near_dup_threshold=thr,
+                )
+                ingest[key] = round(n_docs / (time.perf_counter() - t0), 1)
+            finally:
+                shutil.rmtree(work, ignore_errors=True)
+            spark.catalog.clearCache()
     # host-load disclosure: single-node timings on a shared hypervisor
     # swing with neighbor load (observed 17s..35s for identical code);
     # the 1-minute loadavg at start/end lets a reader judge conditions
@@ -143,6 +197,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "ingest": ingest,
                 "runs_per_query": runs,
                 "loadavg_start": LOAD_START,
                 "loadavg_end": load_end,

@@ -68,6 +68,21 @@ def main() -> int:
         print(f"  {flag:>9}  {name}: {f_sec:.2f}s -> {c_sec:.2f}s ({ratio:.2f}x)")
         if ratio > args.factor:
             bad.append(name)
+    # ingest/streaming THROUGHPUT floors (higher is better): regressed
+    # when current rate drops below floor / factor
+    for name, f_rate in sorted((floor.get("ingest") or {}).items()):
+        c_rate = (cur.get("ingest") or {}).get(name)
+        if c_rate is None:
+            print(f"  MISSING  {name} (floor {f_rate:.0f}/s)")
+            bad.append(name)
+            continue
+        ratio = f_rate / c_rate if c_rate > 0 else float("inf")
+        flag = "REGRESSED" if ratio > args.factor else "ok"
+        print(f"  {flag:>9}  {name}: {f_rate:.0f}/s -> {c_rate:.0f}/s "
+              f"({ratio:.2f}x slower)" if ratio > 1 else
+              f"  {flag:>9}  {name}: {f_rate:.0f}/s -> {c_rate:.0f}/s")
+        if ratio > args.factor:
+            bad.append(name)
     t_f, t_c = floor.get("value"), cur.get("value")
     if t_f and t_c:
         print(f"total: {t_f:.2f}s -> {t_c:.2f}s ({t_c / t_f:.2f}x)")

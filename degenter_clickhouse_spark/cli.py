@@ -143,6 +143,18 @@ def main(argv: list[str] | None = None) -> int:
     ji.add_argument("--input", required=True, help="jsonl path/glob")
     ji.add_argument("--corpus", required=True, help="corpus parquet dir")
 
+    lm = sub.add_parser(
+        "lm",
+        help="persisted language model: build once, score many "
+        "(bigram/stupid-backoff-trigram fluency filters)",
+    )
+    lm.add_argument("action", choices=["build", "score"])
+    lm.add_argument("--model", required=True, help="model root path")
+    lm.add_argument("--order", type=int, default=2, choices=[2, 3])
+    lm.add_argument("--ref", help="reference corpus parquet (build)")
+    lm.add_argument("--input", help="documents parquet to score (score)")
+    lm.add_argument("--output", help="scored parquet output (score)")
+
     vt = sub.add_parser(
         "vt",
         help="manifest-versioned table maintenance (history/compact/vacuum)",
@@ -231,6 +243,28 @@ def main(argv: list[str] | None = None) -> int:
         leakage_free_split(docs, pairs, fracs=fracs).write.mode(
             "overwrite"
         ).parquet(args.output)
+        return 0
+    if args.cmd == "lm":
+        from .llm import lm as _lm
+
+        if args.action == "build":
+            if not args.ref:
+                p.error("lm build requires --ref")
+            print(
+                _lm.build_lm_model(
+                    spark.read.parquet(args.ref), args.model, order=args.order
+                )
+            )
+        else:
+            if not (args.input and args.output):
+                p.error("lm score requires --input and --output")
+            model = _lm.load_lm_model(spark, args.model, order=args.order)
+            score = (
+                _lm.bigram_fluency if args.order == 2 else _lm.trigram_fluency
+            )
+            out = score(spark.read.parquet(args.input), model=model)
+            out.write.mode("overwrite").parquet(args.output)
+            print("scored:", spark.read.parquet(args.output).count())
         return 0
     if args.cmd == "vt":
         from .operators import versioned as _vt

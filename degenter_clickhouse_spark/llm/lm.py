@@ -204,6 +204,7 @@ def bigram_fluency(
     ref: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    model: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Per-document fluency under the reference bigram model: the mean
     smoothed p(w2|w1) over the doc's word pairs, exact-integer scaled.
@@ -237,7 +238,13 @@ def bigram_fluency(
     # (measured: checkpointing the pair frame to share it between model
     # fit and scoring does NOT help — the model-fit (w1, w2) shuffle
     # dominates, not the explode — so the fit stays a plain second pass)
-    model, contexts, v = fit_bigram(ref if ref is not None else docs, text_col)
+    # ``model=`` skips the fit entirely: pass the (model, contexts, v)
+    # triple from fit_bigram or load_lm_model — the persisted-model
+    # path that amortizes the fit across scoring runs (VERDICT r4 #3)
+    if model is not None:
+        model, contexts, v = model
+    else:
+        model, contexts, v = fit_bigram(ref if ref is not None else docs, text_col)
     j = (
         pairs.join(dim_broadcast(model), ["w1", "w2"], "left")
         .join(dim_broadcast(contexts), "w1", "left")
@@ -364,6 +371,7 @@ def trigram_fluency(
     ref: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    model: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Per-document fluency under the order-3 stupid-backoff model —
     the upgrade CCNet-style pipelines make when bigram filtering is
@@ -376,7 +384,10 @@ def trigram_fluency(
     Plan: explode (sentinel for short docs), three governed-broadcast
     model joins, one per-doc hash aggregation — the corpus crosses one
     shuffle, the models are vocabulary-bounded."""
-    tri, bi, uni = fit_backoff_trigram(ref if ref is not None else docs, text_col)
+    if model is not None:
+        tri, bi, uni = model
+    else:
+        tri, bi, uni = fit_backoff_trigram(ref if ref is not None else docs, text_col)
     t = _doc_trigrams(docs, id_col, text_col)
     j = (
         t.join(dim_broadcast(tri), ["w1", "w2", "w3"], "left")
@@ -413,4 +424,57 @@ def trigram_fluency(
             / F.col("n_trigrams").cast("double")
             / F.lit(float(SCALE)),
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted LM models (VERDICT r4 #3): fit once, score many — the same
+# build-once index discipline as the MinHash / IVF / text indexes. At
+# 100 TB the reference corpus fit is a real job (three count
+# aggregations over the corpus); refitting it inside every scoring
+# query multiplies that cost by the number of scoring runs. The model
+# tables are vocabulary-bounded parquet artifacts; scoring reads them
+# back and runs the identical join tail, so score-from-model is
+# bit-equal to fit-and-score (asserted in tests/test_clean.py).
+# ---------------------------------------------------------------------------
+
+_LM_PARTS = {2: ("model", "contexts", "v"), 3: ("tri", "bi", "uni")}
+
+
+def build_lm_model(
+    ref: DataFrame, path: str, order: int = 2, text_col: str = "text"
+) -> dict:
+    """Fit the order-2 (Laplace bigram) or order-3 (stupid-backoff
+    trigram) model on ``ref`` and persist its tables under ``path``.
+    Returns {"order": n, "rows": {part: count}}. Model tables are
+    coalesced to few files (they are vocabulary-sized, not
+    corpus-sized); the scoring join broadcasts them under the governed
+    threshold and shuffles on the term key past it."""
+    import os
+
+    if order == 2:
+        parts = fit_bigram(ref, text_col)
+    elif order == 3:
+        parts = fit_backoff_trigram(ref, text_col)
+    else:
+        raise ValueError(f"unsupported LM order: {order} (2|3)")
+    rows = {}
+    for name, df in zip(_LM_PARTS[order], parts):
+        n = df.count()
+        files = max(1, min(8, n // 500_000 + 1))
+        df.coalesce(files).write.mode("overwrite").parquet(
+            os.path.join(path, name)
+        )
+        rows[name] = n
+    return {"order": order, "rows": rows}
+
+
+def load_lm_model(spark, path: str, order: int = 2):
+    """Read a persisted LM model back as the (a, b, c) DataFrame triple
+    the ``model=`` parameter of bigram_fluency / trigram_fluency
+    expects."""
+    import os
+
+    return tuple(
+        spark.read.parquet(os.path.join(path, name)) for name in _LM_PARTS[order]
     )

@@ -90,7 +90,11 @@ def shape(
     )
 
 
-def combine_router_legs(shaped: DataFrame) -> DataFrame:
+def combine_router_legs(
+    shaped: DataFrame,
+    max_legs: int | None = None,
+    salted: bool | None = None,
+) -> DataFrame:
     """B8 (api/routes/trades.js:269-279 combineRouterTradesShallow,
     :236-268 buildRouterCombined): ALL legs of a tx group together. If
     ANY leg is router-flagged, the whole group — router and non-router
@@ -101,7 +105,30 @@ def combine_router_legs(shaped: DataFrame) -> DataFrame:
     router leg collapses to its first leg (one record even for a tx
     holding several independent swaps — ``legs[0]`` in the reference).
     Leg order is (created_at, msg_index): the reference sorts by time
-    only; msg_index is the deterministic tiebreak within a block."""
+    only; msg_index is the deterministic tiebreak within a block.
+
+    Skew hedge (VERDICT r4 #8): legs-per-tx is protocol-bounded today,
+    so the default plan is the single groupBy + sorted collect_list.
+    For adversarial txs two config-governed defenses exist (also
+    settable per call; ``None`` reads the session conf):
+
+    * ``spark.degenter.routerCombine.salted=true`` — two-phase merge:
+      phase 1 collects per (tx_hash, msg_index % 8) salt so no single
+      aggregation buffer holds a hot tx's full leg list; phase 2
+      flattens + sorts the (already reduced) partials. Bit-identical
+      output (unit-tested), one extra dimension-sized shuffle.
+    * ``spark.degenter.routerCombine.maxLegs=N`` — clamp the OUTPUT
+      leg array of a tx exceeding N to its first N-1 legs + true last
+      leg. Endpoints (amount in/out, time, signer), worth sum, leg
+      count, and is_router stay EXACT (they aggregate outside the
+      array); only the middle of the displayed path truncates.
+    """
+    conf = shaped.sparkSession.conf
+    if max_legs is None:
+        raw = conf.get("spark.degenter.routerCombine.maxLegs", "")
+        max_legs = int(raw) if raw else None
+    if salted is None:
+        salted = conf.get("spark.degenter.routerCombine.salted", "false") == "true"
     legs = shaped.withColumn(
         "leg",
         F.struct(
@@ -115,12 +142,40 @@ def combine_router_legs(shaped: DataFrame) -> DataFrame:
             "worth_zig",
         ),
     )
-    grouped = legs.groupBy("tx_hash").agg(
-        F.sort_array(F.collect_list("leg")).alias("legs"),
-        F.max("is_router").alias("is_router"),
-        F.sum("worth_zig").alias("worth_zig_sum"),
-        F.count(F.lit(1)).alias("n_legs"),
-    )
+    if salted:
+        p1 = legs.groupBy(
+            "tx_hash",
+            F.pmod(F.col("msg_index").cast("int"), F.lit(8)).alias("__salt"),
+        ).agg(
+            F.collect_list("leg").alias("legs_p"),
+            F.max("is_router").alias("is_router_p"),
+            F.sum("worth_zig").alias("worth_p"),
+            F.count(F.lit(1)).alias("n_p"),
+        )
+        grouped = p1.groupBy("tx_hash").agg(
+            F.sort_array(F.flatten(F.collect_list("legs_p"))).alias("legs"),
+            F.max("is_router_p").alias("is_router"),
+            F.sum("worth_p").alias("worth_zig_sum"),
+            F.sum("n_p").cast("long").alias("n_legs"),
+        )
+    else:
+        grouped = legs.groupBy("tx_hash").agg(
+            F.sort_array(F.collect_list("leg")).alias("legs"),
+            F.max("is_router").alias("is_router"),
+            F.sum("worth_zig").alias("worth_zig_sum"),
+            F.count(F.lit(1)).alias("n_legs"),
+        )
+    if max_legs is not None:
+        clamped = F.concat(
+            F.slice(F.col("legs"), 1, max_legs - 1),
+            F.array(F.element_at(F.col("legs"), -1)),
+        )
+        grouped = grouped.withColumn(
+            "legs",
+            F.when(F.size(F.col("legs")) > max_legs, clamped).otherwise(
+                F.col("legs")
+            ),
+        )
     first = F.col("legs")[0]
     last = F.element_at(F.col("legs"), -1)
     any_r = F.col("is_router")

@@ -66,8 +66,11 @@ DRIVER_QUERY_CAP = 50
 
 
 def load_registry(extended: bool = False) -> dict[str, QueryDef]:
-    # import for side effect of filling REGISTRY
-    from . import core, llm, parity2, parity3, suites  # noqa: F401
+    # import for side effect of filling REGISTRY (suites2 transitively
+    # imports the *_ext modules, so their register_extended entries are
+    # present regardless of the `extended` flag — only the returned
+    # mapping differs)
+    from . import core, llm, parity2, parity3, suites, suites2  # noqa: F401
 
     if extended:
         from . import classify_ext, clean_ext, joins_ext, stats_ext  # noqa: F401

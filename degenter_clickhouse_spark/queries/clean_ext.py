@@ -504,3 +504,82 @@ def q_trigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fluency_sum_scaled",
         "fluency_score",
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical ranking
+# and a dense-ANN cosine ranking (llm/fusion.py). Registered in the
+# DRIVER gate (round-5 slot 50): both sub-rankings and the integer RRF
+# sum are deterministic, so the fused list has an exact SQL oracle.
+# The post-TakeOrdered rank windows run over k<=25 rows by construction
+# (bounded, not corpus-sized).
+# ---------------------------------------------------------------------------
+
+from . import register  # noqa: E402  (extended module, one gate entry)
+from .llm import O_DOT, O_NORM2  # noqa: E402
+
+RRF_K = 60
+RRF_TOPK = 20
+_ANN_Q = 0  # dense query: embedding of vec_id 0
+_ANN_K = 25
+
+HYBRID_ORACLE = f"""
+WITH bmr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM ({BM25_ORACLE})
+),
+v AS (
+  SELECT vec_id, embedding, {O_NORM2.format(e="embedding")} AS n2
+  FROM embeddings
+),
+qv AS (SELECT * FROM v WHERE vec_id = {_ANN_Q}),
+s AS (
+  SELECT c.vec_id AS doc_id,
+         ({O_DOT.format(a="qv.embedding", b="c.embedding")} / 1e12)
+           / (sqrt(qv.n2 / 1e12) * sqrt(c.n2 / 1e12)) AS cosine
+  FROM v c CROSS JOIN qv WHERE c.vec_id <> {_ANN_Q}
+),
+annr AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS rank
+    FROM s
+  ) WHERE rank <= {_ANN_K}
+),
+u AS (
+  SELECT doc_id, CAST(1000000000 AS BIGINT) // ({RRF_K} + rank) AS c FROM bmr
+  UNION ALL
+  SELECT doc_id, CAST(1000000000 AS BIGINT) // ({RRF_K} + rank) AS c FROM annr
+),
+fused AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(SUM(c) AS BIGINT) AS rrf_scaled,
+         CAST(COUNT(*) AS BIGINT) AS n_retrievers
+  FROM u GROUP BY doc_id
+)
+SELECT doc_id, rrf_scaled, n_retrievers,
+       CAST(rrf_scaled AS DOUBLE) / 1e9 AS rrf
+FROM fused ORDER BY rrf_scaled DESC, doc_id ASC LIMIT {RRF_TOPK}
+"""
+
+
+@register("hybrid_retrieval", HYBRID_ORACLE)
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..llm.fusion import rrf_fuse
+    from ..llm.similarity import brute_topk
+    from .llm import _embs
+
+    bm = q_bm25_search(spark, sf_dir)
+    # rank window over the already-TakeOrdered top-25: bounded input
+    wb = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    bmr = bm.select("doc_id", F.row_number().over(wb).alias("rank"))
+    e = _embs(spark, sf_dir, parallel=True)
+    ann = brute_topk(e.filter(F.col("vec_id") == _ANN_Q), e, k=_ANN_K)
+    annr = ann.select(F.col("c_id").alias("doc_id"), "rank")
+    return rrf_fuse([bmr, annr], k_const=RRF_K, topk=RRF_TOPK).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "rrf_scaled",
+        "n_retrievers",
+        "rrf",
+    )

@@ -14,7 +14,7 @@ from pyspark.sql.window import Window
 
 from .. import catalog
 from ..operators import dedupe, joins, latest, ohlcv, topk
-from . import register
+from . import register, register_extended
 from ..operators.joins import dim_broadcast
 
 DEC = "decimal(25,6)"
@@ -177,7 +177,7 @@ WHERE rn = 1
 """
 
 
-@register("latest_value", LATEST_ORACLE)
+@register_extended("latest_value", LATEST_ORACLE)
 def q_latest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = catalog.ticks(spark, sf_dir)
     out = latest.latest_by(
@@ -211,7 +211,7 @@ WHERE rn = 1
 """
 
 
-@register("earliest_value", EARLIEST_ORACLE)
+@register_extended("earliest_value", EARLIEST_ORACLE)
 def q_earliest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = catalog.load_table(spark, sf_dir, "orders")
     out = latest.earliest_by(
@@ -233,11 +233,13 @@ def q_earliest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "ohlcv_1m",
+OHLCV_1M_ORACLE = (
     f"SELECT pool_id, bucket_ts, open, high, low, close, "
-    f"CAST(volume AS DOUBLE) AS volume, trade_count FROM ({o_bars(60)})",
+    f"CAST(volume AS DOUBLE) AS volume, trade_count FROM ({o_bars(60)})"
 )
+
+
+@register_extended("ohlcv_1m", OHLCV_1M_ORACLE)
 def q_ohlcv_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bars_out(spark_bars(spark, sf_dir, 60))
 
@@ -267,7 +269,7 @@ GROUP BY pool_id, bucket15_ts
 """
 
 
-@register("ohlcv_resample_15m", RESAMPLE_ORACLE)
+@register_extended("ohlcv_resample_15m", RESAMPLE_ORACLE)
 def q_ohlcv_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = spark_bars(spark, sf_dir, 60)
     r = ohlcv.resample(b, 900)
@@ -288,7 +290,7 @@ FROM b
 """
 
 
-@register("candle_continuity", CONTINUITY_ORACLE)
+@register_extended("candle_continuity", CONTINUITY_ORACLE)
 def q_candle_continuity(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = spark_bars(spark, sf_dir, 60)
     out = ohlcv.with_carried_open(b)
@@ -377,7 +379,7 @@ FROM lastv l LEFT JOIN prevv p ON l.pool_id = p.pool_id
 """
 
 
-@register("change_pct", CHANGE_ORACLE)
+@register_extended("change_pct", CHANGE_ORACLE)
 def q_change_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = catalog.ticks(spark, sf_dir)
     cutoff = F.lit(CHANGE_CUTOFF).cast("timestamp")

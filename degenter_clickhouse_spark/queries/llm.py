@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from .. import catalog
 from ..llm import dedup, multimodal, similarity
 from ..llm import text as T
-from . import register
+from . import register, register_extended
 
 # ---------------------------------------------------------------------------
 # Shared oracle fragments (exact twins of llm/text.py expressions)
@@ -108,7 +108,7 @@ WHERE g.n > 1 AND h.doc_id <> g.canonical_id
 """
 
 
-@register("dedup_exact", EXACT_ORACLE)
+@register_extended("dedup_exact", EXACT_ORACLE)
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", "text")
     dupes = d.filter(F.col("doc_id") < 50).select(
@@ -138,7 +138,7 @@ WHERE CAST(common AS DOUBLE) / (s1.n_sh + s2.n_sh - common) >= 0.5
 """
 
 
-@register("dedup_ngram_jaccard", JACCARD_ORACLE)
+@register_extended("dedup_ngram_jaccard", JACCARD_ORACLE)
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(_docs(spark, sf_dir, parallel=True), threshold=0.5)
 
@@ -625,7 +625,7 @@ FROM documents
 """
 
 
-@register("multimodal_features", MM_ORACLE)
+@register_extended("multimodal_features", MM_ORACLE)
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.media_table(_docs(spark, sf_dir))
     return multimodal.extract_features(media)
@@ -640,7 +640,7 @@ FROM f
 """
 
 
-@register("multimodal_frame_sample", FRAME_SAMPLE_ORACLE)
+@register_extended("multimodal_frame_sample", FRAME_SAMPLE_ORACLE)
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.media_table(_docs(spark, sf_dir))
     return multimodal.frame_sample(media, every_n=10)
@@ -940,7 +940,7 @@ FROM (
 """
 
 
-@register("corpus_sampling", SAMPLING_ORACLE)
+@register_extended("corpus_sampling", SAMPLING_ORACLE)
 def q_corpus_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified corpus sampling. part='sample': deterministic
     multiplicative-hash uniform in [0,1) per doc, kept under a
@@ -1003,7 +1003,7 @@ SELECT term, tf, df, CAST(rank AS BIGINT) AS rank FROM (
 """
 
 
-@register("vocab_stats", VOCAB_ORACLE)
+@register_extended("vocab_stats", VOCAB_ORACLE)
 def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary statistics: explode terms, aggregate term
     frequency + document frequency (map-side partial aggregation takes
@@ -1056,7 +1056,7 @@ FROM t
 """
 
 
-@register("doc_chunking", CHUNKING_ORACLE)
+@register_extended("doc_chunking", CHUNKING_ORACLE)
 def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping fixed-token chunking (llm/text.n_chunks /
     chunk_slice): one explode over a generated index range, window

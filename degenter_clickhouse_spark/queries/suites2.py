@@ -1,0 +1,842 @@
+"""Round-5 composite suite queries (VERDICT r4 'Next round' #2).
+
+Round 4 left 22 oracled queries outside the driver's 50-entry
+correctness gate (the EXTENDED registry — pytest-checked only). This
+module folds the ENTIRE extended surface behind the hard gate using
+the proven tagged-composite mechanism of queries/suites.py: each
+branch is the ORIGINAL query verbatim (same builder function, same
+oracle SQL), normalized onto a shared padded schema and unioned with a
+``part`` discriminator. To stay under the cap, closely-related core
+queries (OHLCV family, latest/earliest/change, doc prep, multimodal,
+baseline dedups) are merged the same way — every one of them remains
+individually registered in the EXTENDED registry, so the standalone
+forms keep their pytest oracle rows and their per-query bench timings.
+
+Determinism rules are inherited from suites.py: numeric pad slots use
+typed -1 / -1.0 sentinels (a numeric column NULL in SOME branches can
+flip pandas dtypes between engines), string pads use NULL, booleans
+and INTs are cast to BIGINT in BOTH dialects, and branches that
+already carry a ``part`` column get a prefixed tag so parts stay
+globally unique within the suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import register
+from .classify_ext import (
+    CENTROID_ORACLE,
+    KNN_BLOCKED_ORACLE,
+    q_centroid_classify,
+    q_knn_label_vote_blocked,
+)
+from .clean_ext import (
+    BIGRAM_ORACLE,
+    BM25_ORACLE,
+    CLEAN_ORACLE,
+    COLLOC_ORACLE,
+    LINE_DEDUP_ORACLE,
+    SPANS_ORACLE,
+    TEMP_SAMPLE_ORACLE,
+    TRIGRAM_ORACLE,
+    _leakage_split_oracle,
+    q_bigram_fluency,
+    q_bm25_search,
+    q_collocations,
+    q_dup_ngram_spans,
+    q_leakage_free_split,
+    q_line_dedup,
+    q_span_dedup_clean,
+    q_temperature_sampling,
+    q_trigram_fluency,
+)
+from .core import (
+    CHANGE_ORACLE,
+    CONTINUITY_ORACLE,
+    EARLIEST_ORACLE,
+    LATEST_ORACLE,
+    OHLCV_1M_ORACLE,
+    RESAMPLE_ORACLE,
+    q_candle_continuity,
+    q_change_pct,
+    q_earliest_value,
+    q_latest_value,
+    q_ohlcv_1m,
+    q_ohlcv_resample,
+)
+from .joins_ext import (
+    ASOF_ORACLE,
+    RANGE_ORACLE,
+    q_asof_join_events,
+    q_range_join_events,
+)
+from .llm import (
+    CHUNKING_ORACLE,
+    EXACT_ORACLE,
+    FRAME_SAMPLE_ORACLE,
+    JACCARD_ORACLE,
+    MM_ORACLE,
+    SAMPLING_ORACLE,
+    VOCAB_ORACLE,
+    q_corpus_sampling,
+    q_dedup_exact,
+    q_dedup_jaccard,
+    q_doc_chunking,
+    q_frame_sample,
+    q_multimodal,
+    q_vocab_stats,
+)
+from .stats_ext import (
+    EMA_ORACLE,
+    LENGTH_HISTOGRAM_ORACLE,
+    MOVING_STATS_ORACLE,
+    QUANTILE_ORACLE,
+    RETENTION_ORACLE,
+    ROLLUP_ORACLE,
+    SOURCE_QUALITY_ORACLE,
+    TWAP_VWAP_ORACLE,
+    WINDOW_FUNNEL_ORACLE,
+    q_ema_bars,
+    q_length_histogram,
+    q_moving_stats,
+    q_quantile_summary,
+    q_retention_cohorts,
+    q_rollup_totals,
+    q_source_quality_report,
+    q_twap_vwap,
+    q_window_funnel,
+)
+
+
+def _NO_K():
+    return F.lit(-1).cast("long")
+
+
+def _NO_V():
+    return F.lit(-1.0)
+
+
+def _NO_S():
+    return F.lit(None).cast("string")
+
+
+# ---------------------------------------------------------------------------
+# ohlcv_suite = ohlcv_1m (A7) + ohlcv_resample_15m (A8) + candle_continuity
+# (W4) — one shared bar schema; continuity pads the aggregate slots
+# ---------------------------------------------------------------------------
+
+OHLCV_SUITE_ORACLE = f"""
+SELECT 'b1m' AS part, pool_id, bucket_ts, open, high, low, close,
+       volume, trade_count
+FROM ({OHLCV_1M_ORACLE})
+UNION ALL
+SELECT 'b15m', pool_id, bucket_ts, open, high, low, close,
+       volume, trade_count
+FROM ({RESAMPLE_ORACLE})
+UNION ALL
+SELECT 'continuity', pool_id, bucket_ts, open, CAST(-1.0 AS DOUBLE),
+       CAST(-1.0 AS DOUBLE), close, CAST(-1.0 AS DOUBLE), CAST(-1 AS BIGINT)
+FROM ({CONTINUITY_ORACLE})
+"""
+
+
+@register("ohlcv_suite", OHLCV_SUITE_ORACLE)
+def q_ohlcv_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b1 = q_ohlcv_1m(spark, sf_dir).select(F.lit("b1m").alias("part"), "*")
+    b15 = q_ohlcv_resample(spark, sf_dir).select(F.lit("b15m").alias("part"), "*")
+    co = q_candle_continuity(spark, sf_dir).select(
+        F.lit("continuity").alias("part"),
+        "pool_id",
+        "bucket_ts",
+        "open",
+        _NO_V().alias("high"),
+        _NO_V().alias("low"),
+        "close",
+        _NO_V().alias("volume"),
+        _NO_K().alias("trade_count"),
+    )
+    return b1.unionByName(b15).unionByName(co)
+
+
+# ---------------------------------------------------------------------------
+# latest_change_suite = latest_value (J4/A4) + earliest_value (A5/O4)
+#                     + change_pct (B12)
+# schema: (part, k, k2 BIGINT, v1, v2, v3 DOUBLE, s STRING, t BIGINT)
+# ---------------------------------------------------------------------------
+
+LATEST_CHANGE_ORACLE = f"""
+SELECT 'latest' AS part, CAST(pool_id AS BIGINT) AS k, CAST(-1 AS BIGINT) AS k2,
+       last_price AS v1, CAST(-1.0 AS DOUBLE) AS v2, CAST(-1.0 AS DOUBLE) AS v3,
+       last_type AS s, last_ts AS t
+FROM ({LATEST_ORACLE})
+UNION ALL
+SELECT 'earliest', CAST(custkey AS BIGINT), CAST(first_orderkey AS BIGINT),
+       first_totalprice, CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE),
+       CAST(NULL AS VARCHAR), first_order_ts
+FROM ({EARLIEST_ORACLE})
+UNION ALL
+SELECT 'change', CAST(pool_id AS BIGINT), CAST(-1 AS BIGINT),
+       last_value, prev_value, change_pct, CAST(NULL AS VARCHAR),
+       CAST(-1 AS BIGINT)
+FROM ({CHANGE_ORACLE})
+"""
+
+
+@register("latest_change_suite", LATEST_CHANGE_ORACLE)
+def q_latest_change_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    la = q_latest_value(spark, sf_dir).select(
+        F.lit("latest").alias("part"),
+        F.col("pool_id").cast("long").alias("k"),
+        _NO_K().alias("k2"),
+        F.col("last_price").alias("v1"),
+        _NO_V().alias("v2"),
+        _NO_V().alias("v3"),
+        F.col("last_type").alias("s"),
+        F.col("last_ts").alias("t"),
+    )
+    ea = q_earliest_value(spark, sf_dir).select(
+        F.lit("earliest").alias("part"),
+        F.col("custkey").cast("long").alias("k"),
+        F.col("first_orderkey").cast("long").alias("k2"),
+        F.col("first_totalprice").alias("v1"),
+        _NO_V().alias("v2"),
+        _NO_V().alias("v3"),
+        _NO_S().alias("s"),
+        F.col("first_order_ts").alias("t"),
+    )
+    ch = q_change_pct(spark, sf_dir).select(
+        F.lit("change").alias("part"),
+        F.col("pool_id").cast("long").alias("k"),
+        _NO_K().alias("k2"),
+        F.col("last_value").alias("v1"),
+        F.col("prev_value").alias("v2"),
+        F.col("change_pct").alias("v3"),
+        _NO_S().alias("s"),
+        _NO_K().alias("t"),
+    )
+    return la.unionByName(ea).unionByName(ch)
+
+
+# ---------------------------------------------------------------------------
+# doc_prep_suite = vocab_stats + doc_chunking + corpus_sampling
+# schema: (part, k BIGINT, s1, s2 STRING, n1, n2, n3 BIGINT, v DOUBLE)
+# ---------------------------------------------------------------------------
+
+DOC_PREP_ORACLE = f"""
+SELECT 'vocab' AS part, CAST(-1 AS BIGINT) AS k, term AS s1,
+       CAST(NULL AS VARCHAR) AS s2, CAST(tf AS BIGINT) AS n1,
+       CAST(df AS BIGINT) AS n2, CAST(rank AS BIGINT) AS n3,
+       CAST(-1.0 AS DOUBLE) AS v
+FROM ({VOCAB_ORACLE})
+UNION ALL
+SELECT 'chunk', CAST(doc_id AS BIGINT), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(chunk_idx AS BIGINT),
+       CAST(n_chunk_tokens AS BIGINT), CAST(chunk_hash AS BIGINT),
+       CAST(-1.0 AS DOUBLE)
+FROM ({CHUNKING_ORACLE})
+UNION ALL
+SELECT 'sampling:' || part, CAST(doc_id AS BIGINT), source,
+       CAST(NULL AS VARCHAR), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       CAST(-1 AS BIGINT), metric
+FROM ({SAMPLING_ORACLE})
+"""
+
+
+@register("doc_prep_suite", DOC_PREP_ORACLE)
+def q_doc_prep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vo = q_vocab_stats(spark, sf_dir).select(
+        F.lit("vocab").alias("part"),
+        _NO_K().alias("k"),
+        F.col("term").alias("s1"),
+        _NO_S().alias("s2"),
+        F.col("tf").cast("long").alias("n1"),
+        F.col("df").cast("long").alias("n2"),
+        F.col("rank").cast("long").alias("n3"),
+        _NO_V().alias("v"),
+    )
+    ch = q_doc_chunking(spark, sf_dir).select(
+        F.lit("chunk").alias("part"),
+        F.col("doc_id").cast("long").alias("k"),
+        _NO_S().alias("s1"),
+        _NO_S().alias("s2"),
+        F.col("chunk_idx").cast("long").alias("n1"),
+        F.col("n_chunk_tokens").cast("long").alias("n2"),
+        F.col("chunk_hash").cast("long").alias("n3"),
+        _NO_V().alias("v"),
+    )
+    sa = q_corpus_sampling(spark, sf_dir).select(
+        F.concat(F.lit("sampling:"), F.col("part")).alias("part"),
+        F.col("doc_id").cast("long").alias("k"),
+        F.col("source").alias("s1"),
+        _NO_S().alias("s2"),
+        _NO_K().alias("n1"),
+        _NO_K().alias("n2"),
+        _NO_K().alias("n3"),
+        F.col("metric").alias("v"),
+    )
+    return vo.unionByName(ch).unionByName(sa)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_suite = multimodal_features + multimodal_frame_sample
+# schema: (part, doc_id BIGINT, n1..n5 BIGINT)
+# ---------------------------------------------------------------------------
+
+MULTIMODAL_SUITE_ORACLE = f"""
+SELECT 'features' AS part, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(byte_len AS BIGINT) AS n1, CAST(checksum AS BIGINT) AS n2,
+       CAST(width AS BIGINT) AS n3, CAST(height AS BIGINT) AS n4,
+       CAST(n_frames AS BIGINT) AS n5
+FROM ({MM_ORACLE})
+UNION ALL
+SELECT 'frames', CAST(doc_id AS BIGINT), CAST(n_frames AS BIGINT),
+       CAST(frame_idx AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       CAST(-1 AS BIGINT)
+FROM ({FRAME_SAMPLE_ORACLE})
+"""
+
+
+@register("multimodal_suite", MULTIMODAL_SUITE_ORACLE)
+def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fe = q_multimodal(spark, sf_dir).select(
+        F.lit("features").alias("part"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("byte_len").cast("long").alias("n1"),
+        F.col("checksum").cast("long").alias("n2"),
+        F.col("width").cast("long").alias("n3"),
+        F.col("height").cast("long").alias("n4"),
+        F.col("n_frames").cast("long").alias("n5"),
+    )
+    fr = q_frame_sample(spark, sf_dir).select(
+        F.lit("frames").alias("part"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_frames").cast("long").alias("n1"),
+        F.col("frame_idx").cast("long").alias("n2"),
+        _NO_K().alias("n3"),
+        _NO_K().alias("n4"),
+        _NO_K().alias("n5"),
+    )
+    return fe.unionByName(fr)
+
+
+# ---------------------------------------------------------------------------
+# dedup_baseline_suite = dedup_exact + dedup_ngram_jaccard (the two
+# oracle-baseline dedups; the scale paths — minhash/simhash — stay
+# standalone driver rows)
+# schema: (part, id1, id2 BIGINT, s STRING, n1, n2, n3 BIGINT, v DOUBLE)
+# ---------------------------------------------------------------------------
+
+DEDUP_BASELINE_ORACLE = f"""
+SELECT 'exact' AS part, CAST(doc_id AS BIGINT) AS id1,
+       CAST(canonical_id AS BIGINT) AS id2, content_hash AS s,
+       CAST(-1 AS BIGINT) AS n1, CAST(-1 AS BIGINT) AS n2,
+       CAST(-1 AS BIGINT) AS n3, CAST(-1.0 AS DOUBLE) AS v
+FROM ({EXACT_ORACLE})
+UNION ALL
+SELECT 'jaccard', CAST(d1 AS BIGINT), CAST(d2 AS BIGINT),
+       CAST(NULL AS VARCHAR), CAST("common" AS BIGINT), CAST(n1 AS BIGINT),
+       CAST(n2 AS BIGINT), jaccard
+FROM ({JACCARD_ORACLE})
+"""
+
+
+@register("dedup_baseline_suite", DEDUP_BASELINE_ORACLE)
+def q_dedup_baseline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = q_dedup_exact(spark, sf_dir).select(
+        F.lit("exact").alias("part"),
+        F.col("doc_id").cast("long").alias("id1"),
+        F.col("canonical_id").cast("long").alias("id2"),
+        F.col("content_hash").alias("s"),
+        _NO_K().alias("n1"),
+        _NO_K().alias("n2"),
+        _NO_K().alias("n3"),
+        _NO_V().alias("v"),
+    )
+    ja = q_dedup_jaccard(spark, sf_dir).select(
+        F.lit("jaccard").alias("part"),
+        F.col("d1").cast("long").alias("id1"),
+        F.col("d2").cast("long").alias("id2"),
+        _NO_S().alias("s"),
+        F.col("common").cast("long").alias("n1"),
+        F.col("n1").cast("long").alias("n2"),
+        F.col("n2").cast("long").alias("n3"),
+        F.col("jaccard").alias("v"),
+    )
+    return ex.unionByName(ja)
+
+
+# ---------------------------------------------------------------------------
+# behavioral_suite = twap_vwap + window_funnel + retention_cohorts
+#                  + moving_stats + ema_bars (the ClickHouse behavioral-
+#                  analytics aggregate family)
+# schema: (part, k1..k4 BIGINT, s STRING, v1..v3 DOUBLE, n BIGINT)
+# ---------------------------------------------------------------------------
+
+BEHAVIORAL_ORACLE = f"""
+SELECT 'wavg:' || part AS part, CAST(-1 AS BIGINT) AS k1,
+       CAST(-1 AS BIGINT) AS k2, CAST(-1 AS BIGINT) AS k3,
+       CAST(-1 AS BIGINT) AS k4, key AS s, wavg AS v1,
+       CAST(-1.0 AS DOUBLE) AS v2, CAST(-1.0 AS DOUBLE) AS v3,
+       CAST(n AS BIGINT) AS n
+FROM ({TWAP_VWAP_ORACLE})
+UNION ALL
+SELECT 'funnel', CAST(user_id AS BIGINT), entered_ts, CAST(-1 AS BIGINT),
+       CAST(-1 AS BIGINT), CAST(NULL AS VARCHAR), CAST(-1.0 AS DOUBLE),
+       CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), CAST(level AS BIGINT)
+FROM ({WINDOW_FUNNEL_ORACLE})
+UNION ALL
+SELECT 'retention', CAST(cohort_users AS BIGINT), CAST(d1 AS BIGINT),
+       CAST(d7 AS BIGINT), CAST(d14 AS BIGINT), cohort_day, d7_rate,
+       CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), CAST(-1 AS BIGINT)
+FROM ({RETENTION_ORACLE})
+UNION ALL
+SELECT 'moving', CAST(pool_id AS BIGINT), bucket_ts, CAST(-1 AS BIGINT),
+       CAST(-1 AS BIGINT), CAST(NULL AS VARCHAR), vol, sma5, hi5,
+       CAST(n_window AS BIGINT)
+FROM ({MOVING_STATS_ORACLE})
+UNION ALL
+SELECT 'ema', CAST(pool_id AS BIGINT), bucket_ts, CAST(-1 AS BIGINT),
+       CAST(-1 AS BIGINT), CAST(NULL AS VARCHAR), vol, ema,
+       CAST(-1.0 AS DOUBLE), CAST(-1 AS BIGINT)
+FROM ({EMA_ORACLE})
+"""
+
+
+@register("behavioral_suite", BEHAVIORAL_ORACLE)
+def q_behavioral_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tw = q_twap_vwap(spark, sf_dir).select(
+        F.concat(F.lit("wavg:"), F.col("part")).alias("part"),
+        _NO_K().alias("k1"),
+        _NO_K().alias("k2"),
+        _NO_K().alias("k3"),
+        _NO_K().alias("k4"),
+        F.col("key").alias("s"),
+        F.col("wavg").alias("v1"),
+        _NO_V().alias("v2"),
+        _NO_V().alias("v3"),
+        F.col("n").cast("long").alias("n"),
+    )
+    fu = q_window_funnel(spark, sf_dir).select(
+        F.lit("funnel").alias("part"),
+        F.col("user_id").cast("long").alias("k1"),
+        F.col("entered_ts").alias("k2"),
+        _NO_K().alias("k3"),
+        _NO_K().alias("k4"),
+        _NO_S().alias("s"),
+        _NO_V().alias("v1"),
+        _NO_V().alias("v2"),
+        _NO_V().alias("v3"),
+        F.col("level").cast("long").alias("n"),
+    )
+    re = q_retention_cohorts(spark, sf_dir).select(
+        F.lit("retention").alias("part"),
+        F.col("cohort_users").cast("long").alias("k1"),
+        F.col("d1").cast("long").alias("k2"),
+        F.col("d7").cast("long").alias("k3"),
+        F.col("d14").cast("long").alias("k4"),
+        F.col("cohort_day").alias("s"),
+        F.col("d7_rate").alias("v1"),
+        _NO_V().alias("v2"),
+        _NO_V().alias("v3"),
+        _NO_K().alias("n"),
+    )
+    mo = q_moving_stats(spark, sf_dir).select(
+        F.lit("moving").alias("part"),
+        F.col("pool_id").cast("long").alias("k1"),
+        F.col("bucket_ts").alias("k2"),
+        _NO_K().alias("k3"),
+        _NO_K().alias("k4"),
+        _NO_S().alias("s"),
+        F.col("vol").alias("v1"),
+        F.col("sma5").alias("v2"),
+        F.col("hi5").alias("v3"),
+        F.col("n_window").cast("long").alias("n"),
+    )
+    em = q_ema_bars(spark, sf_dir).select(
+        F.lit("ema").alias("part"),
+        F.col("pool_id").cast("long").alias("k1"),
+        F.col("bucket_ts").alias("k2"),
+        _NO_K().alias("k3"),
+        _NO_K().alias("k4"),
+        _NO_S().alias("s"),
+        F.col("vol").alias("v1"),
+        F.col("ema").alias("v2"),
+        _NO_V().alias("v3"),
+        _NO_K().alias("n"),
+    )
+    return tw.unionByName(fu).unionByName(re).unionByName(mo).unionByName(em)
+
+
+# ---------------------------------------------------------------------------
+# temporal_join_suite = asof_join_events + range_join_events (the two
+# temporal-join operators from operators/asof.py, oracle-checked vs
+# DuckDB's native ASOF JOIN / theta join)
+# schema: (part, event_id, user_id, t1, t2 BIGINT, v1, v2 DOUBLE,
+#          n, sc BIGINT)
+# NULL note: purchase_* are genuinely nullable inside the asof branch
+# (LEFT as-of misses) — both engines surface them as NaN/None
+# identically, so they stay NULL rather than sentinel-padded.
+# ---------------------------------------------------------------------------
+
+TEMPORAL_JOIN_ORACLE = f"""
+SELECT 'asof' AS part, CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id, ts_s AS t1, purchase_ts_s AS t2,
+       click_value AS v1, purchase_value AS v2, CAST(-1 AS BIGINT) AS n,
+       CAST(-1 AS BIGINT) AS sc
+FROM ({ASOF_ORACLE})
+UNION ALL
+SELECT 'range', CAST(event_id AS BIGINT), CAST(user_id AS BIGINT),
+       CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1.0 AS DOUBLE),
+       CAST(-1.0 AS DOUBLE), CAST(n_views AS BIGINT),
+       CAST(view_value_sum_scaled AS BIGINT)
+FROM ({RANGE_ORACLE})
+"""
+
+
+@register("temporal_join_suite", TEMPORAL_JOIN_ORACLE)
+def q_temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ao = q_asof_join_events(spark, sf_dir).select(
+        F.lit("asof").alias("part"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts_s").alias("t1"),
+        F.col("purchase_ts_s").alias("t2"),
+        F.col("click_value").alias("v1"),
+        F.col("purchase_value").alias("v2"),
+        _NO_K().alias("n"),
+        _NO_K().alias("sc"),
+    )
+    ra = q_range_join_events(spark, sf_dir).select(
+        F.lit("range").alias("part"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        _NO_K().alias("t1"),
+        _NO_K().alias("t2"),
+        _NO_V().alias("v1"),
+        _NO_V().alias("v2"),
+        F.col("n_views").cast("long").alias("n"),
+        F.col("view_value_sum_scaled").cast("long").alias("sc"),
+    )
+    return ao.unionByName(ra)
+
+
+# ---------------------------------------------------------------------------
+# fluency_suite = bigram_fluency + trigram_fluency + collocations (the
+# integer-count LM family from llm/lm.py)
+# schema: (part, doc_id BIGINT, s1, s2 STRING, n1..n4 BIGINT,
+#          sum_scaled BIGINT, score DOUBLE)
+# ---------------------------------------------------------------------------
+
+FLUENCY_ORACLE = f"""
+SELECT 'bigram' AS part, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(NULL AS VARCHAR) AS s1, CAST(NULL AS VARCHAR) AS s2,
+       CAST(n_bigrams AS BIGINT) AS n1, CAST(n_unseen_pairs AS BIGINT) AS n2,
+       CAST(n_unseen_contexts AS BIGINT) AS n3, CAST(-1 AS BIGINT) AS n4,
+       CAST(fluency_sum_scaled AS BIGINT) AS sum_scaled,
+       fluency_score AS score
+FROM ({BIGRAM_ORACLE})
+UNION ALL
+SELECT 'trigram', CAST(doc_id AS BIGINT), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(n_trigrams AS BIGINT),
+       CAST(n_backoff_bi AS BIGINT), CAST(n_backoff_uni AS BIGINT),
+       CAST(n_oov AS BIGINT), CAST(fluency_sum_scaled AS BIGINT),
+       fluency_score
+FROM ({TRIGRAM_ORACLE})
+UNION ALL
+SELECT 'colloc', CAST(-1 AS BIGINT), w1, w2, CAST(c12 AS BIGINT),
+       CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       CAST(-1 AS BIGINT), lift
+FROM ({COLLOC_ORACLE})
+"""
+
+
+@register("fluency_suite", FLUENCY_ORACLE)
+def q_fluency_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bi = q_bigram_fluency(spark, sf_dir).select(
+        F.lit("bigram").alias("part"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _NO_S().alias("s1"),
+        _NO_S().alias("s2"),
+        F.col("n_bigrams").cast("long").alias("n1"),
+        F.col("n_unseen_pairs").cast("long").alias("n2"),
+        F.col("n_unseen_contexts").cast("long").alias("n3"),
+        _NO_K().alias("n4"),
+        F.col("fluency_sum_scaled").cast("long").alias("sum_scaled"),
+        F.col("fluency_score").alias("score"),
+    )
+    tr = q_trigram_fluency(spark, sf_dir).select(
+        F.lit("trigram").alias("part"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _NO_S().alias("s1"),
+        _NO_S().alias("s2"),
+        F.col("n_trigrams").cast("long").alias("n1"),
+        F.col("n_backoff_bi").cast("long").alias("n2"),
+        F.col("n_backoff_uni").cast("long").alias("n3"),
+        F.col("n_oov").cast("long").alias("n4"),
+        F.col("fluency_sum_scaled").cast("long").alias("sum_scaled"),
+        F.col("fluency_score").alias("score"),
+    )
+    co = q_collocations(spark, sf_dir).select(
+        F.lit("colloc").alias("part"),
+        _NO_K().alias("doc_id"),
+        F.col("w1").alias("s1"),
+        F.col("w2").alias("s2"),
+        F.col("c12").cast("long").alias("n1"),
+        _NO_K().alias("n2"),
+        _NO_K().alias("n3"),
+        _NO_K().alias("n4"),
+        _NO_K().alias("sum_scaled"),
+        F.col("lift").alias("score"),
+    )
+    return bi.unionByName(tr).unionByName(co)
+
+
+# ---------------------------------------------------------------------------
+# clean_suite = dup_ngram_spans + span_dedup_clean + bm25_search + line_dedup
+# (the llm/clean.py exact-substring / line dedup / retrieval family)
+# schema: (part, doc_id BIGINT, text STRING, n1..n3 BIGINT, v DOUBLE)
+# ---------------------------------------------------------------------------
+
+CLEAN_SUITE_ORACLE = f"""
+SELECT 'spans' AS part, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(NULL AS VARCHAR) AS text, CAST(span_start AS BIGINT) AS n1,
+       CAST(span_end AS BIGINT) AS n2, CAST(span_tokens AS BIGINT) AS n3,
+       CAST(-1.0 AS DOUBLE) AS v
+FROM ({SPANS_ORACLE})
+UNION ALL
+SELECT 'span_clean', CAST(doc_id AS BIGINT), cleaned_text,
+       CAST(kept_tokens AS BIGINT), CAST(removed_tokens AS BIGINT),
+       CAST(-1 AS BIGINT), CAST(-1.0 AS DOUBLE)
+FROM ({CLEAN_ORACLE})
+UNION ALL
+SELECT 'bm25', CAST(doc_id AS BIGINT), CAST(NULL AS VARCHAR),
+       CAST(n_terms AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       score
+FROM ({BM25_ORACLE})
+UNION ALL
+SELECT 'lines', CAST(doc_id AS BIGINT), cleaned_text,
+       CAST(kept_lines AS BIGINT), CAST(removed_lines AS BIGINT),
+       CAST(-1 AS BIGINT), CAST(-1.0 AS DOUBLE)
+FROM ({LINE_DEDUP_ORACLE})
+"""
+
+
+@register("clean_suite", CLEAN_SUITE_ORACLE)
+def q_clean_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = q_dup_ngram_spans(spark, sf_dir).select(
+        F.lit("spans").alias("part"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _NO_S().alias("text"),
+        F.col("span_start").cast("long").alias("n1"),
+        F.col("span_end").cast("long").alias("n2"),
+        F.col("span_tokens").cast("long").alias("n3"),
+        _NO_V().alias("v"),
+    )
+    sc = q_span_dedup_clean(spark, sf_dir).select(
+        F.lit("span_clean").alias("part"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cleaned_text").alias("text"),
+        F.col("kept_tokens").cast("long").alias("n1"),
+        F.col("removed_tokens").cast("long").alias("n2"),
+        _NO_K().alias("n3"),
+        _NO_V().alias("v"),
+    )
+    bm = q_bm25_search(spark, sf_dir).select(
+        F.lit("bm25").alias("part"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _NO_S().alias("text"),
+        F.col("n_terms").cast("long").alias("n1"),
+        _NO_K().alias("n2"),
+        _NO_K().alias("n3"),
+        F.col("score").alias("v"),
+    )
+    li = q_line_dedup(spark, sf_dir).select(
+        F.lit("lines").alias("part"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cleaned_text").alias("text"),
+        F.col("kept_lines").cast("long").alias("n1"),
+        F.col("removed_lines").cast("long").alias("n2"),
+        _NO_K().alias("n3"),
+        _NO_V().alias("v"),
+    )
+    return sp.unionByName(sc).unionByName(bm).unionByName(li)
+
+
+# ---------------------------------------------------------------------------
+# corpus_profile_suite = source_quality_report + quantile_summary
+#                      + length_histogram + rollup_totals (corpus-level
+#                      statistics / grouping-sets family)
+# schema: (part, s1, s2 STRING, k BIGINT, n1..n3 BIGINT, v1..v4 DOUBLE)
+# ---------------------------------------------------------------------------
+
+CORPUS_PROFILE_ORACLE = f"""
+SELECT 'quality' AS part, source AS s1, CAST(NULL AS VARCHAR) AS s2,
+       CAST(-1 AS BIGINT) AS k, CAST(n_docs AS BIGINT) AS n1,
+       CAST(n_langs AS BIGINT) AS n2, CAST(blocked AS BIGINT) AS n3,
+       mean_tokens AS v1, mean_chars AS v2, short_share AS v3,
+       CAST(-1.0 AS DOUBLE) AS v4
+FROM ({SOURCE_QUALITY_ORACLE})
+UNION ALL
+SELECT 'quantile:' || part, key, CAST(NULL AS VARCHAR), CAST(-1 AS BIGINT),
+       CAST(n AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       p25, p50, p75, p95
+FROM ({QUANTILE_ORACLE})
+UNION ALL
+SELECT 'histogram', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(bucket_lo AS BIGINT), CAST(n_docs AS BIGINT),
+       CAST(min_tokens AS BIGINT), CAST(max_tokens AS BIGINT),
+       share, CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE),
+       CAST(-1.0 AS DOUBLE)
+FROM ({LENGTH_HISTOGRAM_ORACLE})
+UNION ALL
+SELECT 'rollup', event_type, bucket_day, CAST(-1 AS BIGINT),
+       CAST(n_events AS BIGINT), CAST(g_type AS BIGINT),
+       CAST(g_day AS BIGINT), volume, CAST(-1.0 AS DOUBLE),
+       CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE)
+FROM ({ROLLUP_ORACLE})
+"""
+
+
+@register("corpus_profile_suite", CORPUS_PROFILE_ORACLE)
+def q_corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qu = q_source_quality_report(spark, sf_dir).select(
+        F.lit("quality").alias("part"),
+        F.col("source").alias("s1"),
+        _NO_S().alias("s2"),
+        _NO_K().alias("k"),
+        F.col("n_docs").cast("long").alias("n1"),
+        F.col("n_langs").cast("long").alias("n2"),
+        F.col("blocked").cast("long").alias("n3"),
+        F.col("mean_tokens").alias("v1"),
+        F.col("mean_chars").alias("v2"),
+        F.col("short_share").alias("v3"),
+        _NO_V().alias("v4"),
+    )
+    qn = q_quantile_summary(spark, sf_dir).select(
+        F.concat(F.lit("quantile:"), F.col("part")).alias("part"),
+        F.col("key").alias("s1"),
+        _NO_S().alias("s2"),
+        _NO_K().alias("k"),
+        F.col("n").cast("long").alias("n1"),
+        _NO_K().alias("n2"),
+        _NO_K().alias("n3"),
+        F.col("p25").alias("v1"),
+        F.col("p50").alias("v2"),
+        F.col("p75").alias("v3"),
+        F.col("p95").alias("v4"),
+    )
+    hi = q_length_histogram(spark, sf_dir).select(
+        F.lit("histogram").alias("part"),
+        _NO_S().alias("s1"),
+        _NO_S().alias("s2"),
+        F.col("bucket_lo").cast("long").alias("k"),
+        F.col("n_docs").cast("long").alias("n1"),
+        F.col("min_tokens").cast("long").alias("n2"),
+        F.col("max_tokens").cast("long").alias("n3"),
+        F.col("share").alias("v1"),
+        _NO_V().alias("v2"),
+        _NO_V().alias("v3"),
+        _NO_V().alias("v4"),
+    )
+    ro = q_rollup_totals(spark, sf_dir).select(
+        F.lit("rollup").alias("part"),
+        F.col("event_type").alias("s1"),
+        F.col("bucket_day").alias("s2"),
+        _NO_K().alias("k"),
+        F.col("n_events").cast("long").alias("n1"),
+        F.col("g_type").cast("long").alias("n2"),
+        F.col("g_day").cast("long").alias("n3"),
+        F.col("volume").alias("v1"),
+        _NO_V().alias("v2"),
+        _NO_V().alias("v3"),
+        _NO_V().alias("v4"),
+    )
+    return qu.unionByName(qn).unionByName(hi).unionByName(ro)
+
+
+# ---------------------------------------------------------------------------
+# classify_suite = centroid_classify + knn_label_vote_blocked — the ML
+# routing/label-noise family; the knn branch is the BLOCKED multi-probe
+# default (VERDICT r4 #1), now behind the hard driver gate
+# schema: (part, vec_id, label, pred_label, votes, agree BIGINT,
+#          cosine DOUBLE)
+# ---------------------------------------------------------------------------
+
+CLASSIFY_SUITE_ORACLE = f"""
+SELECT 'centroid' AS part, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(label AS BIGINT) AS label, CAST(pred_label AS BIGINT) AS pred_label,
+       CAST(-1 AS BIGINT) AS votes, CAST(-1 AS BIGINT) AS agree,
+       cosine
+FROM ({CENTROID_ORACLE})
+UNION ALL
+SELECT 'knn_blocked', CAST(vec_id AS BIGINT), CAST(label AS BIGINT),
+       CAST(pred_label AS BIGINT), CAST(votes AS BIGINT),
+       CAST(agree AS BIGINT), CAST(-1.0 AS DOUBLE)
+FROM ({KNN_BLOCKED_ORACLE})
+"""
+
+
+@register("classify_suite", CLASSIFY_SUITE_ORACLE)
+def q_classify_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ce = q_centroid_classify(spark, sf_dir).select(
+        F.lit("centroid").alias("part"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("label").cast("long").alias("label"),
+        F.col("pred_label").cast("long").alias("pred_label"),
+        _NO_K().alias("votes"),
+        _NO_K().alias("agree"),
+        F.col("cosine"),
+    )
+    kn = q_knn_label_vote_blocked(spark, sf_dir).select(
+        F.lit("knn_blocked").alias("part"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("label").cast("long").alias("label"),
+        F.col("pred_label").cast("long").alias("pred_label"),
+        F.col("votes").cast("long").alias("votes"),
+        F.col("agree").cast("long").alias("agree"),
+        _NO_V().alias("cosine"),
+    )
+    return ce.unionByName(kn)
+
+
+# ---------------------------------------------------------------------------
+# sampling_split_suite = temperature_sampling + leakage_free_split (the
+# corpus mixture / split-hygiene pair)
+# schema: (part, doc_id, g BIGINT, s1, s2 STRING, v DOUBLE)
+# ---------------------------------------------------------------------------
+
+
+def _sampling_split_oracle() -> str:
+    return f"""
+SELECT 'temperature' AS part, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(-1 AS BIGINT) AS g, source AS s1, CAST(NULL AS VARCHAR) AS s2,
+       keep_rate AS v
+FROM ({TEMP_SAMPLE_ORACLE})
+UNION ALL
+SELECT 'split', CAST(doc_id AS BIGINT), CAST(group_id AS BIGINT),
+       CAST(NULL AS VARCHAR), split, CAST(-1.0 AS DOUBLE)
+FROM ({_leakage_split_oracle()})
+"""
+
+
+@register("sampling_split_suite", _sampling_split_oracle())
+def q_sampling_split_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    te = q_temperature_sampling(spark, sf_dir).select(
+        F.lit("temperature").alias("part"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _NO_K().alias("g"),
+        F.col("source").alias("s1"),
+        _NO_S().alias("s2"),
+        F.col("keep_rate").alias("v"),
+    )
+    sp = q_leakage_free_split(spark, sf_dir).select(
+        F.lit("split").alias("part"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("group_id").cast("long").alias("g"),
+        _NO_S().alias("s1"),
+        F.col("split").alias("s2"),
+        _NO_V().alias("v"),
+    )
+    return te.unionByName(sp)

@@ -382,3 +382,80 @@ def test_text_index_delete_and_compact(spark, tmp_path):
     after = [tuple(r) for r in text_index_search(spark, full, terms, k=10).collect()]
     assert after == want
     assert compact_text_index(spark, full) == 0
+
+
+def test_lm_score_from_persisted_model_bit_equal(spark, tmp_path):
+    """VERDICT r4 #3: fit-once/score-many — scoring from a persisted LM
+    model must be BIT-EQUAL to fit-and-score, for both orders. The
+    models are exact-integer tables, so parquet round-tripping cannot
+    move a value."""
+    from degenter_clickhouse_spark import catalog
+    from degenter_clickhouse_spark.llm import lm
+
+    from .helpers import SF_DIR
+
+    docs = catalog.load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+
+    def snap(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for order, score in ((2, lm.bigram_fluency), (3, lm.trigram_fluency)):
+        path = str(tmp_path / f"lm{order}")
+        info = lm.build_lm_model(docs, path, order=order)
+        assert info["order"] == order and all(
+            n > 0 for n in info["rows"].values()
+        )
+        direct = snap(score(docs))
+        from_model = snap(
+            score(docs, model=lm.load_lm_model(spark, path, order=order))
+        )
+        assert direct == from_model, f"order {order} diverged"
+
+
+def test_lm_cli_build_then_score(spark, tmp_path):
+    """CLI seam: `lm build` then `lm score` produce a scored parquet
+    equal to the library fit-and-score path."""
+    from degenter_clickhouse_spark import catalog, cli
+    from degenter_clickhouse_spark.llm import lm
+
+    from .helpers import SF_DIR
+
+    docs = catalog.load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    ref = str(tmp_path / "ref")
+    docs.write.parquet(ref)
+    model = str(tmp_path / "model")
+    scored = str(tmp_path / "scored")
+    assert cli.main(["lm", "build", "--model", model, "--order", "2", "--ref", ref]) == 0
+    assert (
+        cli.main(
+            ["lm", "score", "--model", model, "--order", "2",
+             "--input", ref, "--output", scored]
+        )
+        == 0
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(scored).collect())
+    want = sorted(tuple(r) for r in lm.bigram_fluency(docs).collect())
+    assert got == want
+
+
+def test_rrf_fusion_properties(spark):
+    """RRF invariants: a doc ranked by BOTH retrievers outscores a doc
+    holding the same ranks in only one; contributions are the exact
+    integers RRF_SCALE div (k + rank); order ties break on doc id."""
+    from degenter_clickhouse_spark.llm.fusion import RRF_SCALE, rrf_fuse
+
+    r1 = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["doc_id", "rank"])
+    r2 = spark.createDataFrame([(1, 2), (4, 1), (5, 3)], ["doc_id", "rank"])
+    out = {r.doc_id: r for r in rrf_fuse([r1, r2], k_const=60, topk=10).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1].n_retrievers == 2
+    assert out[1].rrf_scaled == RRF_SCALE // 61 + RRF_SCALE // 62
+    assert out[4].rrf_scaled == RRF_SCALE // 61
+    # doc 1 (both lists) beats every single-list doc
+    assert all(out[1].rrf_scaled > out[d].rrf_scaled for d in (2, 3, 4, 5))
+    # equal-score tie (doc 2 rank2-only vs doc absent) -> doc id ordering
+    tie = rrf_fuse(
+        [spark.createDataFrame([(7, 1), (3, 1)], ["doc_id", "rank"])],
+        topk=2,
+    ).collect()
+    assert [r.doc_id for r in tie] == [3, 7]

@@ -488,3 +488,70 @@ def test_nonnative_pool_volume_converts_to_zig(spark, dom):
     ).collect()}
     for pid in base:
         assert base[pid].vol_buy_zig == pytest.approx(no_px[pid].vol_buy_zig, rel=1e-12)
+
+
+def test_router_combine_salted_bit_equal_and_clamp(spark, dom):  # noqa: F811
+    """VERDICT r4 #8 skew hedge: the salted two-phase merge must be
+    bit-identical to the default single-phase plan; the max-legs clamp
+    keeps endpoints/worth/count exact and only truncates the path
+    middle; the DEFAULT plan is unchanged (single shuffle, no salt
+    column, no window)."""
+    from pyspark.sql import functions as F
+
+    ltp = views.latest_token_prices(dom["prices"])
+    shaped = TF.shape(
+        dom["trades_clean"].filter(F.col("action") == "swap"),
+        dom["tokens"], ltp, dom["pools"], F.lit(0.02),
+    )
+
+    def snap(df):
+        return sorted(
+            (r.tx_hash, r.is_router, r.n_legs, tuple(r.path), r.worth_zig)
+            for r in df.collect()
+        )
+
+    default = snap(TF.combine_router_legs(shaped))
+    assert snap(TF.combine_router_legs(shaped, salted=True)) == default
+    # conf-governed: same result through the session flag
+    spark.conf.set("spark.degenter.routerCombine.salted", "true")
+    try:
+        assert snap(TF.combine_router_legs(shaped)) == default
+    finally:
+        spark.conf.unset("spark.degenter.routerCombine.salted")
+    # adversarial clamp: synthetic 12-leg router tx, max_legs=5
+    n = 12
+    rows = [
+        (
+            "txbig", True, i, f"2024-01-01 00:00:{i:02d}", 100 + i, "buy",
+            "zig1whale", 10.0, 9.0, 1.0,
+        )
+        for i in range(n)
+    ]
+    big = spark.createDataFrame(
+        rows,
+        [
+            "tx_hash", "is_router", "msg_index", "created_at", "pool_id",
+            "direction", "signer", "offer_amount_disp", "ask_amount_disp",
+            "worth_zig",
+        ],
+    ).withColumn("created_at", F.col("created_at").cast("timestamp"))
+    out = TF.combine_router_legs(big, max_legs=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_legs == n  # count stays exact
+    assert abs(r.worth_zig - float(n)) < 1e-9  # sum stays exact
+    assert len(r.path) == 5  # path clamped...
+    assert r.path[:4] == [100, 101, 102, 103]
+    assert r.path[-1] == 100 + n - 1  # ...but the TRUE last leg is kept
+    assert r.amount_out_disp == 9.0  # buy -> last leg ask amount
+    # an under-limit tx is untouched by the clamp
+    out2 = TF.combine_router_legs(big, max_legs=50).collect()[0]
+    assert len(out2.path) == n
+    # default plan shape: one aggregation pass, no salt, no window
+    plan = (
+        TF.combine_router_legs(shaped)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "__salt" not in plan and "Window" not in plan

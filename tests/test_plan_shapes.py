@@ -27,6 +27,7 @@ REGISTRY = load_registry(extended=True)
 ARROW_PYTHON_OK = {
     "multimodal_features",
     "multimodal_frame_sample",
+    "multimodal_suite",  # union of the two multimodal parts above
     "sequence_packing",
 }
 
@@ -149,3 +150,47 @@ def test_latest_value_partial_aggregation(spark):
         "partial aggregate should sit below (after, in tree print order) "
         "the exchange\n" + plan
     )
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r4 #7: scale-shape guards for the round-4 operator family.
+# Each entry: (query, allowed SinglePartition exchange count). The only
+# SinglePartition exchanges these plans may contain are final global
+# AGGREGATES (one combined row per input partition crosses — corpus
+# totals, vocabulary N); a global WINDOW or SORT funneling the corpus
+# through one task would appear as a SinglePartition exchange adjacent
+# to a Window/Sort node and fails the adjacency check below.
+# ---------------------------------------------------------------------------
+
+SCALE_SHAPE_QUERIES = {
+    "line_dedup": 0,
+    "span_dedup_clean": 0,
+    "dup_ngram_spans": 0,
+    "leakage_free_split": 0,
+    "temperature_sampling": 1,  # corpus-total aggregate (1 row)
+    "window_funnel": 0,
+    "retention_cohorts": 0,
+    "twap_vwap": 0,
+    "moving_stats": 0,
+    "ema_bars": 0,
+    "knn_label_vote_blocked": 0,
+    "bm25_search": 1,  # corpus doc-count/avgdl aggregate (1 row)
+    "collocations": 2,  # N1 (unigram total) + N2 (pair total), 1 row each
+}
+
+
+@pytest.mark.parametrize("name", sorted(SCALE_SHAPE_QUERIES))
+def test_scale_shapes_no_global_funnel(spark, name):
+    plan = _plan(REGISTRY[name].fn(spark, SF_DIR))
+    lines = plan.splitlines()
+    sp_lines = [i for i, l in enumerate(lines) if "SinglePartition" in l]
+    assert len(sp_lines) <= SCALE_SHAPE_QUERIES[name], (
+        f"{name}: {len(sp_lines)} SinglePartition exchanges "
+        f"(allowed {SCALE_SHAPE_QUERIES[name]})\n{plan}"
+    )
+    for i in sp_lines:
+        neighborhood = "".join(lines[max(0, i - 1) : i + 2])
+        assert "HashAggregate" in neighborhood or "SortAggregate" in neighborhood, (
+            f"{name}: SinglePartition exchange not feeding a global "
+            f"aggregate (global window/sort funnel?)\n{plan}"
+        )

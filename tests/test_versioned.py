@@ -412,3 +412,77 @@ def test_statless_files_never_pruned(spark, tmp_path):
     keyset = _df(spark, [(500, 0.0, 0)]).select("token_id").distinct()
     hits = V._hit_file_names(spark, path, V._manifest(path, 2), keyset, ["token_id"])
     assert ext in hits
+
+
+def test_checkpoint_bounds_history_walk_at_2k_versions(spark, tmp_path, monkeypatch):
+    """VERDICT r4 #4 stress: at ~2k commits / 10k data files, history
+    and vacuum must resolve from the rolled-up CHECKPOINT instead of
+    walking every per-version manifest. Commits are synthesized through
+    the real _commit path (empty placeholder data files — history and
+    vacuum never open them)."""
+    import os
+
+    path = str(tmp_path / "t")
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir)
+    n_versions, files_per = 2000, 5  # 10k files total
+    files: list[str] = []
+    for v in range(n_versions):
+        newf = [f"f{v:05d}_{i}.parquet" for i in range(files_per)]
+        for f in newf:
+            open(os.path.join(data_dir, f), "w").close()
+        files = files + newf if v % 3 else newf  # mix appends and rewrites
+        V._commit(path, parent=v, files=files, op="append" if v % 3 else "write")
+    assert V.vt_version(path) == n_versions
+    # full-walk ground truth BEFORE instrumenting
+    plain = [
+        {"version": m["version"], "parent": m["parent"], "op": m["op"],
+         "n_files": len(m["files"])}
+        for m in (V._manifest(path, v) for v in range(1, n_versions + 1))
+    ]
+    calls = {"n": 0}
+    real = V._manifest
+
+    def counting(p, v):
+        calls["n"] += 1
+        return real(p, v)
+
+    monkeypatch.setattr(V, "_manifest", counting)
+    hist = V.vt_history(path)
+    assert hist == plain
+    # checkpoint written at v2000: the tail walk is empty; allow a few
+    # incidental reads but nothing near the 2000-manifest full walk
+    assert calls["n"] <= V.CHECKPOINT_EVERY, calls["n"]
+    # vacuum: keeps the last 3 versions, truncates history, advances
+    # the checkpoint's oldest marker; data files of dropped versions go
+    removed = V.vt_vacuum(path, keep_versions=3)
+    assert removed > 0
+    ck = V._load_checkpoint(path)
+    assert ck is not None and ck["oldest"] == n_versions - 2
+    calls["n"] = 0
+    hist2 = V.vt_history(path)
+    assert [h["version"] for h in hist2] == [n_versions - 2, n_versions - 1, n_versions]
+    assert hist2 == plain[-3:]
+    assert calls["n"] <= V.CHECKPOINT_EVERY
+    # a second vacuum is a no-op but must not rescan from version 1
+    assert V.vt_vacuum(path, keep_versions=3) == 0
+
+
+def test_checkpoint_stale_after_more_commits_still_correct(spark, tmp_path):
+    """Commits between checkpoints leave the checkpoint stale; history
+    must stitch checkpoint + tail exactly, and a vacuumed table keeps
+    stitching correctly."""
+    path = str(tmp_path / "t")
+    V.vt_write(spark, _df(spark, [(1, 1.0, 10)]).coalesce(1), path)
+    n = V.CHECKPOINT_EVERY + 7  # one checkpoint + a 7-commit tail (v1 is write)
+    for i in range(2, n + 1):
+        V.vt_append(spark, _df(spark, [(i, float(i), i)]).coalesce(1), path)
+    hist = V.vt_history(path)
+    assert [h["version"] for h in hist] == list(range(1, n + 1))
+    assert V._load_checkpoint(path)["version"] == V.CHECKPOINT_EVERY
+    # vacuum below the checkpoint boundary, then above it
+    V.vt_vacuum(path, keep_versions=10)
+    assert [h["version"] for h in V.vt_history(path)] == list(range(n - 9, n + 1))
+    V.vt_vacuum(path, keep_versions=2)
+    assert [h["version"] for h in V.vt_history(path)] == [n - 1, n]
+    assert _snap(V.vt_read(spark, path))[-1] == (n, float(n), n)
