@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "knn_label_vote_blocked",
     "quantile_summary",  # exact percentile family, int + double inputs (EXTENDED)
     "temperature_sampling",  # mixture-flattening hash sample (EXTENDED)
+    "dsir_selection",  # hashed-bigram importance resampling scores
     "leakage_free_split",  # cluster-coherent train/val/test split (EXTENDED)
     "range_join_events",  # bucketized interval-point range join (EXTENDED)
     "collocations",  # PMI-style bigram lift mining (EXTENDED)

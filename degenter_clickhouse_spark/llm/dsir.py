@@ -1,0 +1,146 @@
+"""DSIR-style data selection: importance resampling on hashed n-gram
+features (Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling").
+
+Fit two bag-of-hashed-bigrams distributions — the TARGET (a trusted
+reference: curated set, in-domain sample) and the RAW pool — and score
+every raw document by its importance log-ratio
+
+    score(d) = sum over d's hashed-bigram features f of
+               ln p_target(f) - ln p_raw(f)        (add-1 smoothed)
+
+High score = the document looks more like the target distribution than
+like the raw pool; selecting the top-weighted documents shifts the
+training mixture toward the target domain. The paper samples with
+Gumbel noise; this implementation selects deterministically by
+(score desc, id asc) — the engine-wide no-RNG rule (same corpus, same
+selection, any partitioning).
+
+Determinism: ``ln`` is transcendental, but each per-feature log-ratio
+``lam(f)`` is computed POINTWISE on one bucket row and rounded to 9
+decimals before the per-doc reduction; the reduction itself sums
+DECIMAL(38,12) — the BM25 pattern (llm/clean.py) proven bit-identical
+across engines and shuffle orders.
+
+Scale (100 TB): features hash into ``n_buckets`` ids, so both fitted
+distributions are ``n_buckets``-row tables regardless of corpus size
+(groupBy with map-side partials); scoring joins the exploded raw
+corpus to the broadcast lambda table and aggregates per doc — one
+corpus-sized shuffle. This is exactly why DSIR hashes features: the
+model stays broadcastable at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.joins import dim_broadcast
+from .text import POLY_MOD, SHINGLE_B, word_hash_array
+
+N_BUCKETS = 8192
+
+
+def _features(df: DataFrame, id_col: str | None, text_col: str) -> DataFrame:
+    """Hashed-bigram feature ids: adjacent word polyhashes combined with
+    the shingle constant, bucketed mod N_BUCKETS. One row per feature
+    OCCURRENCE (DSIR counts occurrences, not distinct features)."""
+    hw = word_hash_array(f"split({text_col}, ' ')")
+    grams = (
+        f"CASE WHEN size(__hw) >= 2 THEN transform(sequence(1, size(__hw) - 1), "
+        f"i -> ((element_at(__hw, i) * {SHINGLE_B} + element_at(__hw, i + 1)) "
+        f"% {POLY_MOD}) % {N_BUCKETS}) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    cols = [F.col(id_col)] if id_col else []
+    return df.withColumn("__hw", hw).select(
+        *cols, F.explode(F.expr(grams)).alias("f")
+    )
+
+
+def _counts(feats: DataFrame) -> DataFrame:
+    return feats.groupBy("f").agg(F.count(F.lit(1)).cast("long").alias("c"))
+
+
+def dsir_lambdas(
+    raw: DataFrame, target: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(f, lam) per feature bucket: the rounded importance log-ratio
+    under add-1 smoothing over the N_BUCKETS feature space. Buckets
+    never seen in either corpus contribute the constant
+    ln((1/(Nt+B))/(1/(Nr+B))) — folded in by the full outer join with
+    zero-coalesced counts."""
+    ct = _counts(_features(target, None, text_col))
+    cr = _counts(_features(raw, None, text_col))
+    nt = ct.agg(F.sum("c").cast("long").alias("nt"))
+    nr = cr.agg(F.sum("c").cast("long").alias("nr"))
+    both = (
+        ct.withColumnRenamed("c", "ct")
+        .join(cr.withColumnRenamed("c", "cr"), "f", "full_outer")
+        .select(
+            "f",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+        )
+        .crossJoin(dim_broadcast(nt))
+        .crossJoin(dim_broadcast(nr))
+    )
+    lam = F.round(
+        F.log((F.col("ct") + 1).cast("double") / (F.col("nt") + N_BUCKETS))
+        - F.log((F.col("cr") + 1).cast("double") / (F.col("nr") + N_BUCKETS)),
+        9,
+    )
+    return both.select("f", lam.alias("lam"))
+
+
+def dsir_scores(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-raw-document importance score: (id, n_feats, dsir_score).
+    Documents with fewer than two words carry no features and score
+    NULL with n_feats 0 (kept via the sentinel feature, mirroring the
+    LM scorers' no-join-back shape)."""
+    lam = dsir_lambdas(raw, target, text_col)
+    hw = word_hash_array(f"split({text_col}, ' ')")
+    grams = (
+        f"CASE WHEN size(__hw) >= 2 THEN transform(sequence(1, size(__hw) - 1), "
+        f"i -> ((element_at(__hw, i) * {SHINGLE_B} + element_at(__hw, i + 1)) "
+        f"% {POLY_MOD}) % {N_BUCKETS}) "
+        f"ELSE array(CAST(NULL AS BIGINT)) END"
+    )
+    feats = raw.withColumn("__hw", hw).select(
+        F.col(id_col), F.explode(F.expr(grams)).alias("f")
+    )
+    j = feats.join(dim_broadcast(lam), "f", "left")
+    agg = j.groupBy(id_col).agg(
+        F.count(F.col("f")).cast("long").alias("n_feats"),
+        F.sum(F.col("lam").cast("decimal(38,12)")).alias("__s"),
+    )
+    return agg.select(
+        id_col,
+        "n_feats",
+        F.when(F.col("n_feats") > 0, F.col("__s").cast("double")).alias(
+            "dsir_score"
+        ),
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic top-k selection by importance weight — the
+    resampling step with ties broken by id instead of Gumbel noise.
+    Plans as TakeOrderedAndProject (bounded per-partition heaps)."""
+    return (
+        dsir_scores(raw, target, id_col, text_col)
+        .where(F.col("dsir_score").isNotNull())
+        .orderBy(F.col("dsir_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

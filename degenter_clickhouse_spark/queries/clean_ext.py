@@ -583,3 +583,60 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_retrievers",
         "rrf",
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance scores (llm/dsir.py): target = the English slice of
+# the corpus, raw = the whole corpus. Every stage is deterministic —
+# polyhash bigram buckets, exact-integer counts, pointwise rounded
+# log-ratios, DECIMAL per-doc sums (the BM25 ln-round-DECIMAL pattern)
+# — so the full pipeline hash-compares against DuckDB.
+# ---------------------------------------------------------------------------
+
+from .llm import O_WORD_HASHES  # noqa: E402
+
+_DSIR_B = 8192
+
+DSIR_ORACLE = f"""
+WITH hw AS (SELECT doc_id, lang, {O_WORD_HASHES} AS hw FROM documents),
+feats AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(generate_series(1, greatest(len(hw) - 1, 0)),
+                i -> ((hw[i] * 131 + hw[i + 1]) % 2147483647) % {_DSIR_B}))
+           AS f
+  FROM hw
+),
+ct AS (SELECT f, count(*) AS ct FROM feats WHERE lang = 'en' GROUP BY f),
+cr AS (SELECT f, count(*) AS cr FROM feats GROUP BY f),
+nt AS (SELECT sum(ct) AS nt FROM ct),
+nr AS (SELECT sum(cr) AS nr FROM cr),
+lam AS (
+  SELECT coalesce(ct.f, cr.f) AS f,
+         round(ln(CAST(coalesce(ct.ct, 0) + 1 AS DOUBLE)
+                  / CAST(nt.nt + {_DSIR_B} AS DOUBLE))
+             - ln(CAST(coalesce(cr.cr, 0) + 1 AS DOUBLE)
+                  / CAST(nr.nr + {_DSIR_B} AS DOUBLE)), 9) AS lam
+  FROM ct FULL OUTER JOIN cr ON ct.f = cr.f
+  CROSS JOIN nt CROSS JOIN nr
+),
+scored AS (
+  SELECT feats.doc_id, count(*) AS n_feats,
+         CAST(SUM(CAST(lam AS DECIMAL(38,12))) AS DOUBLE) AS dsir_score
+  FROM feats JOIN lam USING (f) GROUP BY feats.doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+       s.dsir_score
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+@register_extended("dsir_selection", DSIR_ORACLE)
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import dsir
+
+    d = _docs(spark, sf_dir, parallel=True).select("doc_id", "lang", "text")
+    target = d.where(F.col("lang") == "en")
+    return dsir.dsir_scores(d, target).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "n_feats", "dsir_score"
+    )

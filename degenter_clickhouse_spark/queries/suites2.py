@@ -802,13 +802,19 @@ def q_classify_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# sampling_split_suite = temperature_sampling + leakage_free_split (the
-# corpus mixture / split-hygiene pair)
+# sampling_split_suite = temperature_sampling + leakage_free_split
+#                      + dsir_selection (the corpus mixture /
+#                      split-hygiene / importance-resampling family)
 # schema: (part, doc_id, g BIGINT, s1, s2 STRING, v DOUBLE)
+# NULL note: dsir_score is genuinely NULL for feature-less (<2 word)
+# docs WITHIN the dsir branch — identical in both engines, so it stays
+# NULL rather than sentinel-padded.
 # ---------------------------------------------------------------------------
 
 
 def _sampling_split_oracle() -> str:
+    from .clean_ext import DSIR_ORACLE
+
     return f"""
 SELECT 'temperature' AS part, CAST(doc_id AS BIGINT) AS doc_id,
        CAST(-1 AS BIGINT) AS g, source AS s1, CAST(NULL AS VARCHAR) AS s2,
@@ -818,6 +824,10 @@ UNION ALL
 SELECT 'split', CAST(doc_id AS BIGINT), CAST(group_id AS BIGINT),
        CAST(NULL AS VARCHAR), split, CAST(-1.0 AS DOUBLE)
 FROM ({_leakage_split_oracle()})
+UNION ALL
+SELECT 'dsir', CAST(doc_id AS BIGINT), CAST(n_feats AS BIGINT),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), dsir_score
+FROM ({DSIR_ORACLE})
 """
 
 
@@ -839,4 +849,14 @@ def q_sampling_split_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("split").alias("s2"),
         _NO_V().alias("v"),
     )
-    return te.unionByName(sp)
+    from .clean_ext import q_dsir_selection
+
+    ds = q_dsir_selection(spark, sf_dir).select(
+        F.lit("dsir").alias("part"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_feats").cast("long").alias("g"),
+        _NO_S().alias("s1"),
+        _NO_S().alias("s2"),
+        F.col("dsir_score").alias("v"),
+    )
+    return te.unionByName(sp).unionByName(ds)

@@ -634,3 +634,38 @@ def test_bigram_fluency_matches_sequential_reference(spark):
     assert got[0].fluency_score > got[1].fluency_score > 0
     assert got[2].n_unseen_contexts == 1
     assert got[3].n_bigrams == 0 and got[3].fluency_score is None
+
+
+def test_dsir_prefers_target_like_documents(spark):
+    """DSIR semantics: documents drawn from the target distribution
+    must outscore out-of-distribution documents; selection is
+    deterministic top-k by (score desc, id asc) and plans as
+    TakeOrderedAndProject."""
+    from degenter_clickhouse_spark.llm import dsir
+
+    target_texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox runs past the lazy dog every day",
+        "a quick brown fox and a lazy dog walk through the field",
+    ]
+    ood_texts = [
+        "zzz qqq www eee rrr ttt yyy uuu iii ooo ppp aaa",
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do",
+    ]
+    rows = [(i, "en", t) for i, t in enumerate(target_texts)] + [
+        (100 + i, "xx", t) for i, t in enumerate(ood_texts)
+    ]
+    raw = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    target = raw.where(raw.lang == "en")
+    scores = {r.doc_id: r.dsir_score for r in dsir.dsir_scores(raw, target).collect()}
+    assert min(scores[i] for i in range(3)) > max(
+        scores[100 + i] for i in range(2)
+    )
+    sel = dsir.dsir_select(raw, target, k=3)
+    assert sorted(r.doc_id for r in sel.collect()) == [0, 1, 2]
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    # degenerate: a 1-word doc carries no features -> NULL score, kept
+    one = spark.createDataFrame([(7, "en", "word")], ["doc_id", "lang", "text"])
+    out = dsir.dsir_scores(raw.unionByName(one), target).where("doc_id = 7").collect()
+    assert out[0].n_feats == 0 and out[0].dsir_score is None
