@@ -223,3 +223,37 @@ def corpus_order(
     return ordered.select(
         F.col(order_col), F.col(group_col), pos.cast("long").alias("position")
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    A-ES), derandomized: each row gets key = ln(u) / w where u is the
+    deterministic multiplicative-hash uniform of its id (the
+    temperature_sample generator) and w its weight; the k LARGEST keys
+    are the sample — inclusion probability proportional to weight,
+    identical sample on every run/partitioning/engine. Rows with
+    w <= 0 never qualify. The key is pointwise (hash -> ln -> divide,
+    rounded to 9 like every transcendental in this engine) and the
+    selection is one TakeOrderedAndProject — no shuffle beyond the
+    bounded top-k merge. Output: (id, weight, es_key), best-first
+    ties by id."""
+    KNUTH, U32 = 2654435761, 2**32
+    u = (
+        ((F.col(id_col).cast("long") * KNUTH) % U32 + F.lit(0.5)) / F.lit(float(U32))
+    )
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    return (
+        docs.where(F.col(weight_col) > 0)
+        .select(
+            F.col(id_col),
+            F.col(weight_col).alias("weight"),
+            key.alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

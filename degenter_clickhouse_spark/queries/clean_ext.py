@@ -640,3 +640,34 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir.dsir_scores(d, target).select(
         F.col("doc_id").cast("long").alias("doc_id"), "n_feats", "dsir_score"
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (A-ES, llm/packing.py): sample
+# 100 documents with probability proportional to length. Deterministic
+# hash uniform -> pointwise rounded ln -> TakeOrdered: exact oracle.
+# ---------------------------------------------------------------------------
+
+_WS_K = 100
+
+WEIGHTED_SAMPLE_ORACLE = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_chars AS BIGINT) AS weight,
+       round(ln(((doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296.0)
+             / CAST(n_chars AS DOUBLE), 9) AS es_key
+FROM documents
+WHERE n_chars > 0
+ORDER BY es_key DESC, doc_id ASC LIMIT {_WS_K}
+"""
+
+
+@register_extended("weighted_sample", WEIGHTED_SAMPLE_ORACLE)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.packing import weighted_sample
+
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return weighted_sample(d, "n_chars", k=_WS_K).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("weight").cast("long").alias("weight"),
+        "es_key",
+    )

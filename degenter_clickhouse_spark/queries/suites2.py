@@ -813,7 +813,7 @@ def q_classify_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sampling_split_oracle() -> str:
-    from .clean_ext import DSIR_ORACLE
+    from .clean_ext import DSIR_ORACLE, WEIGHTED_SAMPLE_ORACLE
 
     return f"""
 SELECT 'temperature' AS part, CAST(doc_id AS BIGINT) AS doc_id,
@@ -828,6 +828,10 @@ UNION ALL
 SELECT 'dsir', CAST(doc_id AS BIGINT), CAST(n_feats AS BIGINT),
        CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), dsir_score
 FROM ({DSIR_ORACLE})
+UNION ALL
+SELECT 'weighted', CAST(doc_id AS BIGINT), CAST(weight AS BIGINT),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), es_key
+FROM ({WEIGHTED_SAMPLE_ORACLE})
 """
 
 
@@ -849,7 +853,7 @@ def q_sampling_split_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("split").alias("s2"),
         _NO_V().alias("v"),
     )
-    from .clean_ext import q_dsir_selection
+    from .clean_ext import q_dsir_selection, q_weighted_sample
 
     ds = q_dsir_selection(spark, sf_dir).select(
         F.lit("dsir").alias("part"),
@@ -859,4 +863,12 @@ def q_sampling_split_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NO_S().alias("s2"),
         F.col("dsir_score").alias("v"),
     )
-    return te.unionByName(sp).unionByName(ds)
+    ws = q_weighted_sample(spark, sf_dir).select(
+        F.lit("weighted").alias("part"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("weight").cast("long").alias("g"),
+        _NO_S().alias("s1"),
+        _NO_S().alias("s2"),
+        F.col("es_key").alias("v"),
+    )
+    return te.unionByName(sp).unionByName(ds).unionByName(ws)

@@ -669,3 +669,27 @@ def test_dsir_prefers_target_like_documents(spark):
     one = spark.createDataFrame([(7, "en", "word")], ["doc_id", "lang", "text"])
     out = dsir.dsir_scores(raw.unionByName(one), target).where("doc_id = 7").collect()
     assert out[0].n_feats == 0 and out[0].dsir_score is None
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    """A-ES without replacement: sampling half the corpus by weight
+    must over-represent heavy rows (sample mean weight > corpus mean),
+    be deterministic across invocations, and plan as TakeOrdered."""
+    from degenter_clickhouse_spark.llm.packing import weighted_sample
+
+    rows = [(i, 1 if i % 2 else 1000) for i in range(400)]
+    d = spark.createDataFrame(rows, ["doc_id", "w"])
+    s1 = weighted_sample(d, "w", k=100).collect()
+    s2 = weighted_sample(d, "w", k=100).collect()
+    assert [r.doc_id for r in s1] == [r.doc_id for r in s2]
+    assert len(s1) == 100
+    heavy = sum(1 for r in s1 if r.weight == 1000)
+    assert heavy >= 80, heavy  # inclusion prob ~1000x the light rows
+    plan = (
+        weighted_sample(d, "w", k=100)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    # zero/negative weights never qualify
+    dz = spark.createDataFrame([(1, 0), (2, -5), (3, 7)], ["doc_id", "w"])
+    assert [r.doc_id for r in weighted_sample(dz, "w", k=10).collect()] == [3]
