@@ -119,6 +119,21 @@ def main(argv: list[str] | None = None) -> int:
         help="append a new shard to an existing index (effectively-once)",
     )
 
+    iv = sub.add_parser(
+        "index-ivf",
+        help="build or incrementally grow the persisted IVF ANN index",
+    )
+    iv.add_argument("--input", required=True, help="embeddings parquet dir/file")
+    iv.add_argument("--index", required=True, help="index root path")
+    iv.add_argument("--cells", type=int, default=16)
+    iv.add_argument("--iters", type=int, default=3)
+    iv.add_argument(
+        "--update",
+        action="store_true",
+        help="assign new vectors to the frozen centroids and append "
+        "(effectively-once)",
+    )
+
     se = sub.add_parser("search", help="BM25 top-k against a persisted text index")
     se.add_argument("--index", required=True)
     se.add_argument("--query", required=True, help="space-separated terms")
@@ -289,6 +304,16 @@ def main(argv: list[str] | None = None) -> int:
         else:
             build_text_index(docs, args.index)
             print("indexed:", docs.count())
+        return 0
+    if args.cmd == "index-ivf":
+        from .llm.similarity import build_ivf_index, ivf_index_append
+
+        vecs = spark.read.parquet(args.input)
+        if args.update:
+            print("new vectors indexed:", ivf_index_append(spark, vecs, args.index))
+        else:
+            build_ivf_index(vecs, args.index, k_cells=args.cells, iters=args.iters)
+            print("indexed:", vecs.count())
         return 0
     if args.cmd == "search":
         from .llm.clean import text_index_search

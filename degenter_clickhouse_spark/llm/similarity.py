@@ -415,3 +415,55 @@ def cluster_documents(
         assign_cells(emb, cents)
         .select(F.col("vec_id").alias(id_col), F.col("cell").alias("cluster"))
     )
+
+
+def ivf_index_append(
+    spark,
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> int:
+    """Incremental IVF index maintenance: assign NEW vectors to the
+    index's existing (frozen) centroids and append them into the
+    cell-partitioned corpus — the standard IVF growth model (FAISS
+    add-after-train): centroids stay fixed between re-trainings, so
+    probes of old and new vectors stay comparable and nothing is
+    re-assigned. Effectively-once via an anti-join on the stored ids
+    (column-pruned scan of the id column only — same discipline as
+    update_text_index / blocks.ingest): replaying a shard appends
+    nothing. Returns the number of newly indexed vectors.
+
+    Dynamic partition append: only the touched cells gain files;
+    ivf_search keeps pruning untouched cells at planning time. Run
+    ``build_ivf_index`` afresh when drift makes the frozen centroids
+    stale (the index stores everything needed to compare recall).
+    """
+    import os
+
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    existing = spark.read.parquet(os.path.join(path, "cells")).select(
+        F.col("c_id").alias(id_col)
+    )
+    fresh = new_vectors.join(existing, on=id_col, how="left_anti").cache()
+    try:
+        n_new = fresh.count()
+        if not n_new:
+            return 0
+        assigned = assign_cells(fresh, cents, id_col=id_col, vec=vec, nprobe=1)
+        (
+            with_norm(fresh, vec)
+            .join(assigned, id_col)
+            .select(
+                F.col(id_col).alias("c_id"),
+                F.col(vec).alias("c_vec"),
+                F.col("norm2_s").alias("c_n2"),
+                "cell",
+            )
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(os.path.join(path, "cells"))
+        )
+        return n_new
+    finally:
+        fresh.unpersist()

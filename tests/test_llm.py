@@ -693,3 +693,54 @@ def test_weighted_sample_biases_toward_heavy_rows(spark):
     # zero/negative weights never qualify
     dz = spark.createDataFrame([(1, 0), (2, -5), (3, 7)], ["doc_id", "w"])
     assert [r.doc_id for r in weighted_sample(dz, "w", k=10).collect()] == [3]
+
+
+def test_ivf_index_append_equals_rebuild_probe(spark, tmp_path):
+    """Incremental IVF maintenance: building on half the corpus then
+    appending the rest must probe IDENTICALLY to an index whose cells
+    were built in one shot against the same centroids (frozen-centroid
+    growth model); re-appending the same shard is a no-op."""
+    from degenter_clickhouse_spark.llm.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_search,
+    )
+
+    emb = catalog.load_table(spark, SF_DIR, "embeddings")
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    inc = str(tmp_path / "inc")
+    build_ivf_index(half, inc, k_cells=8, iters=2)
+    n = ivf_index_append(spark, rest, inc)
+    assert n == rest.count()
+    # replay: effectively-once
+    assert ivf_index_append(spark, rest, inc) == 0
+    # one-shot index with the SAME centroids (copy them over, then
+    # rebuild cells from the full corpus through the append path)
+    import shutil
+
+    one = str(tmp_path / "one")
+    (tmp_path / "one").mkdir()
+    shutil.copytree(str(tmp_path / "inc/centroids"), one + "/centroids")
+    import os
+
+    from degenter_clickhouse_spark.llm.similarity import assign_cells, with_norm
+
+    cents = spark.read.parquet(one + "/centroids")
+    assigned = assign_cells(emb, cents, nprobe=1)
+    (
+        with_norm(emb)
+        .join(assigned, "vec_id")
+        .select(
+            F.col("vec_id").alias("c_id"),
+            F.col("embedding").alias("c_vec"),
+            F.col("norm2_s").alias("c_n2"),
+            "cell",
+        )
+        .write.partitionBy("cell")
+        .parquet(os.path.join(one, "cells"))
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    got = sorted(tuple(r) for r in ivf_search(spark, inc, q, k=5).collect())
+    want = sorted(tuple(r) for r in ivf_search(spark, one, q, k=5).collect())
+    assert got == want and len(got) > 0
