@@ -74,6 +74,13 @@ def test_results_invariant_to_shuffle_partitioning(spark):
         "moving_stats",
         "ema_bars",
         "trigram_fluency",
+        # round-5 additions: multi-probe bucketed knn; integer-RRF
+        # fusion of two rankings; ln-round-DECIMAL importance sums;
+        # hash-uniform A-ES keys
+        "knn_label_vote_blocked",
+        "hybrid_retrieval",
+        "dsir_selection",
+        "weighted_sample",
     ]
 
     def run_all():
