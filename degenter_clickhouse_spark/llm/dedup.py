@@ -539,3 +539,31 @@ def leakage_free_split(
     last = list(fracs)[-1][0]
     split = expr.otherwise(last) if expr is not None else F.lit(last)
     return g.withColumn("split", split)
+
+
+def compact_minhash_index(spark, path: str, files_per_partition: int = 1) -> dict:
+    """Small-file compaction for a streaming-grown MinHash index: every
+    micro-batch append adds a file per touched band/bucket partition,
+    and probe planning degrades with file count. Rewrites both index
+    tables partition-by-partition (write-to-temp + atomic swap via
+    operators/merge.compact_table); probes before and after see
+    identical state (asserted in tests). Returns per-table
+    before/after file counts."""
+    import os
+
+    from ..operators.merge import compact_table
+
+    return {
+        "bands": compact_table(
+            spark,
+            os.path.join(path, "bands"),
+            partition_col="band",
+            files_per_partition=files_per_partition,
+        ),
+        "shingles": compact_table(
+            spark,
+            os.path.join(path, "shingles"),
+            partition_col="__bucket",
+            files_per_partition=files_per_partition,
+        ),
+    }

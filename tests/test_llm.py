@@ -744,3 +744,43 @@ def test_ivf_index_append_equals_rebuild_probe(spark, tmp_path):
     got = sorted(tuple(r) for r in ivf_search(spark, inc, q, k=5).collect())
     want = sorted(tuple(r) for r in ivf_search(spark, one, q, k=5).collect())
     assert got == want and len(got) > 0
+
+
+def test_minhash_index_compaction_preserves_probes(spark, tmp_path):
+    """Compacting a fragment-grown MinHash index must shrink file
+    counts and leave probe results bit-identical."""
+    from degenter_clickhouse_spark.llm.dedup import (
+        build_minhash_index,
+        compact_minhash_index,
+        minhash_probe,
+    )
+
+    docs = catalog.load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "mh")
+    # fragmented build: base index + several per-"batch" appends
+    build_minhash_index(docs.filter(F.col("doc_id") % 4 == 0), idx)
+    from degenter_clickhouse_spark.llm.dedup import (
+        _doc_bucket,
+        _minhash_bands,
+        _minhash_shingles,
+    )
+    import os
+
+    for m in (1, 2, 3):
+        shard = docs.filter(F.col("doc_id") % 4 == m)
+        sh = _minhash_shingles(shard, "doc_id", 3)
+        _minhash_bands(sh).write.mode("append").partitionBy("band").parquet(
+            os.path.join(idx, "bands")
+        )
+        sh.withColumn("__bucket", _doc_bucket("d")).write.mode("append").partitionBy(
+            "__bucket"
+        ).parquet(os.path.join(idx, "shingles"))
+    probe_docs = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text"
+    )
+    before = sorted(tuple(r) for r in minhash_probe(spark, idx, probe_docs, 0.5).collect())
+    stats = compact_minhash_index(spark, idx)
+    assert stats["bands"]["files_after"] < stats["bands"]["files_before"]
+    assert stats["shingles"]["files_after"] < stats["shingles"]["files_before"]
+    after = sorted(tuple(r) for r in minhash_probe(spark, idx, probe_docs, 0.5).collect())
+    assert before == after and len(after) >= 20  # exact clones all hit
