@@ -1,1 +1,1 @@
-from . import business, parse  # noqa: F401
+from . import business, hashing, parse  # noqa: F401

@@ -528,10 +528,9 @@ def leakage_free_split(
             F.coalesce("canonical_id", F.col(id_col)).alias("group_id"),
         )
     )
-    KNUTH, U32 = 2654435761, 2**32
-    u = ((F.col("group_id") * F.lit(KNUTH)) % F.lit(U32)).cast("double") / F.lit(
-        float(U32)
-    )
+    from ..functions.hashing import knuth_uniform
+
+    u = knuth_uniform(F.col("group_id"))
     expr, acc = None, 0.0
     for name, frac in list(fracs)[:-1]:
         acc += float(frac)

@@ -38,12 +38,21 @@ def rrf_fuse(
 ) -> DataFrame:
     """Fuse ranked lists into (id, rrf_scaled, n_retrievers, rrf),
     best-first. Every input needs (id_col, rank_col) with rank 1-based;
-    a doc absent from a ranking simply contributes nothing."""
+    a doc absent from a ranking simply contributes nothing. A doc that
+    appears MORE than once within one ranking (a retriever that emits
+    duplicate hits) counts once, at its best (lowest) rank — without
+    the reduction it would double-count in both rrf_scaled and
+    n_retrievers (ADVICE r5)."""
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking DataFrame")
     contrib = F.expr(
         f"CAST({RRF_SCALE} AS BIGINT) div ({k_const} + {rank_col})"
     )
     tagged = [
-        r.select(F.col(id_col), contrib.alias("__c")) for r in rankings
+        r.groupBy(id_col)
+        .agg(F.min(rank_col).alias(rank_col))
+        .select(F.col(id_col), contrib.alias("__c"))
+        for r in rankings
     ]
     u = tagged[0]
     for t in tagged[1:]:

@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.hashing import knuth_uniform
+
 
 def greedy_pack(
     docs: DataFrame,
@@ -108,7 +110,6 @@ def temperature_sample(
     set is engine- and shuffle-order-exact (with alpha=0.5 the pow is
     sqrt — correctly rounded in IEEE 754, so cross-engine identical).
     """
-    KNUTH, U32 = 2654435761, 2**32
     c = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
     z = c.agg(
         F.sum(
@@ -131,9 +132,7 @@ def temperature_sample(
             ),
         ).alias("keep_rate"),
     )
-    u = ((F.col(id_col) * F.lit(KNUTH)) % F.lit(U32)).cast("double") / F.lit(
-        float(U32)
-    )
+    u = knuth_uniform(F.col(id_col))
     return (
         docs.join(F.broadcast(rates), group_col)
         .withColumn("__u", u)
@@ -241,11 +240,14 @@ def weighted_sample(
     rounded to 9 like every transcendental in this engine) and the
     selection is one TakeOrderedAndProject — no shuffle beyond the
     bounded top-k merge. Output: (id, weight, es_key), best-first
-    ties by id."""
-    KNUTH, U32 = 2654435761, 2**32
-    u = (
-        ((F.col(id_col).cast("long") * KNUTH) % U32 + F.lit(0.5)) / F.lit(float(U32))
-    )
+    ties by id.
+
+    The uniform is the shared overflow-safe Knuth hash
+    (functions/hashing.py): valid for NEGATIVE and > 2^31 ids too —
+    the naive int64 formula either made u <= 0 (ln -> NULL, row
+    silently unsampleable) or overflowed vs the INT128-promoting
+    oracle (ADVICE r5)."""
+    u = knuth_uniform(F.col(id_col), centered=True)
     key = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
     return (
         docs.where(F.col(weight_col) > 0)

@@ -225,6 +225,16 @@ def _commit(
     os.makedirs(_vdir(path), exist_ok=True)
     meta = {"version": version, "parent": parent, "op": op, "files": files}
     meta.update(extra or {})
+    if parent and "max_batch_id" not in meta:
+        # carry the streaming replay watermark through NON-streaming
+        # commits (upsert/delete/compact between micro-batches), so the
+        # newest manifest always holds it and vacuum can never erase it
+        try:
+            pmb = _manifest(path, parent).get("max_batch_id")
+        except FileNotFoundError:  # pragma: no cover - parent just committed
+            pmb = None
+        if pmb is not None:
+            meta["max_batch_id"] = pmb
     with open(os.path.join(_vdir(path), f"{version}.json"), "w") as f:
         json.dump(meta, f)
     tmp = _latest_file(path) + f".tmp-{uuid.uuid4().hex}"
@@ -586,35 +596,37 @@ def vt_append_batch(
     foreachBatch is at-least-once: after a crash between sink write and
     checkpoint commit, Spark REPLAYS the last micro-batch. Plain
     appends then duplicate rows (the round-3 streaming-corpus advice
-    item, fixed there with batch-id-scoped paths). Here the manifest
-    itself records the batch id, and a replayed id is detected by
-    walking the manifest chain — the append becomes a no-op (returns
-    None), so at-least-once delivery + idempotent commit = exactly-once
-    table contents.
+    item, fixed there with batch-id-scoped paths). Here the NEWEST
+    manifest records ``max_batch_id``, the highest batch id ever
+    committed, and an append with ``batch_id <= max_batch_id`` is a
+    no-op (returns None) — at-least-once delivery + idempotent commit
+    = exactly-once table contents. Every commit op carries the
+    watermark forward (see ``_commit``), so it lives in the one
+    manifest vacuum can never delete: replay detection survives ANY
+    vacuum horizon and even a lost/rebuilt streaming checkpoint
+    (ADVICE r5 — the previous chain-walk stopped at the horizon and
+    silently re-appended older replays).
 
-    Only the tail of the chain needs to be consistent for this to hold
-    (a replay can only ever be of the most recent batches, bounded by
-    the checkpoint); vacuuming manifests older than the checkpoint
-    horizon is therefore safe.
+    Contract: batch ids are monotonically increasing per table —
+    exactly what Spark's foreachBatch guarantees per query, and the
+    same (appId, version)-watermark discipline Delta's idempotent
+    txn writes use. One streaming query per table.
     """
     with _table_lock(path):
         parent = vt_version(path)
-        v = parent
-        while v:
-            try:
-                m = _manifest(path, v)
-            except FileNotFoundError:
-                break  # vacuum horizon: older manifests are gone, and a
-                # replay can only be of batches newer than the
-                # checkpoint — the walk is complete
-            if m.get("batch_id") == batch_id:
+        if parent:
+            wm = _manifest(path, parent).get("max_batch_id")
+            if wm is not None and batch_id <= wm:
                 return None  # replayed micro-batch: already committed
-            v = m["parent"]
         pm = _manifest(path, parent) if parent else {}
         old = pm.get("files", [])
         cols = pm.get("stats_cols") or []
         files = _write_data_files(spark, df, path)
-        extra: dict = {"batch_id": batch_id, "stats_cols": cols}
+        extra: dict = {
+            "batch_id": batch_id,
+            "max_batch_id": batch_id,
+            "stats_cols": cols,
+        }
         if cols:
             extra["stats"] = _carry_stats(pm, old, _collect_stats(path, files, cols))
         return _commit(

@@ -127,6 +127,15 @@ def combine_router_legs(
     if max_legs is None:
         raw = conf.get("spark.degenter.routerCombine.maxLegs", "")
         max_legs = int(raw) if raw else None
+    if max_legs is not None and max_legs < 2:
+        # < 2 cannot keep BOTH endpoints the docstring promises exact:
+        # max_legs=1 would silently take the "first leg" fields from
+        # the LAST leg, and 0 is a negative slice length that errors at
+        # runtime — reject here, whether passed or read from the conf
+        raise ValueError(
+            f"combine_router_legs: max_legs must be >= 2 (got {max_legs}); "
+            "the clamp keeps the first max_legs-1 legs plus the true last leg"
+        )
     if salted is None:
         salted = conf.get("spark.degenter.routerCombine.salted", "false") == "true"
     legs = shaped.withColumn(

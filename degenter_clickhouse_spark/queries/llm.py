@@ -960,9 +960,9 @@ def q_corpus_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(src_idx % 4 == 2, 0.25)
         .otherwise(0.125)
     )
-    u = ((F.col("doc_id") * F.lit(KNUTH)) % F.lit(U32)).cast("double") / F.lit(
-        float(U32)
-    )
+    from ..functions.hashing import knuth_uniform
+
+    u = knuth_uniform(F.col("doc_id"))
     sample = (
         d.withColumn("metric", u)
         .filter(F.col("metric") < rate)

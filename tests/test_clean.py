@@ -459,3 +459,21 @@ def test_rrf_fusion_properties(spark):
         topk=2,
     ).collect()
     assert [r.doc_id for r in tie] == [3, 7]
+
+
+def test_rrf_fusion_guards(spark):
+    """ADVICE r5: empty input raises a descriptive error; a doc
+    duplicated WITHIN one ranking counts once at its best rank (no
+    double-count in rrf_scaled or n_retrievers)."""
+    import pytest
+
+    from degenter_clickhouse_spark.llm.fusion import RRF_SCALE, rrf_fuse
+
+    with pytest.raises(ValueError, match="at least one ranking"):
+        rrf_fuse([])
+    dup = spark.createDataFrame(
+        [(1, 3), (1, 1), (2, 2)], ["doc_id", "rank"]
+    )
+    out = {r.doc_id: r for r in rrf_fuse([dup], topk=10).collect()}
+    assert out[1].n_retrievers == 1
+    assert out[1].rrf_scaled == RRF_SCALE // 61  # best rank only

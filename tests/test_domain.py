@@ -555,3 +555,27 @@ def test_router_combine_salted_bit_equal_and_clamp(spark, dom):  # noqa: F811
         .toString()
     )
     assert "__salt" not in plan and "Window" not in plan
+
+
+def test_combine_router_legs_rejects_bad_max_legs(spark):
+    """ADVICE r5: max_legs < 2 cannot keep both endpoints exact —
+    rejected whether passed directly or read from the session conf."""
+    import pytest
+
+    from degenter_clickhouse_spark.plans import trades_feed as TF
+
+    shaped = spark.createDataFrame(
+        [("tx", 1, 1, "buy", "s", 1.0, 2.0, 1.0, True, 10)],
+        "tx_hash string, msg_index long, pool_id long, direction string, "
+        "signer string, offer_amount_disp double, ask_amount_disp double, "
+        "worth_zig double, is_router boolean, created_at long",
+    )
+    for bad in (0, 1):
+        with pytest.raises(ValueError, match="max_legs"):
+            TF.combine_router_legs(shaped, max_legs=bad)
+    spark.conf.set("spark.degenter.routerCombine.maxLegs", "1")
+    try:
+        with pytest.raises(ValueError, match="max_legs"):
+            TF.combine_router_legs(shaped)
+    finally:
+        spark.conf.unset("spark.degenter.routerCombine.maxLegs")

@@ -468,3 +468,54 @@ def test_text_index_search_equals_direct_on_random_corpora(
     direct = [tuple(r) for r in bm25_topk(docs, q, k=5).collect()]
     indexed = [tuple(r) for r in text_index_search(spark, path, q, k=5).collect()]
     assert indexed == direct
+
+
+@given(
+    ids=st.lists(
+        st.one_of(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            st.integers(min_value=-10, max_value=10),
+            st.integers(min_value=2**31 - 5, max_value=2**35),
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+@_settings
+def test_knuth_hash_exact_on_full_int64_domain(spark, ids):
+    """ADVICE r5: the shared sampling hash must equal the mathematical
+    (id * 2654435761) mod 2^32 — pmod semantics — for EVERY int64 id:
+    negative ids and ids past 2^31 overflowed or went negative in the
+    old naive formula, silently dropping rows from samples."""
+    from degenter_clickhouse_spark.functions.hashing import KNUTH, knuth_u32
+
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {
+        r["id"]: r["h"]
+        for r in df.select("id", knuth_u32(F.col("id")).alias("h")).collect()
+    }
+    want = {i: (i * KNUTH) % 2**32 for i in ids}  # Python % is floored
+    assert got == want
+
+
+def test_weighted_sample_valid_keys_for_negative_and_huge_ids(spark):
+    """Every positive-weight row must carry a finite, non-null es_key —
+    including negative and >2^31 doc ids (the old sign-preserving hash
+    made ln(u) NULL for negative ids, silently unsampleable rows)."""
+    from degenter_clickhouse_spark.llm.packing import weighted_sample
+
+    rows = [
+        (-(2**62), 5),
+        (-3, 7),
+        (-1, 1),
+        (0, 2),
+        (7, 3),
+        (2**31 + 17, 4),
+        (2**62 + 11, 6),
+        (5, 0),  # non-positive weight: excluded by contract
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = weighted_sample(df, "n_chars", k=100).collect()
+    assert len(out) == 7  # every positive-weight row qualifies
+    assert all(r["es_key"] is not None and r["es_key"] <= 0 for r in out)
