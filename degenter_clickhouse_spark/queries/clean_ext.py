@@ -513,42 +513,46 @@ def q_trigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sum are deterministic, so the fused list has an exact SQL oracle.
 # The post-TakeOrdered rank windows run over k<=25 rows by construction
 # (bounded, not corpus-sized).
+#
+# The REGISTERED default (VERDICT r5 #1) retrieves through the
+# engine's PERSISTED indexes — the lexical leg probes the 64-way
+# term-bucket inverted index (llm/clean.py build_text_index /
+# text_index_search: planning-time file pruning to the query terms'
+# buckets, bit-identical scores to the direct scan) and the dense leg
+# probes the cell-partitioned IVF index (llm/similarity.py
+# build_ivf_index / ivf_search with SEED centroids, iters=0, so the
+# probe is exactly oracle-able — the embedding_ann_scalable recipe).
+# At 100 TB a per-query retrieval must touch probed buckets/cells, not
+# rescan the corpus; indexes build once per sf_dir and are memoized,
+# matching the build-once/probe-many workflow the index family exists
+# for. The full-corpus-scan form stays available as
+# hybrid_retrieval_direct (extended registry) — the small-scale
+# baseline, deliberately not benched.
 # ---------------------------------------------------------------------------
 
+import os  # noqa: E402
+import tempfile  # noqa: E402
+
 from . import register  # noqa: E402  (extended module, one gate entry)
-from .llm import O_DOT, O_NORM2  # noqa: E402
+from .llm import _O_L2, O_DOT, O_NORM2  # noqa: E402
 
 RRF_K = 60
 RRF_TOPK = 20
 _ANN_Q = 0  # dense query: embedding of vec_id 0
 _ANN_K = 25
+_IVF_CELLS = 8
+_IVF_NPROBE = 3
 
-HYBRID_ORACLE = f"""
-WITH bmr AS (
-  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
-  FROM ({BM25_ORACLE})
-),
-v AS (
-  SELECT vec_id, embedding, {O_NORM2.format(e="embedding")} AS n2
-  FROM embeddings
-),
-qv AS (SELECT * FROM v WHERE vec_id = {_ANN_Q}),
-s AS (
-  SELECT c.vec_id AS doc_id,
-         ({O_DOT.format(a="qv.embedding", b="c.embedding")} / 1e12)
-           / (sqrt(qv.n2 / 1e12) * sqrt(c.n2 / 1e12)) AS cosine
-  FROM v c CROSS JOIN qv WHERE c.vec_id <> {_ANN_Q}
-),
-annr AS (
-  SELECT doc_id, rank FROM (
-    SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS rank
-    FROM s
-  ) WHERE rank <= {_ANN_K}
-),
+
+def _rrf_tail(bmr_sql: str, annr_sql: str) -> str:
+    """Shared fusion tail: integer RRF over the two rank CTE bodies."""
+    return f"""
 u AS (
-  SELECT doc_id, CAST(1000000000 AS BIGINT) // ({RRF_K} + rank) AS c FROM bmr
+  SELECT doc_id, CAST(1000000000 AS BIGINT) // ({RRF_K} + rank) AS c
+  FROM ({bmr_sql})
   UNION ALL
-  SELECT doc_id, CAST(1000000000 AS BIGINT) // ({RRF_K} + rank) AS c FROM annr
+  SELECT doc_id, CAST(1000000000 AS BIGINT) // ({RRF_K} + rank) AS c
+  FROM ({annr_sql})
 ),
 fused AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -562,27 +566,165 @@ FROM fused ORDER BY rrf_scaled DESC, doc_id ASC LIMIT {RRF_TOPK}
 """
 
 
-@register("hybrid_retrieval", HYBRID_ORACLE)
-def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+_BMR_SQL = f"""
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM ({BM25_ORACLE})
+"""
 
-    from ..llm.fusion import rrf_fuse
-    from ..llm.similarity import brute_topk
+# Dense leg of the DIRECT baseline: exact full-corpus cosine top-k.
+_ANNR_BRUTE_SQL = f"""
+  WITH v AS (
+    SELECT vec_id, embedding, {O_NORM2.format(e="embedding")} AS n2
+    FROM embeddings
+  ),
+  qv AS (SELECT * FROM v WHERE vec_id = {_ANN_Q}),
+  s AS (
+    SELECT c.vec_id AS doc_id,
+           ({O_DOT.format(a="qv.embedding", b="c.embedding")} / 1e12)
+             / (sqrt(qv.n2 / 1e12) * sqrt(c.n2 / 1e12)) AS cosine
+    FROM v c CROSS JOIN qv WHERE c.vec_id <> {_ANN_Q}
+  )
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS rank
+    FROM s
+  ) WHERE rank <= {_ANN_K}
+"""
+
+# Dense leg of the INDEX-BACKED default: exact cosine top-k RESTRICTED
+# to the query's nprobe nearest IVF cells under seed centroids (the
+# IVF_ANN_ORACLE recipe from queries/llm.py, specialized to one query).
+_ANNR_IVF_SQL = f"""
+  WITH cents AS (
+    SELECT row_number() OVER (ORDER BY vec_id ASC) AS cell,
+           embedding AS centroid
+    FROM (SELECT vec_id, embedding FROM embeddings
+          ORDER BY vec_id ASC LIMIT {_IVF_CELLS})
+  ),
+  dd AS (
+    SELECT v.vec_id, c.cell,
+           {_O_L2.format(a="v.embedding", b="c.centroid")} AS dist
+    FROM embeddings v CROSS JOIN cents c
+  ),
+  ca AS (
+    SELECT vec_id, cell FROM (
+      SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+             ORDER BY dist ASC, cell ASC) AS rk FROM dd
+    ) WHERE rk <= 1
+  ),
+  qa AS (
+    SELECT vec_id, cell FROM (
+      SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+             ORDER BY dist ASC, cell ASC) AS rk
+      FROM dd WHERE vec_id = {_ANN_Q}
+    ) WHERE rk <= {_IVF_NPROBE}
+  ),
+  vn AS (
+    SELECT vec_id, embedding, {O_NORM2.format(e="embedding")} AS n2
+    FROM embeddings
+  ),
+  p AS (
+    SELECT DISTINCT qa.vec_id AS q_id, ca.vec_id AS c_id
+    FROM qa JOIN ca ON ca.cell = qa.cell AND ca.vec_id <> qa.vec_id
+  ),
+  s AS (
+    SELECT p.c_id AS doc_id,
+           ({O_DOT.format(a="qv.embedding", b="cv.embedding")} / 1e12)
+             / (sqrt(qv.n2 / 1e12) * sqrt(cv.n2 / 1e12)) AS cosine
+    FROM p JOIN vn qv ON qv.vec_id = p.q_id JOIN vn cv ON cv.vec_id = p.c_id
+  )
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS rank
+    FROM s
+  ) WHERE rank <= {_ANN_K}
+"""
+
+HYBRID_ORACLE = "WITH " + _rrf_tail(_BMR_SQL, _ANNR_BRUTE_SQL)
+HYBRID_IDX_ORACLE = "WITH " + _rrf_tail(_BMR_SQL, _ANNR_IVF_SQL)
+
+# build-once/probe-many memo: one persisted (text, ivf) index pair per
+# corpus directory — the driver/bench call each registered query
+# repeatedly and must measure the PROBE, with the build amortized, just
+# like a production retrieval service
+_HYBRID_IDX_CACHE: dict[str, str] = {}
+
+
+def _hybrid_index_root(spark: SparkSession, sf_dir: str) -> str:
+    root = _HYBRID_IDX_CACHE.get(sf_dir)
+    if root and os.path.isdir(os.path.join(root, "ivf", "cells")):
+        return root
+    from ..llm.clean import build_text_index
+    from ..llm.similarity import build_ivf_index
     from .llm import _embs
 
-    bm = q_bm25_search(spark, sf_dir)
-    # rank window over the already-TakeOrdered top-25: bounded input
-    wb = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    bmr = bm.select("doc_id", F.row_number().over(wb).alias("rank"))
-    e = _embs(spark, sf_dir, parallel=True)
-    ann = brute_topk(e.filter(F.col("vec_id") == _ANN_Q), e, k=_ANN_K)
-    annr = ann.select(F.col("c_id").alias("doc_id"), "rank")
+    root = tempfile.mkdtemp(prefix="hybrid_idx_")
+    build_text_index(
+        _docs(spark, sf_dir, parallel=True), os.path.join(root, "text")
+    )
+    build_ivf_index(
+        _embs(spark, sf_dir, parallel=True),
+        os.path.join(root, "ivf"),
+        k_cells=_IVF_CELLS,
+        iters=0,  # seed centroids: deterministic, exactly oracle-able
+    )
+    _HYBRID_IDX_CACHE[sf_dir] = root
+    return root
+
+
+def _fuse_legs(bmr: DataFrame, annr: DataFrame) -> DataFrame:
+    from ..llm.fusion import rrf_fuse
+
     return rrf_fuse([bmr, annr], k_const=RRF_K, topk=RRF_TOPK).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "rrf_scaled",
         "n_retrievers",
         "rrf",
     )
+
+
+@register("hybrid_retrieval", HYBRID_IDX_ORACLE)
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-backed hybrid retrieval (the registered/benched default):
+    BM25 via the persisted term-bucket inverted index + dense ANN via
+    the persisted cell-partitioned IVF index, fused with integer RRF.
+    Both legs read only probed buckets/cells — never the corpus."""
+    from pyspark.sql.window import Window
+
+    from ..llm.clean import text_index_search
+    from ..llm.similarity import ivf_search
+    from .llm import _embs
+
+    root = _hybrid_index_root(spark, sf_dir)
+    bm = text_index_search(
+        spark, os.path.join(root, "text"), BM25_TERMS, k=BM25_K
+    )
+    # rank window over the already-TakeOrdered top-25: bounded input
+    wb = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    bmr = bm.select("doc_id", F.row_number().over(wb).alias("rank"))
+    q = _embs(spark, sf_dir).filter(F.col("vec_id") == _ANN_Q)
+    ann = ivf_search(
+        spark, os.path.join(root, "ivf"), q, k=_ANN_K, nprobe=_IVF_NPROBE
+    )
+    annr = ann.select(F.col("c_id").alias("doc_id"), "rank")
+    return _fuse_legs(bmr, annr)
+
+
+@register_extended("hybrid_retrieval_direct", HYBRID_ORACLE)
+def q_hybrid_retrieval_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-scan baseline: direct BM25 + brute-force dense top-k.
+    Exact but rescans the corpus per query — kept for recall
+    comparison and small corpora, excluded from the bench."""
+    from pyspark.sql.window import Window
+
+    from ..llm.similarity import brute_topk
+    from .llm import _embs
+
+    bm = q_bm25_search(spark, sf_dir)
+    wb = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    bmr = bm.select("doc_id", F.row_number().over(wb).alias("rank"))
+    e = _embs(spark, sf_dir, parallel=True)
+    ann = brute_topk(e.filter(F.col("vec_id") == _ANN_Q), e, k=_ANN_K)
+    annr = ann.select(F.col("c_id").alias("doc_id"), "rank")
+    return _fuse_legs(bmr, annr)
 
 
 # ---------------------------------------------------------------------------

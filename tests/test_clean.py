@@ -477,3 +477,71 @@ def test_rrf_fusion_guards(spark):
     out = {r.doc_id: r for r in rrf_fuse([dup], topk=10).collect()}
     assert out[1].n_retrievers == 1
     assert out[1].rrf_scaled == RRF_SCALE // 61  # best rank only
+
+
+def test_hybrid_retrieval_index_backed_equals_direct_on_probed_set(spark):
+    """VERDICT r5 #1: the registered hybrid_retrieval probes the
+    persisted text + IVF indexes; its legs must be bit-equal to the
+    same retrieval computed directly (bm25_topk on the corpus; ivf_topk
+    with the same seed centroids, no persisted index) — index access
+    changes the I/O path, never the answer."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from degenter_clickhouse_spark.llm.clean import bm25_topk
+    from degenter_clickhouse_spark.llm.fusion import rrf_fuse
+    from degenter_clickhouse_spark.llm.similarity import (
+        fit_ivf_centroids,
+        ivf_topk,
+    )
+    from degenter_clickhouse_spark.queries import clean_ext as CE
+    from degenter_clickhouse_spark.queries.llm import _docs, _embs
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r) for r in CE.q_hybrid_retrieval(spark, sf_dir).collect()
+    )
+    # direct twin: same parameters, no persisted index anywhere
+    bm = bm25_topk(_docs(spark, sf_dir), CE.BM25_TERMS, k=CE.BM25_K)
+    wb = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    bmr = bm.select("doc_id", F.row_number().over(wb).alias("rank"))
+    e = _embs(spark, sf_dir)
+    cents = fit_ivf_centroids(e, k=CE._IVF_CELLS, iters=0)
+    ann = ivf_topk(
+        e.filter(F.col("vec_id") == CE._ANN_Q),
+        e,
+        cents,
+        k=CE._ANN_K,
+        nprobe=CE._IVF_NPROBE,
+    )
+    annr = ann.select(F.col("c_id").alias("doc_id"), "rank")
+    want = sorted(
+        tuple(r)
+        for r in rrf_fuse([bmr, annr], k_const=CE.RRF_K, topk=CE.RRF_TOPK)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "rrf_scaled",
+            "n_retrievers",
+            "rrf",
+        )
+        .collect()
+    )
+    assert got == want
+
+
+def test_hybrid_retrieval_plan_probes_indexes(spark):
+    """The registered hybrid plan must read the PERSISTED indexes with
+    pruned scans: a static bucket partition filter on the postings
+    (lexical leg) and a scan of the cell-partitioned IVF corpus (dense
+    leg) — not a re-tokenization / full-embedding-table rescan."""
+    from degenter_clickhouse_spark.queries import clean_ext as CE
+
+    import re
+
+    df = CE.q_hybrid_retrieval(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # postings scan carries a non-empty static partition filter on bucket
+    m = re.search(r"PartitionFilters: \[([^\]]*bucket[^\]]*)\]", plan)
+    assert m and m.group(1).strip(), plan[:4000]
+    # both index locations appear as scan roots
+    assert plan.count("hybrid_idx_") >= 2, "expected text AND ivf index scans"
