@@ -170,6 +170,18 @@ def main(argv: list[str] | None = None) -> int:
     lm.add_argument("--input", help="documents parquet to score (score)")
     lm.add_argument("--output", help="scored parquet output (score)")
 
+    ds = sub.add_parser(
+        "dsir",
+        help="persisted DSIR importance model: build once (target + raw "
+        "corpora -> 8192-row lambda table), score many",
+    )
+    ds.add_argument("action", choices=["build", "score"])
+    ds.add_argument("--model", required=True, help="model root path")
+    ds.add_argument("--raw", help="raw-pool corpus parquet (build)")
+    ds.add_argument("--target", help="target/reference corpus parquet (build)")
+    ds.add_argument("--input", help="documents parquet to score (score)")
+    ds.add_argument("--output", help="scored parquet output (score)")
+
     vt = sub.add_parser(
         "vt",
         help="manifest-versioned table maintenance (history/compact/vacuum)",
@@ -278,6 +290,27 @@ def main(argv: list[str] | None = None) -> int:
                 _lm.bigram_fluency if args.order == 2 else _lm.trigram_fluency
             )
             out = score(spark.read.parquet(args.input), model=model)
+            out.write.mode("overwrite").parquet(args.output)
+            print("scored:", spark.read.parquet(args.output).count())
+        return 0
+    if args.cmd == "dsir":
+        from .llm import dsir as _dsir
+
+        if args.action == "build":
+            if not (args.raw and args.target):
+                p.error("dsir build requires --raw and --target")
+            print(
+                _dsir.build_dsir_model(
+                    spark.read.parquet(args.raw),
+                    spark.read.parquet(args.target),
+                    args.model,
+                )
+            )
+        else:
+            if not (args.input and args.output):
+                p.error("dsir score requires --input and --output")
+            model = _dsir.load_dsir_model(spark, args.model)
+            out = _dsir.dsir_scores(spark.read.parquet(args.input), model=model)
             out.write.mode("overwrite").parquet(args.output)
             print("scored:", spark.read.parquet(args.output).count())
         return 0

@@ -93,17 +93,74 @@ def dsir_lambdas(
     return both.select("f", lam.alias("lam"))
 
 
+def build_dsir_model(
+    raw: DataFrame, target: DataFrame, path: str, text_col: str = "text"
+) -> dict:
+    """Fit the DSIR importance model once and persist it (VERDICT r5
+    #3, mirroring llm/lm.py's build_lm_model): ``lambdas/`` = the
+    (f, lam) log-ratio table (at most N_BUCKETS rows — broadcastable
+    at any corpus size by construction) and ``meta/`` = one row of
+    (nt, nr, lam_default), where lam_default is the smoothed log-ratio
+    of a bucket seen in NEITHER corpus — needed when the artifact
+    scores a corpus other than the one it was fitted on. Returns
+    {"rows": n_lambda_rows, "nt": ..., "nr": ...}."""
+    import os
+
+    ct = _counts(_features(target, None, text_col))
+    cr = _counts(_features(raw, None, text_col))
+    nt = ct.agg(F.sum("c").cast("long").alias("nt"))
+    nr = cr.agg(F.sum("c").cast("long").alias("nr"))
+    lam = dsir_lambdas(raw, target, text_col)
+    lam.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "lambdas")
+    )
+    lam_default = F.round(
+        F.log(F.lit(1.0) / (F.col("nt") + N_BUCKETS))
+        - F.log(F.lit(1.0) / (F.col("nr") + N_BUCKETS)),
+        9,
+    )
+    meta = nt.crossJoin(nr).select("nt", "nr", lam_default.alias("lam_default"))
+    meta.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+    spark = meta.sparkSession
+    row = spark.read.parquet(os.path.join(path, "meta")).collect()[0]
+    n = spark.read.parquet(os.path.join(path, "lambdas")).count()
+    return {"rows": n, "nt": row["nt"], "nr": row["nr"]}
+
+
+def load_dsir_model(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Read a persisted DSIR model back as the (lambdas, meta) pair the
+    ``model=`` parameter of dsir_scores expects."""
+    import os
+
+    return (
+        spark.read.parquet(os.path.join(path, "lambdas")),
+        spark.read.parquet(os.path.join(path, "meta")),
+    )
+
+
 def dsir_scores(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    model: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Per-raw-document importance score: (id, n_feats, dsir_score).
     Documents with fewer than two words carry no features and score
     NULL with n_feats 0 (kept via the sentinel feature, mirroring the
-    LM scorers' no-join-back shape)."""
-    lam = dsir_lambdas(raw, target, text_col)
+    LM scorers' no-join-back shape).
+
+    ``model=`` (from load_dsir_model) scores from the persisted
+    artifact instead of refitting both feature distributions per call —
+    bit-equal to fit-and-score on the fitted corpus (the lambda table
+    round-trips rounded doubles exactly); on a DIFFERENT corpus,
+    buckets the model never saw score the persisted lam_default."""
+    if model is not None:
+        lam, meta = model
+    elif target is not None:
+        lam, meta = dsir_lambdas(raw, target, text_col), None
+    else:
+        raise ValueError("dsir_scores: pass either target= or model=")
     hw = word_hash_array(f"split({text_col}, ' ')")
     grams = (
         f"CASE WHEN size(__hw) >= 2 THEN transform(sequence(1, size(__hw) - 1), "
@@ -115,9 +172,18 @@ def dsir_scores(
         F.col(id_col), F.explode(F.expr(grams)).alias("f")
     )
     j = feats.join(dim_broadcast(lam), "f", "left")
+    lam_eff = F.col("lam")
+    if meta is not None:
+        # artifact scoring of a corpus the model was not fitted on:
+        # buckets absent from the lambda table (seen in neither fit
+        # corpus) take the persisted smoothed default. On the fitted
+        # corpus every feature is in the table, so the coalesce never
+        # fires and the result is bit-equal to fit-and-score.
+        j = j.crossJoin(dim_broadcast(meta.select("lam_default")))
+        lam_eff = F.coalesce(F.col("lam"), F.col("lam_default"))
     agg = j.groupBy(id_col).agg(
         F.count(F.col("f")).cast("long").alias("n_feats"),
-        F.sum(F.col("lam").cast("decimal(38,12)")).alias("__s"),
+        F.sum(lam_eff.cast("decimal(38,12)")).alias("__s"),
     )
     return agg.select(
         id_col,

@@ -545,3 +545,110 @@ def test_hybrid_retrieval_plan_probes_indexes(spark):
     assert m and m.group(1).strip(), plan[:4000]
     # both index locations appear as scan roots
     assert plan.count("hybrid_idx_") >= 2, "expected text AND ivf index scans"
+
+
+def test_dsir_score_from_persisted_model_bit_equal(spark, tmp_path):
+    """VERDICT r5 #3: fit-once/score-many for DSIR — scoring from the
+    persisted lambda artifact must be BIT-EQUAL to fit-and-score on
+    the fitted corpus (rounded doubles round-trip parquet exactly)."""
+    from pyspark.sql import functions as F
+
+    from degenter_clickhouse_spark import catalog
+    from degenter_clickhouse_spark.llm import dsir
+
+    from .helpers import SF_DIR
+
+    raw = catalog.load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    target = raw.where(F.col("lang") == "en")
+    path = str(tmp_path / "dsir")
+    info = dsir.build_dsir_model(raw, target, path)
+    assert 0 < info["rows"] <= dsir.N_BUCKETS
+    assert info["nt"] > 0 and info["nr"] >= info["nt"]
+
+    def snap(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    direct = snap(dsir.dsir_scores(raw, target))
+    from_model = snap(
+        dsir.dsir_scores(raw, model=dsir.load_dsir_model(spark, path))
+    )
+    assert direct == from_model
+
+
+def test_dsir_model_default_lambda_for_unseen_buckets(spark, tmp_path):
+    """Scoring a corpus the model was NOT fitted on: feature buckets
+    the fit never saw take the persisted smoothed default instead of
+    silently dropping out of the DECIMAL sum."""
+    from degenter_clickhouse_spark.llm import dsir
+
+    fit = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta delta")], ["doc_id", "text"]
+    )
+    tgt = spark.createDataFrame([(1, "alpha beta gamma")], ["doc_id", "text"])
+    path = str(tmp_path / "m")
+    dsir.build_dsir_model(fit, tgt, path)
+    model = dsir.load_dsir_model(spark, path)
+    meta = model[1].collect()[0]
+    # every bigram of this doc is outside the fitted vocabulary (with
+    # 8192 buckets and 4 fitted grams, collisions are checked below)
+    new = spark.createDataFrame(
+        [(9, "zq1 zq2 zq3 zq4")], ["doc_id", "text"]
+    )
+    fitted_buckets = {r["f"] for r in model[0].collect()}
+    got = dsir.dsir_scores(new, model=model).collect()[0]
+    assert got["n_feats"] == 3
+    # if no bucket collided with a fitted one, the score is exactly
+    # 3 * lam_default; with a collision it still must be non-null
+    new_buckets = {
+        r["f"]
+        for r in dsir._features(new, "doc_id", "text").select("f").collect()
+    }
+    if not (new_buckets & fitted_buckets):
+        assert got["dsir_score"] == round(3 * meta["lam_default"], 12)
+    assert got["dsir_score"] is not None
+
+
+def test_dsir_cli_build_then_score(spark, tmp_path):
+    """CLI seam: `dsir build` then `dsir score` produce a scored
+    parquet equal to the library fit-and-score path."""
+    from pyspark.sql import functions as F
+
+    from degenter_clickhouse_spark import catalog, cli
+    from degenter_clickhouse_spark.llm import dsir
+
+    from .helpers import SF_DIR
+
+    raw = catalog.load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    raw_p = str(tmp_path / "raw")
+    tgt_p = str(tmp_path / "tgt")
+    raw.write.parquet(raw_p)
+    raw.where(F.col("lang") == "en").write.parquet(tgt_p)
+    model = str(tmp_path / "model")
+    scored = str(tmp_path / "scored")
+    assert (
+        cli.main(
+            ["dsir", "build", "--model", model, "--raw", raw_p,
+             "--target", tgt_p]
+        )
+        == 0
+    )
+    assert (
+        cli.main(
+            ["dsir", "score", "--model", model, "--input", raw_p,
+             "--output", scored]
+        )
+        == 0
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(scored).collect())
+    want = sorted(
+        tuple(r)
+        for r in dsir.dsir_scores(
+            raw.select("doc_id", "text"),
+            raw.where(F.col("lang") == "en").select("doc_id", "text"),
+        ).collect()
+    )
+    assert got == want
