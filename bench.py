@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "dedup_resolution",  # pair -> connected-component resolution
     "embedding_ann_topk",
     "embedding_ann_scalable",  # LSH multi-probe + IVF cell probe
+    "embedding_ann_batch",  # batch probe of the persisted IVF index (EXTENDED)
     "embedding_neardup",
     "text_analysis",  # lang-id + quality + token counts + fingerprint
     "multimodal_features",

@@ -813,3 +813,87 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("weight").cast("long").alias("weight"),
         "es_key",
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch-query ANN (VERDICT r5 #6): real retrieval workloads probe
+# thousands of query vectors at once, not one. The batch path is the
+# same persisted-IVF probe as the hybrid dense leg — queries DF joined
+# to the cell-partitioned index on the CELL key (dim_broadcast degrades
+# the query side to a shuffle join past the estimate ceiling), per-query
+# top-k via a q_id-partitioned rank window (bounded, never global).
+# Seed centroids (iters=0) keep the whole probe exactly oracle-able.
+# ---------------------------------------------------------------------------
+
+_BATCH_MOD = 10  # query set: vec_id % 10 == 0
+_BATCH_K = 5
+
+BATCH_ANN_ORACLE = f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id ASC) AS cell,
+         embedding AS centroid
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id ASC LIMIT {_IVF_CELLS})
+),
+dd AS (
+  SELECT v.vec_id, c.cell,
+         {_O_L2.format(a="v.embedding", b="c.centroid")} AS dist
+  FROM embeddings v CROSS JOIN cents c
+),
+ca AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+           ORDER BY dist ASC, cell ASC) AS rk FROM dd
+  ) WHERE rk <= 1
+),
+qa AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+           ORDER BY dist ASC, cell ASC) AS rk
+    FROM dd WHERE vec_id % {_BATCH_MOD} = 0
+  ) WHERE rk <= {_IVF_NPROBE}
+),
+vn AS (
+  SELECT vec_id, embedding, {O_NORM2.format(e="embedding")} AS n2
+  FROM embeddings
+),
+p AS (
+  SELECT DISTINCT qa.vec_id AS q_id, ca.vec_id AS c_id
+  FROM qa JOIN ca ON ca.cell = qa.cell AND ca.vec_id <> qa.vec_id
+),
+s AS (
+  SELECT p.q_id, p.c_id,
+         ({O_DOT.format(a="qv.embedding", b="cv.embedding")} / 1e12)
+           / (sqrt(qv.n2 / 1e12) * sqrt(cv.n2 / 1e12)) AS cosine
+  FROM p JOIN vn qv ON qv.vec_id = p.q_id JOIN vn cv ON cv.vec_id = p.c_id
+)
+SELECT CAST(q_id AS BIGINT) AS q_id, CAST(c_id AS BIGINT) AS c_id,
+       cosine, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, c_id ASC) AS rank
+  FROM s
+) WHERE rank <= {_BATCH_K}
+"""
+
+
+@register_extended("embedding_ann_batch", BATCH_ANN_ORACLE)
+def q_embedding_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch probe of the persisted IVF index: every 10th vector is a
+    query; one cell-key join pairs each with its nprobe cells'
+    candidates, then a per-query rank window keeps top-k."""
+    from ..llm.similarity import ivf_search
+    from .llm import _embs
+
+    root = _hybrid_index_root(spark, sf_dir)
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % _BATCH_MOD == 0)
+    out = ivf_search(
+        spark, os.path.join(root, "ivf"), q, k=_BATCH_K, nprobe=_IVF_NPROBE
+    )
+    return out.select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("c_id").cast("long").alias("c_id"),
+        "cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )

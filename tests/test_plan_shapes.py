@@ -194,3 +194,17 @@ def test_scale_shapes_no_global_funnel(spark, name):
             f"{name}: SinglePartition exchange not feeding a global "
             f"aggregate (global window/sort funnel?)\n{plan}"
         )
+
+
+def test_embedding_ann_batch_joins_on_cell_key(spark):
+    """VERDICT r5 #6 plan guard: the batch ANN probe pairs queries with
+    candidates via an equi-join on the CELL key — never a cartesian
+    product over (queries x corpus). The only nested-loop joins allowed
+    are the bounded queries x centroids assignment (centroid table =
+    k_cells rows)."""
+    plan = _plan(REGISTRY["embedding_ann_batch"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "Join [cell" in plan  # BroadcastHashJoin/SortMergeJoin on cell
+    # nested loops only against the centroid relation
+    if "BroadcastNestedLoopJoin" in plan:
+        assert "centroid" in plan, plan
