@@ -23,10 +23,14 @@
 // keys picks an arbitrary row, as does max_by).
 //
 // Matching fires only on state tables named by
-// spark.degenter.latestRewrite.tables (default "prices,pool_state"), by
-// the presence of a SubqueryAlias with that name inside the subquery —
-// the same guard list the pre-parse shim uses, so user queries over
-// other tables are never touched.
+// spark.degenter.latestRewrite.tables (default
+// "prices,pool_state,trades,pools" — trades/pools are the reference's
+// EARLIEST-row probe targets: the first-provide lookup in
+// jobs/fasttrack-listener.js:122-137 and the first-pool lookup in
+// api/util/pool-select.js:5-15, both ORDER BY ... ASC LIMIT 1 -> the
+// min_by branch below), by the presence of a SubqueryAlias with that
+// name inside the subquery — the same guard list the pre-parse shim
+// uses, so user queries over other tables are never touched.
 package degenter.spark
 
 import org.apache.spark.sql.SparkSessionExtensions
@@ -47,7 +51,10 @@ object LatestRowRewrite extends Rule[LogicalPlan] {
   private def allowedTables: Set[String] = {
     val conf = SparkSession.active.conf
     conf
-      .get("spark.degenter.latestRewrite.tables", "prices,pool_state")
+      .get(
+        "spark.degenter.latestRewrite.tables",
+        "prices,pool_state,trades,pools"
+      )
       .split(",")
       .map(_.trim.toLowerCase)
       .filter(_.nonEmpty)

@@ -75,9 +75,60 @@ LATEST_VIEWS = {
 TABLE_COLUMNS = {
     "prices": {"token_id", "pool_id", "price_in_zig", "is_pair_native", "updated_at"},
     "pool_state": {"pool_id", "reserve_base_base", "reserve_quote_base", "updated_at"},
+    # schemas.TRADES / schemas.POOLS (the earliest-row probe targets)
+    "trades": {
+        "pool_id", "pair_contract", "action", "direction", "tx_hash",
+        "signer", "height", "msg_index", "created_at",
+        "offer_asset_denom", "offer_amount_base", "ask_asset_denom",
+        "ask_amount_base", "return_amount_base", "is_router",
+        "reserve_asset1_denom", "reserve_asset1_amount",
+        "reserve_asset2_denom", "reserve_asset2_amount",
+    },
+    "pools": {
+        "pool_id", "pair_contract", "base_token_id", "quote_token_id",
+        "pair_type", "is_uzig_quote", "lp_token_denom", "router_contract",
+        "created_at", "created_height", "signer",
+    },
 }
 
 _KW = r"WHERE|ORDER|GROUP|LIMIT|JOIN|ON|AND|OR"
+
+# ASC / earliest-row probes (reference jobs/fasttrack-listener.js:122-137
+# first-provide lookup, api/util/pool-select.js:5-15 first pool): no
+# earliest_* view exists, so the shim rewrites the probe IN PLACE to the
+# aggregate form  (SELECT min_by(col, ord) FROM t WHERE ...)  — the same
+# transform the compiled Catalyst rule applies on resolved plans, which
+# Spark then decorrelates into one aggregation + left outer join.
+# Because the rewrite keeps the original table, extra WHERE conjuncts
+# (e.g. AND action = 'provide') carry over verbatim.
+#
+# min_by SKIPS null ordering keys while ASC (default NULLS FIRST) would
+# put them first, so the rewrite is only sound on order columns the
+# engine's schemas declare NOT NULL (schemas.py: every ingest-derived
+# height/msg_index/created_at/updated_at is populated by
+# sources/blocks.py, never null):
+NOT_NULL_ORDER_COLS = {
+    "prices": {"updated_at"},
+    "pool_state": {"updated_at"},
+    "trades": {"height", "msg_index", "created_at"},
+    "pools": {"created_at"},
+}
+
+_ASC_KEY = (
+    r"(?:[A-Za-z_]\w*\s*\.\s*)?[A-Za-z_]\w*\s+ASC(?:\s+NULLS\s+LAST)?"
+)
+
+_PATTERN_ASC = re.compile(
+    rf"""\(\s*SELECT\s+(?P<col>[A-Za-z_][\w.]*)\s+
+        FROM\s+(?P<table>[A-Za-z_]\w*)
+        (?:\s+(?:AS\s+)?(?P<alias>(?!(?:{_KW})\b)[A-Za-z_]\w*))?\s+
+        WHERE\s+(?:(?P<kq>[A-Za-z_]\w*)\s*\.\s*)?(?P<key>[A-Za-z_]\w*)
+        \s*=\s*(?P<outer>[A-Za-z_][\w.]*)
+        (?P<extra>(?:\s+AND\s+[^()]*?)??)\s+
+        ORDER\s+BY\s+(?P<order>{_ASC_KEY}(?:\s*,\s*{_ASC_KEY})*)\s+
+        LIMIT\s+1(?:\s+OFFSET\s+0)?\s*\)""",
+    re.IGNORECASE | re.VERBOSE,
+)
 
 _PATTERN = re.compile(
     rf"""\(\s*SELECT\s+(?P<col>[A-Za-z_][\w.]*)\s+
@@ -145,4 +196,49 @@ def rewrite_correlated_latest(sql: str) -> str:
             f"WHERE {key} = {outer})"
         )
 
-    return _PATTERN.sub(repl, sql)
+    def repl_asc(m: re.Match) -> str:
+        table = m.group("table").lower()
+        alias = (m.group("alias") or "").lower()
+        inner_names = {table, alias} - {""}
+        safe_ords = NOT_NULL_ORDER_COLS.get(table)
+        if safe_ords is None:
+            return m.group(0)
+        # every ORDER BY key must be a schema-NOT-NULL column of the
+        # inner table (qualifier, if any, naming the inner alias)
+        ord_cols: list[str] = []
+        for part in m.group("order").split(","):
+            toks = re.split(r"\s+", part.strip())
+            name = toks[0]
+            q = name.split(".")[0].lower() if "." in name else None
+            base = name.split(".")[-1].lower()
+            if (q and q not in inner_names) or base not in safe_ords:
+                return m.group(0)
+            ord_cols.append(name)
+        # correlation guards, identical to the DESC path
+        if (m.group("kq") or "").lower() not in (inner_names | {""}):
+            return m.group(0)
+        outer = m.group("outer")
+        outer_q = outer.split(".")[0].lower() if "." in outer else None
+        if outer_q in inner_names:
+            return m.group(0)
+        if outer_q is None and outer.lower() in TABLE_COLUMNS.get(table, set()):
+            return m.group(0)
+        col = m.group("col")
+        col_q = col.split(".")[0].lower() if "." in col else None
+        if col_q is not None and col_q not in inner_names:
+            return m.group(0)
+        ord_sql = (
+            ord_cols[0]
+            if len(ord_cols) == 1
+            else "struct(" + ", ".join(ord_cols) + ")"
+        )
+        from_sql = m.group("table") + (f" {m.group('alias')}" if m.group("alias") else "")
+        kq = m.group("kq")
+        key_sql = (f"{kq}." if kq else "") + m.group("key")
+        extra = m.group("extra") or ""
+        return (
+            f"(SELECT min_by({col}, {ord_sql}) FROM {from_sql} "
+            f"WHERE {key_sql} = {outer}{extra})"
+        )
+
+    return _PATTERN_ASC.sub(repl_asc, _PATTERN.sub(repl, sql))

@@ -185,3 +185,47 @@ def test_rule_leaves_unlisted_tables_alone(spark, views):
         (100, 5), (101, 6), (102, None),
     ]
     spark.catalog.dropTempView("user_tbl")
+
+
+def test_rule_fires_on_reference_earliest_trades_shape(spark, views):
+    """VERDICT r5 #8: the reference's first-provide lookup
+    (jobs/fasttrack-listener.js:122-137 — ORDER BY height ASC,
+    msg_index ASC LIMIT 1 over trades) rewrites to a min_by struct
+    aggregate now that trades/pools sit in the default guard list."""
+    import pyspark.sql.types as T
+
+    if not _ext_active(spark):
+        pytest.skip("extension jar not loaded in this session")
+    schema = T.StructType(
+        [
+            T.StructField("pool_id", T.LongType(), False),
+            T.StructField("action", T.StringType(), False),
+            T.StructField("height", T.LongType(), False),
+            T.StructField("msg_index", T.LongType(), False),
+            T.StructField("reserve_asset1_amount", T.DoubleType(), True),
+        ]
+    )
+    spark.createDataFrame(
+        [
+            (100, "provide", 5, 1, 11.0),
+            (100, "provide", 5, 0, 10.0),
+            (100, "swap", 4, 0, 99.0),
+            (101, "provide", 7, 2, 20.0),
+        ],
+        schema,
+    ).createOrReplaceTempView("trades")
+    df = spark.sql(
+        """
+        SELECT p.pool_id,
+               (SELECT reserve_asset1_amount FROM trades
+                WHERE pool_id = p.pool_id AND action = 'provide'
+                ORDER BY height ASC, msg_index ASC LIMIT 1) AS first_res
+        FROM pools p
+        """
+    )
+    plan = _opt_plan(df)
+    assert "min_by" in plan, plan
+    assert sorted((r.pool_id, r.first_res) for r in df.collect()) == [
+        (100, 10.0), (101, 20.0), (102, None),
+    ]
+    spark.catalog.dropTempView("trades")

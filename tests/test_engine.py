@@ -359,3 +359,43 @@ def test_engine_swap_route_two_hop(spark, engine):  # noqa: F811
         assert r.b_per_a == pytest.approx(
             r.sell_mid_zig / max(r.buy_mid_zig, 1e-18), rel=1e-12
         )
+
+
+def test_rewrite_earliest_row_asc_variants(spark, engine, dom):  # noqa: F811
+    """VERDICT r5 #8 (shim side): the reference's EARLIEST-row probes
+    (fasttrack-listener.js:122-137 first-provide lookup,
+    pool-select.js:5-15 first pool) rewrite to the min_by aggregate
+    form — extra WHERE conjuncts carried verbatim, multi-key ASC
+    collapsing to struct ordering — and execute bit-equal to raw
+    Spark's own decorrelation."""
+    from degenter_clickhouse_spark.plans.rewrite import rewrite_correlated_latest
+
+    fasttrack = """SELECT p.pool_id,
+              (SELECT reserve_asset1_amount FROM trades
+               WHERE pool_id = p.pool_id AND action = 'provide'
+               ORDER BY height ASC, msg_index ASC LIMIT 1) AS first_res
+       FROM pools p"""
+    first_pool = """SELECT t.token_id,
+              (SELECT pool_id FROM pools
+               WHERE base_token_id = t.token_id
+               ORDER BY created_at ASC LIMIT 1) AS first_pool
+       FROM tokens t"""
+    for q, frag in ((fasttrack, "action = 'provide'"), (first_pool, "")):
+        out = rewrite_correlated_latest(q)
+        assert "min_by" in out, out
+        assert "ORDER BY" not in out.split("min_by")[1].split(")")[0], out
+        assert frag in out
+    assert "struct(height, msg_index)" in rewrite_correlated_latest(fasttrack)
+    # untouched: unknown/nullable order column, unknown table, DESC
+    for keep in [
+        "(SELECT v FROM trades WHERE pool_id = p.x ORDER BY direction ASC LIMIT 1)",
+        "(SELECT v FROM other_t WHERE k = p.x ORDER BY created_at ASC LIMIT 1)",
+        "(SELECT v FROM trades WHERE pool_id = tx_hash ORDER BY height ASC LIMIT 1)",
+    ]:
+        assert rewrite_correlated_latest(keep) == keep
+    # execution parity: engine (shim-rewritten) vs the same SQL through
+    # spark.sql directly (Spark's own decorrelation, no shim)
+    for q in (fasttrack, first_pool):
+        got = {tuple(r) for r in engine.sql(q).collect()}
+        want = {tuple(r) for r in engine.spark.sql(q).collect()}
+        assert got == want and got
