@@ -185,6 +185,15 @@ def main() -> None:
             finally:
                 shutil.rmtree(work, ignore_errors=True)
             spark.catalog.clearCache()
+    # sf1 scale spot-check (VERDICT r5 #2): synthesize ~10x sf0.1 and
+    # run the most expensive queries once each — near-linear scaling is
+    # the design claim, and a cliff shows up here first.
+    # SPARK_GRAFT_BENCH_SF1=0 skips (fast loop).
+    sf1: dict = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0":
+        from bench_sf1 import run as _run_sf1
+
+        sf1 = _run_sf1(spark, reg)
     # host-load disclosure: single-node timings on a shared hypervisor
     # swing with neighbor load (observed 17s..35s for identical code);
     # the 1-minute loadavg at start/end lets a reader judge conditions
@@ -200,6 +209,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "ingest": ingest,
+                "sf1": sf1,
                 "runs_per_query": runs,
                 "loadavg_start": LOAD_START,
                 "loadavg_end": load_end,

@@ -20,7 +20,7 @@ import json
 import sys
 
 FACTOR = 2.0
-DEFAULT_FLOOR = "BENCH_r03.json"
+DEFAULT_FLOOR = "BENCH_r05.json"
 
 
 def load_bench(text: str) -> dict:

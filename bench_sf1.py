@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""sf1 scale spot-check (VERDICT r5 #2): synthesize a ~10x sf0.1
+corpus (sf1-equivalent: ~6M lineitem rows) and run the most expensive
+headline queries ONCE each at that scale. A plan that is bucket-bounded
+should scale near-linearly; a hidden cliff (memory, skew, driver
+materialization) shows up here first — bench.py folds the result into
+its JSON line under the ``sf1`` key.
+
+Synthesis: the driver provides no sf1 directory (TESTDATA.md stops at
+sf0.1, and /root/testdata is read-only), so this module derives one by
+UNIONING 10 key-shifted replicas of every sf0.1 table into
+$SPARK_GRAFT_SF1_DIR (default /tmp/spark_graft_sf1, cached across runs
+behind a completion marker):
+
+* every join key shifts by replica * 1e8 CONSISTENTLY across tables
+  (customer.c_custkey and orders.o_custkey shift together, etc.), so
+  join selectivity and fan-out match the original;
+* shared dimensions (region, nation) stay single-copy with unshifted
+  keys — all replicas reference them, like real scale-up;
+* document text gets a per-replica suffix token (and n_chars is
+  recomputed) so the corpus is 10x NEAR-duplicate families rather than
+  10x byte-identical rows — dedup/LSH workloads keep realistic bucket
+  shapes instead of degenerate all-exact-dup ones;
+* embeddings perturb component 0 by replica * 1e-3 for the same
+  reason (no exact-tie degeneracy in ANN top-k).
+
+No oracle runs at sf1 — correctness is the sf0.01 driver gate's job;
+this is purely a scaling probe.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+REPLICAS = 10
+KEY_OFF = 100_000_000
+MARKER = "_SYNTH_COMPLETE"
+
+# (table, {col: key-shift multiplier of replica*KEY_OFF})
+_KEY_SHIFTS = {
+    "customer": {"c_custkey": 1},
+    "supplier": {"s_suppkey": 1},
+    "part": {"p_partkey": 1},
+    "orders": {"o_orderkey": 1, "o_custkey": 1},
+    "lineitem": {"l_orderkey": 1, "l_partkey": 1, "l_suppkey": 1},
+    "documents": {"doc_id": 1},
+    "embeddings": {"vec_id": 1},
+    "events": {"event_id": 1},
+}
+_SHARED_DIMS = ("region", "nation")
+
+# the most expensive headline queries from the sf0.1 bench, i.e. the
+# ones whose scaling behavior matters most
+SF1_QUERIES = [
+    "dedup_resolution",
+    "router_combine",
+    "leakage_free_split",
+    "embedding_ann_scalable",
+    "hybrid_retrieval",
+    "dsir_selection",
+    "trigram_fluency",
+    "knn_label_vote_blocked",
+    "line_dedup",
+    "dedup_minhash_lsh",
+]
+
+
+def _replica(df, name: str, r: int):
+    out = df
+    for col in _KEY_SHIFTS.get(name, {}):
+        out = out.withColumn(col, F.col(col) + F.lit(r * KEY_OFF))
+    if name == "events":
+        # scale the entity-key cardinality too (user_id plays pool_id)
+        out = out.withColumn("user_id", F.col("user_id") + F.lit(r * 100_000))
+    if name == "documents" and r:
+        out = out.withColumn(
+            "text", F.concat(F.col("text"), F.lit(f" zrep{r}"))
+        ).withColumn("n_chars", F.length("text").cast("long"))
+    if name == "embeddings" and r:
+        bump = F.expr(
+            f"transform(embedding, (x, i) -> CAST(CASE WHEN i = 0 "
+            f"THEN x + {r * 1e-3} ELSE x END AS FLOAT))"
+        )
+        out = out.withColumn("embedding", bump)
+    return out
+
+
+def synthesize(spark: SparkSession, src_dir: str, dst_dir: str) -> float:
+    """Write the 10x corpus unless the completion marker exists.
+    Returns synthesis seconds (0.0 on cache hit)."""
+    marker = os.path.join(dst_dir, MARKER)
+    if os.path.exists(marker):
+        return 0.0
+    from degenter_clickhouse_spark.catalog import TABLES, load_table
+
+    t0 = time.perf_counter()
+    os.makedirs(dst_dir, exist_ok=True)
+    for name in TABLES:
+        src = load_table(spark, src_dir, name)
+        if name in _SHARED_DIMS:
+            out = src
+        else:
+            parts = [_replica(src, name, r) for r in range(REPLICAS)]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(
+            os.path.join(dst_dir, f"{name}.parquet")
+        )
+    open(marker, "w").close()
+    return round(time.perf_counter() - t0, 3)
+
+
+def run(spark: SparkSession, registry) -> dict:
+    """Synthesize (or reuse) the sf1 corpus and time each SF1 query
+    once. Returns the ``sf1`` section for bench.py's JSON line."""
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    dst = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+    synth_sec = synthesize(spark, src, dst)
+    # pre-build the persisted retrieval indexes untimed, mirroring the
+    # amortized state the sf0.1 min-of-3 timing measures
+    from degenter_clickhouse_spark.queries.clean_ext import _hybrid_index_root
+
+    _hybrid_index_root(spark, dst)
+    spark.catalog.clearCache()
+    timings: dict[str, float] = {}
+    for name in SF1_QUERIES:
+        q = registry.get(name)
+        if q is None:
+            continue
+        t0 = time.perf_counter()
+        q.fn(spark, dst).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+    return {
+        "dir": dst,
+        "replicas_of_sf0.1": REPLICAS,
+        "synth_sec": synth_sec,
+        "runs_per_query": 1,
+        "queries": timings,
+        "total_sec": round(sum(timings.values()), 3),
+    }
+
+
+def main() -> None:
+    import json
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent
+    if str(repo) not in sys.path:
+        sys.path.insert(0, str(repo))
+    from degenter_clickhouse_spark.queries import load_registry
+    from degenter_clickhouse_spark.session import build_session
+
+    spark = build_session(app_name="degenter-bench-sf1")
+    spark.sparkContext.setLogLevel("FATAL")
+    print(json.dumps(run(spark, load_registry(extended=True))))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -119,13 +119,39 @@ def neardup_pairs(
 
 N_HYPERPLANES = 4
 
+# Adaptive sizing: with FIXED bits the per-bucket population — and so
+# the blocked pair joins built on these buckets — grows linearly with
+# the corpus, i.e. pair count grows QUADRATICALLY (the sf1 spot-check
+# measured knn_label_vote_blocked at 42x for 10x data). The scale law
+# that holds at 100 TB is a fixed target bucket SIZE: bits =
+# log2(n / target), so per-vector candidate count stays ~target x
+# (1 + bits) regardless of corpus size.
+BUCKET_TARGET = 128
 
-def hyperplane_bucket(vec: str = "embedding") -> F.Column:
-    """Deterministic random-hyperplane LSH bucket id: 8 sign bits of
-    dot(v, h_j) where h_j[i] = frac((j*37 + i*101) * phi) - 0.5 — a
-    fixed pseudo-random hyperplane family needing no fitted model."""
-    bits = []
-    for j in range(N_HYPERPLANES):
+
+def adaptive_hyperplane_bits(
+    n: int, target: int = BUCKET_TARGET, lo: int = N_HYPERPLANES, hi: int = 24
+) -> int:
+    """Hyperplane-bit count giving ~``target`` vectors per bucket for a
+    corpus of ``n``: clamp(ceil(log2(n / target)), lo, hi). At the
+    oracle scales (n <= ~2000 with the defaults) this returns ``lo`` =
+    N_HYPERPLANES, keeping the static 4-bit oracle SQL exact —
+    asserted in tests/test_classify.py."""
+    import math
+
+    if n <= target:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n / target))))
+
+
+def hyperplane_bucket(vec: str = "embedding", bits: int = N_HYPERPLANES) -> F.Column:
+    """Deterministic random-hyperplane LSH bucket id: ``bits`` sign
+    bits of dot(v, h_j) where h_j[i] = frac((j*37 + i*101) * phi) - 0.5
+    — a fixed pseudo-random hyperplane family needing no fitted model.
+    The family is PREFIX-STABLE: bucket(bits=b) == bucket(bits=b+1)
+    masked to the low b bits, so raising bits only splits buckets."""
+    bits_ = []
+    for j in range(bits):
         comp = (
             f"CAST((({j} * 37 + (i - 1) * 101) * 2654435761) % 1000000 AS DOUBLE) "
             f"/ 1000000.0 - 0.5"
@@ -135,8 +161,8 @@ def hyperplane_bucket(vec: str = "embedding") -> F.Column:
             f"CAST({vec}[i - 1] AS DOUBLE) * ({comp})), CAST(0.0 AS DOUBLE), "
             f"(acc, x) -> acc + x)"
         )
-        bits.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << j} ELSE 0 END)")
-    return F.expr(" + ".join(bits)).cast("int")
+        bits_.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << j} ELSE 0 END)")
+    return F.expr(" + ".join(bits_)).cast("int")
 
 
 def lsh_topk(

@@ -168,11 +168,18 @@ FROM win WHERE rv = 1
 
 @register_extended("knn_label_vote_blocked", KNN_BLOCKED_ORACLE)
 def q_knn_label_vote_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _embs(spark, sf_dir, parallel=True).withColumn(
-        "bucket", similarity.hyperplane_bucket()
-    )
+    """Bits ADAPT to the corpus (sf1 spot-check r6: fixed 16 buckets
+    made the pair join quadratic — 42x time at 10x data): a planning-
+    time count picks bits = log2(n / BUCKET_TARGET), keeping per-vector
+    candidate work ~constant at any corpus size. At every oracle scale
+    (n <= 2000) adaptive_hyperplane_bits returns N_HYPERPLANES, so the
+    static 4-bit oracle above stays exact — asserted in
+    tests/test_classify.py::test_adaptive_bits_match_oracle_scales."""
+    e = _embs(spark, sf_dir, parallel=True)
+    bits = similarity.adaptive_hyperplane_bits(e.count())
+    e = e.withColumn("bucket", similarity.hyperplane_bucket(bits=bits))
     return classify.knn_vote(
-        e, k=_KNN_K, group_col="bucket", probe_bits=similarity.N_HYPERPLANES
+        e, k=_KNN_K, group_col="bucket", probe_bits=bits
     ).select(
         "vec_id", "label", "pred_label",
         F.col("votes").cast("long").alias("votes"), "agree",

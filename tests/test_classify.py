@@ -128,3 +128,37 @@ def test_knn_blocked_default_recall_vs_brute(spark):
     # multi-probe candidate relation: it must never vote on MORE vectors
     single = classify.knn_vote(e, k=5, group_col="bucket").toPandas()
     assert set(single["vec_id"]) <= set(blocked.index)
+
+
+def test_adaptive_bits_match_oracle_scales(spark):
+    """The static 4-bit KNN_BLOCKED_ORACLE stays exact because every
+    oracle-scale corpus (sf0.001/sf0.01 embeddings: 500 rows; bench
+    sf0.1: 2000) resolves to N_HYPERPLANES bits; larger corpora split
+    buckets to hold ~BUCKET_TARGET vectors each (linear scaling law)."""
+    from degenter_clickhouse_spark.llm import similarity as S
+
+    for n in (1, 100, 500, 2000):
+        assert S.adaptive_hyperplane_bits(n) == S.N_HYPERPLANES
+    assert S.adaptive_hyperplane_bits(20_000) == 8
+    assert S.adaptive_hyperplane_bits(1_000_000) == 13
+    assert S.adaptive_hyperplane_bits(10**12) == 24  # hi clamp
+    # monotone: more data never means fewer buckets
+    vals = [S.adaptive_hyperplane_bits(2**k) for k in range(8, 40)]
+    assert vals == sorted(vals)
+
+
+def test_hyperplane_bucket_prefix_stable(spark):
+    """bucket(bits=b) must equal bucket(bits=b+2) masked to the low b
+    bits — raising bits only SPLITS buckets, so recall comparisons
+    across scales stay meaningful."""
+    from pyspark.sql import functions as F
+
+    from degenter_clickhouse_spark.llm import similarity as S
+    from degenter_clickhouse_spark.queries.llm import _embs
+
+    e = _embs(spark, "/root/testdata/sf0.001")
+    got = e.select(
+        S.hyperplane_bucket(bits=4).alias("b4"),
+        S.hyperplane_bucket(bits=6).alias("b6"),
+    )
+    assert got.where(F.col("b4") != F.col("b6").bitwiseAND(15)).count() == 0
