@@ -417,6 +417,7 @@ def semantic_dedup(
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec: str = "embedding",
+    bits: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column:
     bucket vectors with the deterministic random-hyperplane LSH
@@ -426,17 +427,28 @@ def semantic_dedup(
     keep one representative (min id) per component.
 
     Scale: the bucket id is the only shuffle key for pair generation —
-    never all-pairs; the quadratic term is bounded by bucket size
-    (raise N_HYPERPLANES as density grows). Component resolution is the
-    same iterative min-label propagation as text near-dups. Swapping
-    the bucketer for fitted IVF cells (fit_ivf_centroids) gives the
-    classic SemDeDup layout at the cost of oracle exactness.
+    never all-pairs; the quadratic term is bounded by bucket size.
+    ``bits=None`` sizes the hyperplane family from a planning-time
+    count (adaptive_hyperplane_bits: bits = log2(n / BUCKET_TARGET)),
+    so bucket population — and the within-bucket pair join — stays
+    ~constant per vector as the corpus grows; at the oracle scales the
+    adaptive value equals N_HYPERPLANES, keeping the static 4-bit
+    oracle exact. Component resolution is the same iterative min-label
+    propagation as text near-dups. Swapping the bucketer for fitted
+    IVF cells (fit_ivf_centroids) gives the classic SemDeDup layout at
+    the cost of oracle exactness.
 
     Returns (vec_id, canonical_id, keep).
     """
-    from .similarity import hyperplane_bucket, neardup_pairs
+    from .similarity import (
+        adaptive_hyperplane_bits,
+        hyperplane_bucket,
+        neardup_pairs,
+    )
 
-    v = vectors.withColumn("__bucket", hyperplane_bucket(vec))
+    if bits is None:
+        bits = adaptive_hyperplane_bits(vectors.count())
+    v = vectors.withColumn("__bucket", hyperplane_bucket(vec, bits=bits))
     pairs = neardup_pairs(
         v, threshold, group_col="__bucket", id_col=id_col, vec=vec
     ).select(F.col("v1").alias("d1"), F.col("v2").alias("d2"))

@@ -144,6 +144,23 @@ def adaptive_hyperplane_bits(
     return max(lo, min(hi, math.ceil(math.log2(n / target))))
 
 
+def adaptive_ivf_cells(n: int, lo: int = 8, hi: int = 65536) -> int:
+    """IVF cell count for a corpus of ``n`` vectors: ~sqrt(n)/4 rounded
+    up to a power of two, clamped to [lo, hi] — the FAISS-style
+    nlist ~ sqrt(n) balance between assignment cost (n x cells) and
+    probe cost (nprobe x n / cells). At the oracle scales (n <= 500
+    embeddings) this returns ``lo`` = 8, keeping the static 8-cell
+    oracle SQL exact (asserted in tests)."""
+    import math
+
+    if n <= 1:
+        return lo
+    raw = math.sqrt(n) / 4
+    if raw <= lo:
+        return lo
+    return min(hi, 1 << math.ceil(math.log2(raw)))
+
+
 def hyperplane_bucket(vec: str = "embedding", bits: int = N_HYPERPLANES) -> F.Column:
     """Deterministic random-hyperplane LSH bucket id: ``bits`` sign
     bits of dot(v, h_j) where h_j[i] = frac((j*37 + i*101) * phi) - 0.5
@@ -171,26 +188,34 @@ def lsh_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec: str = "embedding",
+    bits: int | None = None,
 ) -> DataFrame:
     """Approximate top-k with multi-probe: each query scores its own
     hyperplane bucket plus every 1-bit-flip neighbor bucket (for cos
     ~0.3 neighbors that takes per-neighbor collision probability from
     ~(0.6)^4 to ~0.48). Recall vs brute_topk is asserted in
-    tests/test_llm.py; raise N_HYPERPLANES as corpus density grows —
-    the scoring cost per query is corpus_size / 2^bits x (1 + bits)."""
+    tests/test_llm.py. ``bits=None`` sizes the family from a
+    planning-time candidate count (adaptive_hyperplane_bits) so the
+    per-query scoring cost corpus / 2^bits x (1 + bits) stays ~constant
+    as the corpus grows; at the oracle scales that resolves to
+    N_HYPERPLANES, keeping the static 4-bit oracles exact."""
+    if bits is None:
+        bits = adaptive_hyperplane_bits(candidates.count())
     probes = F.array(
-        F.col("bucket"), *[F.col("bucket").bitwiseXOR(1 << j) for j in range(N_HYPERPLANES)]
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(1 << j) for j in range(bits)]
     )
     q = (
         with_norm(queries, vec)
-        .withColumn("bucket", hyperplane_bucket(vec))
+        .withColumn("bucket", hyperplane_bucket(vec, bits=bits))
         .withColumn("bucket", F.explode(probes))
         .select(
             F.col(id_col).alias("q_id"), F.col(vec).alias("q_vec"),
             F.col("norm2_s").alias("q_n2"), "bucket",
         )
     )
-    c = with_norm(candidates, vec).withColumn("bucket", hyperplane_bucket(vec)).select(
+    c = with_norm(candidates, vec).withColumn(
+        "bucket", hyperplane_bucket(vec, bits=bits)
+    ).select(
         F.col(id_col).alias("c_id"), F.col(vec).alias("c_vec"),
         F.col("norm2_s").alias("c_n2"), "bucket",
     )

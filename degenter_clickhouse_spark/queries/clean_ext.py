@@ -653,17 +653,21 @@ def _hybrid_index_root(spark: SparkSession, sf_dir: str) -> str:
     if root and os.path.isdir(os.path.join(root, "ivf", "cells")):
         return root
     from ..llm.clean import build_text_index
-    from ..llm.similarity import build_ivf_index
+    from ..llm.similarity import adaptive_ivf_cells, build_ivf_index
     from .llm import _embs
 
     root = tempfile.mkdtemp(prefix="hybrid_idx_")
     build_text_index(
         _docs(spark, sf_dir, parallel=True), os.path.join(root, "text")
     )
+    e = _embs(spark, sf_dir, parallel=True)
+    # cells scale ~sqrt(n) (FAISS nlist discipline); at every oracle
+    # scale (n <= 500) the adaptive value is exactly _IVF_CELLS, so the
+    # static 8-cell oracle SQL stays exact (asserted in tests)
     build_ivf_index(
-        _embs(spark, sf_dir, parallel=True),
+        e,
         os.path.join(root, "ivf"),
-        k_cells=_IVF_CELLS,
+        k_cells=adaptive_ivf_cells(e.count(), lo=_IVF_CELLS),
         iters=0,  # seed centroids: deterministic, exactly oracle-able
     )
     _HYBRID_IDX_CACHE[sf_dir] = root

@@ -162,3 +162,19 @@ def test_hyperplane_bucket_prefix_stable(spark):
         S.hyperplane_bucket(bits=6).alias("b6"),
     )
     assert got.where(F.col("b4") != F.col("b6").bitwiseAND(15)).count() == 0
+
+
+def test_adaptive_ivf_cells_match_oracle_scales(spark):
+    """The static 8-cell IVF oracles (hybrid dense leg, batch ANN)
+    stay exact because every oracle-scale corpus (<= 500 embeddings)
+    resolves to 8 cells; larger corpora grow ~sqrt(n)/4 (FAISS nlist
+    discipline) in power-of-two steps."""
+    from degenter_clickhouse_spark.llm import similarity as S
+
+    for n in (1, 100, 500, 1000):
+        assert S.adaptive_ivf_cells(n) == 8
+    assert S.adaptive_ivf_cells(2000) == 16
+    assert S.adaptive_ivf_cells(20_000) == 64
+    assert S.adaptive_ivf_cells(1_000_000) == 256
+    vals = [S.adaptive_ivf_cells(2**k) for k in range(8, 40)]
+    assert vals == sorted(vals)
