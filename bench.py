@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "doc_chunking",  # overlapping token windows, map-only
     "span_dedup_clean",  # exact-substring span detect + removal (EXTENDED)
     "bm25_search",  # two-agg posting-list score + TakeOrdered (EXTENDED)
+    "bm25_batch",  # many queries, one pruned index scan (EXTENDED)
     "hybrid_retrieval",  # BM25 + dense-ANN reciprocal-rank fusion
     "bigram_fluency",  # integer Laplace bigram LM scoring (EXTENDED)
     "line_dedup",  # C4-style global line winner + doc rebuild (EXTENDED)

@@ -415,6 +415,87 @@ def text_index_search(
     return per_doc.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
+def text_index_search_batch(
+    spark,
+    path: str,
+    queries: dict[int, list[str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k for a BATCH of queries against the persisted index —
+    the many-queries-at-once retrieval shape (mirrors the batch IVF
+    probe, llm/similarity.ivf_search with a query DF).
+
+    One pruned postings scan serves every query: the scan's partition
+    filter is the union of all queries' term buckets, df per term is
+    derived once from the pruned postings (exact — a term's postings
+    live wholly in its bucket), and a broadcast (query_id, term) table
+    fans each posting out to the queries containing its term. Per-query
+    top-k is a query_id-partitioned rank window (bounded per query,
+    never global). Scoring is term-for-term identical to
+    ``text_index_search``; a single-query batch returns its rows
+    (pytest-checked). Output: (query_id, doc_id, score, n_terms, rank).
+    """
+    import os
+
+    qrows = [(qid, t) for qid, ts in queries.items() for t in sorted(set(ts))]
+    all_terms = sorted({t for _, t in qrows})
+    buckets = [
+        r["bucket"]
+        for r in spark.createDataFrame([(t,) for t in all_terms], "term string")
+        .select(_term_bucket("term").alias("bucket"))
+        .distinct()
+        .collect()
+    ]
+    postings = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .where(F.col("bucket").isin(buckets))
+        .where(F.col("term").isin(all_terms))
+    )
+    dead = _tombstones(spark, path, id_col)
+    if dead is not None:
+        postings = postings.join(F.broadcast(dead), id_col, "left_anti")
+    dfx = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = spark.read.parquet(os.path.join(path, "stats")).select(
+        "n_docs",
+        (F.col("sum_dl").cast("decimal(38,0)").cast("double") / F.col("n_docs")).alias(
+            "avgdl"
+        ),
+    )
+    qdf = spark.createDataFrame(qrows, "query_id bigint, term string")
+    scored = (
+        postings.join(F.broadcast(dfx), "term")
+        .join(F.broadcast(qdf), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    per_q = (
+        scored.withColumn("__s", F.round(term_score, 9).cast("decimal(38,12)"))
+        .groupBy("query_id", id_col)
+        .agg(
+            F.round(F.sum("__s").cast("double"), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        per_q.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "n_terms", "rank")
+    )
+
+
 def delete_from_text_index(
     spark, doc_ids: DataFrame, path: str, id_col: str = "doc_id"
 ) -> int:

@@ -901,3 +901,89 @@ def q_embedding_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch BM25 (the lexical twin of embedding_ann_batch): many queries
+# served by ONE pruned postings scan of the persisted inverted index,
+# fanned out via a broadcast (query_id, term) table, per-query top-k by
+# a query_id-partitioned rank window. Scoring is identical to
+# bm25_search, so the whole batch has an exact oracle.
+# ---------------------------------------------------------------------------
+
+BM25_BATCH_QUERIES = {
+    1: ["spark", "window", "merge"],
+    2: ["join", "hash", "scan"],
+    3: ["stream", "batch"],
+    4: ["vector", "column", "filter", "sort"],
+}
+_BM25_BATCH_K = 10
+
+_Q_VALUES = ", ".join(
+    f"({qid}, '{t}')"
+    for qid, ts in sorted(BM25_BATCH_QUERIES.items())
+    for t in sorted(set(ts))
+)
+_ALL_TERMS_SQL = ", ".join(
+    f"'{t}'" for t in sorted({t for ts in BM25_BATCH_QUERIES.values() for t in ts})
+)
+
+BM25_BATCH_ORACLE = f"""
+WITH q AS (SELECT * FROM (VALUES {_Q_VALUES}) AS v(query_id, term)),
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+base AS (SELECT doc_id, len(ws) AS dl, ws FROM w),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(CAST(dl AS DECIMAL(38,0))) AS DOUBLE) / count(*) AS avgdl
+  FROM base
+),
+tok AS (
+  SELECT doc_id, dl, t.tk AS term
+  FROM base, unnest(ws) AS t(tk)
+  WHERE t.tk IN ({_ALL_TERMS_SQL})
+),
+tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(round(
+           ln(1.0 + (stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+           * tf.tf * {1.2 + 1.0}
+           / (tf.tf + {1.2} * (1.0 - {0.75} + {0.75} * tf.dl / stats.avgdl)),
+           9) AS DECIMAL(38,12)) AS s
+  FROM tf JOIN dfx USING (term) JOIN q USING (term) CROSS JOIN stats
+),
+per_q AS (
+  SELECT query_id, doc_id,
+         round(CAST(sum(s) AS DOUBLE), 6) AS score,
+         count(*) AS n_terms
+  FROM scored GROUP BY 1, 2
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       score,
+       CAST(n_terms AS BIGINT) AS n_terms,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM per_q
+) WHERE rank <= {_BM25_BATCH_K}
+"""
+
+
+@register_extended("bm25_batch", BM25_BATCH_ORACLE)
+def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.clean import text_index_search_batch
+
+    root = _hybrid_index_root(spark, sf_dir)
+    out = text_index_search_batch(
+        spark, os.path.join(root, "text"), BM25_BATCH_QUERIES, k=_BM25_BATCH_K
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "score",
+        F.col("n_terms").cast("long").alias("n_terms"),
+        F.col("rank").cast("long").alias("rank"),
+    )

@@ -652,3 +652,38 @@ def test_dsir_cli_build_then_score(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_bm25_batch_matches_per_query_single_search(spark, tmp_path):
+    """The batch probe must return, per query, exactly the rows the
+    single-query index search returns (same index, same k) — one
+    pruned scan serving N queries changes the I/O shape, never the
+    answer."""
+    from degenter_clickhouse_spark import catalog
+    from degenter_clickhouse_spark.llm.clean import (
+        build_text_index,
+        text_index_search,
+        text_index_search_batch,
+    )
+
+    from .helpers import SF_DIR
+
+    docs = catalog.load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    build_text_index(docs, idx)
+    queries = {7: ["spark", "merge"], 8: ["join", "scan", "row"], 9: ["stream"]}
+    batch = text_index_search_batch(spark, idx, queries, k=8)
+    got = {
+        qid: sorted(
+            (r["doc_id"], r["score"], r["n_terms"], r["rank"])
+            for r in batch.where(batch.query_id == qid).collect()
+        )
+        for qid in queries
+    }
+    for qid, terms in queries.items():
+        single = text_index_search(spark, idx, terms, k=8).collect()
+        want = sorted(
+            (r["doc_id"], r["score"], r["n_terms"], i + 1)
+            for i, r in enumerate(single)
+        )
+        assert got[qid] == want, f"query {qid} diverged"
