@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "bm25_search",  # two-agg posting-list score + TakeOrdered (EXTENDED)
     "bm25_batch",  # many queries, one pruned index scan (EXTENDED)
     "hybrid_retrieval",  # BM25 + dense-ANN reciprocal-rank fusion
+    "hybrid_retrieval_batch",  # N queries, both legs batched (EXTENDED)
     "bigram_fluency",  # integer Laplace bigram LM scoring (EXTENDED)
     "line_dedup",  # C4-style global line winner + doc rebuild (EXTENDED)
     "asof_join_events",  # single-shuffle union-and-carry as-of join (EXTENDED)

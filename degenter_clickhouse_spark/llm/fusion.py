@@ -68,3 +68,52 @@ def rrf_fuse(
             "rrf", F.col("rrf_scaled").cast("double") / F.lit(float(RRF_SCALE))
         )
     )
+
+
+def rrf_fuse_batch(
+    rankings: Sequence[DataFrame],
+    k_const: int = 60,
+    topk: int = 20,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Batch RRF: fuse per-query ranked lists for MANY queries at once.
+    Every input needs (query_col, id_col, rank_col); fusion groups on
+    (query, doc) and the top-k cut is a query-partitioned rank window —
+    bounded per query (inputs are per-query top-k), never global.
+    Output: (query_id, doc_id, rrf_scaled, n_retrievers, rrf, rank),
+    best-first within each query, ties on doc id."""
+    from pyspark.sql.window import Window
+
+    if not rankings:
+        raise ValueError("rrf_fuse_batch: need at least one ranking DataFrame")
+    contrib = F.expr(
+        f"CAST({RRF_SCALE} AS BIGINT) div ({k_const} + {rank_col})"
+    )
+    tagged = [
+        r.groupBy(query_col, id_col)
+        .agg(F.min(rank_col).alias(rank_col))
+        .select(F.col(query_col), F.col(id_col), contrib.alias("__c"))
+        for r in rankings
+    ]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    fused = u.groupBy(query_col, id_col).agg(
+        F.sum("__c").cast("long").alias("rrf_scaled"),
+        F.count(F.lit(1)).cast("long").alias("n_retrievers"),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_scaled").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .withColumn(
+            "rrf", F.col("rrf_scaled").cast("double") / F.lit(float(RRF_SCALE))
+        )
+        .select(
+            query_col, id_col, "rrf_scaled", "n_retrievers", "rrf", "rank"
+        )
+    )

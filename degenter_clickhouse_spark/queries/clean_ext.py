@@ -987,3 +987,170 @@ def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_terms").cast("long").alias("n_terms"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch hybrid retrieval: the full production shape — N queries, each
+# with a term bag AND an embedding, served by ONE pruned postings scan
+# (lexical) + ONE cell-key index join (dense), fused per query with
+# integer RRF (llm/fusion.rrf_fuse_batch). query_id == vec_id of the
+# query's embedding; seed centroids keep the dense leg exactly
+# oracle-able, so the whole batch hash-compares.
+# ---------------------------------------------------------------------------
+
+HB_QUERIES = {
+    0: ["spark", "window", "merge"],
+    1: ["join", "hash", "scan"],
+    2: ["stream", "batch"],
+    3: ["vector", "column", "filter", "sort"],
+}
+_HB_K = 25  # per-leg top-k
+_HB_TOPK = 10  # fused top-k per query
+
+_HB_Q_VALUES = ", ".join(
+    f"({qid}, '{t}')"
+    for qid, ts in sorted(HB_QUERIES.items())
+    for t in sorted(set(ts))
+)
+_HB_TERMS_SQL = ", ".join(
+    f"'{t}'" for t in sorted({t for ts in HB_QUERIES.values() for t in ts})
+)
+
+_HB_LEX_SQL = f"""
+WITH q AS (SELECT * FROM (VALUES {_HB_Q_VALUES}) AS v(query_id, term)),
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+base AS (SELECT doc_id, len(ws) AS dl, ws FROM w),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(CAST(dl AS DECIMAL(38,0))) AS DOUBLE) / count(*) AS avgdl
+  FROM base
+),
+tok AS (
+  SELECT doc_id, dl, t.tk AS term
+  FROM base, unnest(ws) AS t(tk)
+  WHERE t.tk IN ({_HB_TERMS_SQL})
+),
+tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(round(
+           ln(1.0 + (stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+           * tf.tf * {1.2 + 1.0}
+           / (tf.tf + {1.2} * (1.0 - {0.75} + {0.75} * tf.dl / stats.avgdl)),
+           9) AS DECIMAL(38,12)) AS s
+  FROM tf JOIN dfx USING (term) JOIN q USING (term) CROSS JOIN stats
+),
+per_q AS (
+  SELECT query_id, doc_id, round(CAST(sum(s) AS DOUBLE), 6) AS score
+  FROM scored GROUP BY 1, 2
+)
+SELECT query_id, doc_id, rank FROM (
+  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+         ORDER BY score DESC, doc_id ASC) AS rank
+  FROM per_q
+) WHERE rank <= {_HB_K}
+"""
+
+_HB_DENSE_SQL = f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id ASC) AS cell,
+         embedding AS centroid
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id ASC LIMIT {_IVF_CELLS})
+),
+dd AS (
+  SELECT v.vec_id, c.cell,
+         {_O_L2.format(a="v.embedding", b="c.centroid")} AS dist
+  FROM embeddings v CROSS JOIN cents c
+),
+ca AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+           ORDER BY dist ASC, cell ASC) AS rk FROM dd
+  ) WHERE rk <= 1
+),
+qa AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+           ORDER BY dist ASC, cell ASC) AS rk
+    FROM dd WHERE vec_id < {len(HB_QUERIES)}
+  ) WHERE rk <= {_IVF_NPROBE}
+),
+vn AS (
+  SELECT vec_id, embedding, {O_NORM2.format(e="embedding")} AS n2
+  FROM embeddings
+),
+p AS (
+  SELECT DISTINCT qa.vec_id AS q_id, ca.vec_id AS c_id
+  FROM qa JOIN ca ON ca.cell = qa.cell AND ca.vec_id <> qa.vec_id
+),
+s AS (
+  SELECT p.q_id, p.c_id,
+         ({O_DOT.format(a="qv.embedding", b="cv.embedding")} / 1e12)
+           / (sqrt(qv.n2 / 1e12) * sqrt(cv.n2 / 1e12)) AS cosine
+  FROM p JOIN vn qv ON qv.vec_id = p.q_id JOIN vn cv ON cv.vec_id = p.c_id
+)
+SELECT q_id AS query_id, c_id AS doc_id, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, c_id ASC) AS rank
+  FROM s
+) WHERE rank <= {_HB_K}
+"""
+
+HYBRID_BATCH_ORACLE = f"""
+WITH u AS (
+  SELECT query_id, doc_id, CAST(1000000000 AS BIGINT) // ({RRF_K} + rank) AS c
+  FROM ({_HB_LEX_SQL})
+  UNION ALL
+  SELECT query_id, doc_id, CAST(1000000000 AS BIGINT) // ({RRF_K} + rank) AS c
+  FROM ({_HB_DENSE_SQL})
+),
+fused AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id,
+         CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(SUM(c) AS BIGINT) AS rrf_scaled,
+         CAST(COUNT(*) AS BIGINT) AS n_retrievers
+  FROM u GROUP BY 1, 2
+)
+SELECT query_id, doc_id, rrf_scaled, n_retrievers,
+       CAST(rrf_scaled AS DOUBLE) / 1e9 AS rrf,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY rrf_scaled DESC, doc_id ASC) AS rank
+  FROM fused
+) WHERE rank <= {_HB_TOPK}
+"""
+
+
+@register_extended("hybrid_retrieval_batch", HYBRID_BATCH_ORACLE)
+def q_hybrid_retrieval_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.clean import text_index_search_batch
+    from ..llm.fusion import rrf_fuse_batch
+    from ..llm.similarity import ivf_search
+    from .llm import _embs
+
+    root = _hybrid_index_root(spark, sf_dir)
+    lex = text_index_search_batch(
+        spark, os.path.join(root, "text"), HB_QUERIES, k=_HB_K
+    ).select("query_id", "doc_id", "rank")
+    e = _embs(spark, sf_dir)
+    dense = ivf_search(
+        spark,
+        os.path.join(root, "ivf"),
+        e.filter(F.col("vec_id") < len(HB_QUERIES)),
+        k=_HB_K,
+        nprobe=_IVF_NPROBE,
+    ).select(
+        F.col("q_id").alias("query_id"), F.col("c_id").alias("doc_id"), "rank"
+    )
+    out = rrf_fuse_batch([lex, dense], k_const=RRF_K, topk=_HB_TOPK)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "rrf_scaled",
+        "n_retrievers",
+        "rrf",
+        F.col("rank").cast("long").alias("rank"),
+    )
