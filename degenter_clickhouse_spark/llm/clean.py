@@ -314,11 +314,21 @@ def update_text_index(
     pattern). Stats merge by integer addition — no corpus rescan.
     Returns the number of newly indexed docs.
 
-    The stats rewrite is read-then-overwrite (single-writer seam, like
-    operators/merge.upsert_write's parquet path); searches running
-    concurrently with an update see either the old or the new stats,
-    both self-consistent.
+    The stats rewrite is read-then-overwrite; the advisory writer lock
+    below serializes concurrent mutators (update/delete/compact) the
+    way operators/merge.upsert_write's parquet path does; searches
+    running concurrently with an update see either the old or the new
+    stats, both self-consistent.
     """
+    import os
+
+    from ..operators.merge import _table_lock
+
+    with _table_lock(path):
+        return _update_text_index_locked(spark, new_docs, path, id_col, text_col)
+
+
+def _update_text_index_locked(spark, new_docs, path, id_col, text_col) -> int:
     import os
 
     existing = spark.read.parquet(os.path.join(path, "docs")).select(id_col)
@@ -509,6 +519,15 @@ def delete_from_text_index(
     tombstones physically. Returns the number of docs newly deleted."""
     import os
 
+    from ..operators.merge import _table_lock
+
+    with _table_lock(path):
+        return _delete_from_text_index_locked(spark, doc_ids, path, id_col)
+
+
+def _delete_from_text_index_locked(spark, doc_ids, path, id_col) -> int:
+    import os
+
     docs = spark.read.parquet(os.path.join(path, "docs"))
     hit = docs.join(doc_ids.select(id_col).distinct(), id_col, "left_semi")
     dead = _tombstones(spark, path, id_col)
@@ -551,7 +570,19 @@ def compact_text_index(spark, path: str, id_col: str = "doc_id") -> int:
     """Apply tombstones physically: rewrite postings and the doc table
     without deleted docs, clear ``_deleted``. Stats were already
     decremented at delete time, so they are untouched. Returns the
-    number of tombstoned docs applied."""
+    number of tombstoned docs applied. Holds the same writer lock as
+    update/delete, so a tombstone appended mid-compaction cannot be
+    dropped."""
+    import os
+    import shutil
+
+    from ..operators.merge import _table_lock
+
+    with _table_lock(path):
+        return _compact_text_index_locked(spark, path, id_col)
+
+
+def _compact_text_index_locked(spark, path: str, id_col: str) -> int:
     import os
     import shutil
 

@@ -383,6 +383,15 @@ def build_ivf_index(
     )
 
 
+def _ivf_tombstones(spark, path: str):
+    import os
+
+    p = os.path.join(path, "_deleted")
+    if not os.path.exists(p):
+        return None
+    return spark.read.parquet(p).select("c_id").distinct()
+
+
 def ivf_search(
     spark,
     path: str,
@@ -394,17 +403,91 @@ def ivf_search(
 ) -> DataFrame:
     """Probe a persisted IVF index: only the queries are (re)assigned;
     the corpus side comes off the index with norms precomputed and
-    cell-pruned file reads."""
+    cell-pruned file reads. Logically-deleted vectors
+    (``ivf_index_delete``) are excluded by a dimension-sized tombstone
+    anti-join until ``compact_ivf_index`` applies them physically."""
     import os
 
     cents = spark.read.parquet(os.path.join(path, "centroids"))
     cells = spark.read.parquet(os.path.join(path, "cells"))
+    dead = _ivf_tombstones(spark, path)
+    if dead is not None:
+        cells = cells.join(F.broadcast(dead), "c_id", "left_anti")
     q_cells = assign_cells(queries, cents, id_col=id_col, vec=vec, nprobe=nprobe)
     q = with_norm(queries, vec).join(q_cells, id_col).select(
         F.col(id_col).alias("q_id"), F.col(vec).alias("q_vec"),
         F.col("norm2_s").alias("q_n2"), "cell",
     )
     return _score_cell_pairs(cells, q, k)
+
+
+def ivf_index_delete(
+    spark, vec_ids: DataFrame, path: str, id_col: str = "vec_id"
+) -> int:
+    """Logical deletion from a persisted IVF index (the text-index
+    tombstone pattern, llm/clean.delete_from_text_index): ids append to
+    ``_deleted``; searches anti-join it immediately; already-deleted
+    ids are no-ops. Physical rewrite happens in ``compact_ivf_index``.
+    Returns the number of vectors newly deleted."""
+    import os
+
+    from ..operators.merge import _table_lock
+
+    with _table_lock(path):
+        stored = spark.read.parquet(os.path.join(path, "cells")).select("c_id")
+        hit = stored.join(
+            vec_ids.select(F.col(id_col).alias("c_id")).distinct(),
+            "c_id",
+            "left_semi",
+        )
+        dead = _ivf_tombstones(spark, path)
+        if dead is not None:
+            hit = hit.join(dead, "c_id", "left_anti")
+        n = hit.count()
+        if n:
+            hit.write.mode("append").parquet(os.path.join(path, "_deleted"))
+        return n
+
+
+def compact_ivf_index(
+    spark, path: str, files_per_partition: int = 1
+) -> dict:
+    """Apply tombstones physically and compact the cell-partitioned
+    corpus (incremental appends add a file per touched cell per shard;
+    probe planning degrades with file count — the same maintenance the
+    MinHash index got in round 5). Probes before and after see
+    identical results (tested). Returns before/after file counts."""
+    import os
+    import shutil
+
+    from ..operators.merge import _table_lock, compact_table
+
+    # same lock key as ivf_index_delete/append so a concurrent delete
+    # cannot append a tombstone between the rewrite and the _deleted
+    # cleanup (the nested compact_table lock is on the cells subdir —
+    # a different key, so no self-deadlock)
+    with _table_lock(path):
+        dead = _ivf_tombstones(spark, path)
+        if dead is not None:
+            cells_p = os.path.join(path, "cells")
+            kept = spark.read.parquet(cells_p).join(
+                dead, "c_id", "left_anti"
+            )
+            tmp = cells_p + "._compacting"
+            kept.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+            old = cells_p + "._old"
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            os.rename(cells_p, old)
+            os.rename(tmp, cells_p)
+            shutil.rmtree(old)
+            shutil.rmtree(os.path.join(path, "_deleted"))
+        return compact_table(
+            spark,
+            os.path.join(path, "cells"),
+            partition_col="cell",
+            files_per_partition=files_per_partition,
+        )
 
 
 def hash_embed(
@@ -490,6 +573,15 @@ def ivf_index_append(
     ``build_ivf_index`` afresh when drift makes the frozen centroids
     stale (the index stores everything needed to compare recall).
     """
+    import os
+
+    from ..operators.merge import _table_lock
+
+    with _table_lock(path):
+        return _ivf_append_locked(spark, new_vectors, path, id_col, vec)
+
+
+def _ivf_append_locked(spark, new_vectors, path, id_col, vec):
     import os
 
     cents = spark.read.parquet(os.path.join(path, "centroids"))

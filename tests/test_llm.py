@@ -784,3 +784,42 @@ def test_minhash_index_compaction_preserves_probes(spark, tmp_path):
     assert stats["shingles"]["files_after"] < stats["shingles"]["files_before"]
     after = sorted(tuple(r) for r in minhash_probe(spark, idx, probe_docs, 0.5).collect())
     assert before == after and len(after) >= 20  # exact clones all hit
+
+
+def test_ivf_index_delete_and_compact(spark, tmp_path):
+    """IVF index lifecycle parity with the text index: logical delete
+    excludes vectors from probes immediately (tombstone anti-join),
+    re-delete is a no-op, and compaction applies tombstones physically
+    + merges small files — probes identical before and after."""
+    from pyspark.sql import functions as F
+
+    from degenter_clickhouse_spark.llm import similarity as S
+    from degenter_clickhouse_spark.queries.llm import _embs
+
+    e = _embs(spark, "/root/testdata/sf0.001")
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(e.filter(F.col("vec_id") < 400), idx, k_cells=8, iters=0)
+    # incremental growth first, so compaction has small files to merge
+    assert S.ivf_index_append(spark, e.filter(F.col("vec_id") >= 400), idx) > 0
+    q = e.filter(F.col("vec_id") == 0)
+    before = {r["c_id"] for r in S.ivf_search(spark, idx, q, k=10).collect()}
+    victims = sorted(before)[:3]
+    vdf = spark.createDataFrame([(v,) for v in victims], "vec_id long")
+    assert S.ivf_index_delete(spark, vdf, idx) == 3
+    assert S.ivf_index_delete(spark, vdf, idx) == 0  # idempotent
+    after_del = {
+        r["c_id"] for r in S.ivf_search(spark, idx, q, k=10).collect()
+    }
+    assert not (after_del & set(victims))
+    rows_logical = sorted(
+        tuple(r) for r in S.ivf_search(spark, idx, q, k=10).collect()
+    )
+    stats = S.compact_ivf_index(spark, idx)
+    assert stats["files_after"] <= stats["files_before"]
+    import os
+
+    assert not os.path.exists(os.path.join(idx, "_deleted"))
+    rows_physical = sorted(
+        tuple(r) for r in S.ivf_search(spark, idx, q, k=10).collect()
+    )
+    assert rows_logical == rows_physical
