@@ -176,7 +176,8 @@ def q_knn_label_vote_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     static 4-bit oracle above stays exact — asserted in
     tests/test_classify.py::test_adaptive_bits_match_oracle_scales."""
     e = _embs(spark, sf_dir, parallel=True)
-    bits = similarity.adaptive_hyperplane_bits(e.count())
+    # planning count on the PLAIN scan (no repartition in the count job)
+    bits = similarity.adaptive_hyperplane_bits(_embs(spark, sf_dir).count())
     e = e.withColumn("bucket", similarity.hyperplane_bucket(bits=bits))
     return classify.knn_vote(
         e, k=_KNN_K, group_col="bucket", probe_bits=bits

@@ -663,11 +663,13 @@ def _hybrid_index_root(spark: SparkSession, sf_dir: str) -> str:
     e = _embs(spark, sf_dir, parallel=True)
     # cells scale ~sqrt(n) (FAISS nlist discipline); at every oracle
     # scale (n <= 500) the adaptive value is exactly _IVF_CELLS, so the
-    # static 8-cell oracle SQL stays exact (asserted in tests)
+    # static 8-cell oracle SQL stays exact (asserted in tests). The
+    # planning count runs on the plain scan (no repartition shuffle).
+    n = _embs(spark, sf_dir).count()
     build_ivf_index(
         e,
         os.path.join(root, "ivf"),
-        k_cells=adaptive_ivf_cells(e.count(), lo=_IVF_CELLS),
+        k_cells=adaptive_ivf_cells(n, lo=_IVF_CELLS),
         iters=0,  # seed centroids: deterministic, exactly oracle-able
     )
     _HYBRID_IDX_CACHE[sf_dir] = root
