@@ -127,20 +127,28 @@ def run(spark: SparkSession, registry) -> dict:
 
     _hybrid_index_root(spark, dst)
     spark.catalog.clearCache()
+    # min-of-2: a single cold run at this scale swings 1.5-2x with GC /
+    # plan-compile noise (observed 21s..39s for identical knn code);
+    # the second run still measures cold-cache data work because the
+    # catalog cache is cleared between runs
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_SF1_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in SF1_QUERIES:
         q = registry.get(name)
         if q is None:
             continue
-        t0 = time.perf_counter()
-        q.fn(spark, dst).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            q.fn(spark, dst).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
     return {
         "dir": dst,
         "replicas_of_sf0.1": REPLICAS,
         "synth_sec": synth_sec,
-        "runs_per_query": 1,
+        "runs_per_query": runs,
         "queries": timings,
         "total_sec": round(sum(timings.values()), 3),
     }
