@@ -66,6 +66,12 @@ SF1_QUERIES = [
     "knn_label_vote_blocked",
     "line_dedup",
     "dedup_minhash_lsh",
+    # the round-6 batch-retrieval family: probes of build-once indexes
+    # must stay ~flat as the corpus grows (build amortized via the
+    # pre-warmed index root)
+    "bm25_batch",
+    "embedding_ann_batch",
+    "hybrid_retrieval_batch",
 ]
 
 

@@ -344,7 +344,7 @@ def _update_text_index_locked(spark, new_docs, path, id_col, text_col) -> int:
         # file index and invalidates every cached plan reading it —
         # including fresh's anti-join, which would then recompute
         # against the post-append table and collapse to zero rows
-        old = spark.read.parquet(os.path.join(path, "stats")).collect()[0]
+        old = _read_stats(spark, path)
         delta = d.agg(
             F.count(F.lit(1)).alias("n"), F.sum("dl").cast("long").alias("s")
         ).collect()[0]
@@ -359,6 +359,23 @@ def _update_text_index_locked(spark, new_docs, path, id_col, text_col) -> int:
     finally:
         fresh.unpersist()
     return n_new
+
+
+def _stats_frame(spark, path: str) -> DataFrame:
+    """Corpus scalars as a one-row frame. The stats table is SUMMED,
+    not single-row-read: a batch-built index holds one row, a
+    streaming-maintained index (update_text_index_batch) holds one row
+    per micro-batch — integer addition merges both layouts exactly."""
+    import os
+
+    return spark.read.parquet(os.path.join(path, "stats")).agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("sum_dl").cast("long").alias("sum_dl"),
+    )
+
+
+def _read_stats(spark, path: str):
+    return _stats_frame(spark, path).collect()[0]
 
 
 def text_index_search(
@@ -399,7 +416,7 @@ def text_index_search(
         # pruned-postings df derivation stays exact under deletion
         postings = postings.join(F.broadcast(dead), id_col, "left_anti")
     dfx = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = spark.read.parquet(os.path.join(path, "stats")).select(
+    stats = _stats_frame(spark, path).select(
         "n_docs",
         (F.col("sum_dl").cast("decimal(38,0)").cast("double") / F.col("n_docs")).alias(
             "avgdl"
@@ -423,6 +440,71 @@ def text_index_search(
         )
     )
     return per_doc.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def update_text_index_batch(
+    spark,
+    accepted: DataFrame,
+    path: str,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Streaming-sink variant of ``update_text_index`` for
+    ``foreachBatch`` (at-least-once): every write is a BATCH-SCOPED
+    dynamic partition overwrite, so a replayed micro-batch rewrites
+    exactly its own partitions instead of appending duplicates —
+    idempotent without reading a watermark.
+
+    Layout differs from the batch-built index only by the extra
+    ``__batch_id`` partition level: ``postings/`` partitioned by
+    (__batch_id, bucket) — bucket file pruning still applies, partition
+    columns prune at any level — ``docs/`` by __batch_id, and
+    ``stats/`` holds ONE ROW PER BATCH that searches sum (the
+    ``_stats_frame`` contract). Cross-batch duplicate doc ids are
+    dropped by an anti-join against every OTHER batch's doc table (own
+    partition excluded, so a replay cannot erase its own rows).
+
+    Single-maintainer contract: one streaming query per index;
+    run ``delete_from_text_index`` / ``compact_text_index`` only with
+    the stream stopped (their stats collapse + a concurrent replay
+    could double-count a batch)."""
+    import os
+
+    docs = accepted.select(F.col(id_col), F.col(text_col))
+    docs_path = os.path.join(path, "docs")
+    if os.path.exists(docs_path):
+        existing = (
+            spark.read.parquet(docs_path)
+            .where(F.col("__batch_id") != int(batch_id))
+            .select(id_col)
+        )
+        docs = docs.join(existing, id_col, "left_anti")
+    docs = docs.cache()
+    try:
+        ws = F.split(F.col(text_col), " ")
+        d = docs.select(F.col(id_col), F.size(ws).cast("long").alias("dl"))
+
+        def batch_overwrite(df: DataFrame, sub: str, *parts: str) -> None:
+            (
+                df.withColumn("__batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__batch_id", *parts)
+                .parquet(os.path.join(path, sub))
+            )
+
+        batch_overwrite(_postings(docs, id_col, text_col), "postings", "bucket")
+        batch_overwrite(d, "docs")
+        batch_overwrite(
+            d.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
+            ),
+            "stats",
+        )
+    finally:
+        docs.unpersist()
 
 
 def text_index_search_batch(
@@ -468,7 +550,7 @@ def text_index_search_batch(
     if dead is not None:
         postings = postings.join(F.broadcast(dead), id_col, "left_anti")
     dfx = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = spark.read.parquet(os.path.join(path, "stats")).select(
+    stats = _stats_frame(spark, path).select(
         "n_docs",
         (F.col("sum_dl").cast("decimal(38,0)").cast("double") / F.col("n_docs")).alias(
             "avgdl"
@@ -547,7 +629,7 @@ def _delete_from_text_index_locked(spark, doc_ids, path, id_col) -> int:
         hit.select(id_col).write.mode("append").parquet(
             os.path.join(path, "_deleted")
         )
-        old = spark.read.parquet(os.path.join(path, "stats")).collect()[0]
+        old = _read_stats(spark, path)
         spark.createDataFrame(
             [(old["n_docs"] - delta["n"], old["sum_dl"] - delta["s"])],
             "n_docs bigint, sum_dl bigint",

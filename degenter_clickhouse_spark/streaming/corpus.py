@@ -101,6 +101,7 @@ def process_corpus_batch(
     output_dir: str,
     keep: F.Column,
     near_dup_threshold: float | None,
+    maintain_text_index: bool = False,
 ) -> None:
     """One micro-batch of the corpus sink (module-level so replay
     idempotency and the bounded probe are unit-testable outside a
@@ -187,6 +188,18 @@ def process_corpus_batch(
                 "band",
             )
         _idempotent_write(accepted, os.path.join(output_dir, "accepted"), batch_id)
+        if maintain_text_index:
+            # BM25 index grows with the corpus, like the MinHash index
+            # above: batch-scoped idempotent writes, search-ready after
+            # every micro-batch (llm/clean.update_text_index_batch)
+            from ..llm.clean import update_text_index_batch
+
+            update_text_index_batch(
+                spark,
+                accepted.select("doc_id", "text"),
+                os.path.join(output_dir, "text_idx"),
+                batch_id,
+            )
         if rejected.limit(1).count():
             _idempotent_write(
                 rejected, os.path.join(output_dir, "quarantine"), batch_id
@@ -205,6 +218,7 @@ def stream_corpus_ingest(
     max_rep_ratio: float = 0.9,
     watermark: str = "1 hour",
     near_dup_threshold: float | None = None,
+    maintain_text_index: bool = False,
     available_now: bool = True,
 ):
     """Drain ``landing_dir`` (json docs with an ``event_ts``) into
@@ -220,7 +234,14 @@ def stream_corpus_ingest(
     survivors' LSH state to the index — the corpus is never
     re-shingled, and verification reads only the candidate docs'
     shingle buckets (see module docstring), so per-batch cost tracks
-    the batch, not the corpus."""
+    the batch, not the corpus.
+
+    ``maintain_text_index`` additionally keeps the BM25 inverted index
+    at ``output_dir/text_idx`` current: each batch's accepted docs are
+    indexed with batch-scoped idempotent writes
+    (llm/clean.update_text_index_batch), so ``text_index_search`` over
+    the index matches a from-scratch build over ``accepted`` after
+    every micro-batch (tested)."""
     raw = spark.readStream.schema(DOC_SCHEMA).json(landing_dir)
     hashed = raw.withColumn("content_hash", F.md5(F.col("text")))
     deduped = hashed.withWatermark("event_ts", watermark).dropDuplicatesWithinWatermark(
@@ -239,7 +260,13 @@ def stream_corpus_ingest(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         process_corpus_batch(
-            spark, batch_df, batch_id, output_dir, keep, near_dup_threshold
+            spark,
+            batch_df,
+            batch_id,
+            output_dir,
+            keep,
+            near_dup_threshold,
+            maintain_text_index=maintain_text_index,
         )
 
     writer = (

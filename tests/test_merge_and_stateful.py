@@ -486,3 +486,65 @@ def test_table_lock_serializes_writers(spark, tmp_path):
     upd2 = spark.createDataFrame([(3, "c")], "token_id long, name string")
     M.upsert_write(spark, upd2, path, keys=["token_id"])
     assert {r.token_id for r in spark.read.parquet(path).collect()} == {1, 2, 3}
+
+
+def test_streaming_maintained_text_index(spark, tmp_path):
+    """maintain_text_index=True keeps the BM25 inverted index current
+    across micro-batches: after each drain, text_index_search over the
+    streaming-grown index is bit-equal to bm25_topk over the accepted
+    corpus; replaying a drained landing dir (fresh checkpoint, same
+    files) leaves the index unchanged; quarantined docs never index."""
+    import json as _json
+    import os
+
+    from degenter_clickhouse_spark.llm.clean import bm25_topk, text_index_search
+    from degenter_clickhouse_spark.streaming.corpus import stream_corpus_ingest
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def doc(i, text, ts="2024-01-01 10:00:00"):
+        return {"doc_id": i, "text": text, "lang": "en", "source": "src0",
+                "n_chars": len(text), "event_ts": ts}
+
+    t1 = "spark shuffles data across executors while the window merges rows"
+    t2 = "merge joins and hash joins shuffle partitions in the spark engine"
+    t3 = "short"  # below min_words: quarantined, must never index
+    (landing / "b1.json").write_text(
+        "\n".join([_json.dumps(doc(1, t1)), _json.dumps(doc(3, t3))])
+    )
+    stream_corpus_ingest(spark, str(landing), out, ckpt, maintain_text_index=True)
+    idx = os.path.join(out, "text_idx")
+    terms = ["spark", "merge", "shuffle"]
+
+    def snap(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    accepted = spark.read.parquet(os.path.join(out, "accepted")).select(
+        "doc_id", "text"
+    )
+    assert snap(text_index_search(spark, idx, terms, k=10)) == snap(
+        bm25_topk(accepted, terms, k=10)
+    )
+    assert {r.doc_id for r in accepted.collect()} == {1}
+    # batch 2 grows the corpus AND the index
+    (landing / "b2.json").write_text(
+        _json.dumps(doc(2, t2, ts="2024-01-01 10:10:00"))
+    )
+    stream_corpus_ingest(spark, str(landing), out, ckpt, maintain_text_index=True)
+    accepted2 = spark.read.parquet(os.path.join(out, "accepted")).select(
+        "doc_id", "text"
+    )
+    want = snap(bm25_topk(accepted2, terms, k=10))
+    assert snap(text_index_search(spark, idx, terms, k=10)) == want
+    assert {r.doc_id for r in accepted2.collect()} == {1, 2}
+    # full replay with a FRESH checkpoint (lost-checkpoint scenario):
+    # batch-scoped overwrites + the cross-batch anti-join keep the
+    # index identical
+    stream_corpus_ingest(
+        spark, str(landing), out, str(tmp_path / "ckpt2"),
+        maintain_text_index=True,
+    )
+    assert snap(text_index_search(spark, idx, terms, k=10)) == want
