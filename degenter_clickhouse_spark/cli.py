@@ -133,6 +133,12 @@ def main(argv: list[str] | None = None) -> int:
         help="assign new vectors to the frozen centroids and append "
         "(effectively-once)",
     )
+    iv.add_argument(
+        "--quantize",
+        action="store_true",
+        help="store int8 SQ8 cell vectors (~4x less probe I/O, "
+        "approximate scores)",
+    )
 
     se = sub.add_parser("search", help="BM25 top-k against a persisted text index")
     se.add_argument("--index", required=True)
@@ -345,7 +351,10 @@ def main(argv: list[str] | None = None) -> int:
         if args.update:
             print("new vectors indexed:", ivf_index_append(spark, vecs, args.index))
         else:
-            build_ivf_index(vecs, args.index, k_cells=args.cells, iters=args.iters)
+            build_ivf_index(
+                vecs, args.index, k_cells=args.cells, iters=args.iters,
+                quantize=args.quantize,
+            )
             print("indexed:", vecs.count())
         return 0
     if args.cmd == "search":

@@ -350,6 +350,25 @@ def ivf_topk(
     return _score_cell_pairs(c, q, k)
 
 
+def _quantize_cols(vec_col: str):
+    """(scale, int8 codes) for a float vector: symmetric per-vector
+    quantization code = round(x / scale), scale = max|x| / 127.
+    Deterministic (round-half-even on IEEE doubles is exact here) and
+    4x smaller than float32 — at billion-vector scale the cell scan is
+    I/O-bound, so the probe reads a quarter of the bytes."""
+    mx = F.expr(
+        f"aggregate({vec_col}, CAST(0.0 AS DOUBLE), "
+        f"(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
+    )
+    scale = F.when(mx > 0, mx / F.lit(127.0)).otherwise(F.lit(1.0))
+    codes = F.expr(
+        "transform({v}, x -> CAST(round(CAST(x AS DOUBLE) / __qs) AS TINYINT))".format(
+            v=vec_col
+        )
+    )
+    return scale, codes
+
+
 def build_ivf_index(
     vectors: DataFrame,
     path: str,
@@ -357,29 +376,43 @@ def build_ivf_index(
     iters: int = 3,
     id_col: str = "vec_id",
     vec: str = "embedding",
+    quantize: bool = False,
 ) -> None:
     """Build-once ANN index artifact (the billion-vector workflow:
     amortize the expensive passes, probe many times): centroids plus
     the corpus with norms pre-computed, persisted PARTITIONED BY cell —
     a probe's broadcast cell-join lets dynamic partition pruning skip
-    every non-probed cell's files at the scan."""
+    every non-probed cell's files at the scan.
+
+    ``quantize=True`` stores cell vectors as per-vector-scaled int8
+    codes instead of float32 (the classic SQ8 IVF layout): ~4x less
+    cell I/O per probe. Scoring reconstructs x ~ code * scale, so the
+    cosine is approximate — ``ivf_search`` detects the layout
+    automatically; recall vs the exact index is pytest-asserted."""
     import os
 
     cents = fit_ivf_centroids(vectors, k=k_cells, iters=iters, id_col=id_col, vec=vec)
     cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
     assigned = assign_cells(vectors, cents, id_col=id_col, vec=vec, nprobe=1)
-    (
-        with_norm(vectors, vec)
-        .join(assigned, id_col)
-        .select(
+    base = with_norm(vectors, vec).join(assigned, id_col)
+    if quantize:
+        scale, codes = _quantize_cols(vec)
+        out = base.withColumn("__qs", scale).select(
+            F.col(id_col).alias("c_id"),
+            codes.alias("c_vec_q"),
+            F.col("__qs").alias("c_scale"),
+            F.col("norm2_s").alias("c_n2"),
+            "cell",
+        )
+    else:
+        out = base.select(
             F.col(id_col).alias("c_id"),
             F.col(vec).alias("c_vec"),
             F.col("norm2_s").alias("c_n2"),
             "cell",
         )
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(os.path.join(path, "cells"))
+    out.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "cells")
     )
 
 
@@ -410,6 +443,18 @@ def ivf_search(
 
     cents = spark.read.parquet(os.path.join(path, "centroids"))
     cells = spark.read.parquet(os.path.join(path, "cells"))
+    if "c_vec_q" in cells.columns:
+        # SQ8 layout: reconstruct x ~ code * scale at probe time (the
+        # scan read a quarter of the bytes; c_n2 is the exact float
+        # norm recorded at build)
+        cells = cells.select(
+            "c_id",
+            F.expr(
+                "transform(c_vec_q, c -> CAST(c * c_scale AS FLOAT))"
+            ).alias("c_vec"),
+            "c_n2",
+            "cell",
+        )
     dead = _ivf_tombstones(spark, path)
     if dead is not None:
         cells = cells.join(F.broadcast(dead), "c_id", "left_anti")

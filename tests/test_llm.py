@@ -823,3 +823,37 @@ def test_ivf_index_delete_and_compact(spark, tmp_path):
         tuple(r) for r in S.ivf_search(spark, idx, q, k=10).collect()
     )
     assert rows_logical == rows_physical
+
+
+def test_ivf_index_int8_quantized_layout(spark, tmp_path):
+    """SQ8 cell layout: quantize=True stores int8 codes + per-vector
+    scale (4x less probe I/O); ivf_search auto-detects the layout and
+    its top-k recall vs the exact index stays high."""
+    from pyspark.sql import functions as F
+
+    from degenter_clickhouse_spark.llm import similarity as S
+    from degenter_clickhouse_spark.queries.llm import _embs
+
+    e = _embs(spark, "/root/testdata/sf0.001")
+    exact_idx, q_idx = str(tmp_path / "f32"), str(tmp_path / "sq8")
+    S.build_ivf_index(e, exact_idx, k_cells=8, iters=0)
+    S.build_ivf_index(e, q_idx, k_cells=8, iters=0, quantize=True)
+    cols = spark.read.parquet(q_idx + "/cells").columns
+    assert "c_vec_q" in cols and "c_scale" in cols and "c_vec" not in cols
+    qs = e.filter(F.col("vec_id") < 10)
+    exact = S.ivf_search(spark, exact_idx, qs, k=5, nprobe=3)
+    approx = S.ivf_search(spark, q_idx, qs, k=5, nprobe=3)
+    ex = {(r["q_id"], r["c_id"]) for r in exact.collect()}
+    ap = {(r["q_id"], r["c_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.8, recall
+    # the quantized cells are materially smaller on disk
+    import os
+
+    def du(p):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(p) for f in fs if f.endswith(".parquet")
+        )
+
+    assert du(q_idx + "/cells") < 0.6 * du(exact_idx + "/cells")
