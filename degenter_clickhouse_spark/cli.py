@@ -62,6 +62,12 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="enable online MinHash near-dedup at this Jaccard threshold",
     )
+    ci.add_argument(
+        "--maintain-text-index",
+        action="store_true",
+        help="keep the BM25 inverted index at OUTPUT/text_idx current "
+        "with every micro-batch (idempotent batch-scoped writes)",
+    )
     ci.add_argument("--once", action="store_true", help="drain and exit (availableNow)")
 
     cp = sub.add_parser("compact", help="small-file compaction (lakehouse OPTIMIZE)")
@@ -228,6 +234,7 @@ def main(argv: list[str] | None = None) -> int:
             max_rep_ratio=args.max_rep_ratio,
             watermark=args.watermark,
             near_dup_threshold=args.near_dup_threshold,
+            maintain_text_index=args.maintain_text_index,
             available_now=args.once,
         )
         if not args.once:
