@@ -95,15 +95,37 @@ def _replica(df, name: str, r: int):
     return out
 
 
+def _src_fingerprint(src_dir: str) -> str:
+    """(name, size, mtime) digest of the source tables — the driver
+    REGENERATES /root/testdata between rounds, and a cached sf1 dir
+    synthesized from the previous round's data would silently skew
+    scaling comparisons."""
+    import hashlib
+    import json
+
+    ents = []
+    for name in sorted(os.listdir(src_dir)):
+        p = os.path.join(src_dir, name)
+        st = os.stat(p)
+        ents.append((name, st.st_size, int(st.st_mtime)))
+    return hashlib.sha256(json.dumps(ents).encode()).hexdigest()
+
+
 def synthesize(spark: SparkSession, src_dir: str, dst_dir: str) -> float:
-    """Write the 10x corpus unless the completion marker exists.
-    Returns synthesis seconds (0.0 on cache hit)."""
+    """Write the 10x corpus unless a completion marker MATCHING the
+    current source fingerprint exists. Returns synthesis seconds
+    (0.0 on cache hit)."""
+    import shutil
+
+    fp = _src_fingerprint(src_dir)
     marker = os.path.join(dst_dir, MARKER)
-    if os.path.exists(marker):
+    if os.path.exists(marker) and open(marker).read().strip() == fp:
         return 0.0
     from degenter_clickhouse_spark.catalog import TABLES, load_table
 
     t0 = time.perf_counter()
+    if os.path.isdir(dst_dir):
+        shutil.rmtree(dst_dir)  # stale synthesis from older source data
     os.makedirs(dst_dir, exist_ok=True)
     for name in TABLES:
         src = load_table(spark, src_dir, name)
@@ -117,7 +139,8 @@ def synthesize(spark: SparkSession, src_dir: str, dst_dir: str) -> float:
         out.write.mode("overwrite").parquet(
             os.path.join(dst_dir, f"{name}.parquet")
         )
-    open(marker, "w").close()
+    with open(marker, "w") as f:
+        f.write(fp)
     return round(time.perf_counter() - t0, 3)
 
 
