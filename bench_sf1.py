@@ -66,9 +66,15 @@ SF1_QUERIES = [
     "knn_label_vote_blocked",
     "line_dedup",
     "dedup_minhash_lsh",
-    # the round-6 batch-retrieval family: probes of build-once indexes
-    # must stay ~flat as the corpus grows (build amortized via the
-    # pre-warmed index root)
+    # the round-6 batch-retrieval family: fixed-size query batches
+    # (bm25_batch, hybrid_retrieval_batch) must stay ~FLAT as the
+    # corpus grows (probe of a build-once index; measured 1.75s at
+    # both sf0.1 and sf1). embedding_ann_batch is the exception BY
+    # DEFINITION: its query set is 10% of all vectors, so the batch
+    # grows with the corpus — total pair work is
+    # (n/10) x nprobe x n/cells ~ O(n^1.5) with cells ~ sqrt(n),
+    # and the measured ratio (~17x at 10x) sits below the 25x pair
+    # growth. Judge it against that law, not against flatness.
     "bm25_batch",
     "embedding_ann_batch",
     "hybrid_retrieval_batch",
