@@ -630,27 +630,34 @@ def _ivf_append_locked(spark, new_vectors, path, id_col, vec):
     import os
 
     cents = spark.read.parquet(os.path.join(path, "centroids"))
-    existing = spark.read.parquet(os.path.join(path, "cells")).select(
-        F.col("c_id").alias(id_col)
-    )
+    cells = spark.read.parquet(os.path.join(path, "cells"))
+    quantized = "c_vec_q" in cells.columns  # match the index's layout
+    existing = cells.select(F.col("c_id").alias(id_col))
     fresh = new_vectors.join(existing, on=id_col, how="left_anti").cache()
     try:
         n_new = fresh.count()
         if not n_new:
             return 0
         assigned = assign_cells(fresh, cents, id_col=id_col, vec=vec, nprobe=1)
-        (
-            with_norm(fresh, vec)
-            .join(assigned, id_col)
-            .select(
+        base = with_norm(fresh, vec).join(assigned, id_col)
+        if quantized:
+            scale, codes = _quantize_cols(vec)
+            out = base.withColumn("__qs", scale).select(
+                F.col(id_col).alias("c_id"),
+                codes.alias("c_vec_q"),
+                F.col("__qs").alias("c_scale"),
+                F.col("norm2_s").alias("c_n2"),
+                "cell",
+            )
+        else:
+            out = base.select(
                 F.col(id_col).alias("c_id"),
                 F.col(vec).alias("c_vec"),
                 F.col("norm2_s").alias("c_n2"),
                 "cell",
             )
-            .write.mode("append")
-            .partitionBy("cell")
-            .parquet(os.path.join(path, "cells"))
+        out.write.mode("append").partitionBy("cell").parquet(
+            os.path.join(path, "cells")
         )
         return n_new
     finally:

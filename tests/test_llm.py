@@ -857,3 +857,25 @@ def test_ivf_index_int8_quantized_layout(spark, tmp_path):
         )
 
     assert du(q_idx + "/cells") < 0.6 * du(exact_idx + "/cells")
+
+
+def test_ivf_append_preserves_quantized_layout(spark, tmp_path):
+    """Appending a shard to an SQ8 index must write int8 codes, not
+    float vectors — a mixed-layout cells table would fail every later
+    read. Probes over the grown index keep working."""
+    from pyspark.sql import functions as F
+
+    from degenter_clickhouse_spark.llm import similarity as S
+    from degenter_clickhouse_spark.queries.llm import _embs
+
+    e = _embs(spark, "/root/testdata/sf0.001")
+    idx = str(tmp_path / "sq8")
+    S.build_ivf_index(e.filter(F.col("vec_id") < 300), idx, k_cells=8, iters=0,
+                      quantize=True)
+    assert S.ivf_index_append(spark, e.filter(F.col("vec_id") >= 300), idx) > 0
+    cols = spark.read.parquet(idx + "/cells").columns
+    assert "c_vec_q" in cols and "c_vec" not in cols
+    hits = S.ivf_search(
+        spark, idx, e.filter(F.col("vec_id") == 0), k=5, nprobe=3
+    ).collect()
+    assert len(hits) == 5
