@@ -68,6 +68,12 @@ def main(argv: list[str] | None = None) -> int:
         help="keep the BM25 inverted index at OUTPUT/text_idx current "
         "with every micro-batch (idempotent batch-scoped writes)",
     )
+    ci.add_argument(
+        "--maintain-ivf-index",
+        action="store_true",
+        help="hash-embed accepted docs and grow the IVF ANN index at "
+        "OUTPUT/ivf_idx (frozen centroids, replay-converging appends)",
+    )
     ci.add_argument("--once", action="store_true", help="drain and exit (availableNow)")
 
     cp = sub.add_parser("compact", help="small-file compaction (lakehouse OPTIMIZE)")
@@ -235,6 +241,7 @@ def main(argv: list[str] | None = None) -> int:
             watermark=args.watermark,
             near_dup_threshold=args.near_dup_threshold,
             maintain_text_index=args.maintain_text_index,
+            maintain_ivf_index=args.maintain_ivf_index,
             available_now=args.once,
         )
         if not args.once:

@@ -102,6 +102,7 @@ def process_corpus_batch(
     keep: F.Column,
     near_dup_threshold: float | None,
     maintain_text_index: bool = False,
+    maintain_ivf_index: bool = False,
 ) -> None:
     """One micro-batch of the corpus sink (module-level so replay
     idempotency and the bounded probe are unit-testable outside a
@@ -200,6 +201,39 @@ def process_corpus_batch(
                 os.path.join(output_dir, "text_idx"),
                 batch_id,
             )
+        if maintain_ivf_index:
+            # dense ANN index grows too (completing the trio: MinHash
+            # bands, posting lists, IVF cells — all stream-maintained):
+            # accepted docs are hash-trick embedded (zero-shuffle
+            # column expressions, llm/similarity.hash_embed) and
+            # appended to the frozen-centroid index. The append's
+            # stored-id anti-join makes replays CONVERGE: a crash
+            # mid-append leaves some ids visible, and the replay adds
+            # exactly the missing ones — no duplicates either way.
+            from ..llm.similarity import (
+                adaptive_ivf_cells,
+                build_ivf_index,
+                hash_embed,
+                ivf_index_append,
+            )
+
+            ivf_dir = os.path.join(output_dir, "ivf_idx")
+            emb = hash_embed(accepted.select("doc_id", "text"))
+            # append only when BOTH artifacts exist — a crash between
+            # the centroid and cells writes must fall back to rebuild
+            if os.path.exists(os.path.join(ivf_dir, "centroids")) and os.path.exists(
+                os.path.join(ivf_dir, "cells")
+            ):
+                ivf_index_append(spark, emb, ivf_dir)
+            else:
+                # first batch seeds the (frozen) centroids; rebuild
+                # offline when drift warrants (build_ivf_index docs)
+                build_ivf_index(
+                    emb,
+                    ivf_dir,
+                    k_cells=adaptive_ivf_cells(emb.count()),
+                    iters=1,
+                )
         if rejected.limit(1).count():
             _idempotent_write(
                 rejected, os.path.join(output_dir, "quarantine"), batch_id
@@ -219,6 +253,7 @@ def stream_corpus_ingest(
     watermark: str = "1 hour",
     near_dup_threshold: float | None = None,
     maintain_text_index: bool = False,
+    maintain_ivf_index: bool = False,
     available_now: bool = True,
 ):
     """Drain ``landing_dir`` (json docs with an ``event_ts``) into
@@ -241,7 +276,11 @@ def stream_corpus_ingest(
     indexed with batch-scoped idempotent writes
     (llm/clean.update_text_index_batch), so ``text_index_search`` over
     the index matches a from-scratch build over ``accepted`` after
-    every micro-batch (tested)."""
+    every micro-batch (tested). ``maintain_ivf_index`` does the same
+    for the dense side at ``output_dir/ivf_idx``: accepted docs are
+    hash-trick embedded and appended to a frozen-centroid IVF index
+    (first batch seeds the centroids), so `ivf_search` works over the
+    growing corpus without a rebuild."""
     raw = spark.readStream.schema(DOC_SCHEMA).json(landing_dir)
     hashed = raw.withColumn("content_hash", F.md5(F.col("text")))
     deduped = hashed.withWatermark("event_ts", watermark).dropDuplicatesWithinWatermark(
@@ -267,6 +306,7 @@ def stream_corpus_ingest(
             keep,
             near_dup_threshold,
             maintain_text_index=maintain_text_index,
+            maintain_ivf_index=maintain_ivf_index,
         )
 
     writer = (

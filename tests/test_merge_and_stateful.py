@@ -548,3 +548,59 @@ def test_streaming_maintained_text_index(spark, tmp_path):
         maintain_text_index=True,
     )
     assert snap(text_index_search(spark, idx, terms, k=10)) == want
+
+
+def test_streaming_maintained_ivf_index(spark, tmp_path):
+    """maintain_ivf_index=True embeds each batch's accepted docs
+    (hash trick) and grows a frozen-centroid IVF index: every accepted
+    doc is probe-able after its batch, replays add nothing, and
+    quarantined docs never index."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from degenter_clickhouse_spark.llm.similarity import hash_embed, ivf_search
+    from degenter_clickhouse_spark.streaming.corpus import stream_corpus_ingest
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def doc(i, text, ts="2024-01-01 10:00:00"):
+        return {"doc_id": i, "text": text, "lang": "en", "source": "src0",
+                "n_chars": len(text), "event_ts": ts}
+
+    texts = {
+        1: "spark shuffles data across executors while windows merge rows",
+        2: "merge joins and hash joins shuffle partitions in the engine",
+        4: "completely different animal words cat dog fox hen owl bee ant",
+    }
+    (landing / "b1.json").write_text(
+        "\n".join([_json.dumps(doc(1, texts[1])), _json.dumps(doc(3, "short"))])
+    )
+    stream_corpus_ingest(spark, str(landing), out, ckpt, maintain_ivf_index=True)
+    idx = os.path.join(out, "ivf_idx")
+    ids = {r.c_id for r in spark.read.parquet(idx + "/cells").collect()}
+    assert ids == {1}  # quarantined doc 3 never indexed
+    (landing / "b2.json").write_text("\n".join(
+        [_json.dumps(doc(2, texts[2], ts="2024-01-01 10:10:00")),
+         _json.dumps(doc(4, texts[4], ts="2024-01-01 10:10:00"))]
+    ))
+    stream_corpus_ingest(spark, str(landing), out, ckpt, maintain_ivf_index=True)
+    ids = {r.c_id for r in spark.read.parquet(idx + "/cells").collect()}
+    assert ids == {1, 2, 4}
+    # a doc-2-shaped query retrieves doc 1 (shared vocabulary) above
+    # the unrelated doc 4
+    q = hash_embed(
+        spark.createDataFrame([(99, texts[2])], "doc_id long, text string")
+    )
+    hits = ivf_search(spark, idx, q, k=2, nprobe=4).collect()
+    assert hits and hits[0]["c_id"] in (1, 2)
+    # lost-checkpoint replay: the stored-id anti-join adds nothing
+    stream_corpus_ingest(
+        spark, str(landing), out, str(tmp_path / "ckpt2"),
+        maintain_ivf_index=True,
+    )
+    assert {r.c_id for r in spark.read.parquet(idx + "/cells").collect()} == {1, 2, 4}
