@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_resolution",  # pair -> connected-component resolution
+    "dedup_keep_best",  # cluster argmax: keep highest-quality member (EXTENDED)
+    "fuzzy_decontamination",  # cross-set MinHash near-dup decontam (EXTENDED)
     "embedding_ann_topk",
     "embedding_ann_scalable",  # LSH multi-probe + IVF cell probe
     "embedding_ann_batch",  # batch probe of the persisted IVF index (EXTENDED)

@@ -513,6 +513,109 @@ def dedup_resolution(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") 
     )
 
 
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    priority_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup verdict that keeps the HIGHEST-PRIORITY member of each
+    near-dup cluster instead of the lowest id — the production rule
+    when duplicates differ in quality (keep the longest / highest
+    quality-score copy of a boilerplate family, drop the rest).
+
+    Same cluster resolution as ``dedup_resolution``; the representative
+    is ``max_by(id, (priority, -id))`` per cluster — one additional
+    dimension-sized aggregation over cluster members (clusters only,
+    not the corpus; singleton docs never enter it). Ties break on the
+    LOWER id, so the verdict is total and engine-independent.
+    Output: (id, cluster_id, rep_id, keep).
+    """
+    clusters = neardup_clusters(pairs)
+    members = clusters.join(
+        docs.select(F.col(id_col), F.col(priority_col).alias("__p")), id_col
+    )
+    reps = members.groupBy("canonical_id").agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(F.col("__p").alias("p"), (-F.col(id_col)).alias("nid")),
+        ).alias("rep_id")
+    )
+    j = (
+        docs.select(F.col(id_col))
+        .join(clusters, id_col, "left")
+        .join(reps, "canonical_id", "left")
+    )
+    return j.select(
+        id_col,
+        F.coalesce("canonical_id", F.col(id_col)).alias("cluster_id"),
+        F.coalesce("rep_id", F.col(id_col)).alias("rep_id"),
+        (F.coalesce("rep_id", F.col(id_col)) == F.col(id_col)).alias("keep"),
+    )
+
+
+def fuzzy_contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """NEAR-duplicate train/eval decontamination: exact n-gram
+    collision (``contamination``) misses lightly-reworded benchmark
+    leaks; this flags a training doc when its MinHash-LSH candidates
+    against the benchmark verify at Jaccard >= ``threshold`` — the
+    same banded-candidates + exact-verify recipe as
+    ``minhash_lsh_pairs``, restricted to cross-set pairs so the
+    quadratic term is bounded by band-bucket collisions BETWEEN the
+    sets, never within.
+
+    Output: one row per training doc — (id, n_matches, max_jaccard,
+    contaminated)."""
+    tr = train.select(F.col(id_col), "text")
+    be = benchmark.select(F.col(id_col), "text")
+    tr_sh = _minhash_shingles(tr, id_col, n)
+    be_sh = _minhash_shingles(be, id_col, n)
+    a = _minhash_bands(tr_sh).alias("a")
+    b = _minhash_bands(be_sh).alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(F.col("a.d").alias("d1"), F.col("b.d").alias("d2"))
+        .distinct()
+    )
+    # verify over the union of both sides' shingle sets; tag the sides
+    # so a shared doc id between sets cannot collide
+    tagged_tr = tr_sh.select((F.col("d") * 2).alias("d"), "hs")
+    tagged_be = be_sh.select((F.col("d") * 2 + 1).alias("d"), "hs")
+    tagged_cand = cand.select(
+        (F.col("d1") * 2).alias("d1"), (F.col("d2") * 2 + 1).alias("d2")
+    )
+    hits = _verify_jaccard(
+        tagged_cand, tagged_tr.unionByName(tagged_be), threshold
+    ).select(
+        (F.col("d1") / 2).cast("long").alias(id_col),
+        F.col("jaccard"),
+    )
+    agg = hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    return (
+        tr.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+            "max_jaccard",
+            (F.coalesce("n_matches", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def leakage_free_split(
     docs: DataFrame,
     pairs: DataFrame,

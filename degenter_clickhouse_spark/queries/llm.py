@@ -1092,3 +1092,119 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chunk_tokens",
         T.poly_hash("chunk_text").alias("chunk_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-priority dedup resolution (r6): keep the HIGHEST-priority
+# member of each near-dup cluster (here: longest doc, tie -> lower id)
+# instead of the min-id — the production rule when duplicates differ in
+# quality. Same recursive-CTE closure oracle as dedup_resolution plus a
+# per-cluster argmax window.
+# ---------------------------------------------------------------------------
+
+
+def _keep_best_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+edges AS (SELECT d1 AS a, d2 AS b FROM nd_pairs
+          UNION SELECT d2, d1 FROM nd_pairs),
+comp(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT c.a, e.b FROM comp c JOIN edges e ON e.a = c.b
+),
+canon AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id FROM comp GROUP BY a),
+members AS (
+  SELECT c.doc_id, c.canonical_id, d.n_chars
+  FROM canon c JOIN documents d USING (doc_id)
+),
+reps AS (
+  SELECT canonical_id, doc_id AS rep_id FROM (
+    SELECT canonical_id, doc_id,
+           row_number() OVER (PARTITION BY canonical_id
+               ORDER BY n_chars DESC, doc_id ASC) AS rk
+    FROM members
+  ) WHERE rk = 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(c.canonical_id, d.doc_id) AS BIGINT) AS cluster_id,
+       CAST(COALESCE(r.rep_id, d.doc_id) AS BIGINT) AS rep_id,
+       COALESCE(r.rep_id, d.doc_id) = d.doc_id AS keep
+FROM documents d
+LEFT JOIN canon c ON c.doc_id = d.doc_id
+LEFT JOIN reps r ON r.canonical_id = c.canonical_id
+"""
+
+
+@register_extended("dedup_keep_best", _keep_best_oracle())
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir, parallel=True)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    out = dedup.dedup_keep_best(docs, pairs, priority_col="n_chars")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("rep_id").cast("long").alias("rep_id"),
+        "keep",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy (near-duplicate) decontamination (r6): exact n-gram collision
+# misses reworded benchmark leaks; MinHash-banded candidates BETWEEN
+# the train and benchmark sets, verified at exact Jaccard >= 0.5. Same
+# %10 split as the exact `decontamination` query.
+# ---------------------------------------------------------------------------
+
+_FUZZY_THR = 0.5
+
+
+def _fuzzy_decontamination_oracle() -> str:
+    # reuse the corpus-wide shingle/band CTEs; cross-set candidates
+    ctes = _minhash_ctes()
+    return f"""
+WITH {ctes},
+candx AS (
+  SELECT DISTINCT a.d AS d1, b.d AS d2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.d % 10 <> 0 AND b.d % 10 = 0
+),
+commonx AS (
+  SELECT c.d1, c.d2, COUNT(*) AS common
+  FROM candx c
+  JOIN sh a ON a.doc_id = c.d1
+  JOIN sh b ON b.doc_id = c.d2 AND b.h = a.h
+  GROUP BY c.d1, c.d2
+),
+fhits AS (
+  SELECT d1, CAST(common AS DOUBLE) / (s1.n_sh + s2.n_sh - common) AS jaccard
+  FROM commonx
+  JOIN sizes s1 ON s1.doc_id = d1
+  JOIN sizes s2 ON s2.doc_id = d2
+  WHERE CAST(common AS DOUBLE) / (s1.n_sh + s2.n_sh - common) >= {_FUZZY_THR}
+),
+fagg AS (
+  SELECT d1 AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+         MAX(jaccard) AS max_jaccard
+  FROM fhits GROUP BY d1
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(f.n_matches, 0) AS BIGINT) AS n_matches,
+       f.max_jaccard,
+       COALESCE(f.n_matches, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) t
+LEFT JOIN fagg f USING (doc_id)
+"""
+
+
+@register_extended("fuzzy_decontamination", _fuzzy_decontamination_oracle())
+def q_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir, parallel=True)
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    return dedup.fuzzy_contamination(train, bench, threshold=_FUZZY_THR).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_matches",
+        "max_jaccard",
+        "contaminated",
+    )

@@ -879,3 +879,43 @@ def test_ivf_append_preserves_quantized_layout(spark, tmp_path):
         spark, idx, e.filter(F.col("vec_id") == 0), k=5, nprobe=3
     ).collect()
     assert len(hits) == 5
+
+
+def test_dedup_keep_best_and_fuzzy_contamination_semantics(spark):
+    """dedup_keep_best keeps the highest-priority cluster member (tie
+    -> lower id); fuzzy_contamination flags a REWORDED benchmark leak
+    that exact n-gram collision can miss less robustly."""
+    from pyspark.sql import functions as F
+
+    from degenter_clickhouse_spark.llm import dedup as D
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo")
+    docs = spark.createDataFrame(
+        [
+            (1, base, len(base)),
+            (2, base + " extra tail words here", len(base) + 22),  # longest
+            (3, "totally unrelated content about spark engines only", 50),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
+    out = {r["doc_id"]: r for r in
+           D.dedup_keep_best(docs, pairs, "n_chars").collect()}
+    assert out[2]["keep"] and not out[1]["keep"]  # longest wins, not min id
+    assert out[1]["rep_id"] == 2 and out[3]["keep"]
+    # fuzzy decontamination: bench doc reworded by one word still flags
+    train = docs.filter(F.col("doc_id") == 1).select(
+        "doc_id", F.regexp_replace("text", "echo", "echoX").alias("text")
+    )
+    bench = docs.filter(F.col("doc_id") == 1).select("doc_id", "text")
+    got = D.fuzzy_contamination(train, bench, threshold=0.5).collect()[0]
+    assert got["contaminated"] and got["n_matches"] == 1
+    assert 0.5 <= got["max_jaccard"] < 1.0
+    # an unrelated train doc stays clean
+    clean = D.fuzzy_contamination(
+        docs.filter(F.col("doc_id") == 3).select("doc_id", "text"),
+        bench,
+        threshold=0.5,
+    ).collect()[0]
+    assert not clean["contaminated"] and clean["max_jaccard"] is None
