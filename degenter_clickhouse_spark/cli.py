@@ -111,6 +111,22 @@ def main(argv: list[str] | None = None) -> int:
         help="name=frac pairs, comma-separated, in bucket order",
     )
 
+    dc = sub.add_parser(
+        "decontaminate",
+        help="flag training docs leaking from a benchmark set: exact "
+        "n-gram collision or MinHash near-dup (--fuzzy THRESHOLD)",
+    )
+    dc.add_argument("--train", required=True, help="training corpus parquet")
+    dc.add_argument("--bench", required=True, help="benchmark corpus parquet")
+    dc.add_argument("--output", required=True, help="flags parquet output")
+    dc.add_argument(
+        "--fuzzy",
+        type=float,
+        default=None,
+        help="use near-dup matching at this Jaccard threshold instead "
+        "of exact n-gram collision",
+    )
+
     ip = sub.add_parser(
         "import-pools",
         help="pools CSV backfill (normalize pairs, skip existing contracts)",
@@ -312,6 +328,24 @@ def main(argv: list[str] | None = None) -> int:
             out = score(spark.read.parquet(args.input), model=model)
             out.write.mode("overwrite").parquet(args.output)
             print("scored:", spark.read.parquet(args.output).count())
+        return 0
+    if args.cmd == "decontaminate":
+        from .llm.dedup import contamination, fuzzy_contamination
+
+        train = spark.read.parquet(args.train)
+        bench = spark.read.parquet(args.bench)
+        if args.fuzzy is not None:
+            out = fuzzy_contamination(train, bench, threshold=args.fuzzy)
+        else:
+            out = contamination(train, bench)
+        out.write.mode("overwrite").parquet(args.output)
+        flagged = spark.read.parquet(args.output)
+        print(
+            "contaminated:",
+            flagged.filter(flagged.contaminated).count(),
+            "of",
+            flagged.count(),
+        )
         return 0
     if args.cmd == "dsir":
         from .llm import dsir as _dsir

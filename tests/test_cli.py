@@ -78,3 +78,34 @@ def test_cli_vt_maintenance(spark, tmp_path, capsys):
     assert main(["vt", "vacuum", "--path", path, "--keep-versions", "1"]) == 0
     assert "removed files:" in capsys.readouterr().out
     assert V.vt_read(spark, path).count() == df.count() * 2
+
+
+def test_cli_decontaminate_exact_and_fuzzy(spark, tmp_path):
+    from degenter_clickhouse_spark import cli
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo")
+    train = spark.createDataFrame(
+        [(1, base.replace("echo", "echoX")),
+         (2, "entirely different words about query plans and shuffles")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, base)], "doc_id long, text string")
+    tr, be = str(tmp_path / "tr"), str(tmp_path / "be")
+    train.write.parquet(tr)
+    bench.write.parquet(be)
+    out1 = str(tmp_path / "exact")
+    assert cli.main(
+        ["decontaminate", "--train", tr, "--bench", be, "--output", out1]
+    ) == 0
+    exact = {r.doc_id: r.contaminated for r in spark.read.parquet(out1).collect()}
+    out2 = str(tmp_path / "fuzzy")
+    assert cli.main(
+        ["decontaminate", "--train", tr, "--bench", be, "--output", out2,
+         "--fuzzy", "0.5"]
+    ) == 0
+    fuzzy = {r.doc_id: r.contaminated for r in spark.read.parquet(out2).collect()}
+    # the reworded leak is caught by BOTH (exact still hits unchanged
+    # 3-gram runs); the unrelated doc by neither
+    assert exact[1] and fuzzy[1]
+    assert not exact[2] and not fuzzy[2]
