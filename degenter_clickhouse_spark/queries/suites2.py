@@ -80,9 +80,13 @@ from .llm import (
     MM_ORACLE,
     SAMPLING_ORACLE,
     VOCAB_ORACLE,
+    _fuzzy_decontamination_oracle,
+    _keep_best_oracle,
     q_corpus_sampling,
     q_dedup_exact,
     q_dedup_jaccard,
+    q_dedup_keep_best,
+    q_fuzzy_decontamination,
     q_doc_chunking,
     q_frame_sample,
     q_multimodal,
@@ -322,9 +326,10 @@ def q_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# dedup_baseline_suite = dedup_exact + dedup_ngram_jaccard (the two
-# oracle-baseline dedups; the scale paths — minhash/simhash — stay
-# standalone driver rows)
+# dedup_baseline_suite = dedup_exact + dedup_ngram_jaccard + (r6)
+# dedup_keep_best + fuzzy_decontamination (the oracle-baseline dedups
+# plus the cluster-argmax and cross-set decontamination verdicts; the
+# scale paths — minhash/simhash — stay standalone driver rows)
 # schema: (part, id1, id2 BIGINT, s STRING, n1, n2, n3 BIGINT, v DOUBLE)
 # ---------------------------------------------------------------------------
 
@@ -339,6 +344,16 @@ SELECT 'jaccard', CAST(d1 AS BIGINT), CAST(d2 AS BIGINT),
        CAST(NULL AS VARCHAR), CAST("common" AS BIGINT), CAST(n1 AS BIGINT),
        CAST(n2 AS BIGINT), jaccard
 FROM ({JACCARD_ORACLE})
+UNION ALL
+SELECT 'keep_best', doc_id, cluster_id, CAST(NULL AS VARCHAR),
+       rep_id, CAST(keep AS BIGINT), CAST(-1 AS BIGINT),
+       CAST(-1.0 AS DOUBLE)
+FROM ({_keep_best_oracle()})
+UNION ALL
+SELECT 'fuzzy_decontam', doc_id, CAST(-1 AS BIGINT), CAST(NULL AS VARCHAR),
+       n_matches, CAST(contaminated AS BIGINT), CAST(-1 AS BIGINT),
+       max_jaccard
+FROM ({_fuzzy_decontamination_oracle()})
 """
 
 
@@ -364,7 +379,27 @@ def q_dedup_baseline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2").cast("long").alias("n3"),
         F.col("jaccard").alias("v"),
     )
-    return ex.unionByName(ja)
+    kb = q_dedup_keep_best(spark, sf_dir).select(
+        F.lit("keep_best").alias("part"),
+        F.col("doc_id").alias("id1"),
+        F.col("cluster_id").alias("id2"),
+        _NO_S().alias("s"),
+        F.col("rep_id").alias("n1"),
+        F.col("keep").cast("long").alias("n2"),
+        _NO_K().alias("n3"),
+        _NO_V().alias("v"),
+    )
+    fd = q_fuzzy_decontamination(spark, sf_dir).select(
+        F.lit("fuzzy_decontam").alias("part"),
+        F.col("doc_id").alias("id1"),
+        _NO_K().alias("id2"),
+        _NO_S().alias("s"),
+        F.col("n_matches").alias("n1"),
+        F.col("contaminated").cast("long").alias("n2"),
+        _NO_K().alias("n3"),
+        F.col("max_jaccard").alias("v"),
+    )
+    return ex.unionByName(ja).unionByName(kb).unionByName(fd)
 
 
 # ---------------------------------------------------------------------------
