@@ -687,3 +687,37 @@ def test_bm25_batch_matches_per_query_single_search(spark, tmp_path):
             for i, r in enumerate(single)
         )
         assert got[qid] == want, f"query {qid} diverged"
+
+
+def test_rrf_fuse_batch_equals_per_query_fusion(spark):
+    """rrf_fuse_batch must return, per query, exactly what rrf_fuse
+    returns for that query's rankings alone — including the
+    within-ranking best-rank dedupe."""
+    from pyspark.sql import functions as F
+
+    from degenter_clickhouse_spark.llm.fusion import rrf_fuse, rrf_fuse_batch
+
+    r1 = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2), (0, 2, 5), (1, 7, 1), (1, 8, 2)],
+        ["query_id", "doc_id", "rank"],
+    )
+    r2 = spark.createDataFrame(
+        [(0, 2, 1), (0, 3, 2), (1, 8, 1), (1, 9, 2)],
+        ["query_id", "doc_id", "rank"],
+    )
+    batch = rrf_fuse_batch([r1, r2], k_const=60, topk=3)
+    for qid in (0, 1):
+        got = sorted(
+            (r["doc_id"], r["rrf_scaled"], r["n_retrievers"], r["rrf"])
+            for r in batch.where(batch.query_id == qid).collect()
+        )
+        single = rrf_fuse(
+            [r.where(F.col("query_id") == qid).drop("query_id") for r in (r1, r2)],
+            k_const=60,
+            topk=3,
+        )
+        want = sorted(
+            (r["doc_id"], r["rrf_scaled"], r["n_retrievers"], r["rrf"])
+            for r in single.collect()
+        )
+        assert got == want, f"query {qid} diverged"
