@@ -208,3 +208,14 @@ def test_embedding_ann_batch_joins_on_cell_key(spark):
     # nested loops only against the centroid relation
     if "BroadcastNestedLoopJoin" in plan:
         assert "centroid" in plan, plan
+
+
+def test_bm25_batch_plan_prunes_term_buckets(spark):
+    """The batch lexical probe must carry a static bucket partition
+    filter on the postings scan (union of the queries' term buckets) —
+    one pruned scan serving every query, never a full index read."""
+    import re
+
+    plan = _plan(REGISTRY["bm25_batch"].fn(spark, SF_DIR))
+    m = re.search(r"PartitionFilters: \[([^\]]*bucket[^\]]*)\]", plan)
+    assert m and m.group(1).strip(), plan[:4000]
