@@ -176,6 +176,14 @@ SCALE_SHAPE_QUERIES = {
     "knn_label_vote_blocked": 0,
     "bm25_search": 1,  # corpus doc-count/avgdl aggregate (1 row)
     "collocations": 2,  # N1 (unigram total) + N2 (pair total), 1 row each
+    # round-6 additions: the only SinglePartition allowed is the
+    # one-row index-stats aggregate (n_docs/avgdl) on the lexical legs
+    "bm25_batch": 1,
+    "embedding_ann_batch": 0,
+    "hybrid_retrieval": 1,
+    "hybrid_retrieval_batch": 1,
+    "dedup_keep_best": 0,
+    "fuzzy_decontamination": 0,
 }
 
 
