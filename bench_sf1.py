@@ -150,9 +150,15 @@ def synthesize(spark: SparkSession, src_dir: str, dst_dir: str) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
-def run(spark: SparkSession, registry) -> dict:
+def run(spark: SparkSession, registry, budget_remaining=None) -> dict:
     """Synthesize (or reuse) the sf1 corpus and time each SF1 query
-    once. Returns the ``sf1`` section for bench.py's JSON line."""
+    once. Returns the ``sf1`` section for bench.py's JSON line.
+
+    ``budget_remaining``: optional zero-arg callable returning seconds
+    left in the caller's wall-clock budget. When tight, min-of-2 drops
+    to single runs; when exhausted, remaining queries are skipped and
+    the section reports ``budget_exhausted: true`` — a partial scale
+    probe beats a driver-timeout round with no artifact at all."""
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     dst = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
     synth_sec = synthesize(spark, src, dst)
@@ -168,22 +174,32 @@ def run(spark: SparkSession, registry) -> dict:
     # catalog cache is cleared between runs
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_SF1_RUNS", "2"))
     timings: dict[str, float] = {}
+    runs_done: dict[str, int] = {}
+    exhausted = False
     for name in SF1_QUERIES:
         q = registry.get(name)
         if q is None:
             continue
+        left = budget_remaining() if budget_remaining else float("inf")
+        if left < 20:
+            exhausted = True
+            break
+        runs_now = runs if left > 120 else 1
         best = float("inf")
-        for _ in range(runs):
+        for _ in range(runs_now):
             t0 = time.perf_counter()
             q.fn(spark, dst).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
+        runs_done[name] = runs_now
     return {
         "dir": dst,
         "replicas_of_sf0.1": REPLICAS,
         "synth_sec": synth_sec,
         "runs_per_query": runs,
+        "runs": runs_done,
+        "budget_exhausted": exhausted,
         "queries": timings,
         "total_sec": round(sum(timings.values()), 3),
     }

@@ -1,0 +1,171 @@
+"""Declarative data-quality validation (deequ-style constraint report).
+
+A training-data pipeline gates every ingest batch on a constraint
+report — null ratios, domain membership, key uniqueness, referential
+integrity — before the batch is allowed into the corpus. The reference
+has no explicit equivalent (its ingestion trusts the chain RPC), so
+this is part of the pipeline-extension family.
+
+Design (100 TB target):
+
+* **One scan for all row-predicate constraints.** Every predicate
+  constraint (not-null, range, set membership, regex, arbitrary
+  boolean expression) compiles to a conditional-count expression in a
+  SINGLE ``df.agg(...)`` — one pass over the fact table regardless of
+  how many constraints are declared. The one-row result is unpivoted
+  driver-free with ``explode(array(struct(...)))``.
+* **Uniqueness** rides the same agg via ``count_distinct`` (Spark
+  plans one expand + partial aggregation — still a single scan of the
+  table; at extreme cardinality swap in the HLL hatch from
+  operators/skew.py and treat the constraint as approximate).
+* **Referential integrity** is one LEFT SEMI join per foreign key
+  against the dimension (broadcast when small — the usual dim path),
+  unioned into the same report.
+* **Integer verdicts.** Metrics are (numerator, denominator) BIGINT
+  pairs and the pass flag is the integer cross-multiplication
+  ``100 * num >= min_pct * den`` — no float division anywhere, so the
+  report is bit-identical across engines and shuffle orders.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Predicate:
+    """Row-level predicate constraint: fraction of rows satisfying
+    ``cond`` must reach ``min_pct`` percent."""
+
+    name: str
+    cond: Column
+    min_pct: int = 100
+
+
+@dataclass
+class Unique:
+    """Distinct-count constraint over a key column set."""
+
+    name: str
+    cols: list[str] = field(default_factory=list)
+    min_pct: int = 100
+
+
+@dataclass
+class ForeignKey:
+    """Every non-null value of ``col`` must exist in ``dim[dim_col]``."""
+
+    name: str
+    col: str
+    dim: DataFrame
+    dim_col: str
+    min_pct: int = 100
+
+
+def not_null(col: str, min_pct: int = 100) -> Predicate:
+    return Predicate(f"not_null({col})", F.col(col).isNotNull(), min_pct)
+
+
+def in_range(col: str, lo, hi, min_pct: int = 100) -> Predicate:
+    return Predicate(
+        f"range({col})", F.col(col).between(F.lit(lo), F.lit(hi)), min_pct
+    )
+
+
+def accepted_values(col: str, values, min_pct: int = 100) -> Predicate:
+    return Predicate(
+        f"accepted_values({col})", F.col(col).isin(list(values)), min_pct
+    )
+
+
+def matches(col: str, pattern: str, min_pct: int = 100) -> Predicate:
+    """Anchored regex membership (the pattern must match the WHOLE
+    value — both Spark rlike and DuckDB regexp_matches are search-style,
+    so the caller's pattern is wrapped in ^...$)."""
+    return Predicate(
+        f"matches({col})", F.col(col).rlike(f"^(?:{pattern})$"), min_pct
+    )
+
+
+_REPORT_COLS = ["constraint", "metric_num", "metric_den", "passed"]
+
+
+def check(df: DataFrame, constraints: list) -> DataFrame:
+    """Evaluate constraints against ``df`` and return the report frame
+    (constraint STRING, metric_num BIGINT, metric_den BIGINT,
+    passed BOOLEAN) — one row per constraint, in declaration order
+    preserved by the ``constraint`` label (the report itself is
+    unordered, as any distributed result is)."""
+    preds = [c for c in constraints if isinstance(c, Predicate)]
+    uniqs = [c for c in constraints if isinstance(c, Unique)]
+    fks = [c for c in constraints if isinstance(c, ForeignKey)]
+    if len(preds) + len(uniqs) + len(fks) != len(constraints):
+        bad = [
+            c for c in constraints
+            if not isinstance(c, (Predicate, Unique, ForeignKey))
+        ]
+        raise TypeError(f"unsupported constraint objects: {bad!r}")
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("__den")]
+    for i, p in enumerate(preds):
+        aggs.append(
+            F.sum(F.when(p.cond, 1).otherwise(0)).cast("long").alias(f"__p{i}")
+        )
+    for i, u in enumerate(uniqs):
+        aggs.append(
+            F.count_distinct(*[F.col(c) for c in u.cols])
+            .cast("long")
+            .alias(f"__u{i}")
+        )
+    one = df.agg(*aggs)
+
+    rows = []
+    for i, p in enumerate(preds):
+        rows.append((p.name, F.col(f"__p{i}"), F.col("__den"), p.min_pct))
+    for i, u in enumerate(uniqs):
+        rows.append((u.name, F.col(f"__u{i}"), F.col("__den"), u.min_pct))
+    structs = [
+        F.struct(
+            F.lit(name).alias("constraint"),
+            num.alias("metric_num"),
+            den.alias("metric_den"),
+            (num * 100 >= den * F.lit(min_pct)).alias("passed"),
+        )
+        for name, num, den, min_pct in rows
+    ]
+    report = None
+    if structs:
+        report = one.select(
+            F.explode(F.array(*structs)).alias("r")
+        ).select("r.*")
+
+    for fk in fks:
+        vals = df.select(F.col(fk.col).alias("__v")).filter(
+            F.col("__v").isNotNull()
+        )
+        dim = fk.dim.select(F.col(fk.dim_col).alias("__v"))
+        matched = vals.join(dim, "__v", "left_semi")
+        fk_report = (
+            vals.agg(F.count(F.lit(1)).cast("long").alias("metric_den"))
+            .crossJoin(
+                matched.agg(
+                    F.count(F.lit(1)).cast("long").alias("metric_num")
+                )
+            )
+            .select(
+                F.lit(fk.name).alias("constraint"),
+                "metric_num",
+                "metric_den",
+                (
+                    F.col("metric_num") * 100
+                    >= F.col("metric_den") * F.lit(fk.min_pct)
+                ).alias("passed"),
+            )
+        )
+        report = fk_report if report is None else report.unionByName(fk_report)
+    if report is None:
+        raise ValueError("no constraints given")
+    return report.select(*_REPORT_COLS)

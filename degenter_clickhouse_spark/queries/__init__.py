@@ -73,7 +73,14 @@ def load_registry(extended: bool = False) -> dict[str, QueryDef]:
     from . import core, llm, parity2, parity3, suites, suites2  # noqa: F401
 
     if extended:
-        from . import classify_ext, clean_ext, joins_ext, stats_ext  # noqa: F401
+        from . import (  # noqa: F401
+            classify_ext,
+            clean_ext,
+            graph_ext,
+            joins_ext,
+            quality_ext,
+            stats_ext,
+        )
 
         full = dict(load_registry())
         full.update(EXTENDED_REGISTRY)

@@ -1,0 +1,128 @@
+"""Graph-centrality queries (extended registry): integer PageRank and
+degree distribution over the user<->item activity graph derived from
+``events`` (user_id -[props.k]-> item).
+
+No reference counterpart — this is the training-data-curation
+extension family (link-graph centrality as a document/host quality
+prior). Node namespace: user nodes are ``user_id*2`` (even), item
+nodes are ``k*2+1`` (odd) — a collision-free integer encoding both
+engines compute identically.
+
+The PageRank oracle is the SAME integer power iteration unrolled as
+CTEs (one contribution + one rank CTE per round): because every step
+is integer (truncating div, integer sums), Spark's iterative plan and
+DuckDB's unrolled SQL agree bit-for-bit — no float tolerance needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..operators import graph
+from . import register_extended
+
+_SCALE = graph.DEFAULT_SCALE
+_ITER = 5
+_DAMP = 85
+_BASE = (100 - _DAMP) * _SCALE // 100
+
+_EDGE_CTES = """
+raw AS (
+  SELECT user_id * 2 AS src,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 + 1 AS dst
+  FROM events
+),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM raw
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM raw
+  )
+),
+deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges)
+"""
+
+
+def _pagerank_oracle() -> str:
+    parts = [
+        _EDGE_CTES.strip(),
+        f"r0 AS (SELECT node, CAST({_SCALE} AS BIGINT) AS rank FROM nodes)",
+    ]
+    for i in range(1, _ITER + 1):
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node,"
+            f" CAST(SUM(r.rank // d.out_deg) AS BIGINT) AS s"
+            f" FROM edges e JOIN r{i - 1} r ON e.src = r.node"
+            f" JOIN deg d ON e.src = d.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT n.node,"
+            f" CAST({_BASE} + ({_DAMP} * COALESCE(c.s, 0)) // 100 AS BIGINT)"
+            f" AS rank FROM nodes n LEFT JOIN c{i} c ON n.node = c.node)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT node,
+       CASE WHEN node % 2 = 0 THEN 'user' ELSE 'item' END AS node_type,
+       rank
+FROM r{_ITER}
+ORDER BY rank DESC, node
+LIMIT 20
+"""
+    )
+
+
+PAGERANK_ORACLE = _pagerank_oracle()
+
+
+def _activity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = catalog.load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    raw = ev.select(
+        (F.col("user_id") * 2).alias("src"), (k * 2 + 1).alias("dst")
+    )
+    return graph.symmetrize(raw)
+
+
+@register_extended("graph_pagerank", PAGERANK_ORACLE)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 nodes of the symmetrized user<->item activity graph by
+    5-round integer PageRank (damping 0.85, scale 1e12)."""
+    ranks = graph.pagerank(
+        _activity_edges(spark, sf_dir), iterations=_ITER,
+        damping_pct=_DAMP, scale=_SCALE,
+    )
+    return (
+        ranks.select(
+            "node",
+            F.when(F.col("node") % 2 == 0, "user")
+            .otherwise("item")
+            .alias("node_type"),
+            "rank",
+        )
+        .orderBy(F.desc("rank"), "node")
+        .limit(20)
+    )
+
+
+DEGREE_ORACLE = (
+    "WITH "
+    + _EDGE_CTES.strip()
+    + """,
+node_deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS degree
+             FROM edges GROUP BY src)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM node_deg GROUP BY degree
+"""
+)
+
+
+@register_extended("graph_degree_stats", DEGREE_ORACLE)
+def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the symmetrized activity graph."""
+    return graph.degree_stats(_activity_edges(spark, sf_dir))

@@ -1,0 +1,82 @@
+"""Graph centrality operators (operators/graph.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from degenter_clickhouse_spark.operators import graph
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_symmetrize_dedupes_and_mirrors(spark):
+    e = _edges(spark, [(1, 2), (2, 1), (1, 2), (2, 3)])
+    got = {tuple(r) for r in graph.symmetrize(e).collect()}
+    assert got == {(1, 2), (2, 1), (2, 3), (3, 2)}
+
+
+def test_pagerank_star_hub_dominates(spark):
+    # star: hub 0 <-> leaves 1..6; hub must out-rank every leaf, and
+    # all leaves tie by symmetry
+    pairs = [(0, i) for i in range(1, 7)]
+    ranks = dict(
+        graph.pagerank(graph.symmetrize(_edges(spark, pairs))).collect()
+    )
+    hub, leaves = ranks[0], [ranks[i] for i in range(1, 7)]
+    assert hub > max(leaves)
+    assert len(set(leaves)) == 1
+
+
+def test_pagerank_regular_graph_uniform(spark):
+    # 4-cycle: every node degree 2 => ranks exactly equal at every
+    # iteration, and equal to the fixed point scale (base + d*scale/100
+    # telescopes back to scale for a regular graph)
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    ranks = dict(
+        graph.pagerank(graph.symmetrize(_edges(spark, pairs))).collect()
+    )
+    assert len(set(ranks.values())) == 1
+    # scale=1e12: uniform mass is conserved exactly for regular graphs
+    assert ranks[0] == graph.DEFAULT_SCALE
+
+
+def test_pagerank_mass_approximately_conserved(spark):
+    # truncating division leaks < 1 unit per edge per round; total mass
+    # stays within iterations * (n_edges + n_nodes) units of n * scale
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]
+    sym = graph.symmetrize(_edges(spark, pairs))
+    ranks = graph.pagerank(sym, iterations=5)
+    total = ranks.agg(F.sum("rank")).collect()[0][0]
+    n = ranks.count()
+    assert abs(total - n * graph.DEFAULT_SCALE) < 5 * (10 + n) * 100
+
+
+def test_pagerank_shuffle_partition_invariant(spark):
+    pairs = [(i, (i * 7) % 23) for i in range(100)]
+    sym = graph.symmetrize(_edges(spark, pairs))
+    base = sorted(map(tuple, graph.pagerank(sym).collect()))
+    default = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        alt = sorted(map(tuple, graph.pagerank(sym).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", default)
+    assert base == alt
+
+
+def test_pagerank_rejects_bad_damping(spark):
+    e = _edges(spark, [(0, 1)])
+    with pytest.raises(ValueError):
+        graph.pagerank(e, damping_pct=0)
+    with pytest.raises(ValueError):
+        graph.pagerank(e, damping_pct=100)
+
+
+def test_degree_stats(spark):
+    e = graph.symmetrize(_edges(spark, [(0, 1), (0, 2), (0, 3)]))
+    got = {tuple(r) for r in graph.degree_stats(e).collect()}
+    # hub degree 3 (1 node), leaves degree 1 (3 nodes)
+    assert got == {(3, 1), (1, 3)}
