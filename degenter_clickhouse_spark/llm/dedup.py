@@ -681,3 +681,90 @@ def compact_minhash_index(spark, path: str, files_per_partition: int = 1) -> dic
             files_per_partition=files_per_partition,
         ),
     }
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood fuzzy matching (entity-resolution blocking)
+# ---------------------------------------------------------------------------
+
+
+def snm_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    window: int = 3,
+    max_dist: int = 2,
+    partitions: int = 32,
+) -> DataFrame:
+    """Sorted-neighborhood method: order rows by (key, id), compare each
+    row against its next ``window`` neighbors in that order, and keep
+    pairs whose ``levenshtein(key_i, key_j) <= max_dist``.
+
+    The classic entity-resolution alternative to quadratic blocking: a
+    block key like (nation, name-prefix) either explodes (big blocks)
+    or misses early-character edits; SNM is O(n * window) with recall
+    governed by the sort key. Standard practice layers several SNM
+    passes with different sort keys and unions the pairs — callers do
+    that by unioning ``snm_pairs`` outputs.
+
+    Scale shape (100 TB): the global order materializes WITHOUT a
+    single-partition window:
+
+    1. ``repartitionByRange(key, id)`` + per-partition ``row_number``
+       (window partitioned by ``spark_partition_id`` — every partition
+       ranks independently);
+    2. per-partition counts (one tiny job, ``partitions`` rows to the
+       driver) become broadcast offsets, so ``rank = offset + local_i``
+       is a GLOBAL dense rank with no global shuffle-to-one;
+    3. neighbor pairs come from ONE equi-join on rank after exploding
+       j in 1..window (left side fans out x window, join key rank+j) —
+       crossing partition boundaries for free, no cartesian anywhere.
+
+    The ranked frame is localCheckpointed so both the counts job and
+    the pair join see the same physical partitioning. Output:
+    (id_a, id_b, key_a, key_b, dist) with id_a < id_b in sort order.
+    """
+    ranked = (
+        df.select(F.col(id_col).alias("id"), F.col(key_col).alias("key"))
+        .repartitionByRange(partitions, F.col("key"), F.col("id"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window
+
+    local = ranked.withColumn(
+        "i",
+        F.row_number().over(
+            Window.partitionBy("pid").orderBy("key", "id")
+        ),
+    )
+    counts = {
+        r["pid"]: r["n"]
+        for r in ranked.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    g = local.withColumn("rank", off_expr[F.col("pid")] + F.col("i")).select(
+        "id", "key", "rank"
+    )
+    left = g.select(
+        F.col("id").alias("id_a"),
+        F.col("key").alias("key_a"),
+        F.explode(
+            F.sequence(F.col("rank") + 1, F.col("rank") + window)
+        ).alias("rank"),
+    )
+    right = g.select(
+        F.col("id").alias("id_b"), F.col("key").alias("key_b"), "rank"
+    )
+    return (
+        left.join(right, "rank")
+        .withColumn("dist", F.levenshtein("key_a", "key_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "key_a", "key_b", "dist")
+    )

@@ -76,6 +76,7 @@ def load_registry(extended: bool = False) -> dict[str, QueryDef]:
         from . import (  # noqa: F401
             classify_ext,
             clean_ext,
+            er_ext,
             graph_ext,
             joins_ext,
             quality_ext,

@@ -1,0 +1,81 @@
+"""Sorted-neighborhood fuzzy matching (llm/dedup.snm_pairs)."""
+
+from __future__ import annotations
+
+from degenter_clickhouse_spark.llm import dedup
+
+
+def _naive(rows, window, max_dist):
+    import difflib  # noqa: F401 — not used; naive levenshtein below
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    srt = sorted(rows, key=lambda r: (r[1], r[0]))
+    out = set()
+    for i, (ida, ka) in enumerate(srt):
+        for j in range(i + 1, min(i + 1 + window, len(srt))):
+            idb, kb = srt[j]
+            d = lev(ka, kb)
+            if d <= max_dist:
+                out.add((ida, idb, d))
+    return out
+
+
+def test_snm_matches_naive_and_crosses_partition_boundaries(spark):
+    rows = [(i, f"name{i:04d}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, key string")
+    # partitions=8 on 200 rows: ~24 boundary crossings that per-
+    # partition-only neighbor scans would MISS — the rank equi-join
+    # must find them all
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in dedup.snm_pairs(
+            df, "key", "id", window=3, max_dist=2, partitions=8
+        ).collect()
+    }
+    assert got == _naive(rows, 3, 2)
+    assert got  # non-degenerate
+
+
+def test_snm_shuffle_partition_invariant(spark):
+    rows = [(i, f"user-{i % 37:03d}-{i:05d}") for i in range(150)]
+    df = spark.createDataFrame(rows, "id long, key string")
+    base = {
+        tuple(r)
+        for r in dedup.snm_pairs(df, "key", "id", partitions=5).collect()
+    }
+    default = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        alt = {
+            tuple(r)
+            for r in dedup.snm_pairs(df, "key", "id", partitions=11).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", default)
+    assert base == alt
+
+
+def test_snm_no_single_partition_global_window(spark):
+    """The global rank must come from range partitions + offsets, not
+    a global Window (which funnels the table through one task)."""
+    rows = [(i, f"k{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, key string")
+    pairs = dedup.snm_pairs(df, "key", "id", partitions=4)
+    plan = pairs._sc._jvm.PythonSQLUtils.explainString(
+        pairs._jdf.queryExecution(), "formatted"
+    )
+    # a global window shows as 'Window' with no partition spec; ours
+    # partitions by pid — assert no partition-less Window operator
+    import re
+
+    for m in re.finditer(r"partition(?:By| specification)?: \[\]", plan):
+        raise AssertionError(f"global window in plan: {m.group(0)}")
