@@ -115,6 +115,13 @@ def gap_fill(
     fill='prev': synthetic candles are flat at the carried close with
     zero volume/trades (reference fill=prev, api/routes/tokens.js:1524-1535).
     fill='zero': synthetic candles are all-zero (fill=zero, :1536-1546).
+    fill='interp': synthetic closes interpolate linearly between the
+    bracketing real closes (ClickHouse ORDER BY ... WITH FILL
+    INTERPOLATE semantics — beyond the reference's two modes); each
+    gap candle opens at the previous interpolated close, so the
+    synthetic segment is continuous. The interpolation is pointwise
+    double arithmetic in a fixed association — prev + ((next - prev)
+    * j) / n — bit-identical across engines and shuffle orders.
     Real candles additionally get open := carried prev close, and
     high/low widened to include it (:1520-1523).
 
@@ -166,6 +173,63 @@ def gap_fill(
             flat.alias("high"),
             flat.alias("low"),
             flat.alias("close"),
+            F.lit(0.0).alias("volume"),
+            F.lit(0).cast("long").alias("trade_count"),
+            F.lit(True).alias("is_gap"),
+        )
+        return real.unionByName(gaps)
+    if fill == "interp":
+        b = b.withColumn("__next_close", F.lead("close").over(w))
+        opn = F.coalesce(F.col("__prev_close"), F.col("open"))
+        real = b.select(
+            F.col(pool),
+            F.col(bucket),
+            opn.alias("open"),
+            F.greatest(F.col("high"), opn).alias("high"),
+            F.least(F.col("low"), opn).alias("low"),
+            F.col("close"),
+            F.col("volume"),
+            F.col("trade_count"),
+            F.lit(False).alias("is_gap"),
+        )
+        g = (
+            b.filter(has_gap)
+            .select(
+                F.col(pool),
+                F.col(bucket).alias("__a"),
+                F.col("__next"),
+                F.col("close").alias("__ca"),
+                F.col("__next_close").alias("__cb"),
+                gap_bucket.alias(bucket),
+            )
+            .withColumn(
+                "__n",
+                F.expr(
+                    f"(unix_timestamp(__next) - unix_timestamp(__a))"
+                    f" div {step_sec}"
+                ),
+            )
+            .withColumn(
+                "__j",
+                F.expr(
+                    f"(unix_timestamp({bucket}) - unix_timestamp(__a))"
+                    f" div {step_sec}"
+                ),
+            )
+        )
+        diff = F.col("__cb") - F.col("__ca")
+        nd = F.col("__n").cast("double")
+        close_i = F.col("__ca") + (diff * F.col("__j").cast("double")) / nd
+        open_i = F.col("__ca") + (
+            diff * (F.col("__j") - 1).cast("double")
+        ) / nd
+        gaps = g.select(
+            F.col(pool),
+            F.col(bucket),
+            open_i.alias("open"),
+            F.greatest(open_i, close_i).alias("high"),
+            F.least(open_i, close_i).alias("low"),
+            close_i.alias("close"),
             F.lit(0.0).alias("volume"),
             F.lit(0).cast("long").alias("trade_count"),
             F.lit(True).alias("is_gap"),

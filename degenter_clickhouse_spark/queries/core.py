@@ -350,6 +350,81 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# W5 variant: linear interpolation across gaps (ClickHouse ORDER BY ...
+# WITH FILL INTERPOLATE semantics — beyond the reference's prev/zero).
+# The interpolation is pointwise double math in a fixed association
+# (prev + ((next - prev) * j) / n), so Spark and DuckDB agree bitwise.
+
+_ICLOSE = (
+    "prev_close + ((next_close - prev_close) * "
+    "CAST((bucket_ts - prev_ts) // 3600 AS DOUBLE)) / "
+    "CAST((next_ts - prev_ts) // 3600 AS DOUBLE)"
+)
+_IOPEN = (
+    "prev_close + ((next_close - prev_close) * "
+    "CAST((bucket_ts - prev_ts) // 3600 - 1 AS DOUBLE)) / "
+    "CAST((next_ts - prev_ts) // 3600 AS DOUBLE)"
+)
+
+GAPFILL_INTERP_ORACLE = f"""
+WITH b AS ({{o_bars}}),
+rng AS (
+  SELECT pool_id, MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi FROM b GROUP BY pool_id
+),
+spine AS (
+  SELECT pool_id, unnest(generate_series(lo, hi, 3600)) AS bucket_ts FROM rng
+),
+j AS (
+  SELECT s.pool_id, s.bucket_ts,
+         b.open, b.high, b.low, b.close, b.volume, b.trade_count
+  FROM spine s LEFT JOIN b ON b.pool_id = s.pool_id AND b.bucket_ts = s.bucket_ts
+),
+f AS (
+  SELECT *,
+         last_value(close IGNORE NULLS) OVER w1 AS prev_close,
+         last_value(CASE WHEN close IS NOT NULL THEN bucket_ts END IGNORE NULLS)
+           OVER w1 AS prev_ts,
+         first_value(close IGNORE NULLS) OVER w2 AS next_close,
+         first_value(CASE WHEN close IS NOT NULL THEN bucket_ts END IGNORE NULLS)
+           OVER w2 AS next_ts
+  FROM j
+  WINDOW w1 AS (PARTITION BY pool_id ORDER BY bucket_ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         w2 AS (PARTITION BY pool_id ORDER BY bucket_ts
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT pool_id, bucket_ts,
+       CASE WHEN close IS NULL THEN {_IOPEN}
+            ELSE COALESCE(prev_close, open) END AS open,
+       CASE WHEN close IS NULL THEN GREATEST({_IOPEN}, {_ICLOSE})
+            ELSE GREATEST(high, COALESCE(prev_close, open)) END AS high,
+       CASE WHEN close IS NULL THEN LEAST({_IOPEN}, {_ICLOSE})
+            ELSE LEAST(low, COALESCE(prev_close, open)) END AS low,
+       CASE WHEN close IS NULL THEN {_ICLOSE} ELSE close END AS close,
+       CAST(COALESCE(volume, 0) AS DOUBLE) AS volume,
+       COALESCE(trade_count, 0) AS trade_count,
+       close IS NULL AS is_gap
+FROM f
+""".replace("{o_bars}", o_bars(3600))
+
+
+@register_extended("gap_fill_interp", GAPFILL_INTERP_ORACLE)
+def q_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = spark_bars(spark, sf_dir, 3600)
+    filled = ohlcv.gap_fill(b, 3600, fill="interp", materialize_input=True)
+    return filled.select(
+        "pool_id",
+        epoch("bucket_start").alias("bucket_ts"),
+        "open",
+        "high",
+        "low",
+        "close",
+        F.col("volume").cast("double").alias("volume"),
+        F.col("trade_count").cast("long").alias("trade_count"),
+        "is_gap",
+    )
+
+
 # ---------------------------------------------------------------------------
 # B12: change% — latest vs at-or-before cutoff
 # ---------------------------------------------------------------------------
