@@ -87,6 +87,11 @@ BENCH_QUERIES = [
     "moving_stats",  # sliding-frame rolling aggregates (EXTENDED)
     "ema_bars",  # sequential EMA via per-key array fold (EXTENDED)
     "trigram_fluency",  # order-3 stupid-backoff LM scoring (EXTENDED)
+    # round-7 family
+    "graph_pagerank",  # integer power iteration, shuffle on node key (EXTENDED)
+    "fuzzy_snm_pairs",  # sorted-neighborhood levenshtein matching (EXTENDED)
+    "data_quality_report",  # one-scan constraint report + FK semi-join (EXTENDED)
+    "gap_fill_interp",  # linear-interpolation gap fill (EXTENDED)
 ]
 
 

@@ -78,6 +78,11 @@ SF1_QUERIES = [
     "bm25_batch",
     "embedding_ann_batch",
     "hybrid_retrieval_batch",
+    # round-7: PageRank node count grows ~10x (events replicate with
+    # shifted user_ids), edge count 10x -> expect ~linear; SNM pair
+    # work is O(n * window) on 10x customers -> ~linear
+    "graph_pagerank",
+    "fuzzy_snm_pairs",
 ]
 
 

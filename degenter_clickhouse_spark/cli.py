@@ -216,6 +216,24 @@ def main(argv: list[str] | None = None) -> int:
     ds.add_argument("--input", help="documents parquet to score (score)")
     ds.add_argument("--output", help="scored parquet output (score)")
 
+    va = sub.add_parser(
+        "validate",
+        help="data-quality constraint report (deequ-style ingest gate)",
+    )
+    va.add_argument("--input", required=True, help="parquet table to validate")
+    va.add_argument(
+        "--constraints",
+        required=True,
+        help="JSON file: list of constraint specs "
+        "(not_null/range/accepted_values/matches/unique/expr/fk)",
+    )
+    va.add_argument("--output", help="optional parquet path for the report")
+    va.add_argument(
+        "--strict",
+        action="store_true",
+        help="exit 1 if any constraint fails (batch-gate semantics)",
+    )
+
     vt = sub.add_parser(
         "vt",
         help="manifest-versioned table maintenance (history/compact/vacuum)",
@@ -367,6 +385,33 @@ def main(argv: list[str] | None = None) -> int:
             out = _dsir.dsir_scores(spark.read.parquet(args.input), model=model)
             out.write.mode("overwrite").parquet(args.output)
             print("scored:", spark.read.parquet(args.output).count())
+        return 0
+    if args.cmd == "validate":
+        import json as _json
+
+        from .operators import validate as _validate
+
+        specs = _json.load(open(args.constraints))
+        df = spark.read.parquet(args.input)
+        report = _validate.check(
+            df, _validate.constraints_from_specs(spark, specs)
+        )
+        if args.output:
+            report.write.mode("overwrite").parquet(args.output)
+        rows = report.collect()  # constraint-count-sized
+        for r in rows:
+            print(
+                _json.dumps(
+                    {
+                        "constraint": r["constraint"],
+                        "metric_num": r["metric_num"],
+                        "metric_den": r["metric_den"],
+                        "passed": r["passed"],
+                    }
+                )
+            )
+        if args.strict and any(not r["passed"] for r in rows):
+            return 1
         return 0
     if args.cmd == "vt":
         from .operators import versioned as _vt

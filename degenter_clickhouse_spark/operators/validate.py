@@ -169,3 +169,37 @@ def check(df: DataFrame, constraints: list) -> DataFrame:
     if report is None:
         raise ValueError("no constraints given")
     return report.select(*_REPORT_COLS)
+
+
+def constraints_from_specs(spark, specs: list[dict]) -> list:
+    """Build constraint objects from JSON-friendly spec dicts (the CLI
+    seam). Types: not_null / range / accepted_values / matches /
+    unique / expr (arbitrary SQL boolean) / fk (dim is a parquet
+    path)."""
+    out = []
+    for s in specs:
+        t = s["type"]
+        pct = int(s.get("min_pct", 100))
+        if t == "not_null":
+            out.append(not_null(s["col"], pct))
+        elif t == "range":
+            out.append(in_range(s["col"], s["lo"], s["hi"], pct))
+        elif t == "accepted_values":
+            out.append(accepted_values(s["col"], s["values"], pct))
+        elif t == "matches":
+            out.append(matches(s["col"], s["pattern"], pct))
+        elif t == "unique":
+            out.append(Unique(s.get("name", f"unique({','.join(s['cols'])})"), s["cols"], pct))
+        elif t == "expr":
+            out.append(Predicate(s.get("name", s["sql"]), F.expr(s["sql"]), pct))
+        elif t == "fk":
+            dim = spark.read.parquet(s["dim"])
+            out.append(
+                ForeignKey(
+                    s.get("name", f"fk({s['col']})"),
+                    s["col"], dim, s["dim_col"], pct,
+                )
+            )
+        else:
+            raise ValueError(f"unknown constraint type: {t!r}")
+    return out

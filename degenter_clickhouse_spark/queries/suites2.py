@@ -112,6 +112,15 @@ from .stats_ext import (
     q_twap_vwap,
     q_window_funnel,
 )
+from .core import GAPFILL_INTERP_ORACLE, q_gap_fill_interp
+from .er_ext import SNM_ORACLE, q_fuzzy_snm
+from .graph_ext import (
+    DEGREE_ORACLE,
+    PAGERANK_ORACLE,
+    q_graph_degree_stats,
+    q_graph_pagerank,
+)
+from .quality_ext import QUALITY_ORACLE, q_data_quality
 
 
 def _NO_K():
@@ -143,6 +152,10 @@ UNION ALL
 SELECT 'continuity', pool_id, bucket_ts, open, CAST(-1.0 AS DOUBLE),
        CAST(-1.0 AS DOUBLE), close, CAST(-1.0 AS DOUBLE), CAST(-1 AS BIGINT)
 FROM ({CONTINUITY_ORACLE})
+UNION ALL
+SELECT 'interp', pool_id, bucket_ts, open, high, low, close,
+       volume, trade_count
+FROM ({GAPFILL_INTERP_ORACLE})
 """
 
 
@@ -161,7 +174,18 @@ def q_ohlcv_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NO_V().alias("volume"),
         _NO_K().alias("trade_count"),
     )
-    return b1.unionByName(b15).unionByName(co)
+    ip = q_gap_fill_interp(spark, sf_dir).select(
+        F.lit("interp").alias("part"),
+        "pool_id",
+        "bucket_ts",
+        "open",
+        "high",
+        "low",
+        "close",
+        "volume",
+        "trade_count",
+    )
+    return b1.unionByName(b15).unionByName(co).unionByName(ip)
 
 
 # ---------------------------------------------------------------------------
@@ -354,6 +378,11 @@ SELECT 'fuzzy_decontam', doc_id, CAST(-1 AS BIGINT), CAST(NULL AS VARCHAR),
        n_matches, CAST(contaminated AS BIGINT), CAST(-1 AS BIGINT),
        max_jaccard
 FROM ({_fuzzy_decontamination_oracle()})
+UNION ALL
+SELECT 'snm', id_a, id_b, key_a || '>' || key_b,
+       CAST(dist AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       CAST(-1.0 AS DOUBLE)
+FROM ({SNM_ORACLE})
 """
 
 
@@ -399,7 +428,17 @@ def q_dedup_baseline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NO_K().alias("n3"),
         F.col("max_jaccard").alias("v"),
     )
-    return ex.unionByName(ja).unionByName(kb).unionByName(fd)
+    sn = q_fuzzy_snm(spark, sf_dir).select(
+        F.lit("snm").alias("part"),
+        F.col("id_a").alias("id1"),
+        F.col("id_b").alias("id2"),
+        F.concat(F.col("key_a"), F.lit(">"), F.col("key_b")).alias("s"),
+        F.col("dist").cast("long").alias("n1"),
+        _NO_K().alias("n2"),
+        _NO_K().alias("n3"),
+        _NO_V().alias("v"),
+    )
+    return ex.unionByName(ja).unionByName(kb).unionByName(fd).unionByName(sn)
 
 
 # ---------------------------------------------------------------------------
@@ -436,6 +475,16 @@ SELECT 'ema', CAST(pool_id AS BIGINT), bucket_ts, CAST(-1 AS BIGINT),
        CAST(-1 AS BIGINT), CAST(NULL AS VARCHAR), vol, ema,
        CAST(-1.0 AS DOUBLE), CAST(-1 AS BIGINT)
 FROM ({EMA_ORACLE})
+UNION ALL
+SELECT 'pagerank', node, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       CAST(-1 AS BIGINT), node_type, CAST(-1.0 AS DOUBLE),
+       CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), rank
+FROM ({PAGERANK_ORACLE})
+UNION ALL
+SELECT 'degree', degree, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       CAST(-1 AS BIGINT), CAST(NULL AS VARCHAR), CAST(-1.0 AS DOUBLE),
+       CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), n_nodes
+FROM ({DEGREE_ORACLE})
 """
 
 
@@ -501,7 +550,38 @@ def q_behavioral_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NO_V().alias("v3"),
         _NO_K().alias("n"),
     )
-    return tw.unionByName(fu).unionByName(re).unionByName(mo).unionByName(em)
+    pr = q_graph_pagerank(spark, sf_dir).select(
+        F.lit("pagerank").alias("part"),
+        F.col("node").alias("k1"),
+        _NO_K().alias("k2"),
+        _NO_K().alias("k3"),
+        _NO_K().alias("k4"),
+        F.col("node_type").alias("s"),
+        _NO_V().alias("v1"),
+        _NO_V().alias("v2"),
+        _NO_V().alias("v3"),
+        F.col("rank").alias("n"),
+    )
+    dg = q_graph_degree_stats(spark, sf_dir).select(
+        F.lit("degree").alias("part"),
+        F.col("degree").alias("k1"),
+        _NO_K().alias("k2"),
+        _NO_K().alias("k3"),
+        _NO_K().alias("k4"),
+        _NO_S().alias("s"),
+        _NO_V().alias("v1"),
+        _NO_V().alias("v2"),
+        _NO_V().alias("v3"),
+        F.col("n_nodes").alias("n"),
+    )
+    return (
+        tw.unionByName(fu)
+        .unionByName(re)
+        .unionByName(mo)
+        .unionByName(em)
+        .unionByName(pr)
+        .unionByName(dg)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -731,6 +811,12 @@ SELECT 'rollup', event_type, bucket_day, CAST(-1 AS BIGINT),
        CAST(g_day AS BIGINT), volume, CAST(-1.0 AS DOUBLE),
        CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE)
 FROM ({ROLLUP_ORACLE})
+UNION ALL
+SELECT 'dq', "constraint", CAST(NULL AS VARCHAR), CAST(-1 AS BIGINT),
+       metric_num, metric_den, CAST(passed AS BIGINT),
+       CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE),
+       CAST(-1.0 AS DOUBLE)
+FROM ({QUALITY_ORACLE})
 """
 
 
@@ -788,7 +874,22 @@ def q_corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NO_V().alias("v3"),
         _NO_V().alias("v4"),
     )
-    return qu.unionByName(qn).unionByName(hi).unionByName(ro)
+    dq = q_data_quality(spark, sf_dir).select(
+        F.lit("dq").alias("part"),
+        F.col("constraint").alias("s1"),
+        _NO_S().alias("s2"),
+        _NO_K().alias("k"),
+        F.col("metric_num").alias("n1"),
+        F.col("metric_den").alias("n2"),
+        F.col("passed").cast("long").alias("n3"),
+        _NO_V().alias("v1"),
+        _NO_V().alias("v2"),
+        _NO_V().alias("v3"),
+        _NO_V().alias("v4"),
+    )
+    return (
+        qu.unionByName(qn).unionByName(hi).unionByName(ro).unionByName(dq)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -109,3 +109,47 @@ def test_cli_decontaminate_exact_and_fuzzy(spark, tmp_path):
     # 3-gram runs); the unrelated doc by neither
     assert exact[1] and fuzzy[1]
     assert not exact[2] and not fuzzy[2]
+
+
+def test_cli_validate_report_and_strict_gate(spark, tmp_path, capsys):
+    import json
+
+    from degenter_clickhouse_spark import cli
+
+    spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 50.0), (3, None, 500.0)],
+        "id long, cat string, v double",
+    ).write.parquet(str(tmp_path / "t"))
+    spark.createDataFrame([(1,), (2,)], "k long").write.parquet(
+        str(tmp_path / "dim")
+    )
+    specs = [
+        {"type": "not_null", "col": "cat"},
+        {"type": "range", "col": "v", "lo": 0, "hi": 100, "min_pct": 60},
+        {"type": "unique", "cols": ["id"]},
+        {"type": "expr", "name": "v_positive", "sql": "v > 0"},
+        {"type": "fk", "col": "id", "dim": str(tmp_path / "dim"),
+         "dim_col": "k", "min_pct": 50},
+    ]
+    spec_path = tmp_path / "specs.json"
+    spec_path.write_text(json.dumps(specs))
+    out = str(tmp_path / "report")
+    # non-strict: exit 0 even with failures, report written
+    assert cli.main(
+        ["validate", "--input", str(tmp_path / "t"),
+         "--constraints", str(spec_path), "--output", out]
+    ) == 0
+    lines = [json.loads(line) for line in
+             capsys.readouterr().out.strip().splitlines() if line.startswith("{")]
+    rep = {r["constraint"]: r for r in lines}
+    assert rep["not_null(cat)"]["passed"] is False
+    assert rep["range(v)"]["passed"] is True  # 2/3 >= 60%
+    assert rep["unique(id)"]["passed"] is True
+    assert rep["v_positive"]["passed"] is True
+    assert rep["fk(id)"]["passed"] is True  # 2/3 >= 50%
+    assert spark.read.parquet(out).count() == 5
+    # strict: same report, exit 1 because not_null fails
+    assert cli.main(
+        ["validate", "--input", str(tmp_path / "t"),
+         "--constraints", str(spec_path), "--strict"]
+    ) == 1

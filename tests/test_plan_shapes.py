@@ -184,6 +184,17 @@ SCALE_SHAPE_QUERIES = {
     "hybrid_retrieval_batch": 1,
     "dedup_keep_best": 0,
     "fuzzy_decontamination": 0,
+    # round-7 additions: PageRank iterations shuffle on the node key
+    # only; SNM materializes its global rank from range partitions +
+    # offsets (never a global window); interp gap fill stays on the
+    # per-pool window. data_quality_report's three SinglePartition
+    # exchanges are the one-row constraint aggregates (report is
+    # constraint-count-sized by construction).
+    "graph_pagerank": 0,
+    "graph_degree_stats": 0,
+    "fuzzy_snm_pairs": 0,
+    "gap_fill_interp": 0,
+    "data_quality_report": 3,
 }
 
 
