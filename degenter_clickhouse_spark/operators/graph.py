@@ -73,14 +73,18 @@ def pagerank(
         raise ValueError(f"damping_pct must be in (0,100), got {damping_pct}")
     e = edges.select("src", "dst")
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # hoist the degree join OUT of the iteration loop: the annotated
+    # edge list (src, dst, out_deg) is loop-invariant, so each round
+    # pays one join (edges x ranks on src) instead of two; checkpoint
+    # pins it so the 2-shuffle build runs once, not per iteration
+    e_deg = e.join(deg, "src").localCheckpoint(eager=True)
     nodes = e.select(F.col("src").alias("node")).distinct()
     # (100-d)*scale is divisible by common scales; keep exact integer
     base_term = (100 - damping_pct) * scale // 100
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
     for i in range(iterations):
         contrib = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
+            e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr("rank div out_deg").alias("c"),
