@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "fuzzy_snm_pairs",  # sorted-neighborhood levenshtein matching (EXTENDED)
     "data_quality_report",  # one-scan constraint report + FK semi-join (EXTENDED)
     "gap_fill_interp",  # linear-interpolation gap fill (EXTENDED)
+    "value_anomalies",  # integer z^2 rolling anomaly flags (EXTENDED)
 ]
 
 

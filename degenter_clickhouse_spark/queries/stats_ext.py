@@ -630,3 +630,85 @@ def q_ema_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o.vol").alias("vol"),
         F.col("o.ema").alias("ema"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly detection (alerts-family extension): flag
+# event values whose squared deviation from the trailing-window mean
+# exceeds 9x the window variance (|z| > 3), ENTIRELY in integer
+# arithmetic — z^2 > 9 rewrites as (n*x - s)^2 > 9*(n*ss - s^2) over
+# integer-scaled values, so no float division/sqrt and the flag is
+# bit-identical across engines and shuffle orders. Window magnitudes:
+# values <= ~1e3 scale to <= 1e7 at 1e4; with n <= 20 every
+# intermediate stays far inside int64.
+# ---------------------------------------------------------------------------
+
+ANOMALY_W = 20
+ANOMALY_MIN_N = 10
+
+ANOMALY_ORACLE = f"""
+WITH v AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 1e4) AS BIGINT) AS x
+  FROM events
+),
+w AS (
+  SELECT event_id, user_id, x,
+         COUNT(*) OVER win AS n,
+         CAST(COALESCE(SUM(x) OVER win, 0) AS BIGINT) AS s,
+         CAST(COALESCE(SUM(x * x) OVER win, 0) AS BIGINT) AS ss
+  FROM v
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN {ANOMALY_W} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+       CAST(n AS BIGINT) AS n_window,
+       (n * x - s) * (n * x - s) AS dev2_num,
+       9 * (n * ss - s * s) AS var9_num,
+       n >= {ANOMALY_MIN_N}
+         AND (n * x - s) * (n * x - s) > 9 * (n * ss - s * s)
+         AS is_anomaly
+FROM w
+"""
+
+
+@register_extended("value_anomalies", ANOMALY_ORACLE)
+def q_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .. import catalog
+
+    ev = catalog.load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr("CAST(round(value * 1e4) AS BIGINT)").alias("x"),
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ANOMALY_W, -1)
+    )
+    w = v.select(
+        "event_id",
+        "user_id",
+        "x",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.coalesce(F.sum("x").over(win), F.lit(0)).cast("long").alias("s"),
+        F.coalesce(F.sum(F.col("x") * F.col("x")).over(win), F.lit(0))
+        .cast("long")
+        .alias("ss"),
+    )
+    dev = F.col("n") * F.col("x") - F.col("s")
+    var9 = F.lit(9) * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+    return w.select(
+        "event_id",
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("n").cast("long").alias("n_window"),
+        (dev * dev).alias("dev2_num"),
+        var9.alias("var9_num"),
+        ((F.col("n") >= ANOMALY_MIN_N) & (dev * dev > var9)).alias(
+            "is_anomaly"
+        ),
+    )

@@ -93,6 +93,7 @@ from .llm import (
     q_vocab_stats,
 )
 from .stats_ext import (
+    ANOMALY_ORACLE,
     EMA_ORACLE,
     LENGTH_HISTOGRAM_ORACLE,
     MOVING_STATS_ORACLE,
@@ -110,6 +111,7 @@ from .stats_ext import (
     q_rollup_totals,
     q_source_quality_report,
     q_twap_vwap,
+    q_value_anomalies,
     q_window_funnel,
 )
 from .core import GAPFILL_INTERP_ORACLE, q_gap_fill_interp
@@ -485,6 +487,11 @@ SELECT 'degree', degree, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
        CAST(-1 AS BIGINT), CAST(NULL AS VARCHAR), CAST(-1.0 AS DOUBLE),
        CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), n_nodes
 FROM ({DEGREE_ORACLE})
+UNION ALL
+SELECT 'anomaly', event_id, user_id, dev2_num, var9_num,
+       CAST(NULL AS VARCHAR), CAST(is_anomaly AS DOUBLE),
+       CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), n_window
+FROM ({ANOMALY_ORACLE})
 """
 
 
@@ -574,6 +581,18 @@ def q_behavioral_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NO_V().alias("v3"),
         F.col("n_nodes").alias("n"),
     )
+    an = q_value_anomalies(spark, sf_dir).select(
+        F.lit("anomaly").alias("part"),
+        F.col("event_id").cast("long").alias("k1"),
+        F.col("user_id").alias("k2"),
+        F.col("dev2_num").alias("k3"),
+        F.col("var9_num").alias("k4"),
+        _NO_S().alias("s"),
+        F.col("is_anomaly").cast("double").alias("v1"),
+        _NO_V().alias("v2"),
+        _NO_V().alias("v3"),
+        F.col("n_window").alias("n"),
+    )
     return (
         tw.unionByName(fu)
         .unionByName(re)
@@ -581,6 +600,7 @@ def q_behavioral_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(em)
         .unionByName(pr)
         .unionByName(dg)
+        .unionByName(an)
     )
 
 

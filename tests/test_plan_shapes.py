@@ -195,6 +195,7 @@ SCALE_SHAPE_QUERIES = {
     "fuzzy_snm_pairs": 0,
     "gap_fill_interp": 0,
     "data_quality_report": 3,
+    "value_anomalies": 0,  # rolling window partitioned by user_id
 }
 
 
