@@ -79,3 +79,20 @@ def test_snm_no_single_partition_global_window(spark):
 
     for m in re.finditer(r"partition(?:By| specification)?: \[\]", plan):
         raise AssertionError(f"global window in plan: {m.group(0)}")
+
+
+def test_snm_window_monotone(spark):
+    """A larger window strictly widens the candidate set: pairs(w=2)
+    is a subset of pairs(w=4) at the same cutoff."""
+    rows = [(i, f"item-{(i * 13) % 50:04d}") for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, key string")
+    p2 = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.snm_pairs(df, "key", "id", window=2, max_dist=3).collect()
+    }
+    p4 = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.snm_pairs(df, "key", "id", window=4, max_dist=3).collect()
+    }
+    assert p2 <= p4
+    assert len(p4) > len(p2)

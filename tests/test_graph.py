@@ -80,3 +80,19 @@ def test_degree_stats(spark):
     got = {tuple(r) for r in graph.degree_stats(e).collect()}
     # hub degree 3 (1 node), leaves degree 1 (3 nodes)
     assert got == {(3, 1), (1, 3)}
+
+
+def test_pagerank_relabel_invariant(spark):
+    """Shifting every node id by a constant shifts the rank table's
+    node column and nothing else — centrality depends on structure,
+    not on the id values."""
+    pairs = [(i, (i * 5) % 17) for i in range(60)]
+    base = graph.pagerank(graph.symmetrize(_edges(spark, pairs)))
+    shifted = graph.pagerank(
+        graph.symmetrize(
+            _edges(spark, [(a + 1000, b + 1000) for a, b in pairs])
+        )
+    )
+    b = {r["node"]: r["rank"] for r in base.collect()}
+    s = {r["node"] - 1000: r["rank"] for r in shifted.collect()}
+    assert b == s
