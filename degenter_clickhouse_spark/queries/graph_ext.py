@@ -126,3 +126,83 @@ FROM node_deg GROUP BY degree
 def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution of the symmetrized activity graph."""
     return graph.degree_stats(_activity_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank: teleport mass lands only on a curated seed
+# set (items with k < 10) — TrustRank-style corpus-quality expansion.
+# ---------------------------------------------------------------------------
+
+_SEEDS_SQL = (
+    "SELECT DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)"
+    " * 2 + 1 AS node FROM events"
+    " WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) < 10"
+)
+
+
+def _ppr_oracle() -> str:
+    parts = [
+        _EDGE_CTES.strip(),
+        f"seeds AS ({_SEEDS_SQL})",
+        f"r0 AS (SELECT n.node,"
+        f" CAST(CASE WHEN s.node IS NOT NULL THEN {_SCALE} ELSE 0 END"
+        f" AS BIGINT) AS rank"
+        f" FROM nodes n LEFT JOIN seeds s ON n.node = s.node)",
+    ]
+    for i in range(1, _ITER + 1):
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node,"
+            f" CAST(SUM(r.rank // d.out_deg) AS BIGINT) AS s"
+            f" FROM edges e JOIN r{i - 1} r ON e.src = r.node"
+            f" JOIN deg d ON e.src = d.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT n.node,"
+            f" CAST(CASE WHEN sd.node IS NOT NULL THEN {_BASE} ELSE 0 END"
+            f" + ({_DAMP} * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank"
+            f" FROM nodes n"
+            f" LEFT JOIN seeds sd ON n.node = sd.node"
+            f" LEFT JOIN c{i} c ON n.node = c.node)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT node,
+       CASE WHEN node % 2 = 0 THEN 'user' ELSE 'item' END AS node_type,
+       rank
+FROM r{_ITER}
+ORDER BY rank DESC, node
+LIMIT 20
+"""
+    )
+
+
+PPR_ORACLE = _ppr_oracle()
+
+
+@register_extended("graph_pagerank_seeded", PPR_ORACLE)
+def q_graph_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 nodes by personalized PageRank seeded at items k < 10."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    seeds = (
+        ev.select((k * 2 + 1).alias("node"))
+        .filter(k < 10)
+        .distinct()
+    )
+    ranks = graph.personalized_pagerank(
+        _activity_edges(spark, sf_dir), seeds,
+        iterations=_ITER, damping_pct=_DAMP, scale=_SCALE,
+    )
+    return (
+        ranks.select(
+            "node",
+            F.when(F.col("node") % 2 == 0, "user")
+            .otherwise("item")
+            .alias("node_type"),
+            "rank",
+        )
+        .orderBy(F.desc("rank"), "node")
+        .limit(20)
+    )

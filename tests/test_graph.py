@@ -96,3 +96,16 @@ def test_pagerank_relabel_invariant(spark):
     b = {r["node"]: r["rank"] for r in base.collect()}
     s = {r["node"] - 1000: r["rank"] for r in shifted.collect()}
     assert b == s
+
+
+def test_personalized_pagerank_mass_stays_in_seed_component(spark):
+    """Two disconnected components, seeds only in the first: every
+    node of the second component ends with rank exactly 0, and every
+    node reachable from the seeds ends positive."""
+    a = [(0, 1), (1, 2)]          # component A (seeded)
+    b = [(10, 11), (11, 12)]      # component B (unseeded)
+    edges = graph.symmetrize(_edges(spark, a + b))
+    seeds = spark.createDataFrame([(0,)], "node long")
+    ranks = dict(graph.personalized_pagerank(edges, seeds).collect())
+    assert all(ranks[n] == 0 for n in (10, 11, 12))
+    assert all(ranks[n] > 0 for n in (0, 1, 2))
