@@ -56,33 +56,37 @@ _SHARED_DIMS = ("region", "nation")
 # the most expensive headline queries from the sf0.1 bench, i.e. the
 # ones whose scaling behavior matters most
 SF1_QUERIES = [
-    "dedup_resolution",
-    "router_combine",
+    # ordered by how informative the scaling signal is — under a tight
+    # wall-clock budget bench.py truncates the TAIL of this list, so
+    # the blocked/bucketed plans whose cliffs the probe exists to catch
+    # (and the newest additions) come first
+    "knn_label_vote_blocked",
+    "embedding_ann_batch",
+    "dedup_minhash_lsh",
     "leakage_free_split",
-    "embedding_ann_scalable",
+    "dedup_resolution",
+    "graph_pagerank",
+    "fuzzy_snm_pairs",
+    "router_combine",
     "hybrid_retrieval",
     "dsir_selection",
     "trigram_fluency",
-    "knn_label_vote_blocked",
     "line_dedup",
-    "dedup_minhash_lsh",
+    "embedding_ann_scalable",
     # the round-6 batch-retrieval family: fixed-size query batches
     # (bm25_batch, hybrid_retrieval_batch) must stay ~FLAT as the
     # corpus grows (probe of a build-once index; measured 1.75s at
-    # both sf0.1 and sf1). embedding_ann_batch is the exception BY
-    # DEFINITION: its query set is 10% of all vectors, so the batch
-    # grows with the corpus — total pair work is
+    # both sf0.1 and sf1). embedding_ann_batch (listed above) is the
+    # exception BY DEFINITION: its query set is 10% of all vectors, so
+    # the batch grows with the corpus — total pair work is
     # (n/10) x nprobe x n/cells ~ O(n^1.5) with cells ~ sqrt(n),
     # and the measured ratio (~17x at 10x) sits below the 25x pair
     # growth. Judge it against that law, not against flatness.
+    # round-7 notes: PageRank node count grows ~10x (events replicate
+    # with shifted user_ids), edge count 10x -> expect ~linear; SNM
+    # pair work is O(n * window) on 10x customers -> ~linear.
     "bm25_batch",
-    "embedding_ann_batch",
     "hybrid_retrieval_batch",
-    # round-7: PageRank node count grows ~10x (events replicate with
-    # shifted user_ids), edge count 10x -> expect ~linear; SNM pair
-    # work is O(n * window) on 10x customers -> ~linear
-    "graph_pagerank",
-    "fuzzy_snm_pairs",
 ]
 
 
