@@ -746,12 +746,14 @@ def snm_pairs(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    off_expr = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    )
-    g = local.withColumn("rank", off_expr[F.col("pid")] + F.col("i")).select(
-        "id", "key", "rank"
-    )
+    if offsets:
+        off_expr = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )
+        rank_col = off_expr[F.col("pid")] + F.col("i")
+    else:  # empty input: F.create_map() would type as map<void,void>
+        rank_col = F.col("i").cast("long")
+    g = local.withColumn("rank", rank_col).select("id", "key", "rank")
     left = g.select(
         F.col("id").alias("id_a"),
         F.col("key").alias("key_a"),

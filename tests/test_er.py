@@ -96,3 +96,21 @@ def test_snm_window_monotone(spark):
     }
     assert p2 <= p4
     assert len(p4) > len(p2)
+
+
+def test_snm_degenerate_inputs(spark):
+    """Empty input and window >= n both behave: no pairs / all sorted
+    pairs inside the cutoff, no errors."""
+    empty = spark.createDataFrame([], "id long, key string")
+    assert dedup.snm_pairs(empty, "key", "id").count() == 0
+    tiny = spark.createDataFrame(
+        [(1, "aa"), (2, "ab"), (3, "zz")], "id long, key string"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.snm_pairs(
+            tiny, "key", "id", window=10, max_dist=1
+        ).collect()
+    }
+    # aa~ab (dist 1) pair only; zz is 2 edits from both
+    assert got == {(1, 2)}
