@@ -78,7 +78,13 @@ def pagerank(
     # pays one join (edges x ranks on src) instead of two; checkpoint
     # pins it so the 2-shuffle build runs once, not per iteration
     e_deg = e.join(deg, "src").localCheckpoint(eager=True)
-    nodes = e.select(F.col("src").alias("node")).distinct()
+    # nodes appears in EVERY iteration's update join — checkpoint it
+    # once or the distinct's full lineage replays per iteration
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     # (100-d)*scale is divisible by common scales; keep exact integer
     base_term = (100 - damping_pct) * scale // 100
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
@@ -136,8 +142,13 @@ def personalized_pagerank(
     seed_flag = seeds.select("node").distinct().withColumn(
         "is_seed", F.lit(1).cast("long")
     )
-    nodes = nodes.join(F.broadcast(seed_flag), "node", "left").select(
-        "node", F.coalesce("is_seed", F.lit(0).cast("long")).alias("is_seed")
+    nodes = (
+        nodes.join(F.broadcast(seed_flag), "node", "left")
+        .select(
+            "node",
+            F.coalesce("is_seed", F.lit(0).cast("long")).alias("is_seed"),
+        )
+        .localCheckpoint(eager=True)
     )
     base_term = (100 - damping_pct) * scale // 100
     ranks = nodes.select(
