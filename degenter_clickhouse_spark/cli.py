@@ -216,6 +216,17 @@ def main(argv: list[str] | None = None) -> int:
     ds.add_argument("--input", help="documents parquet to score (score)")
     ds.add_argument("--output", help="scored parquet output (score)")
 
+    bp = sub.add_parser(
+        "bpe",
+        help="persisted BPE tokenizer: fit once (merge list artifact), "
+        "tokenize many",
+    )
+    bp.add_argument("action", choices=["fit", "tokenize"])
+    bp.add_argument("--model", required=True, help="model path")
+    bp.add_argument("--input", required=True, help="documents parquet")
+    bp.add_argument("--merges", type=int, default=10, help="merge count (fit)")
+    bp.add_argument("--output", help="tokenized parquet output (tokenize)")
+
     va = sub.add_parser(
         "validate",
         help="data-quality constraint report (deequ-style ingest gate)",
@@ -385,6 +396,21 @@ def main(argv: list[str] | None = None) -> int:
             out = _dsir.dsir_scores(spark.read.parquet(args.input), model=model)
             out.write.mode("overwrite").parquet(args.output)
             print("scored:", spark.read.parquet(args.output).count())
+        return 0
+    if args.cmd == "bpe":
+        from .llm import bpe as _bpe
+
+        docs = spark.read.parquet(args.input)
+        if args.action == "fit":
+            merges = _bpe.fit_bpe_merges(docs, n_merges=args.merges)
+            _bpe.save_bpe_model(spark, merges, args.model)
+            print(f"fitted {len(merges)} merges -> {args.model}")
+            return 0
+        merges = _bpe.load_bpe_model(spark, args.model)
+        out = _bpe.apply_bpe(docs, merges)
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+        print(f"tokenized {out.count()} docs with {len(merges)} merges")
         return 0
     if args.cmd == "validate":
         import json as _json

@@ -138,3 +138,20 @@ def apply_bpe(
         F.flatten(F.collect_list("syms")).alias("tokens"),
         F.sum(F.size("syms")).cast("long").alias("n_tokens"),
     )
+
+
+def save_bpe_model(spark: SparkSession, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist a fitted merge list as the tokenizer artifact (the
+    LM/DSIR build-once/apply-many seam): tiny parquet of
+    (ord, left, right) — training order IS the apply order, so the
+    ordinal column is the contract."""
+    rows = [(i, l, r) for i, (l, r) in enumerate(merges)]
+    spark.createDataFrame(rows, "ord int, left string, right string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_bpe_model(spark: SparkSession, path: str) -> list[tuple[str, str]]:
+    """Load a persisted merge list in training order."""
+    rows = spark.read.parquet(path).orderBy("ord").collect()
+    return [(r["left"], r["right"]) for r in rows]

@@ -153,3 +153,34 @@ def test_cli_validate_report_and_strict_gate(spark, tmp_path, capsys):
         ["validate", "--input", str(tmp_path / "t"),
          "--constraints", str(spec_path), "--strict"]
     ) == 1
+
+
+def test_cli_bpe_fit_tokenize_roundtrip(spark, tmp_path, capsys):
+    from degenter_clickhouse_spark import cli
+    from degenter_clickhouse_spark.llm import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "aa ab aa ab aa"), (2, "ab aa ab ab")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    model = str(tmp_path / "model")
+    assert cli.main(["bpe", "fit", "--input", src, "--model", model,
+                     "--merges", "4"]) == 0
+    # the artifact reloads in training order and tokenization from the
+    # artifact equals fit-and-tokenize
+    merges = bpe.load_bpe_model(spark, model)
+    assert merges == bpe.fit_bpe_merges(docs, n_merges=4)
+    out = str(tmp_path / "tok")
+    assert cli.main(["bpe", "tokenize", "--input", src, "--model", model,
+                     "--output", out]) == 0
+    direct = {
+        r["doc_id"]: (sorted(r["tokens"]), r["n_tokens"])
+        for r in bpe.apply_bpe(docs, merges).collect()
+    }
+    loaded = {
+        r["doc_id"]: (sorted(r["tokens"]), r["n_tokens"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert direct == loaded
