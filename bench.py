@@ -193,6 +193,14 @@ def main() -> None:
             stream_corpus_ingest,
         )
 
+        # warm the block-ingest plan family before timing (first-call
+        # codegen/plan-compile is a fixed cost, not throughput)
+        warm_raw = spark.read.schema(_blocks.RAW_SCHEMA).json(
+            spark.sparkContext.parallelize(make_blocks(20, 5), 4)
+        ).localCheckpoint(eager=True)
+        for df in _blocks.ingest(warm_raw).values():
+            df.count()
+        spark.catalog.clearCache()
         n_blocks, swaps = 1000, 25
         raw = spark.read.schema(_blocks.RAW_SCHEMA).json(
             spark.sparkContext.parallelize(make_blocks(n_blocks, swaps), 32)
