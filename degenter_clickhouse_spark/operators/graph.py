@@ -181,3 +181,21 @@ def degree_stats(edges: DataFrame) -> DataFrame:
     shuffles, no driver materialization."""
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Weakly connected components of an edge list: (node, component)
+    where component = the minimum node id in the component.
+
+    Thin adapter over the battle-tested pointer-jumping resolver
+    (llm/dedup.neardup_clusters: O(log diameter) iterations, constant-
+    size plans via per-iteration checkpoints, driver sees only a 1-row
+    change count) — same algorithm, graph-flavored column names.
+    """
+    from ..llm.dedup import neardup_clusters
+
+    pairs = edges.select(F.col("src").alias("d1"), F.col("dst").alias("d2"))
+    out = neardup_clusters(pairs, max_iters=max_iters)
+    return out.select(
+        F.col("doc_id").alias("node"), F.col("canonical_id").alias("component")
+    )

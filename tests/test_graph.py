@@ -109,3 +109,9 @@ def test_personalized_pagerank_mass_stays_in_seed_component(spark):
     ranks = dict(graph.personalized_pagerank(edges, seeds).collect())
     assert all(ranks[n] == 0 for n in (10, 11, 12))
     assert all(ranks[n] > 0 for n in (0, 1, 2))
+
+
+def test_connected_components(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (10, 11), (20, 20)])
+    got = {tuple(r) for r in graph.connected_components(e).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20)}
