@@ -183,6 +183,7 @@ def main(argv: list[str] | None = None) -> int:
     sh.add_argument("--key", default="doc_id")
     sh.add_argument("--token-col", default=None)
     sh.add_argument("--order-col", default=None)
+    sh.add_argument("--format", choices=["parquet", "jsonl"], default="parquet")
 
     ji = sub.add_parser(
         "jsonl-ingest",
@@ -495,6 +496,7 @@ def main(argv: list[str] | None = None) -> int:
             key_col=args.key,
             token_col=args.token_col,
             order_col=args.order_col,
+            fmt=args.format,
         )
         for r in manifest.orderBy("shard").collect():
             print(r.asDict())

@@ -79,22 +79,31 @@ def write_shards(
     key_col: str,
     token_col: str | None = None,
     order_col: str | None = None,
+    fmt: str = "parquet",
 ) -> DataFrame:
-    """Write ``df`` as ``path/shard=K/`` parquet + ``path/_manifest``.
+    """Write ``df`` as ``path/shard=K/`` files + ``path/_manifest``.
 
     One shuffle (on the shard id); each task writes one shard dir.
     ``order_col`` sorts rows inside each shard file without an extra
     exchange (loaders that stream a shard sequentially see a stable
-    order). Returns the manifest DataFrame (n_shards rows).
+    order). ``fmt``: "parquet" (default) or "jsonl" — gzip-compressed
+    JSON-lines shards, the standard LLM training-data interchange
+    (one object per line, streamable without a parquet reader).
+    Returns the manifest DataFrame (n_shards rows).
     """
+    if fmt not in ("parquet", "jsonl"):
+        raise ValueError(f"unknown shard format: {fmt!r}")
     sharded = with_shard(df, key_col, n_shards)
-    (
+    writer = (
         sharded.repartition(n_shards, F.col("shard"))
         .sortWithinPartitions(order_col if order_col else key_col)
         .write.mode("overwrite")
         .partitionBy("shard")
-        .parquet(path)
     )
+    if fmt == "jsonl":
+        writer.option("compression", "gzip").json(path)
+    else:
+        writer.parquet(path)
     manifest = shard_manifest(sharded, key_col, token_col)
     manifest.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, MANIFEST_DIR)
@@ -103,7 +112,11 @@ def write_shards(
 
 
 def verify_shards(
-    spark: SparkSession, path: str, key_col: str, token_col: str | None = None
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    token_col: str | None = None,
+    fmt: str = "parquet",
 ) -> DataFrame:
     """Recompute the manifest from the written files and diff it.
 
@@ -113,7 +126,16 @@ def verify_shards(
     per-shard-range or sample, both just filters on ``shard``.
     """
     stored = spark.read.parquet(os.path.join(path, MANIFEST_DIR))
-    data = spark.read.parquet(path)
+    if fmt == "jsonl":
+        data = spark.read.json(os.path.join(path, "shard=*"))
+        # partition-dir read loses the shard column; recover it from
+        # the file path (deterministic, no schema assumptions)
+        data = data.withColumn(
+            "shard",
+            F.regexp_extract(F.input_file_name(), r"shard=(\d+)", 1).cast("int"),
+        )
+    else:
+        data = spark.read.parquet(path)
     actual = shard_manifest(data, key_col, token_col)
     cols = [c for c in stored.columns if c != "shard"]
     joined = stored.alias("m").join(

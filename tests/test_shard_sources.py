@@ -134,3 +134,33 @@ def test_approx_percentile_within_accuracy(spark):
         assert abs(r["approx"] - r["exact"]) <= max(
             0.15 * r["exact"], r["n"] / acc
         )
+
+
+def test_write_shards_jsonl_roundtrip(spark, tmp_path):
+    """JSONL shards: gzip json-lines files under shard=K/, readable
+    back to the same rows, and verify_shards(fmt='jsonl') reports
+    intact."""
+    import glob
+
+    from degenter_clickhouse_spark.llm.shard import verify_shards, write_shards
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", i * 10) for i in range(40)],
+        "doc_id long, text string, n_tokens long",
+    )
+    out = str(tmp_path / "sh")
+    manifest = write_shards(
+        spark, df, out, n_shards=4, key_col="doc_id", token_col="n_tokens",
+        fmt="jsonl",
+    )
+    assert manifest.count() == 4
+    gz = glob.glob(f"{out}/shard=*/**/*.gz", recursive=True) + glob.glob(
+        f"{out}/shard=*/*.gz"
+    )
+    assert gz, "expected gzip json shard files"
+    back = spark.read.json(f"{out}/shard=*")
+    assert back.count() == 40
+    assert {r.doc_id for r in back.collect()} == set(range(40))
+    bad = verify_shards(spark, out, key_col="doc_id", token_col="n_tokens",
+                        fmt="jsonl")
+    assert bad.count() == 0
