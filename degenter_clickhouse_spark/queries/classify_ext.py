@@ -185,3 +185,27 @@ def q_knn_label_vote_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", "pred_label",
         F.col("votes").cast("long").alias("votes"), "agree",
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier evaluation: confusion matrix of the blocked k-NN vote
+# against the true labels — the model-eval step of a labeling pipeline,
+# expressed as one aggregation over the prediction frame (the oracle
+# reuses the full blocked-vote oracle as a CTE, so the evaluated
+# predictions are exactly the gate-checked ones).
+# ---------------------------------------------------------------------------
+
+CONFUSION_ORACLE = f"""
+WITH base AS ({KNN_BLOCKED_ORACLE})
+SELECT label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
+FROM base
+GROUP BY label, pred_label
+"""
+
+
+@register_extended("classifier_confusion", CONFUSION_ORACLE)
+def q_classifier_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    preds = q_knn_label_vote_blocked(spark, sf_dir)
+    return preds.groupBy("label", "pred_label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
