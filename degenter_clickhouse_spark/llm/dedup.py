@@ -770,3 +770,36 @@ def snm_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "key_a", "key_b", "dist")
     )
+
+
+def kfold_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """K-fold cross-validation assignment with the same no-leakage
+    guarantee as :func:`leakage_free_split`: the near-dup CLUSTER id is
+    hashed (Knuth u32, overflow-safe) and folded mod k, so every member
+    of a cluster lands in the same fold and no near-duplicate pair ever
+    straddles a train/held-out boundary in any rotation.
+
+    Pure integer end-to-end — (u32(group) mod k) — so fold assignment
+    is bit-identical across engines. Output: (id, group_id, fold).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    clusters = neardup_clusters(pairs)
+    g = (
+        docs.select(id_col)
+        .join(clusters, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("canonical_id", F.col(id_col)).alias("group_id"),
+        )
+    )
+    from ..functions.hashing import knuth_u32
+
+    return g.withColumn(
+        "fold", F.pmod(knuth_u32(F.col("group_id")), F.lit(k)).cast("int")
+    )

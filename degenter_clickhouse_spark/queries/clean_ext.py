@@ -156,6 +156,42 @@ def q_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kfold_oracle(k: int = 5) -> str:
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+edges AS (SELECT d1 AS a, d2 AS b FROM nd_pairs
+          UNION SELECT d2, d1 FROM nd_pairs),
+comp(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT c.a, e.b FROM comp c JOIN edges e ON e.a = c.b
+),
+canon AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id FROM comp GROUP BY a),
+g AS (
+  SELECT d.doc_id, COALESCE(c.canonical_id, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN canon c ON c.doc_id = d.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(group_id AS BIGINT) AS group_id,
+       CAST(((group_id * 2654435761) % 4294967296) % {k} AS INTEGER) AS fold
+FROM g
+"""
+
+
+@register_extended("kfold_split", _kfold_oracle())
+def q_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free 5-fold cross-validation assignment: near-dup
+    clusters (MinHash-LSH, jaccard >= 0.5) always share a fold."""
+    from ..llm import dedup as D
+
+    d = _docs(spark, sf_dir, parallel=True)
+    pairs = D.minhash_lsh_pairs(d, threshold=0.5)
+    out = D.kfold_split(d, pairs, k=5)
+    return out.select(
+        F.col("doc_id").cast("long"), F.col("group_id").cast("long"), "fold"
+    )
+
+
 BIGRAM_ORACLE = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 rp AS (

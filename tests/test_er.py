@@ -114,3 +114,25 @@ def test_snm_degenerate_inputs(spark):
     }
     # aa~ab (dist 1) pair only; zz is 2 edits from both
     assert got == {(1, 2)}
+
+
+def test_kfold_no_pair_straddles_folds(spark):
+    """Every near-dup pair shares a fold, and all k folds are
+    non-empty on a spread id range."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 100) for i in range(0, 100, 7)], "d1 long, d2 long"
+    )
+    out = dedup.kfold_split(docs, pairs, k=5)
+    folds = {r["doc_id"]: r["fold"] for r in out.collect()}
+    for i in range(0, 100, 7):
+        assert folds[i] == folds[i + 100]
+    assert set(folds.values()) == {0, 1, 2, 3, 4}
+    import pytest
+
+    with pytest.raises(ValueError):
+        dedup.kfold_split(docs, pairs, k=1)
