@@ -217,6 +217,26 @@ def main(argv: list[str] | None = None) -> int:
     ds.add_argument("--input", help="documents parquet to score (score)")
     ds.add_argument("--output", help="scored parquet output (score)")
 
+    gr = sub.add_parser(
+        "graph",
+        help="graph centrality over an edge-list parquet "
+        "(pagerank/components/degrees)",
+    )
+    gr.add_argument("action", choices=["pagerank", "components", "degrees"])
+    gr.add_argument("--edges", required=True, help="edge-list parquet")
+    gr.add_argument("--src", default="src")
+    gr.add_argument("--dst", default="dst")
+    gr.add_argument("--output", help="parquet output (default: print top 20)")
+    gr.add_argument("--iterations", type=int, default=5)
+    gr.add_argument("--seeds", help="parquet with a node column: "
+                    "personalized (seeded) pagerank")
+    gr.add_argument(
+        "--directed",
+        action="store_true",
+        help="keep edge direction (default symmetrizes; directed "
+        "graphs must have out-edges on every node for pagerank)",
+    )
+
     bp = sub.add_parser(
         "bpe",
         help="persisted BPE tokenizer: fit once (merge list artifact), "
@@ -397,6 +417,36 @@ def main(argv: list[str] | None = None) -> int:
             out = _dsir.dsir_scores(spark.read.parquet(args.input), model=model)
             out.write.mode("overwrite").parquet(args.output)
             print("scored:", spark.read.parquet(args.output).count())
+        return 0
+    if args.cmd == "graph":
+        from pyspark.sql import functions as _F
+
+        from .operators import graph as _graph
+
+        edges = spark.read.parquet(args.edges).select(
+            _F.col(args.src).alias("src"), _F.col(args.dst).alias("dst")
+        )
+        if not args.directed:
+            edges = _graph.symmetrize(edges)
+        if args.action == "pagerank":
+            if args.seeds:
+                seeds = spark.read.parquet(args.seeds).select("node")
+                out = _graph.personalized_pagerank(
+                    edges, seeds, iterations=args.iterations
+                )
+            else:
+                out = _graph.pagerank(edges, iterations=args.iterations)
+            order = [_F.desc("rank"), "node"]
+        elif args.action == "components":
+            out = _graph.connected_components(edges)
+            order = ["component", "node"]
+        else:
+            out = _graph.degree_stats(edges)
+            order = [_F.desc("degree")]
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+        for r in out.orderBy(*order).limit(20).collect():
+            print(r.asDict())
         return 0
     if args.cmd == "bpe":
         from .llm import bpe as _bpe

@@ -184,3 +184,29 @@ def test_cli_bpe_fit_tokenize_roundtrip(spark, tmp_path, capsys):
         for r in spark.read.parquet(out).collect()
     }
     assert direct == loaded
+
+
+def test_cli_graph_pagerank_components_degrees(spark, tmp_path, capsys):
+    from degenter_clickhouse_spark import cli
+
+    spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (10, 11)], "src long, dst long"
+    ).write.parquet(str(tmp_path / "e"))
+    out = str(tmp_path / "pr")
+    assert cli.main(["graph", "pagerank", "--edges", str(tmp_path / "e"),
+                     "--output", out]) == 0
+    top = capsys.readouterr().out.strip().splitlines()
+    import ast
+
+    rows = [ast.literal_eval(line) for line in top]
+    assert rows[0]["node"] == 0  # the hub out-ranks everything
+    assert spark.read.parquet(out).count() == 6
+    assert cli.main(["graph", "components", "--edges",
+                     str(tmp_path / "e")]) == 0
+    comp = {r["node"]: r["component"] for r in
+            (ast.literal_eval(line) for line in
+             capsys.readouterr().out.strip().splitlines())}
+    assert comp[1] == 0 and comp[11] == 10
+    assert cli.main(["graph", "degrees", "--edges",
+                     str(tmp_path / "e")]) == 0
+    assert capsys.readouterr().out.strip()
