@@ -112,7 +112,11 @@ def check(df: DataFrame, constraints: list) -> DataFrame:
     aggs = [F.count(F.lit(1)).cast("long").alias("__den")]
     for i, p in enumerate(preds):
         aggs.append(
-            F.sum(F.when(p.cond, 1).otherwise(0)).cast("long").alias(f"__p{i}")
+            # coalesce: SUM over an empty relation is NULL; an empty
+            # input must yield (0, 0, vacuously-passed) rows, not NULLs
+            F.coalesce(F.sum(F.when(p.cond, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(f"__p{i}")
         )
     for i, u in enumerate(uniqs):
         aggs.append(

@@ -103,6 +103,7 @@ def process_corpus_batch(
     near_dup_threshold: float | None,
     maintain_text_index: bool = False,
     maintain_ivf_index: bool = False,
+    validate_constraints: list | None = None,
 ) -> None:
     """One micro-batch of the corpus sink (module-level so replay
     idempotency and the bounded probe are unit-testable outside a
@@ -234,6 +235,19 @@ def process_corpus_batch(
                     k_cells=adaptive_ivf_cells(emb.count()),
                     iters=1,
                 )
+        if validate_constraints and batch_df.limit(1).count():
+            # per-batch admission report (operators/validate.py): one
+            # row per constraint per micro-batch, batch-scoped
+            # idempotent write — an auditable quality ledger the
+            # operator can alert on without rescanning the corpus
+            from ..operators.validate import check as _dq_check
+
+            report = _dq_check(batch_df, validate_constraints).withColumn(
+                "batch_id", F.lit(int(batch_id)).cast("long")
+            )
+            _idempotent_write(
+                report, os.path.join(output_dir, "quality_reports"), batch_id
+            )
         if rejected.limit(1).count():
             _idempotent_write(
                 rejected, os.path.join(output_dir, "quarantine"), batch_id
@@ -254,6 +268,7 @@ def stream_corpus_ingest(
     near_dup_threshold: float | None = None,
     maintain_text_index: bool = False,
     maintain_ivf_index: bool = False,
+    validate_constraints: list | None = None,
     available_now: bool = True,
 ):
     """Drain ``landing_dir`` (json docs with an ``event_ts``) into
@@ -280,7 +295,10 @@ def stream_corpus_ingest(
     for the dense side at ``output_dir/ivf_idx``: accepted docs are
     hash-trick embedded and appended to a frozen-centroid IVF index
     (first batch seeds the centroids), so `ivf_search` works over the
-    growing corpus without a rebuild."""
+    growing corpus without a rebuild. ``validate_constraints``
+    (operators/validate.py constraint objects) appends a per-batch
+    admission report to ``output_dir/quality_reports`` — the streaming
+    form of the deequ-style batch gate."""
     raw = spark.readStream.schema(DOC_SCHEMA).json(landing_dir)
     hashed = raw.withColumn("content_hash", F.md5(F.col("text")))
     deduped = hashed.withWatermark("event_ts", watermark).dropDuplicatesWithinWatermark(
@@ -307,6 +325,7 @@ def stream_corpus_ingest(
             near_dup_threshold,
             maintain_text_index=maintain_text_index,
             maintain_ivf_index=maintain_ivf_index,
+            validate_constraints=validate_constraints,
         )
 
     writer = (

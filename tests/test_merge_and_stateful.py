@@ -604,3 +604,46 @@ def test_streaming_maintained_ivf_index(spark, tmp_path):
         maintain_ivf_index=True,
     )
     assert {r.c_id for r in spark.read.parquet(idx + "/cells").collect()} == {1, 2, 4}
+
+
+def test_streaming_corpus_quality_reports(spark, tmp_path):
+    """validate_constraints appends a per-batch admission report
+    (streaming form of the deequ-style gate): one row per constraint
+    per micro-batch, flags computed over the RAW batch (pre-gate)."""
+    import json as _json
+    import os
+
+    from degenter_clickhouse_spark.operators import validate as V
+    from degenter_clickhouse_spark.streaming.corpus import stream_corpus_ingest
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = str(tmp_path / "out")
+
+    def doc(i, text, ts="2024-01-01 10:00:00"):
+        return {"doc_id": i, "text": text, "lang": "en", "source": "src0",
+                "n_chars": len(text), "event_ts": ts}
+
+    good = "the quick brown fox jumps over the lazy dog again and again"
+    (landing / "b1.json").write_text("\n".join(_json.dumps(d) for d in [
+        doc(1, good), doc(2, "hi"), doc(3, good + " more"),
+    ]))
+    constraints = [
+        V.not_null("doc_id"),
+        V.in_range("n_chars", 10, 10_000, min_pct=60),
+        V.Unique("unique(doc_id)", ["doc_id"]),
+    ]
+    stream_corpus_ingest(
+        spark, str(landing), out, str(tmp_path / "ckpt"),
+        validate_constraints=constraints,
+    )
+    rep = spark.read.parquet(os.path.join(out, "quality_reports"))
+    rows = {r["constraint"]: r for r in rep.collect()}
+    assert len(rows) == 3
+    assert rows["not_null(doc_id)"]["passed"] is True
+    # 2/3 docs >= 10 chars -> 66% >= 60%
+    assert rows["range(n_chars)"] == rows["range(n_chars)"]
+    assert (rows["range(n_chars)"]["metric_num"],
+            rows["range(n_chars)"]["metric_den"]) == (2, 3)
+    assert rows["range(n_chars)"]["passed"] is True
+    assert {r["batch_id"] for r in rows.values()} == {0}
