@@ -259,3 +259,54 @@ def weighted_sample(
         .orderBy(F.col("es_key").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def budget_mix(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    token_col: str = "n_tokens",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget corpus mixing: for each source, keep a reproducible
+    subset whose token total stays within that source's budget — the
+    "2B tokens web + 1B tokens code" recipe of real pretraining mixes.
+
+    Within a source, docs are ordered by (knuth_u32(id), id) — a
+    deterministic shuffle, so the kept prefix is an unbiased sample
+    with no RNG state — and kept while the INCLUSIVE running token sum
+    stays <= budget (first-fit prefix; the first doc over budget and
+    everything after it drop). Sources absent from ``budgets`` are
+    dropped entirely.
+
+    One shuffle total (the per-source window); the budget table is a
+    literal CASE expression, not a join. Integer cumsums — bit-exact
+    across engines and shuffle orders. Output: (id, source, tokens,
+    cum_tokens).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.hashing import knuth_u32
+
+    if not budgets:
+        raise ValueError("budgets must name at least one source")
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(knuth_u32(F.col(id_col)), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = None
+    for src, b in sorted(budgets.items()):
+        cond = F.col(source_col) == src
+        budget = (
+            F.when(cond, int(b))
+            if budget is None
+            else budget.when(cond, int(b))
+        )
+    budget = budget.otherwise(F.lit(0))
+    out = docs.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.col(token_col).cast("long").alias("tokens"),
+    ).withColumn("cum_tokens", F.sum("tokens").over(w).cast("long"))
+    return out.filter(F.col("cum_tokens") <= budget)

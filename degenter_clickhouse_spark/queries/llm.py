@@ -1208,3 +1208,53 @@ def q_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_jaccard",
         "contaminated",
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget corpus mixing (llm/packing.budget_mix): per-source
+# reproducible prefix under a token budget — the pretraining-mix
+# recipe. Budgets derive from the source suffix (1000 * (1 + N % 4))
+# so Spark (dict built from the dimension-sized distinct-source list)
+# and the oracle (closed-form CASE) agree at every scale.
+# ---------------------------------------------------------------------------
+
+MIX_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+         CAST((doc_id * {KNUTH}) % {U32} AS BIGINT) AS h,
+         1000 * (1 + coalesce(TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS INTEGER), 0) % 4)
+           AS budget
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, tokens, budget,
+         CAST(SUM(tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, tokens, cum_tokens
+FROM c WHERE cum_tokens <= budget
+"""
+
+
+@register_extended("budget_mix", MIX_ORACLE)
+def q_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import packing
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    sources = [r["source"] for r in d.select("source").distinct().collect()]
+    budgets = {s: 1000 * (1 + _src_suffix(s) % 4) for s in sources}
+    return packing.budget_mix(d, budgets)
+
+
+def _src_suffix(source: str) -> int:
+    import re
+
+    m = re.search(r"([0-9]+)$", source)
+    return int(m.group(1)) if m else 0

@@ -919,3 +919,23 @@ def test_dedup_keep_best_and_fuzzy_contamination_semantics(spark):
         threshold=0.5,
     ).collect()[0]
     assert not clean["contaminated"] and clean["max_jaccard"] is None
+
+
+def test_budget_mix_prefix_property(spark):
+    """Each source's kept set is the maximal hash-order prefix within
+    its budget; absent sources drop entirely; budgets respected."""
+    from degenter_clickhouse_spark.llm.packing import budget_mix
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 50 else "b", 100) for i in range(100)],
+        "doc_id long, source string, n_tokens long",
+    )
+    out = budget_mix(docs, {"a": 1000})  # b absent -> dropped
+    rows = out.collect()
+    assert all(r["source"] == "a" for r in rows)
+    assert len(rows) == 10  # 1000 / 100 tokens each
+    assert max(r["cum_tokens"] for r in rows) == 1000
+    import pytest
+
+    with pytest.raises(ValueError):
+        budget_mix(docs, {})
