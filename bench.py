@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "data_quality_report",  # one-scan constraint report + FK semi-join (EXTENDED)
     "gap_fill_interp",  # linear-interpolation gap fill (EXTENDED)
     "value_anomalies",  # integer z^2 rolling anomaly flags (EXTENDED)
+    "kfold_split",  # leakage-free k-fold CV assignment (EXTENDED)
+    "budget_mix",  # per-source token-budget prefix mix (EXTENDED)
 ]
 
 

@@ -196,6 +196,10 @@ SCALE_SHAPE_QUERIES = {
     "gap_fill_interp": 0,
     "data_quality_report": 3,
     "value_anomalies": 0,  # rolling window partitioned by user_id
+    "kfold_split": 0,  # LSH band join + map-side fold hash
+    "budget_mix": 0,  # one per-source window cumsum
+    "graph_pagerank_seeded": 0,
+    "classifier_confusion": 0,
 }
 
 
