@@ -186,3 +186,70 @@ def eval_tvl_change(
             now.alias("fired_at"),
         )
     )
+
+
+def eval_price_anomaly(
+    alerts: DataFrame, ticks: DataFrame, now: Column
+) -> DataFrame:
+    """Extension beyond the reference's four kinds: fire when a pool's
+    LATEST tick deviates more than z sigmas from its trailing window —
+    params {pool_id, window_n, z} with the same integer rewrite as
+    queries/stats_ext.value_anomalies (z^2 > z'^2 becomes
+    (n*x - s)^2 > z^2 * (n*ss - s^2) over 1e4-scaled prices), so the
+    verdict needs no float division or sqrt. Magnitude envelope:
+    prices <= ~1e3 scale to <= 1e7; with window_n <= 64 and z <= 9
+    every intermediate stays far inside int64.
+
+    Plan shape: the tick side is bounded FIRST by a semi-join on the
+    alert pools; one per-pool rank window; alert params join on
+    pool_id; no global funnels.
+    """
+    from pyspark.sql import Window
+
+    a = _params(
+        unthrottled(alerts, now).filter(F.col("kind") == "price_anomaly"),
+        ("pool_id", "long"),
+        ("window_n", "long"),
+        ("z", "long"),
+    )
+    pools = a.select("pool_id").distinct()
+    t = (
+        ticks.join(dim_broadcast(pools), "pool_id", "left_semi")
+        .select(
+            "pool_id",
+            "ts",
+            "event_id",
+            F.expr("CAST(round(price * 1e4) AS BIGINT)").alias("x"),
+        )
+    )
+    w = Window.partitionBy("pool_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = t.withColumn("rn", F.row_number().over(w))
+    latest = ranked.filter(F.col("rn") == 1).select(
+        "pool_id", F.col("x").alias("x_latest")
+    )
+    j = (
+        a.join(ranked, "pool_id")
+        .filter((F.col("rn") >= 2) & (F.col("rn") <= F.col("window_n") + 1))
+        .groupBy("alert_id", "pool_id", "window_n", "z")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("s"),
+            F.sum(F.col("x") * F.col("x")).alias("ss"),
+        )
+        .join(dim_broadcast(latest), "pool_id")
+    )
+    dev = F.col("n") * F.col("x_latest") - F.col("s")
+    var_n = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    fired = (F.col("n") >= F.greatest(F.lit(3), F.col("window_n") / 2)) & (
+        dev * dev > F.col("z") * F.col("z") * var_n
+    )
+    return j.filter(fired).select(
+        "alert_id",
+        F.lit("price_anomaly").alias("kind"),
+        F.col("pool_id"),
+        (dev * dev).alias("dev2_num"),
+        (F.col("z") * F.col("z") * var_n).alias("zvar_num"),
+        now.alias("fired_at"),
+    )

@@ -579,3 +579,43 @@ def test_combine_router_legs_rejects_bad_max_legs(spark):
             TF.combine_router_legs(shaped)
     finally:
         spark.conf.unset("spark.degenter.routerCombine.maxLegs")
+
+
+def test_alert_price_anomaly(spark):
+    """The 5th (extension) alert kind: fires when the latest tick sits
+    more than z sigmas from the trailing window, via the integer z^2
+    rewrite; a stable series never fires; short history never fires."""
+    now = _now()
+    ticks = []
+    # pool 201: 20 stable ticks then a huge spike (latest)
+    for i in range(20):
+        ticks.append((201, i, 10.0 + (0.001 * (i % 3))))
+    ticks.append((201, 99, 50.0))
+    # pool 202: perfectly stable
+    for i in range(21):
+        ticks.append((202, i, 5.0))
+    # pool 203: only 2 ticks of history
+    ticks += [(203, 0, 1.0), (203, 99, 100.0)]
+    tdf = spark.createDataFrame(
+        [
+            (p, NOW - timedelta(minutes=200 - i), i, float(v))
+            for p, i, v in ticks
+        ],
+        "pool_id long, ts timestamp, event_id long, price double",
+    )
+    a = spark.createDataFrame(
+        [
+            (11, None, "price_anomaly",
+             json.dumps({"pool_id": 201, "window_n": 20, "z": 3}),
+             300, None, True),
+            (12, None, "price_anomaly",
+             json.dumps({"pool_id": 202, "window_n": 20, "z": 3}),
+             300, None, True),
+            (13, None, "price_anomaly",
+             json.dumps({"pool_id": 203, "window_n": 20, "z": 3}),
+             300, None, True),
+        ],
+        S.ALERTS,
+    )
+    fired = {r.alert_id for r in AL.eval_price_anomaly(a, tdf, now).collect()}
+    assert fired == {11}
