@@ -499,6 +499,16 @@ class DegenterEngine:
             AL.eval_large_trade(alerts, lt, now),
             AL.eval_tvl_change(alerts, self.table("pool_state"), None, now),
         ]
+        if "price_ticks" in self.tables:  # optional extension kind
+            outs.append(
+                AL.eval_price_anomaly(
+                    alerts,
+                    self.table("price_ticks"),
+                    now,
+                    price_col="price_in_zig",
+                    seq_col=None,
+                )
+            )
         fired = None
         for o in outs:
             o = o.select("alert_id", "kind", "fired_at")

@@ -189,7 +189,12 @@ def eval_tvl_change(
 
 
 def eval_price_anomaly(
-    alerts: DataFrame, ticks: DataFrame, now: Column
+    alerts: DataFrame,
+    ticks: DataFrame,
+    now: Column,
+    price_col: str = "price",
+    ts_col: str = "ts",
+    seq_col: str | None = "event_id",
 ) -> DataFrame:
     """Extension beyond the reference's four kinds: fire when a pool's
     LATEST tick deviates more than z sigmas from its trailing window —
@@ -213,18 +218,14 @@ def eval_price_anomaly(
         ("z", "long"),
     )
     pools = a.select("pool_id").distinct()
-    t = (
-        ticks.join(dim_broadcast(pools), "pool_id", "left_semi")
-        .select(
-            "pool_id",
-            "ts",
-            "event_id",
-            F.expr("CAST(round(price * 1e4) AS BIGINT)").alias("x"),
-        )
+    t = ticks.join(dim_broadcast(pools), "pool_id", "left_semi").select(
+        "pool_id",
+        F.col(ts_col).alias("__ts"),
+        F.expr(f"CAST(round({price_col} * 1e4) AS BIGINT)").alias("x"),
+        *([F.col(seq_col).alias("__seq")] if seq_col else []),
     )
-    w = Window.partitionBy("pool_id").orderBy(
-        F.desc("ts"), F.desc("event_id")
-    )
+    order = [F.desc("__ts")] + ([F.desc("__seq")] if seq_col else [F.desc("x")])
+    w = Window.partitionBy("pool_id").orderBy(*order)
     ranked = t.withColumn("rn", F.row_number().over(w))
     latest = ranked.filter(F.col("rn") == 1).select(
         "pool_id", F.col("x").alias("x_latest")
