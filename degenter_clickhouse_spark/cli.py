@@ -69,6 +69,12 @@ def main(argv: list[str] | None = None) -> int:
         "with every micro-batch (idempotent batch-scoped writes)",
     )
     ci.add_argument(
+        "--validate-constraints",
+        default=None,
+        help="JSON constraint-spec file (see `validate`): append a "
+        "per-batch admission report to OUTPUT/quality_reports",
+    )
+    ci.add_argument(
         "--maintain-ivf-index",
         action="store_true",
         help="hash-embed accepted docs and grow the IVF ANN index at "
@@ -297,6 +303,16 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "corpus-ingest":
         from .streaming import corpus
 
+        _vc = None
+        if args.validate_constraints:
+            import json as _json
+
+            from .operators.validate import constraints_from_specs
+
+            _vc = constraints_from_specs(
+                spark, _json.load(open(args.validate_constraints))
+            )
+
         q = corpus.stream_corpus_ingest(
             spark,
             args.landing,
@@ -308,6 +324,7 @@ def main(argv: list[str] | None = None) -> int:
             near_dup_threshold=args.near_dup_threshold,
             maintain_text_index=args.maintain_text_index,
             maintain_ivf_index=args.maintain_ivf_index,
+            validate_constraints=_vc,
             available_now=args.once,
         )
         if not args.once:

@@ -534,3 +534,34 @@ def test_cli_corpus_clean_and_split(spark, tmp_path, capsys):
     assert all(r.split in {"train", "val", "test"} for r in rows.values())
     # docs 0 and 1 are exact near-dups (jaccard 1.0) -> same cluster/split
     assert rows[0].split == rows[1].split and rows[0].group_id == rows[1].group_id
+
+
+def test_cli_corpus_ingest_with_validation(spark, tmp_path, capsys):
+    """--validate-constraints wires the JSON spec file into the
+    streaming per-batch quality ledger."""
+    import json as _json
+    import os
+
+    from degenter_clickhouse_spark.cli import main
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    good = "the quick brown fox jumps over the lazy dog again and again"
+    (landing / "b1.json").write_text("\n".join(_json.dumps({
+        "doc_id": i, "text": good + f" {i}", "lang": "en", "source": "s",
+        "n_chars": len(good) + 2, "event_ts": "2024-01-01 10:00:00",
+    }) for i in range(3)))
+    specs = tmp_path / "specs.json"
+    specs.write_text(_json.dumps([
+        {"type": "not_null", "col": "doc_id"},
+        {"type": "unique", "cols": ["doc_id"]},
+    ]))
+    out = str(tmp_path / "out")
+    assert main([
+        "corpus-ingest", "--landing", str(landing), "--output", out,
+        "--checkpoint", str(tmp_path / "ckpt"), "--once",
+        "--validate-constraints", str(specs),
+    ]) == 0
+    rep = spark.read.parquet(os.path.join(out, "quality_reports"))
+    rows = {r["constraint"]: r["passed"] for r in rep.collect()}
+    assert rows == {"not_null(doc_id)": True, "unique(doc_id)": True}
