@@ -712,3 +712,44 @@ def q_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_anomaly"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics: median + MAD (median absolute deviation) per
+# event_type — the outlier-resistant location/spread pair (ClickHouse
+# quantileExact composition). Both engines share the percentile
+# interpolation definition (see quantile_summary), and |x - med| is
+# pointwise double math, so the result is bit-exact. Two grouped
+# aggregations + one broadcast join of the dimension-sized medians.
+# ---------------------------------------------------------------------------
+
+ROBUST_ORACLE = """
+WITH m AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+d AS (
+  SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN m ON e.event_type = m.event_type
+)
+SELECT event_type, med, quantile_cont(adev, 0.5) AS mad,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM d GROUP BY event_type, med
+"""
+
+
+@register_extended("robust_stats", ROBUST_ORACLE)
+def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import catalog
+
+    ev = catalog.load_table(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), 0.5).alias("med")
+    )
+    d = ev.join(dim_broadcast(m), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    return d.groupBy("event_type", "med").agg(
+        F.percentile(F.col("adev"), 0.5).alias("mad"),
+        F.count(F.lit(1)).alias("n"),
+    )
