@@ -95,6 +95,7 @@ from .llm import (
 from .stats_ext import (
     ANOMALY_ORACLE,
     EMA_ORACLE,
+    ROBUST_ORACLE,
     LENGTH_HISTOGRAM_ORACLE,
     MOVING_STATS_ORACLE,
     QUANTILE_ORACLE,
@@ -108,6 +109,7 @@ from .stats_ext import (
     q_moving_stats,
     q_quantile_summary,
     q_retention_cohorts,
+    q_robust_stats,
     q_rollup_totals,
     q_source_quality_report,
     q_twap_vwap,
@@ -837,6 +839,11 @@ SELECT 'dq', "constraint", CAST(NULL AS VARCHAR), CAST(-1 AS BIGINT),
        CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE),
        CAST(-1.0 AS DOUBLE)
 FROM ({QUALITY_ORACLE})
+UNION ALL
+SELECT 'robust', event_type, CAST(NULL AS VARCHAR), CAST(-1 AS BIGINT),
+       n, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       med, mad, CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE)
+FROM ({ROBUST_ORACLE})
 """
 
 
@@ -894,6 +901,19 @@ def q_corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NO_V().alias("v3"),
         _NO_V().alias("v4"),
     )
+    rb = q_robust_stats(spark, sf_dir).select(
+        F.lit("robust").alias("part"),
+        F.col("event_type").alias("s1"),
+        _NO_S().alias("s2"),
+        _NO_K().alias("k"),
+        F.col("n").cast("long").alias("n1"),
+        _NO_K().alias("n2"),
+        _NO_K().alias("n3"),
+        F.col("med").alias("v1"),
+        F.col("mad").alias("v2"),
+        _NO_V().alias("v3"),
+        _NO_V().alias("v4"),
+    )
     dq = q_data_quality(spark, sf_dir).select(
         F.lit("dq").alias("part"),
         F.col("constraint").alias("s1"),
@@ -908,7 +928,11 @@ def q_corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NO_V().alias("v4"),
     )
     return (
-        qu.unionByName(qn).unionByName(hi).unionByName(ro).unionByName(dq)
+        qu.unionByName(qn)
+        .unionByName(hi)
+        .unionByName(ro)
+        .unionByName(dq)
+        .unionByName(rb)
     )
 
 
@@ -969,7 +993,8 @@ def q_classify_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sampling_split_oracle() -> str:
-    from .clean_ext import DSIR_ORACLE, WEIGHTED_SAMPLE_ORACLE
+    from .clean_ext import DSIR_ORACLE, WEIGHTED_SAMPLE_ORACLE, _kfold_oracle
+    from .llm import MIX_ORACLE
 
     return f"""
 SELECT 'temperature' AS part, CAST(doc_id AS BIGINT) AS doc_id,
@@ -988,6 +1013,14 @@ UNION ALL
 SELECT 'weighted', CAST(doc_id AS BIGINT), CAST(weight AS BIGINT),
        CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), es_key
 FROM ({WEIGHTED_SAMPLE_ORACLE})
+UNION ALL
+SELECT 'kfold', CAST(doc_id AS BIGINT), CAST(group_id AS BIGINT),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(fold AS DOUBLE)
+FROM ({_kfold_oracle()})
+UNION ALL
+SELECT 'mix', CAST(doc_id AS BIGINT), CAST(cum_tokens AS BIGINT),
+       source, CAST(NULL AS VARCHAR), CAST(tokens AS DOUBLE)
+FROM ({MIX_ORACLE})
 """
 
 
@@ -1027,4 +1060,29 @@ def q_sampling_split_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NO_S().alias("s2"),
         F.col("es_key").alias("v"),
     )
-    return te.unionByName(sp).unionByName(ds).unionByName(ws)
+    from .clean_ext import q_kfold_split
+    from .llm import q_budget_mix
+
+    kf = q_kfold_split(spark, sf_dir).select(
+        F.lit("kfold").alias("part"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("group_id").cast("long").alias("g"),
+        _NO_S().alias("s1"),
+        _NO_S().alias("s2"),
+        F.col("fold").cast("double").alias("v"),
+    )
+    mx = q_budget_mix(spark, sf_dir).select(
+        F.lit("mix").alias("part"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cum_tokens").alias("g"),
+        F.col("source").alias("s1"),
+        _NO_S().alias("s2"),
+        F.col("tokens").cast("double").alias("v"),
+    )
+    return (
+        te.unionByName(sp)
+        .unionByName(ds)
+        .unionByName(ws)
+        .unionByName(kf)
+        .unionByName(mx)
+    )
