@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "value_anomalies",  # integer z^2 rolling anomaly flags (EXTENDED)
     "kfold_split",  # leakage-free k-fold CV assignment (EXTENDED)
     "budget_mix",  # per-source token-budget prefix mix (EXTENDED)
+    "robust_stats",  # exact median + MAD per group (EXTENDED)
 ]
 
 

@@ -200,6 +200,7 @@ SCALE_SHAPE_QUERIES = {
     "budget_mix": 0,  # one per-source window cumsum
     "graph_pagerank_seeded": 0,
     "classifier_confusion": 0,
+    "robust_stats": 0,  # two grouped aggs + broadcast median join
 }
 
 
