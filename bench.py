@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "kfold_split",  # leakage-free k-fold CV assignment (EXTENDED)
     "budget_mix",  # per-source token-budget prefix mix (EXTENDED)
     "robust_stats",  # exact median + MAD per group (EXTENDED)
+    "sequence_count",  # greedy chain automaton, per-key array fold (EXTENDED)
 ]
 
 

@@ -1,0 +1,116 @@
+"""Event-sequence pattern matching (ClickHouse ``sequenceCount`` /
+``sequenceMatch`` parity — SURVEY.md §2.5 aggregate-family extension).
+
+The reference's analytics layer leans on ClickHouse behavioral
+aggregates; ``windowFunnel`` is covered by ``queries/stats_ext.
+q_window_funnel``. This module adds the chain-pattern siblings:
+
+* ``sequence_count`` — how many NON-OVERLAPPING occurrences of the
+  event chain ``(?1)(?2)...(?k)`` (in strict timestamp order, other
+  events freely interleaved) each key produced. Equivalent to
+  ClickHouse ``sequenceCount('(?1)(?2)...')(ts, cond1, ..., condk)``
+  under its greedy left-to-right scan.
+* ``sequence_match`` — boolean: at least one full chain
+  (``sequenceMatch`` with the same pattern).
+
+Spark-first shape: ClickHouse implements these as a per-group state
+machine inside the aggregate. Here each event is reduced to a step
+FLAG ARRAY (which of the k conditions it satisfies — evaluated as
+plain column expressions while the data is still flat, so predicate
+pushdown/pruning stay intact), then each key's events collect into
+ONE time-sorted array and ``aggregate()`` folds the greedy automaton
+(state = struct<stage, cnt>) left-to-right in pure column
+expressions — no UDF, no window function; the only shuffle is the
+groupBy on the key. The per-key series must fit an array cell, which
+matches the serving-layer regime (the reference caps per-entity
+series; unbounded keys belong to the streaming path's carried-state
+pattern in ``streaming/stateful.py``).
+
+Determinism: ties on the timestamp are broken by ``tiebreak`` inside
+``array_sort`` (struct comparison is lexicographic), so the fold
+order — and therefore the count — is identical across shuffle orders
+and engines.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _step_flags(steps: Sequence[Column]) -> Column:
+    """Boolean array column: element i true iff the row satisfies
+    ``steps[i]`` — evaluated while the data is still flat so pushdown
+    stays intact; the fold later indexes it by the automaton stage."""
+    return F.array(*[c.cast("boolean") for c in steps])
+
+
+def sequence_count(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    steps: Sequence[Column],
+    tiebreak: str | None = None,
+    out: str = "n_matches",
+) -> DataFrame:
+    """Per-``key`` count of non-overlapping ``steps`` chains in ``ts``
+    order → (key, out, n_events). Greedy automaton: an event matching
+    the currently-expected step advances the chain; completing step k
+    increments the count and rearms at step 1 (ClickHouse
+    ``sequenceCount`` semantics for ``(?1)(?2)...(?k)`` patterns).
+    """
+    k = len(steps)
+    if k == 0:
+        raise ValueError("sequence_count needs at least one step condition")
+    cols = [F.col(ts).alias("__t")]
+    if tiebreak is not None:
+        cols.append(F.col(tiebreak).alias("__tb"))
+    cols.append(_step_flags(steps).alias("__m"))
+    ev = df.select(F.col(key), F.struct(*cols).alias("__e"))
+    arr = ev.groupBy(key).agg(
+        F.array_sort(F.collect_list("__e")).alias("__s")
+    )
+    zero = F.struct(
+        F.lit(0).cast("int").alias("stage"), F.lit(0).cast("int").alias("cnt")
+    )
+
+    def fold(acc: Column, x: Column) -> Column:
+        hit = F.coalesce(
+            F.element_at(x["__m"], acc["stage"] + 1), F.lit(False)
+        )
+        completed = F.struct(
+            F.lit(0).cast("int").alias("stage"),
+            (acc["cnt"] + 1).cast("int").alias("cnt"),
+        )
+        advanced = F.struct(
+            (acc["stage"] + 1).cast("int").alias("stage"),
+            acc["cnt"].alias("cnt"),
+        )
+        return F.when(
+            hit, F.when(acc["stage"] == k - 1, completed).otherwise(advanced)
+        ).otherwise(acc)
+
+    return arr.select(
+        F.col(key),
+        F.aggregate("__s", zero, fold)["cnt"].cast("long").alias(out),
+        F.size("__s").cast("long").alias("n_events"),
+    )
+
+
+def sequence_match(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    steps: Sequence[Column],
+    tiebreak: str | None = None,
+    out: str = "matched",
+) -> DataFrame:
+    """Per-``key`` boolean — at least one full chain (ClickHouse
+    ``sequenceMatch``). Same single-shuffle fold; the count is simply
+    thresholded."""
+    c = sequence_count(df, key, ts, steps, tiebreak=tiebreak, out="__n")
+    return c.select(
+        F.col(key), (F.col("__n") > 0).alias(out), "n_events"
+    )

@@ -753,3 +753,57 @@ def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile(F.col("adev"), 0.5).alias("mad"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence_count — ClickHouse sequenceCount('(?1)(?2)(?3)') parity:
+# per-user count of NON-OVERLAPPING view -> click -> purchase chains in
+# strict time order (other events freely interleaved). Spark plan: step
+# flags as flat column expressions, one groupBy(user) shuffle, greedy
+# automaton folded over the time-sorted array (operators/seqmatch.py).
+# Oracle: the SAME greedy automaton unrolled as a recursive CTE.
+# ---------------------------------------------------------------------------
+
+SEQUENCE_COUNT_ORACLE = """
+WITH RECURSIVE ev AS (
+  SELECT user_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS INT) AS rn,
+         CAST(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+              WHEN 'purchase' THEN 4 ELSE 0 END AS INT) AS m
+  FROM events
+),
+tot AS (
+  SELECT user_id, CAST(count(*) AS INT) AS n_events FROM ev GROUP BY user_id
+),
+walk AS (
+  SELECT user_id, 0 AS rn, 0 AS stage, 0 AS cnt FROM tot
+  UNION ALL
+  SELECT w.user_id, e.rn,
+         CASE WHEN (e.m & (1 << w.stage)) <> 0
+              THEN CASE WHEN w.stage = 2 THEN 0 ELSE w.stage + 1 END
+              ELSE w.stage END,
+         CASE WHEN (e.m & (1 << w.stage)) <> 0 AND w.stage = 2
+              THEN w.cnt + 1 ELSE w.cnt END
+  FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+)
+SELECT CAST(w.user_id AS BIGINT) AS user_id,
+       CAST(w.cnt AS BIGINT) AS n_matches,
+       CAST(t.n_events AS BIGINT) AS n_events
+FROM walk w JOIN tot t ON t.user_id = w.user_id AND w.rn = t.n_events
+"""
+
+
+@register_extended("sequence_count", SEQUENCE_COUNT_ORACLE)
+def q_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceCount``: non-overlapping behavioral chains
+    per user — the conversion-loop counter the funnel (depth only)
+    cannot express. One shuffle; fold is map-side; no UDF/window."""
+    from .. import catalog
+    from ..operators.seqmatch import sequence_count
+
+    ev = catalog.load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    steps = [F.col("event_type") == t for t in ("view", "click", "purchase")]
+    return sequence_count(ev, "user_id", "ts", steps, tiebreak="event_id")

@@ -101,6 +101,7 @@ from .stats_ext import (
     QUANTILE_ORACLE,
     RETENTION_ORACLE,
     ROLLUP_ORACLE,
+    SEQUENCE_COUNT_ORACLE,
     SOURCE_QUALITY_ORACLE,
     TWAP_VWAP_ORACLE,
     WINDOW_FUNNEL_ORACLE,
@@ -111,6 +112,7 @@ from .stats_ext import (
     q_retention_cohorts,
     q_robust_stats,
     q_rollup_totals,
+    q_sequence_count,
     q_source_quality_report,
     q_twap_vwap,
     q_value_anomalies,
@@ -447,7 +449,8 @@ def q_dedup_baseline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # behavioral_suite = twap_vwap + window_funnel + retention_cohorts
-#                  + moving_stats + ema_bars (the ClickHouse behavioral-
+#                  + moving_stats + ema_bars + pagerank/degree + anomaly
+#                  + sequence_count (the ClickHouse behavioral-
 #                  analytics aggregate family)
 # schema: (part, k1..k4 BIGINT, s STRING, v1..v3 DOUBLE, n BIGINT)
 # ---------------------------------------------------------------------------
@@ -494,6 +497,11 @@ SELECT 'anomaly', event_id, user_id, dev2_num, var9_num,
        CAST(NULL AS VARCHAR), CAST(is_anomaly AS DOUBLE),
        CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), n_window
 FROM ({ANOMALY_ORACLE})
+UNION ALL
+SELECT 'seqcount', user_id, n_matches, CAST(-1 AS BIGINT),
+       CAST(-1 AS BIGINT), CAST(NULL AS VARCHAR), CAST(-1.0 AS DOUBLE),
+       CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), n_events
+FROM ({SEQUENCE_COUNT_ORACLE})
 """
 
 
@@ -595,6 +603,18 @@ def q_behavioral_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NO_V().alias("v3"),
         F.col("n_window").alias("n"),
     )
+    sq = q_sequence_count(spark, sf_dir).select(
+        F.lit("seqcount").alias("part"),
+        F.col("user_id").alias("k1"),
+        F.col("n_matches").alias("k2"),
+        _NO_K().alias("k3"),
+        _NO_K().alias("k4"),
+        _NO_S().alias("s"),
+        _NO_V().alias("v1"),
+        _NO_V().alias("v2"),
+        _NO_V().alias("v3"),
+        F.col("n_events").alias("n"),
+    )
     return (
         tw.unionByName(fu)
         .unionByName(re)
@@ -603,6 +623,7 @@ def q_behavioral_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pr)
         .unionByName(dg)
         .unionByName(an)
+        .unionByName(sq)
     )
 
 

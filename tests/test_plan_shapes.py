@@ -201,6 +201,7 @@ SCALE_SHAPE_QUERIES = {
     "graph_pagerank_seeded": 0,
     "classifier_confusion": 0,
     "robust_stats": 0,  # two grouped aggs + broadcast median join
+    "sequence_count": 0,  # one groupBy(user) + map-side automaton fold
 }
 
 
