@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "budget_mix",  # per-source token-budget prefix mix (EXTENDED)
     "robust_stats",  # exact median + MAD per group (EXTENDED)
     "sequence_count",  # greedy chain automaton, per-key array fold (EXTENDED)
+    "interval_overlap_orders",  # interval-interval bucketized overlap join (EXTENDED)
 ]
 
 

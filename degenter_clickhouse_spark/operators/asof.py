@@ -190,3 +190,85 @@ def range_join(
     return joined.filter(
         (F.col(start) <= F.col(point)) & (F.col(point) < F.col(end))
     ).drop("__bucket")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_span: tuple[str, str],
+    right_span: tuple[str, str],
+    by: Sequence[str] = (),
+    bucket_width: float = 3600.0,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Inner join of left intervals [ls, le) with right intervals
+    [rs, re) that OVERLAP (``ls < re AND rs < le``; equal ``by`` keys
+    required) — the interval-interval sibling of ``range_join``.
+
+    Both sides explode to the fixed-width buckets their interval
+    covers; the (key, bucket) equi-join finds every overlapping pair
+    in each shared bucket, and the pair is kept ONLY in the bucket
+    containing the overlap's start (``greatest(ls, rs)`` — which both
+    intervals cover whenever they overlap), so every qualifying pair
+    surfaces exactly once with no dedup shuffle. Explode factor is
+    span/bucket_width per side — pick ``bucket_width`` near the
+    typical interval span.
+
+    Right columns whose names collide with left ones (and are not
+    ``by`` keys) come back suffixed with ``suffix`` — self-joins work
+    unmodified. Empty/negative intervals (``end <= start``) match
+    nothing, per half-open semantics.
+    """
+    by = list(by)
+
+    def to_num(df: DataFrame, c: str) -> F.Column:
+        if _is_timestamp(df, c):
+            return _micros(F.col(c)) / F.lit(1e6)
+        return F.col(c).cast("double")
+
+    ls, le = left_span
+    rs, re_ = right_span
+    wlit = F.lit(float(bucket_width))
+
+    lx = (
+        left.withColumn("__ls", to_num(left, ls))
+        .withColumn("__le", to_num(left, le))
+        .filter(F.col("__le") > F.col("__ls"))
+    )
+    rx = (
+        right.withColumn("__rs", to_num(right, rs))
+        .withColumn("__re", to_num(right, re_))
+        .filter(F.col("__re") > F.col("__rs"))
+    )
+    for c in right.columns:
+        if c in left.columns and c not in by:
+            rx = rx.withColumnRenamed(c, c + suffix)
+
+    lx = lx.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__ls") / wlit).cast("long"),
+                F.floor((F.col("__le") - F.lit(1e-9)) / wlit).cast("long"),
+            )
+        ),
+    )
+    rx = rx.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__rs") / wlit).cast("long"),
+                F.floor((F.col("__re") - F.lit(1e-9)) / wlit).cast("long"),
+            )
+        ),
+    )
+    joined = lx.join(rx, ["__bucket", *by])
+    out = joined.filter(
+        (F.col("__ls") < F.col("__re"))
+        & (F.col("__rs") < F.col("__le"))
+        & (
+            F.col("__bucket")
+            == F.floor(F.greatest("__ls", "__rs") / wlit).cast("long")
+        )
+    )
+    return out.drop("__bucket", "__ls", "__le", "__rs", "__re")

@@ -102,3 +102,62 @@ def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("view_value_sum_scaled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# interval_overlap_orders — interval-INTERVAL overlap join
+# (operators/asof.interval_join): pairs of 30-day "open order" windows
+# of the SAME customer that overlap in time, i.e. concurrently open
+# orders. Exactly-once bucket attribution (pair kept only in the
+# bucket containing greatest(start_a, start_b)); oracle is the plain
+# DuckDB theta join.
+# ---------------------------------------------------------------------------
+
+OVERLAP_DAYS = 30
+
+INTERVAL_OVERLAP_ORACLE = f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey, o_orderdate AS s,
+         o_orderdate + INTERVAL {OVERLAP_DAYS} DAY AS e
+  FROM orders
+)
+SELECT CAST(a.o_custkey AS BIGINT) AS custkey,
+       CAST(a.o_orderkey AS BIGINT) AS order_a,
+       CAST(b.o_orderkey AS BIGINT) AS order_b,
+       CAST(epoch(least(a.e, b.e)) - epoch(greatest(a.s, b.s)) AS BIGINT)
+         AS overlap_secs
+FROM o a JOIN o b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+ AND a.s < b.e AND b.s < a.e
+"""
+
+
+@register_extended("interval_overlap_orders", INTERVAL_OVERLAP_ORACLE)
+def q_interval_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import interval_join
+
+    o = catalog.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").alias("s"),
+        (F.col("o_orderdate") + F.expr(f"INTERVAL {OVERLAP_DAYS} DAY")).alias("e"),
+    )
+    pairs = interval_join(
+        o,
+        o,
+        left_span=("s", "e"),
+        right_span=("s", "e"),
+        by=["o_custkey"],
+        bucket_width=float(OVERLAP_DAYS * 86400),
+    ).filter(F.col("o_orderkey") < F.col("o_orderkey_r"))
+    sec = lambda c: F.unix_timestamp(F.col(c).cast("timestamp"))  # noqa: E731
+    return pairs.select(
+        F.col("o_custkey").cast("long").alias("custkey"),
+        F.col("o_orderkey").cast("long").alias("order_a"),
+        F.col("o_orderkey_r").cast("long").alias("order_b"),
+        (
+            F.least(sec("e"), sec("e_r")) - F.greatest(sec("s"), sec("s_r"))
+        )
+        .cast("long")
+        .alias("overlap_secs"),
+    )

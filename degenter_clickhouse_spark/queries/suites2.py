@@ -68,8 +68,10 @@ from .core import (
 )
 from .joins_ext import (
     ASOF_ORACLE,
+    INTERVAL_OVERLAP_ORACLE,
     RANGE_ORACLE,
     q_asof_join_events,
+    q_interval_overlap_orders,
     q_range_join_events,
 )
 from .llm import (
@@ -628,9 +630,10 @@ def q_behavioral_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# temporal_join_suite = asof_join_events + range_join_events (the two
-# temporal-join operators from operators/asof.py, oracle-checked vs
-# DuckDB's native ASOF JOIN / theta join)
+# temporal_join_suite = asof_join_events + range_join_events
+#                     + interval_overlap_orders (the temporal-join
+# operators from operators/asof.py, oracle-checked vs DuckDB's native
+# ASOF JOIN / theta joins)
 # schema: (part, event_id, user_id, t1, t2 BIGINT, v1, v2 DOUBLE,
 #          n, sc BIGINT)
 # NULL note: purchase_* are genuinely nullable inside the asof branch
@@ -650,6 +653,11 @@ SELECT 'range', CAST(event_id AS BIGINT), CAST(user_id AS BIGINT),
        CAST(-1.0 AS DOUBLE), CAST(n_views AS BIGINT),
        CAST(view_value_sum_scaled AS BIGINT)
 FROM ({RANGE_ORACLE})
+UNION ALL
+SELECT 'overlap', custkey, order_a, order_b, overlap_secs,
+       CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), CAST(-1 AS BIGINT),
+       CAST(-1 AS BIGINT)
+FROM ({INTERVAL_OVERLAP_ORACLE})
 """
 
 
@@ -677,7 +685,18 @@ def q_temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_views").cast("long").alias("n"),
         F.col("view_value_sum_scaled").cast("long").alias("sc"),
     )
-    return ao.unionByName(ra)
+    ov = q_interval_overlap_orders(spark, sf_dir).select(
+        F.lit("overlap").alias("part"),
+        F.col("custkey").alias("event_id"),
+        F.col("order_a").alias("user_id"),
+        F.col("order_b").alias("t1"),
+        F.col("overlap_secs").alias("t2"),
+        _NO_V().alias("v1"),
+        _NO_V().alias("v2"),
+        _NO_K().alias("n"),
+        _NO_K().alias("sc"),
+    )
+    return ao.unionByName(ra).unionByName(ov)
 
 
 # ---------------------------------------------------------------------------

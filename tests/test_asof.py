@@ -142,3 +142,87 @@ def test_asof_join_matches_bruteforce(spark, lrows, rrows, direction):
         for r in asof_join(left, right, on="t", by=["k"], direction=direction).collect()
     }
     assert got == _brute_asof(lrows, rrows, direction)
+
+
+# ---------------------------------------------------------------------------
+# interval_join (interval-interval overlap, exactly-once bucket
+# attribution)
+# ---------------------------------------------------------------------------
+
+
+def _iv(spark, rows, cols=("k", "id", "s", "e")):
+    return spark.createDataFrame(rows, list(cols))
+
+
+def _pairs(df, a="id", b="id_r"):
+    return sorted((r[a], r[b]) for r in df.collect())
+
+
+def test_interval_join_basic_overlap_and_touching_excluded(spark):
+    from degenter_clickhouse_spark.operators.asof import interval_join
+
+    left = _iv(spark, [(1, 10, 0.0, 100.0), (1, 11, 200.0, 300.0)])
+    right = _iv(spark, [(1, 20, 50.0, 150.0), (1, 21, 100.0, 200.0),
+                        (1, 22, 300.0, 400.0)])
+    out = interval_join(left, right, ("s", "e"), ("s", "e"), by=["k"],
+                        bucket_width=60.0)
+    # [0,100) x [50,150) overlap; [0,100) x [100,200) touch -> excluded
+    # (half-open); [200,300) x [300,400) touch -> excluded
+    assert _pairs(out) == [(10, 20)]
+
+
+def test_interval_join_exactly_once_across_many_buckets(spark):
+    from degenter_clickhouse_spark.operators.asof import interval_join
+
+    # both intervals span many tiny buckets; the pair must appear once
+    left = _iv(spark, [(1, 1, 0.0, 1000.0)])
+    right = _iv(spark, [(1, 2, 500.0, 900.0)])
+    out = interval_join(left, right, ("s", "e"), ("s", "e"), by=["k"],
+                        bucket_width=10.0)
+    assert _pairs(out) == [(1, 2)]
+
+
+def test_interval_join_bucket_width_invariance(spark):
+    from degenter_clickhouse_spark.operators.asof import interval_join
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(rng.randint(1, 3), i, float(s := rng.randint(0, 500)),
+             float(s + rng.randint(1, 120))) for i in range(40)]
+    left = _iv(spark, rows)
+    right = _iv(spark, [(k, i + 1000, s, e) for k, i, s, e in rows])
+    base = None
+    for w in (7.0, 60.0, 1000.0):
+        got = _pairs(interval_join(left, right, ("s", "e"), ("s", "e"),
+                                   by=["k"], bucket_width=w))
+        if base is None:
+            base = got
+        assert got == base
+    # cross-check vs naive
+    naive = sorted(
+        (a[1], b[1] + 1000)
+        for a in rows for b in rows
+        if a[0] == b[0] and a[2] < b[3] and b[2] < a[3]
+    )
+    assert base == naive
+
+
+def test_interval_join_empty_intervals_match_nothing(spark):
+    from degenter_clickhouse_spark.operators.asof import interval_join
+
+    left = _iv(spark, [(1, 1, 100.0, 100.0)])   # empty [s, s)
+    right = _iv(spark, [(1, 2, 0.0, 1000.0)])
+    out = interval_join(left, right, ("s", "e"), ("s", "e"), by=["k"])
+    assert out.count() == 0
+
+
+def test_interval_join_self_join_suffix(spark):
+    from degenter_clickhouse_spark.operators.asof import interval_join
+
+    df = _iv(spark, [(1, 1, 0.0, 10.0), (1, 2, 5.0, 15.0)])
+    out = interval_join(df, df, ("s", "e"), ("s", "e"), by=["k"])
+    assert {"id", "id_r", "s", "s_r", "e", "e_r"} <= set(out.columns)
+    got = sorted((r["id"], r["id_r"]) for r in out.collect())
+    # both directions + self-overlaps (caller filters id < id_r)
+    assert got == [(1, 1), (1, 2), (2, 1), (2, 2)]

@@ -202,6 +202,7 @@ SCALE_SHAPE_QUERIES = {
     "classifier_confusion": 0,
     "robust_stats": 0,  # two grouped aggs + broadcast median join
     "sequence_count": 0,  # one groupBy(user) + map-side automaton fold
+    "interval_overlap_orders": 0,  # bucketized equi-join, no cartesian
 }
 
 
