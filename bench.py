@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "robust_stats",  # exact median + MAD per group (EXTENDED)
     "sequence_count",  # greedy chain automaton, per-key array fold (EXTENDED)
     "interval_overlap_orders",  # interval-interval bucketized overlap join (EXTENDED)
+    "quantile_state_merge",  # mergeable histogram quantile states (EXTENDED)
 ]
 
 

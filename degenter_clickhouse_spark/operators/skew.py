@@ -93,3 +93,91 @@ def distinct_merge(states: DataFrame, keys: Sequence[str]) -> DataFrame:
             "uniq_estimate"
         )
     )
+
+
+def quantile_state(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str | Column,
+    lo: float,
+    hi: float,
+    bins: int = 128,
+) -> DataFrame:
+    """Mergeable quantile STATE per key (ClickHouse ``quantileState``
+    into an AggregatingMergeTree): a fixed-range integer histogram as
+    plain summable rows — (keys..., bin, cnt) plus the self-describing
+    (q_lo, q_hi, q_bins) config.
+
+    Same 100 TB motive as ``distinct_state``: quantiles aren't
+    algebraic, so pre-aggregated rollups normally force a raw rescan
+    per query range. Histogram states merge by integer ADDITION —
+    materialize one state per (key, day) once; answer any date-range
+    quantile by summing the covered days' rows (``quantile_merge``),
+    never touching raw data again. Values outside [lo, hi) clamp into
+    the edge bins (estimates at the clamped edges degrade gracefully;
+    pick the range from domain knowledge, not the data). Unlike a
+    sketch-blob state the rows are transparent SQL — exact-oracle
+    checkable and engine-portable.
+    """
+    c = (F.col(col) if isinstance(col, str) else col).cast("double")
+    w = (float(hi) - float(lo)) / int(bins)
+    b = F.floor((c - F.lit(float(lo))) / F.lit(w)).cast("long")
+    b = F.greatest(F.lit(0).cast("long"), F.least(F.lit(int(bins) - 1).cast("long"), b))
+    return df.groupBy(*keys, b.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.lit(float(lo)).alias("q_lo"),
+        F.lit(float(hi)).alias("q_hi"),
+        F.lit(int(bins)).alias("q_bins"),
+    )
+
+
+def quantile_merge(
+    states: DataFrame, keys: Sequence[str], q: float
+) -> DataFrame:
+    """Merge persisted histogram states (ClickHouse ``quantileMerge``)
+    and estimate the q-quantile per key.
+
+    Deterministic estimate, bit-identical across engines: with merged
+    per-bin counts, total N and 1-based rank r = max(1, ceil(q*N)),
+    the answer bin is the first whose cumulative count reaches r, and
+    the estimate interpolates inside it:
+
+        lo + bin_width * (bin + (r - cum_before) / cnt_bin)
+
+    — every input to the final double expression is an integer, so
+    Spark and any SQL oracle produce the same bits. Shuffles: one sum
+    on (key, bin), one per-key window over <= bins rows; never a
+    global window, never raw data.
+    """
+    keys = list(keys)
+    merged = states.groupBy(*keys, "q_lo", "q_hi", "q_bins", "bin").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy(*keys).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy(*keys)
+    withcum = merged.withColumn("cum", F.sum("cnt").over(win)).withColumn(
+        "n_total", F.sum("cnt").over(tot)
+    )
+    r = F.greatest(
+        F.lit(1).cast("long"), F.ceil(F.lit(float(q)) * F.col("n_total")).cast("long")
+    )
+    sel = (
+        withcum.withColumn("r", r)
+        .filter(F.col("cum") >= F.col("r"))
+        .groupBy(*keys, "q_lo", "q_hi", "q_bins", "n_total", "r")
+        .agg(F.min_by(F.struct("bin", "cnt", "cum"), F.col("bin")).alias("s"))
+    )
+    w = (F.col("q_hi") - F.col("q_lo")) / F.col("q_bins")
+    est = F.col("q_lo") + w * (
+        F.col("s.bin")
+        + (F.col("r") - (F.col("s.cum") - F.col("s.cnt"))) / F.col("s.cnt")
+    )
+    return sel.select(
+        *keys,
+        F.col("n_total").alias("n"),
+        est.alias("quantile_estimate"),
+    )

@@ -807,3 +807,76 @@ def q_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     steps = [F.col("event_type") == t for t in ("view", "click", "purchase")]
     return sequence_count(ev, "user_id", "ts", steps, tiebreak="event_id")
+
+
+# ---------------------------------------------------------------------------
+# quantile_state_merge — ClickHouse quantileState/quantileMerge +
+# AggregatingMergeTree parity (operators/skew.quantile_state/_merge):
+# per-(event_type, day) fixed-range integer-histogram STATES merged
+# across days into per-type p50/p95 estimates. The oracle computes the
+# SAME histogram directly from raw rows — merged-from-daily must equal
+# direct-global because states merge by integer addition.
+# ---------------------------------------------------------------------------
+
+QS_LO, QS_HI, QS_BINS = 0.0, 512.0, 128
+_QS_W = (QS_HI - QS_LO) / QS_BINS
+
+
+def _hist_quantile_oracle(q: float) -> str:
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         greatest(0, least({QS_BINS - 1},
+                 CAST(floor((value - {QS_LO}) / {_QS_W}) AS BIGINT))) AS bin,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, bin, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT)
+           AS cum,
+         CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n_total
+  FROM h
+),
+r AS (
+  SELECT *, greatest(CAST(1 AS BIGINT),
+                     CAST(ceil({q} * n_total) AS BIGINT)) AS rk
+  FROM c
+)
+SELECT event_type, n_total AS n,
+       {QS_LO} + {_QS_W} * (bin + (rk - (cum - cnt)) / CAST(cnt AS DOUBLE))
+         AS quantile_estimate
+FROM r
+WHERE cum >= rk
+QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY bin) = 1
+"""
+
+
+QUANTILE_STATE_ORACLE = f"""
+SELECT a.event_type, a.n, a.quantile_estimate AS p50_est,
+       b.quantile_estimate AS p95_est
+FROM ({_hist_quantile_oracle(0.5)}) a
+JOIN ({_hist_quantile_oracle(0.95)}) b ON a.event_type = b.event_type
+"""
+
+
+@register_extended("quantile_state_merge", QUANTILE_STATE_ORACLE)
+def q_quantile_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import catalog
+    from ..operators.skew import quantile_merge, quantile_state
+
+    ev = catalog.load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    states = quantile_state(
+        ev, ["event_type", "day"], "value", QS_LO, QS_HI, QS_BINS
+    )
+    p50 = quantile_merge(states, ["event_type"], 0.5).withColumnRenamed(
+        "quantile_estimate", "p50_est"
+    )
+    p95 = quantile_merge(states, ["event_type"], 0.95).select(
+        "event_type", F.col("quantile_estimate").alias("p95_est")
+    )
+    return p50.join(dim_broadcast(p95), "event_type").select(
+        "event_type", "n", "p50_est", "p95_est"
+    )

@@ -101,6 +101,7 @@ from .stats_ext import (
     LENGTH_HISTOGRAM_ORACLE,
     MOVING_STATS_ORACLE,
     QUANTILE_ORACLE,
+    QUANTILE_STATE_ORACLE,
     RETENTION_ORACLE,
     ROLLUP_ORACLE,
     SEQUENCE_COUNT_ORACLE,
@@ -110,6 +111,7 @@ from .stats_ext import (
     q_ema_bars,
     q_length_histogram,
     q_moving_stats,
+    q_quantile_state_merge,
     q_quantile_summary,
     q_retention_cohorts,
     q_robust_stats,
@@ -843,8 +845,9 @@ def q_clean_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # corpus_profile_suite = source_quality_report + quantile_summary
-#                      + length_histogram + rollup_totals (corpus-level
-#                      statistics / grouping-sets family)
+#                      + length_histogram + rollup_totals + dq + robust
+#                      + quantile_state_merge (corpus-level statistics /
+#                      grouping-sets / mergeable-state family)
 # schema: (part, s1, s2 STRING, k BIGINT, n1..n3 BIGINT, v1..v4 DOUBLE)
 # ---------------------------------------------------------------------------
 
@@ -884,6 +887,11 @@ SELECT 'robust', event_type, CAST(NULL AS VARCHAR), CAST(-1 AS BIGINT),
        n, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
        med, mad, CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE)
 FROM ({ROBUST_ORACLE})
+UNION ALL
+SELECT 'histq', event_type, CAST(NULL AS VARCHAR), CAST(-1 AS BIGINT),
+       n, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       p50_est, p95_est, CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE)
+FROM ({QUANTILE_STATE_ORACLE})
 """
 
 
@@ -967,12 +975,26 @@ def q_corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NO_V().alias("v3"),
         _NO_V().alias("v4"),
     )
+    hq = q_quantile_state_merge(spark, sf_dir).select(
+        F.lit("histq").alias("part"),
+        F.col("event_type").alias("s1"),
+        _NO_S().alias("s2"),
+        _NO_K().alias("k"),
+        F.col("n").cast("long").alias("n1"),
+        _NO_K().alias("n2"),
+        _NO_K().alias("n3"),
+        F.col("p50_est").alias("v1"),
+        F.col("p95_est").alias("v2"),
+        _NO_V().alias("v3"),
+        _NO_V().alias("v4"),
+    )
     return (
         qu.unionByName(qn)
         .unionByName(hi)
         .unionByName(ro)
         .unionByName(dq)
         .unionByName(rb)
+        .unionByName(hq)
     )
 
 

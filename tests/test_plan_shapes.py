@@ -203,6 +203,7 @@ SCALE_SHAPE_QUERIES = {
     "robust_stats": 0,  # two grouped aggs + broadcast median join
     "sequence_count": 0,  # one groupBy(user) + map-side automaton fold
     "interval_overlap_orders": 0,  # bucketized equi-join, no cartesian
+    "quantile_state_merge": 0,  # summable histogram rows; per-key windows only
 }
 
 

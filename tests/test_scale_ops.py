@@ -264,3 +264,72 @@ def test_distinct_state_merge_equals_direct_sketch(spark):
     }
     for k, est in merged.items():
         assert abs(est - true[k]) <= max(3, 0.05 * true[k])
+
+
+def test_quantile_state_merge_equals_direct_histogram(spark):
+    """Histogram states are summable rows: building per-day states and
+    merging must give the SAME estimate as one global state, and the
+    estimate must be within one bin width of the exact percentile."""
+    from degenter_clickhouse_spark.operators.skew import (
+        quantile_merge,
+        quantile_state,
+    )
+    import random
+
+    rng = random.Random(42)
+    rows = [
+        ("a" if i % 3 else "b", i % 5, float(rng.uniform(0, 100)))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, ["k", "day", "x"])
+    lo, hi, bins = 0.0, 100.0, 50
+    daily = quantile_state(df, ["k", "day"], "x", lo, hi, bins)
+    direct = quantile_state(df, ["k"], "x", lo, hi, bins)
+    m_daily = {
+        r["k"]: (r["n"], r["quantile_estimate"])
+        for r in quantile_merge(daily, ["k"], 0.5).collect()
+    }
+    m_direct = {
+        r["k"]: (r["n"], r["quantile_estimate"])
+        for r in quantile_merge(direct, ["k"], 0.5).collect()
+    }
+    assert m_daily == m_direct  # bit-identical, not just close
+    import statistics
+
+    binw = (hi - lo) / bins
+    for key in ("a", "b"):
+        exact = statistics.median([x for k, _, x in rows if k == key])
+        assert abs(m_daily[key][1] - exact) <= binw + 1e-9
+
+
+def test_quantile_state_clamps_out_of_range(spark):
+    from degenter_clickhouse_spark.operators.skew import (
+        quantile_merge,
+        quantile_state,
+    )
+
+    df = spark.createDataFrame(
+        [("k", -50.0), ("k", 5.0), ("k", 500.0)], ["k", "x"]
+    )
+    st = quantile_state(df, ["k"], "x", 0.0, 10.0, 10)
+    bins = {r["bin"]: r["cnt"] for r in st.collect()}
+    assert bins == {0: 1, 5: 1, 9: 1}  # edges absorb out-of-range
+    est = quantile_merge(st, ["k"], 0.5).collect()[0]
+    assert est["n"] == 3
+    # median lands in bin 5 -> estimate within that bin's [5, 6] range
+    assert 5.0 <= est["quantile_estimate"] <= 6.0
+
+
+def test_quantile_state_extreme_quantiles(spark):
+    from degenter_clickhouse_spark.operators.skew import (
+        quantile_merge,
+        quantile_state,
+    )
+
+    df = spark.createDataFrame([("k", float(i)) for i in range(10)], ["k", "x"])
+    st = quantile_state(df, ["k"], "x", 0.0, 10.0, 10)
+    lo_est = quantile_merge(st, ["k"], 0.0).collect()[0]["quantile_estimate"]
+    hi_est = quantile_merge(st, ["k"], 1.0).collect()[0]["quantile_estimate"]
+    # q=0 -> rank clamps to 1 -> first occupied bin; q=1 -> last bin
+    assert 0.0 <= lo_est <= 1.0
+    assert 9.0 <= hi_est <= 10.0
