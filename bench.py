@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "sequence_count",  # greedy chain automaton, per-key array fold (EXTENDED)
     "interval_overlap_orders",  # interval-interval bucketized overlap join (EXTENDED)
     "quantile_state_merge",  # mergeable histogram quantile states (EXTENDED)
+    "hard_negative_mining",  # blocked contrastive negatives (EXTENDED)
 ]
 
 

@@ -119,18 +119,17 @@ def nearest_centroid(
     )
 
 
-def knn_vote(
+def _scored_pairs(
     vectors: DataFrame,
-    k: int = 5,
     group_col: str | None = None,
     probe_bits: int = 0,
     id_col: str = "vec_id",
     label_col: str = "label",
     vec: str = "embedding",
 ) -> DataFrame:
-    """k-NN majority-vote label per vector; ``agree`` flags whether the
-    vote matches the stored label (disagreement = label-noise
-    candidate, the SemDeDup-era data-cleaning use).
+    """Directed cosine-scored neighbor pairs (vec_id, label, nb_id,
+    nb_label, cosine) — the shared pair stage of ``knn_vote`` and
+    ``hard_negatives``.
 
     ``group_col=None`` scores all pairs — the correctness baseline.
     At scale pass a blocking column (hyperplane bucket, IVF cell) so
@@ -143,8 +142,6 @@ def knn_vote(
     the unordered-pair optimization below stays valid: a qualifying
     pair matches exactly one probe (the 0-flip for same-bucket pairs,
     the single differing bit otherwise) — no duplicate scoring.
-    Ties break on (count desc, label asc); neighbor rank ties break on
-    (cosine desc, neighbor id asc) — total order, engine-independent.
     """
     v = with_norm(vectors, vec)
     a = v.select(
@@ -208,6 +205,27 @@ def knn_vote(
         )
         .select("p.*")
     )
+    return pairs
+
+
+def knn_vote(
+    vectors: DataFrame,
+    k: int = 5,
+    group_col: str | None = None,
+    probe_bits: int = 0,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec: str = "embedding",
+) -> DataFrame:
+    """k-NN majority-vote label per vector; ``agree`` flags whether the
+    vote matches the stored label (disagreement = label-noise
+    candidate, the SemDeDup-era data-cleaning use).
+
+    Blocking/multi-probe semantics are ``_scored_pairs``'s. Ties break
+    on (count desc, label asc); neighbor rank ties break on (cosine
+    desc, neighbor id asc) — total order, engine-independent.
+    """
+    pairs = _scored_pairs(vectors, group_col, probe_bits, id_col, label_col, vec)
     w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("nb_id").asc())
     top = pairs.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
     votes = top.groupBy("vec_id", "label", "nb_label").agg(
@@ -225,6 +243,47 @@ def knn_vote(
             F.col("nb_label").alias("pred_label"),
             "votes",
             (F.col("nb_label") == F.col("label")).alias("agree"),
+        )
+    )
+
+
+def hard_negatives(
+    vectors: DataFrame,
+    k: int = 3,
+    group_col: str | None = None,
+    probe_bits: int = 0,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for
+    each anchor, the top-``k`` most-similar vectors with a DIFFERENT
+    label — the near-miss negatives that dominate the training signal
+    (easy negatives contribute ~zero gradient once the model separates
+    them).
+
+    Same bounded pair stage as ``knn_vote`` (``_scored_pairs``:
+    hyperplane-bucket blocking + Hamming multi-probe at scale — never
+    all-pairs), then a label-mismatch filter BEFORE the per-anchor
+    rank window, so negatives crowded out of a mixed top-k still
+    surface. Output: (vec_id, label, neg_id, neg_label, cosine, rank),
+    rank 1..k by (cosine desc, neg_id asc) — total order.
+    """
+    pairs = _scored_pairs(vectors, group_col, probe_bits, id_col, label_col, vec)
+    negs = pairs.filter(F.col("nb_label") != F.col("label"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("nb_id").asc()
+    )
+    return (
+        negs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "vec_id",
+            "label",
+            F.col("nb_id").alias("neg_id"),
+            F.col("nb_label").alias("neg_label"),
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
         )
     )
 

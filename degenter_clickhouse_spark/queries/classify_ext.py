@@ -125,8 +125,10 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 # form above remains the small-scale baseline.
 # ---------------------------------------------------------------------------
 
-KNN_BLOCKED_ORACLE = f"""
-WITH v AS (
+# Shared blocked-pair CTEs (v -> multi-probe qp -> scored pairs p):
+# the pair stage of BOTH the blocked vote and hard-negative oracles —
+# mirrors classify._scored_pairs exactly.
+_BLOCKED_PAIR_CTES = f"""v AS (
   SELECT vec_id, label, embedding,
          {_hyperplane_bucket_sql()} AS bucket,
          {O_NORM2.format(e="embedding")} AS n2
@@ -144,7 +146,10 @@ p AS (
          ({O_DOT.format(a="a.embedding", b="b.embedding")} / 1e12)
            / (sqrt(a.n2 / 1e12) * sqrt(b.n2 / 1e12)) AS cosine
   FROM qp a JOIN v b ON b.bucket = a.bucket AND a.vec_id <> b.vec_id
-),
+)"""
+
+KNN_BLOCKED_ORACLE = f"""
+WITH {_BLOCKED_PAIR_CTES},
 topk AS (
   SELECT *, row_number() OVER (
     PARTITION BY vec_id ORDER BY cosine DESC, nb_id ASC) AS rn
@@ -208,4 +213,42 @@ def q_classifier_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     preds = q_knn_label_vote_blocked(spark, sf_dir)
     return preds.groupBy("label", "pred_label").agg(
         F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training data prep): per anchor,
+# the top-K most-similar DIFFERENT-label vectors, over the same
+# blocked multi-probe pair stage as the registered k-NN vote — the
+# oracle reuses the shared pair CTEs verbatim, filtered to label
+# mismatches before the rank window.
+# ---------------------------------------------------------------------------
+
+_HARDNEG_K = 3
+
+HARDNEG_ORACLE = f"""
+WITH {_BLOCKED_PAIR_CTES},
+negs AS (
+  SELECT * FROM p WHERE nb_label <> label
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY cosine DESC, nb_id ASC) AS rank
+  FROM negs
+)
+SELECT vec_id, label, nb_id AS neg_id, nb_label AS neg_label, cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_HARDNEG_K}
+"""
+
+
+@register_extended("hard_negative_mining", HARDNEG_ORACLE)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked hard negatives — same adaptive-bits discipline as the
+    blocked vote (static 4-bit oracle exact at every oracle scale)."""
+    e = _embs(spark, sf_dir, parallel=True)
+    bits = similarity.adaptive_hyperplane_bits(_embs(spark, sf_dir).count())
+    e = e.withColumn("bucket", similarity.hyperplane_bucket(bits=bits))
+    return classify.hard_negatives(
+        e, k=_HARDNEG_K, group_col="bucket", probe_bits=bits
     )

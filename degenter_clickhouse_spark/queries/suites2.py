@@ -28,8 +28,10 @@ from pyspark.sql import functions as F
 from . import register
 from .classify_ext import (
     CENTROID_ORACLE,
+    HARDNEG_ORACLE,
     KNN_BLOCKED_ORACLE,
     q_centroid_classify,
+    q_hard_negative_mining,
     q_knn_label_vote_blocked,
 )
 from .clean_ext import (
@@ -1017,6 +1019,11 @@ SELECT 'knn_blocked', CAST(vec_id AS BIGINT), CAST(label AS BIGINT),
        CAST(pred_label AS BIGINT), CAST(votes AS BIGINT),
        CAST(agree AS BIGINT), CAST(-1.0 AS DOUBLE)
 FROM ({KNN_BLOCKED_ORACLE})
+UNION ALL
+SELECT 'hardneg', CAST(vec_id AS BIGINT), CAST(label AS BIGINT),
+       CAST(neg_label AS BIGINT), CAST(neg_id AS BIGINT),
+       CAST(rank AS BIGINT), cosine
+FROM ({HARDNEG_ORACLE})
 """
 
 
@@ -1040,7 +1047,16 @@ def q_classify_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("agree").cast("long").alias("agree"),
         _NO_V().alias("cosine"),
     )
-    return ce.unionByName(kn)
+    hn = q_hard_negative_mining(spark, sf_dir).select(
+        F.lit("hardneg").alias("part"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("label").cast("long").alias("label"),
+        F.col("neg_label").cast("long").alias("pred_label"),
+        F.col("neg_id").cast("long").alias("votes"),
+        F.col("rank").alias("agree"),
+        F.col("cosine"),
+    )
+    return ce.unionByName(kn).unionByName(hn)
 
 
 # ---------------------------------------------------------------------------

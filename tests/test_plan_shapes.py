@@ -204,6 +204,7 @@ SCALE_SHAPE_QUERIES = {
     "sequence_count": 0,  # one groupBy(user) + map-side automaton fold
     "interval_overlap_orders": 0,  # bucketized equi-join, no cartesian
     "quantile_state_merge": 0,  # summable histogram rows; per-key windows only
+    "hard_negative_mining": 0,  # bucket-bounded pair join, per-anchor windows
 }
 
 
