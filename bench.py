@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "interval_overlap_orders",  # interval-interval bucketized overlap join (EXTENDED)
     "quantile_state_merge",  # mergeable histogram quantile states (EXTENDED)
     "hard_negative_mining",  # blocked contrastive negatives (EXTENDED)
+    "cube_totals",  # four grouping sets, one aggregation (EXTENDED)
 ]
 
 

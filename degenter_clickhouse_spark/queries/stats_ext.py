@@ -880,3 +880,51 @@ def q_quantile_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p50.join(dim_broadcast(p95), "event_type").select(
         "event_type", "n", "p50_est", "p95_est"
     )
+
+
+# ---------------------------------------------------------------------------
+# cube_totals — GROUP BY CUBE sibling of rollup_totals (ClickHouse
+# ``WITH CUBE`` modifier): all four grouping sets, including the
+# per-day-across-types subtotal ROLLUP cannot produce, in ONE
+# aggregation with map-side partials.
+# ---------------------------------------------------------------------------
+
+CUBE_ORACLE = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(CAST(CAST(ts AS DATE) AS VARCHAR), 'ALL') AS bucket_day,
+       CAST(GROUPING(event_type) AS INT) AS g_type,
+       CAST(GROUPING(CAST(ts AS DATE)) AS INT) AS g_day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS volume
+FROM events
+GROUP BY CUBE(event_type, CAST(ts AS DATE))
+"""
+
+
+@register_extended("cube_totals", CUBE_ORACLE)
+def q_cube_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import catalog
+
+    t = catalog.ticks(spark, sf_dir)
+    base = t.select(
+        "event_type", F.to_date("ts").alias("__day"), F.col("price")
+    )
+    return (
+        base.cube("event_type", "__day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("price").cast("decimal(25,6)")).cast("double").alias("volume"),
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("__day").cast("int").alias("g_day"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("__day").cast("string"), F.lit("ALL")).alias(
+                "bucket_day"
+            ),
+            "g_type",
+            "g_day",
+            "n_events",
+            "volume",
+        )
+    )

@@ -103,6 +103,7 @@ from .stats_ext import (
     LENGTH_HISTOGRAM_ORACLE,
     MOVING_STATS_ORACLE,
     QUANTILE_ORACLE,
+    CUBE_ORACLE,
     QUANTILE_STATE_ORACLE,
     RETENTION_ORACLE,
     ROLLUP_ORACLE,
@@ -113,6 +114,7 @@ from .stats_ext import (
     q_ema_bars,
     q_length_histogram,
     q_moving_stats,
+    q_cube_totals,
     q_quantile_state_merge,
     q_quantile_summary,
     q_retention_cohorts,
@@ -894,6 +896,12 @@ SELECT 'histq', event_type, CAST(NULL AS VARCHAR), CAST(-1 AS BIGINT),
        n, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
        p50_est, p95_est, CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE)
 FROM ({QUANTILE_STATE_ORACLE})
+UNION ALL
+SELECT 'cube', event_type, bucket_day, CAST(-1 AS BIGINT),
+       CAST(n_events AS BIGINT), CAST(g_type AS BIGINT),
+       CAST(g_day AS BIGINT), volume, CAST(-1.0 AS DOUBLE),
+       CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE)
+FROM ({CUBE_ORACLE})
 """
 
 
@@ -977,6 +985,19 @@ def q_corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NO_V().alias("v3"),
         _NO_V().alias("v4"),
     )
+    cu = q_cube_totals(spark, sf_dir).select(
+        F.lit("cube").alias("part"),
+        F.col("event_type").alias("s1"),
+        F.col("bucket_day").alias("s2"),
+        _NO_K().alias("k"),
+        F.col("n_events").cast("long").alias("n1"),
+        F.col("g_type").cast("long").alias("n2"),
+        F.col("g_day").cast("long").alias("n3"),
+        F.col("volume").alias("v1"),
+        _NO_V().alias("v2"),
+        _NO_V().alias("v3"),
+        _NO_V().alias("v4"),
+    )
     hq = q_quantile_state_merge(spark, sf_dir).select(
         F.lit("histq").alias("part"),
         F.col("event_type").alias("s1"),
@@ -997,6 +1018,7 @@ def q_corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(dq)
         .unionByName(rb)
         .unionByName(hq)
+        .unionByName(cu)
     )
 
 

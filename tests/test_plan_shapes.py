@@ -205,6 +205,7 @@ SCALE_SHAPE_QUERIES = {
     "interval_overlap_orders": 0,  # bucketized equi-join, no cartesian
     "quantile_state_merge": 0,  # summable histogram rows; per-key windows only
     "hard_negative_mining": 0,  # bucket-bounded pair join, per-anchor windows
+    "cube_totals": 0,  # one grouping-sets aggregation, map-side partials
 }
 
 
