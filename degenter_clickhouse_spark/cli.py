@@ -80,6 +80,12 @@ def main(argv: list[str] | None = None) -> int:
         help="hash-embed accepted docs and grow the IVF ANN index at "
         "OUTPUT/ivf_idx (frozen centroids, replay-converging appends)",
     )
+    ci.add_argument(
+        "--maintain-profile",
+        action="store_true",
+        help="write mergeable length-quantile histogram states to "
+        "OUTPUT/length_profile per batch (quantile_merge to read)",
+    )
     ci.add_argument("--once", action="store_true", help="drain and exit (availableNow)")
 
     cp = sub.add_parser("compact", help="small-file compaction (lakehouse OPTIMIZE)")
@@ -324,6 +330,7 @@ def main(argv: list[str] | None = None) -> int:
             near_dup_threshold=args.near_dup_threshold,
             maintain_text_index=args.maintain_text_index,
             maintain_ivf_index=args.maintain_ivf_index,
+            maintain_profile=args.maintain_profile,
             validate_constraints=_vc,
             available_now=args.once,
         )

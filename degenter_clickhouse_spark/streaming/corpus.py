@@ -81,6 +81,24 @@ def quality_columns(df: DataFrame) -> DataFrame:
     )
 
 
+# Mergeable length-profile config (maintain_profile=True): fixed-range
+# histogram over per-doc whitespace token counts. 4096 tokens covers
+# the corpus regime the quality gate admits; longer docs clamp into the
+# top bin (quantile_state semantics).
+PROFILE_LO, PROFILE_HI, PROFILE_BINS = 0.0, 4096.0, 256
+
+
+def read_length_profile(spark: SparkSession, output_dir: str, q: float = 0.5) -> DataFrame:
+    """Per-source token-length quantile estimates from the
+    stream-maintained mergeable profile — sums histogram rows, never
+    rescans the corpus. Equals (bit-for-bit) a direct
+    ``quantile_state`` + ``quantile_merge`` over all accepted docs."""
+    from ..operators.skew import quantile_merge
+
+    states = spark.read.parquet(os.path.join(output_dir, "length_profile"))
+    return quantile_merge(states.drop("__batch_id"), ["source"], q)
+
+
 def _idempotent_write(df: DataFrame, path: str, batch_id: int, *extra_parts: str) -> None:
     """Batch-scoped dynamic partition overwrite: replaying batch N
     rewrites exactly batch N's partitions (idempotent under
@@ -103,6 +121,7 @@ def process_corpus_batch(
     near_dup_threshold: float | None,
     maintain_text_index: bool = False,
     maintain_ivf_index: bool = False,
+    maintain_profile: bool = False,
     validate_constraints: list | None = None,
 ) -> None:
     """One micro-batch of the corpus sink (module-level so replay
@@ -117,6 +136,23 @@ def process_corpus_batch(
     try:
         accepted = batch_df.filter(keep).drop("reject_reason")
         rejected = batch_df.filter(~keep)
+        # Cross-batch replay guard (the update_text_index_batch recipe,
+        # applied to the corpus tables themselves): a LOST-checkpoint
+        # replay re-batches the landing files, so batch-scoped
+        # overwrites alone can land an already-stored doc under a NEW
+        # batch id — anti-join against every OTHER batch's rows (own
+        # partition excluded so a crash-replay can rewrite itself).
+        # Doing it before any downstream write protects accepted, the
+        # quarantine, the MinHash/text/IVF index growth, and the
+        # profile states in one place.
+        acc_path = os.path.join(output_dir, "accepted")
+        if os.path.exists(acc_path):
+            prior = (
+                spark.read.parquet(acc_path)
+                .where(F.col("__batch_id") != int(batch_id))
+                .select("doc_id")
+            )
+            accepted = accepted.join(prior, "doc_id", "left_anti")
         if near_dup_threshold is not None:
             accepted = accepted.cache()
             to_unpersist.append(accepted)
@@ -235,6 +271,25 @@ def process_corpus_batch(
                     k_cells=adaptive_ivf_cells(emb.count()),
                     iters=1,
                 )
+        if maintain_profile:
+            # mergeable corpus profile (operators/skew.quantile_state):
+            # one summable histogram-state row set per batch over the
+            # accepted docs' token counts — any-range length quantiles
+            # (per source, or across any batch window) come from
+            # quantile_merge over these rows, never a corpus rescan.
+            # Batch-scoped overwrite => replays rewrite their own rows.
+            from ..operators.skew import quantile_state
+
+            toks = accepted.select(
+                "source",
+                F.size(F.split(F.col("text"), " ")).cast("double").alias("toks"),
+            )
+            state = quantile_state(
+                toks, ["source"], "toks", PROFILE_LO, PROFILE_HI, PROFILE_BINS
+            )
+            _idempotent_write(
+                state, os.path.join(output_dir, "length_profile"), batch_id
+            )
         if validate_constraints and batch_df.limit(1).count():
             # per-batch admission report (operators/validate.py): one
             # row per constraint per micro-batch, batch-scoped
@@ -248,6 +303,17 @@ def process_corpus_batch(
             _idempotent_write(
                 report, os.path.join(output_dir, "quality_reports"), batch_id
             )
+        # same replay guard for the quarantine — applied after the
+        # near-dup union so re-detected near-duplicates of a replayed
+        # batch don't duplicate their existing quarantine rows either
+        quar_path = os.path.join(output_dir, "quarantine")
+        if os.path.exists(quar_path):
+            prior_q = (
+                spark.read.parquet(quar_path)
+                .where(F.col("__batch_id") != int(batch_id))
+                .select("doc_id")
+            )
+            rejected = rejected.join(prior_q, "doc_id", "left_anti")
         if rejected.limit(1).count():
             _idempotent_write(
                 rejected, os.path.join(output_dir, "quarantine"), batch_id
@@ -268,6 +334,7 @@ def stream_corpus_ingest(
     near_dup_threshold: float | None = None,
     maintain_text_index: bool = False,
     maintain_ivf_index: bool = False,
+    maintain_profile: bool = False,
     validate_constraints: list | None = None,
     available_now: bool = True,
 ):
@@ -298,7 +365,10 @@ def stream_corpus_ingest(
     growing corpus without a rebuild. ``validate_constraints``
     (operators/validate.py constraint objects) appends a per-batch
     admission report to ``output_dir/quality_reports`` — the streaming
-    form of the deequ-style batch gate."""
+    form of the deequ-style batch gate. ``maintain_profile`` keeps a
+    MERGEABLE length-quantile profile at ``output_dir/length_profile``
+    (operators/skew.quantile_state rows per batch); read it with
+    ``read_length_profile``."""
     raw = spark.readStream.schema(DOC_SCHEMA).json(landing_dir)
     hashed = raw.withColumn("content_hash", F.md5(F.col("text")))
     deduped = hashed.withWatermark("event_ts", watermark).dropDuplicatesWithinWatermark(
@@ -325,6 +395,7 @@ def stream_corpus_ingest(
             near_dup_threshold,
             maintain_text_index=maintain_text_index,
             maintain_ivf_index=maintain_ivf_index,
+            maintain_profile=maintain_profile,
             validate_constraints=validate_constraints,
         )
 

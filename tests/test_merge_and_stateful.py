@@ -647,3 +647,117 @@ def test_streaming_corpus_quality_reports(spark, tmp_path):
             rows["range(n_chars)"]["metric_den"]) == (2, 3)
     assert rows["range(n_chars)"]["passed"] is True
     assert {r["batch_id"] for r in rows.values()} == {0}
+
+
+def test_streaming_maintained_length_profile(spark, tmp_path):
+    """maintain_profile=True writes one mergeable histogram-state row
+    set per batch; merging them equals a direct state build over all
+    accepted docs BIT-FOR-BIT, a lost-checkpoint replay changes
+    nothing, and quarantined docs never profile."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from degenter_clickhouse_spark.operators.skew import (
+        quantile_merge,
+        quantile_state,
+    )
+    from degenter_clickhouse_spark.streaming.corpus import (
+        PROFILE_BINS,
+        PROFILE_HI,
+        PROFILE_LO,
+        read_length_profile,
+        stream_corpus_ingest,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def doc(i, text, src="src0", ts="2024-01-01 10:00:00"):
+        return {"doc_id": i, "text": text, "lang": "en", "source": src,
+                "n_chars": len(text), "event_ts": ts}
+
+    (landing / "b1.json").write_text("\n".join([
+        _json.dumps(doc(1, "alpha beta gamma delta epsilon zeta")),
+        _json.dumps(doc(3, "short")),  # quarantined: too few words
+    ]))
+    stream_corpus_ingest(spark, str(landing), out, ckpt, maintain_profile=True)
+    (landing / "b2.json").write_text("\n".join([
+        _json.dumps(doc(2, "one two three four five six seven eight nine ten",
+                        ts="2024-01-01 10:10:00")),
+        _json.dumps(doc(4, "red green blue cyan magenta yellow black white",
+                        src="src1", ts="2024-01-01 10:10:00")),
+    ]))
+    stream_corpus_ingest(spark, str(landing), out, ckpt, maintain_profile=True)
+
+    streamed = {
+        (r["source"]): (r["n"], r["quantile_estimate"])
+        for r in read_length_profile(spark, out, q=0.5).collect()
+    }
+    accepted = spark.read.parquet(os.path.join(out, "accepted"))
+    direct_state = quantile_state(
+        accepted.select(
+            "source",
+            F.size(F.split(F.col("text"), " ")).cast("double").alias("toks"),
+        ),
+        ["source"], "toks", PROFILE_LO, PROFILE_HI, PROFILE_BINS,
+    )
+    direct = {
+        (r["source"]): (r["n"], r["quantile_estimate"])
+        for r in quantile_merge(direct_state, ["source"], 0.5).collect()
+    }
+    assert streamed == direct
+    assert streamed["src0"][0] == 2  # doc 3 quarantined, never profiled
+    assert streamed["src1"][0] == 1
+    # lost-checkpoint full replay: batch-scoped overwrites rewrite the
+    # same state rows — the merged profile is unchanged
+    stream_corpus_ingest(
+        spark, str(landing), out, str(tmp_path / "ckpt2"), maintain_profile=True
+    )
+    replayed = {
+        (r["source"]): (r["n"], r["quantile_estimate"])
+        for r in read_length_profile(spark, out, q=0.5).collect()
+    }
+    assert replayed == streamed
+
+
+def test_lost_checkpoint_replay_no_duplicate_corpus_rows(spark, tmp_path):
+    """REGRESSION: a lost-checkpoint replay re-batches the landing
+    files (all files in one fresh batch 0), so batch-scoped overwrites
+    alone landed already-stored docs under a NEW batch id — accepted
+    held doc 2 twice. The cross-batch anti-join guard must keep both
+    accepted and quarantine exactly-once by doc_id."""
+    import json as _json
+    import os
+
+    from degenter_clickhouse_spark.streaming.corpus import stream_corpus_ingest
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = str(tmp_path / "out")
+
+    def doc(i, text, ts="2024-01-01 10:00:00"):
+        return {"doc_id": i, "text": text, "lang": "en", "source": "s",
+                "n_chars": len(text), "event_ts": ts}
+
+    (landing / "b1.json").write_text("\n".join([
+        _json.dumps(doc(1, "alpha beta gamma delta epsilon zeta")),
+        _json.dumps(doc(3, "nope")),  # quarantined
+    ]))
+    stream_corpus_ingest(spark, str(landing), out, str(tmp_path / "ck1"))
+    (landing / "b2.json").write_text(
+        _json.dumps(doc(2, "one two three four five six seven",
+                        ts="2024-01-01 10:10:00"))
+    )
+    stream_corpus_ingest(spark, str(landing), out, str(tmp_path / "ck1"))
+    # fresh checkpoint: both files land in ONE batch (different batching)
+    stream_corpus_ingest(spark, str(landing), out, str(tmp_path / "ck2"))
+    acc = [r.doc_id for r in
+           spark.read.parquet(os.path.join(out, "accepted")).collect()]
+    assert sorted(acc) == [1, 2]  # no duplicates
+    qua = [r.doc_id for r in
+           spark.read.parquet(os.path.join(out, "quarantine")).collect()]
+    assert sorted(qua) == [3]
