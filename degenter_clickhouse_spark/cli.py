@@ -260,6 +260,18 @@ def main(argv: list[str] | None = None) -> int:
     bp.add_argument("--merges", type=int, default=10, help="merge count (fit)")
     bp.add_argument("--output", help="tokenized parquet output (tokenize)")
 
+    pc = sub.add_parser(
+        "pca",
+        help="distributed PCA: fit once (moment pass + driver eigh), "
+        "project many",
+    )
+    pc.add_argument("action", choices=["fit", "project"])
+    pc.add_argument("--model", required=True, help="model path")
+    pc.add_argument("--input", required=True, help="embeddings parquet")
+    pc.add_argument("--k", type=int, default=8, help="components (fit)")
+    pc.add_argument("--vec-col", default="embedding")
+    pc.add_argument("--output", help="projected parquet output (project)")
+
     va = sub.add_parser(
         "validate",
         help="data-quality constraint report (deequ-style ingest gate)",
@@ -486,6 +498,23 @@ def main(argv: list[str] | None = None) -> int:
         if args.output:
             out.write.mode("overwrite").parquet(args.output)
         print(f"tokenized {out.count()} docs with {len(merges)} merges")
+        return 0
+    if args.cmd == "pca":
+        from .llm import pca as _pca
+
+        vecs = spark.read.parquet(args.input)
+        if args.action == "fit":
+            model = _pca.fit_pca(vecs, k=args.k, vec=args.vec_col)
+            _pca.save_pca_model(spark, model, args.model)
+            ev = ", ".join(f"{v:.4g}" for v in model["explained_variance"])
+            print(f"fitted k={len(model['components'])} d={model['dim']} "
+                  f"n={model['n']} ev=[{ev}] -> {args.model}")
+            return 0
+        model = _pca.load_pca_model(spark, args.model)
+        out = _pca.project_pca(vecs, model, vec=args.vec_col)
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+        print(f"projected {out.count()} vectors to k={len(model['components'])}")
         return 0
     if args.cmd == "validate":
         import json as _json

@@ -210,3 +210,22 @@ def test_cli_graph_pagerank_components_degrees(spark, tmp_path, capsys):
     assert cli.main(["graph", "degrees", "--edges",
                      str(tmp_path / "e")]) == 0
     assert capsys.readouterr().out.strip()
+
+
+def test_cli_pca_fit_and_project(spark, tmp_path):
+    from degenter_clickhouse_spark import cli
+
+    model = str(tmp_path / "pca_model")
+    out = str(tmp_path / "projected")
+    assert cli.main([
+        "pca", "fit", "--model", model,
+        "--input", f"{SF_DIR}/embeddings.parquet", "--k", "3",
+    ]) == 0
+    assert cli.main([
+        "pca", "project", "--model", model,
+        "--input", f"{SF_DIR}/embeddings.parquet", "--output", out,
+    ]) == 0
+    df = spark.read.parquet(out)
+    assert "pca" in df.columns
+    row = df.select("pca").first()
+    assert len(row["pca"]) == 3
