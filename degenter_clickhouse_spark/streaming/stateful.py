@@ -73,3 +73,82 @@ def carried_open_stream(bars_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sequence detection: the incremental form of
+# operators/seqmatch.sequence_count — the per-user greedy chain
+# automaton (stage, count) lives in the state store and survives
+# micro-batch boundaries and restarts. State is three scalars per user
+# (dimension-sized); the stream shuffles on the user key once.
+#
+# Ordering contract: events are folded in (ts, event_id) order WITHIN
+# each micro-batch; across batches the fold follows arrival order
+# (micro-batch sequence), the same contract the reference's in-memory
+# state carries (and ClickHouse's sequenceCount applied per block).
+# For strict global ordering, run the batch operator over the settled
+# table — this operator is the low-latency incremental view.
+# ---------------------------------------------------------------------------
+
+SEQ_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_matches", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+SEQ_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("stage", T.IntegerType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def _make_seq_counter(step_types: list[str], ts_col: str, type_col: str, tiebreak: str):
+    k = len(step_types)
+
+    def fn(key: tuple, batches: Iterator[pd.DataFrame], state: GroupState):
+        stage, cnt, n_events = state.get if state.exists else (0, 0, 0)
+        for pdf in batches:
+            pdf = pdf.sort_values([ts_col, tiebreak])
+            for typ in pdf[type_col]:
+                n_events += 1
+                if typ == step_types[stage]:
+                    stage += 1
+                    if stage == k:
+                        cnt += 1
+                        stage = 0
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_matches": [int(cnt)],
+                "n_events": [int(n_events)],
+            }
+        )
+        state.update((int(stage), int(cnt), int(n_events)))
+
+    return fn
+
+
+def sequence_count_stream(
+    events_stream: DataFrame,
+    step_types: list[str],
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Streaming ``sequence_count``: one updated (key, n_matches,
+    n_events) row per key per micro-batch that touched it."""
+    if not step_types:
+        raise ValueError("sequence_count_stream needs at least one step type")
+    return events_stream.groupBy(key).applyInPandasWithState(
+        _make_seq_counter(step_types, ts_col, type_col, tiebreak),
+        outputStructType=SEQ_OUT_SCHEMA,
+        stateStructType=SEQ_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

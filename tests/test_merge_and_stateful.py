@@ -761,3 +761,84 @@ def test_lost_checkpoint_replay_no_duplicate_corpus_rows(spark, tmp_path):
     qua = [r.doc_id for r in
            spark.read.parquet(os.path.join(out, "quarantine")).collect()]
     assert sorted(qua) == [3]
+
+
+def test_streaming_sequence_count_across_restarts(spark, tmp_path):
+    """sequence_count_stream carries the per-user automaton (stage,
+    count) across micro-batches AND restarts: a chain that straddles
+    the batch boundary still completes, and the final totals equal the
+    batch operator over the union of all events."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from degenter_clickhouse_spark.operators.seqmatch import sequence_count
+    from degenter_clickhouse_spark.streaming import stateful
+
+    ship_package(spark)
+    landing = tmp_path / "ev"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def write(fname, rows):
+        (landing / fname).write_text("\n".join(
+            _json.dumps({"event_id": e, "ts": t, "user_id": u, "event_type": ty})
+            for e, t, u, ty in rows
+        ))
+
+    def run():
+        stream = spark.readStream.schema(schema).json(str(landing))
+        counted = stateful.sequence_count_stream(stream, ["a", "b"])
+        q = (
+            counted.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: user 1 completes one chain and ARMS a second (a at the
+    # end); user 2 sees only 'b'
+    b1 = [
+        (1, "2024-05-01 10:00:00", 1, "a"),
+        (2, "2024-05-01 10:01:00", 1, "b"),
+        (3, "2024-05-01 10:02:00", 1, "a"),
+        (4, "2024-05-01 10:00:00", 2, "b"),
+    ]
+    write("b1.json", b1)
+    run()
+    first = {r.user_id: (r.n_matches, r.n_events)
+             for r in spark.read.parquet(out_dir).collect()}
+    assert first == {1: (1, 3), 2: (0, 1)}
+    # restart: the armed stage survives — one 'b' completes chain 2
+    b2 = [
+        (5, "2024-05-01 10:03:00", 1, "b"),
+        (6, "2024-05-01 10:01:00", 2, "a"),
+    ]
+    write("b2.json", b2)
+    run()
+    latest = {}
+    for r in spark.read.parquet(out_dir).collect():
+        prev = latest.get(r.user_id)
+        if prev is None or r.n_events > prev[1]:
+            latest[r.user_id] = (r.n_matches, r.n_events)
+    assert latest == {1: (2, 4), 2: (0, 2)}
+    # equals the batch operator over all events (arrival order == ts
+    # order here, so the contracts coincide)
+    all_ev = spark.createDataFrame(
+        [(e, datetime.fromisoformat(t), u, ty) for e, t, u, ty in b1 + b2],
+        schema,
+    )
+    batch = {
+        r["user_id"]: (r["n_matches"], r["n_events"])
+        for r in sequence_count(
+            all_ev, "user_id", "ts",
+            [F.col("event_type") == "a", F.col("event_type") == "b"],
+            tiebreak="event_id",
+        ).collect()
+    }
+    assert batch == latest
