@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "quantile_state_merge",  # mergeable histogram quantile states (EXTENDED)
     "hard_negative_mining",  # blocked contrastive negatives (EXTENDED)
     "cube_totals",  # four grouping sets, one aggregation (EXTENDED)
+    "sequence_count_windowed",  # time-gated chain automaton (EXTENDED)
 ]
 
 

@@ -54,12 +54,21 @@ def sequence_count(
     steps: Sequence[Column],
     tiebreak: str | None = None,
     out: str = "n_matches",
+    within: float | None = None,
 ) -> DataFrame:
     """Per-``key`` count of non-overlapping ``steps`` chains in ``ts``
     order → (key, out, n_events). Greedy automaton: an event matching
     the currently-expected step advances the chain; completing step k
     increments the count and rearms at step 1 (ClickHouse
     ``sequenceCount`` semantics for ``(?1)(?2)...(?k)`` patterns).
+
+    ``within`` adds the time-gated pattern form (ClickHouse
+    ``(?1)(?t<=W)(?2)...`` chains / ``windowFunnel`` windows): a chain
+    must complete within ``within`` seconds of its FIRST step. An
+    armed chain that expires can no longer advance; the next event
+    matching step 1 restarts a fresh chain (events that only match
+    later steps cannot revive it). Deterministic — same total order,
+    same fold.
     """
     k = len(steps)
     if k == 0:
@@ -68,29 +77,81 @@ def sequence_count(
     if tiebreak is not None:
         cols.append(F.col(tiebreak).alias("__tb"))
     cols.append(_step_flags(steps).alias("__m"))
+    if within is not None:
+        if dict(df.dtypes)[ts].startswith("timestamp"):
+            tn = F.unix_micros(F.col(ts).cast("timestamp")) / F.lit(1e6)
+        else:
+            tn = F.col(ts).cast("double")
+        cols.append(tn.alias("__tn"))
     ev = df.select(F.col(key), F.struct(*cols).alias("__e"))
     arr = ev.groupBy(key).agg(
         F.array_sort(F.collect_list("__e")).alias("__s")
     )
-    zero = F.struct(
-        F.lit(0).cast("int").alias("stage"), F.lit(0).cast("int").alias("cnt")
-    )
 
-    def fold(acc: Column, x: Column) -> Column:
-        hit = F.coalesce(
-            F.element_at(x["__m"], acc["stage"] + 1), F.lit(False)
-        )
-        completed = F.struct(
+    if within is None:
+        zero = F.struct(
             F.lit(0).cast("int").alias("stage"),
-            (acc["cnt"] + 1).cast("int").alias("cnt"),
+            F.lit(0).cast("int").alias("cnt"),
         )
-        advanced = F.struct(
-            (acc["stage"] + 1).cast("int").alias("stage"),
-            acc["cnt"].alias("cnt"),
+
+        def fold(acc: Column, x: Column) -> Column:
+            hit = F.coalesce(
+                F.element_at(x["__m"], acc["stage"] + 1), F.lit(False)
+            )
+            completed = F.struct(
+                F.lit(0).cast("int").alias("stage"),
+                (acc["cnt"] + 1).cast("int").alias("cnt"),
+            )
+            advanced = F.struct(
+                (acc["stage"] + 1).cast("int").alias("stage"),
+                acc["cnt"].alias("cnt"),
+            )
+            return F.when(
+                hit, F.when(acc["stage"] == k - 1, completed).otherwise(advanced)
+            ).otherwise(acc)
+
+    else:
+        w = F.lit(float(within))
+        zero = F.struct(
+            F.lit(0).cast("int").alias("stage"),
+            F.lit(0).cast("int").alias("cnt"),
+            F.lit(0.0).alias("start"),
         )
-        return F.when(
-            hit, F.when(acc["stage"] == k - 1, completed).otherwise(advanced)
-        ).otherwise(acc)
+
+        def fold(acc: Column, x: Column) -> Column:
+            hit = F.coalesce(
+                F.element_at(x["__m"], acc["stage"] + 1), F.lit(False)
+            )
+            hit0 = F.coalesce(F.element_at(x["__m"], 1), F.lit(False))
+            valid = (acc["stage"] == 0) | (x["__tn"] - acc["start"] <= w)
+            start_if_arming = F.when(
+                acc["stage"] == 0, x["__tn"]
+            ).otherwise(acc["start"])
+            completed = F.struct(
+                F.lit(0).cast("int").alias("stage"),
+                (acc["cnt"] + 1).cast("int").alias("cnt"),
+                F.lit(0.0).alias("start"),
+            )
+            advanced = F.struct(
+                (acc["stage"] + 1).cast("int").alias("stage"),
+                acc["cnt"].alias("cnt"),
+                start_if_arming.alias("start"),
+            )
+            restarted = (  # dead chain; this event arms a fresh one
+                F.struct(
+                    F.lit(1 if k > 1 else 0).cast("int").alias("stage"),
+                    (acc["cnt"] + (1 if k == 1 else 0)).cast("int").alias("cnt"),
+                    x["__tn"].alias("start"),
+                )
+            )
+            return (
+                F.when(
+                    hit & valid,
+                    F.when(acc["stage"] == k - 1, completed).otherwise(advanced),
+                )
+                .when(~valid & hit0, restarted)
+                .otherwise(acc)
+            )
 
     return arr.select(
         F.col(key),

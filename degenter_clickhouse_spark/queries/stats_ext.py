@@ -928,3 +928,82 @@ def q_cube_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "volume",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence_count_windowed — the time-gated pattern form (ClickHouse
+# (?1)(?t<=W)(?2)... chains): same greedy automaton with an expiry —
+# chains must complete within {SEQ_W_SECONDS}s of their first step; an
+# expired chain only restarts on a step-1 event. Oracle: the windowed
+# automaton unrolled as a recursive CTE (epoch-second doubles; only
+# time DIFFERENCES enter the logic, so engine epoch offsets cancel).
+# ---------------------------------------------------------------------------
+
+SEQ_W_SECONDS = 172800  # 2 days
+
+SEQUENCE_WINDOWED_ORACLE = f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS INT) AS rn,
+         CAST(epoch(ts) AS DOUBLE) AS tn,
+         CAST(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+              WHEN 'purchase' THEN 4 ELSE 0 END AS INT) AS m
+  FROM events
+),
+tot AS (
+  SELECT user_id, CAST(count(*) AS INT) AS n_events FROM ev GROUP BY user_id
+),
+walk AS (
+  SELECT user_id, 0 AS rn, 0 AS stage, 0 AS cnt, CAST(0 AS DOUBLE) AS start
+  FROM tot
+  UNION ALL
+  SELECT w.user_id, e.rn,
+         CASE
+           WHEN (e.m & (1 << w.stage)) <> 0
+                AND (w.stage = 0 OR e.tn - w.start <= {SEQ_W_SECONDS})
+             THEN CASE WHEN w.stage = 2 THEN 0 ELSE w.stage + 1 END
+           WHEN NOT (w.stage = 0 OR e.tn - w.start <= {SEQ_W_SECONDS})
+                AND (e.m & 1) <> 0
+             THEN 1
+           ELSE w.stage
+         END,
+         CASE
+           WHEN (e.m & (1 << w.stage)) <> 0
+                AND (w.stage = 0 OR e.tn - w.start <= {SEQ_W_SECONDS})
+                AND w.stage = 2
+             THEN w.cnt + 1
+           ELSE w.cnt
+         END,
+         CASE
+           WHEN (e.m & (1 << w.stage)) <> 0
+                AND (w.stage = 0 OR e.tn - w.start <= {SEQ_W_SECONDS})
+             THEN CASE WHEN w.stage = 2 THEN CAST(0 AS DOUBLE)
+                       WHEN w.stage = 0 THEN e.tn ELSE w.start END
+           WHEN NOT (w.stage = 0 OR e.tn - w.start <= {SEQ_W_SECONDS})
+                AND (e.m & 1) <> 0
+             THEN e.tn
+           ELSE w.start
+         END
+  FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+)
+SELECT CAST(w.user_id AS BIGINT) AS user_id,
+       CAST(w.cnt AS BIGINT) AS n_matches,
+       CAST(t.n_events AS BIGINT) AS n_events
+FROM walk w JOIN tot t ON t.user_id = w.user_id AND w.rn = t.n_events
+"""
+
+
+@register_extended("sequence_count_windowed", SEQUENCE_WINDOWED_ORACLE)
+def q_sequence_count_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import catalog
+    from ..operators.seqmatch import sequence_count
+
+    ev = catalog.load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    steps = [F.col("event_type") == t for t in ("view", "click", "purchase")]
+    return sequence_count(
+        ev, "user_id", "ts", steps, tiebreak="event_id",
+        within=float(SEQ_W_SECONDS),
+    )

@@ -206,6 +206,7 @@ SCALE_SHAPE_QUERIES = {
     "quantile_state_merge": 0,  # summable histogram rows; per-key windows only
     "hard_negative_mining": 0,  # bucket-bounded pair join, per-anchor windows
     "cube_totals": 0,  # one grouping-sets aggregation, map-side partials
+    "sequence_count_windowed": 0,  # same single-shuffle automaton fold
 }
 
 

@@ -98,3 +98,61 @@ def test_empty_steps_rejected(spark):
 
     with pytest.raises(ValueError):
         sequence_count(_ev(spark, [(1, 1, 10, "a")]), "u", "t", [])
+
+
+# ---------------------------------------------------------------------------
+# within (time-gated chains)
+# ---------------------------------------------------------------------------
+
+
+def test_within_blocks_slow_chains(spark):
+    rows = [(1, 1, 0, "a"), (1, 2, 100, "b"),  # too slow: 100 > 50
+            (2, 3, 0, "a"), (2, 4, 40, "b")]   # fast enough
+    out = sequence_count(_ev(spark, rows), "u", "t", _steps("a", "b"),
+                         tiebreak="eid", within=50.0)
+    assert _counts(out) == {1: 0, 2: 1}
+
+
+def test_within_expired_chain_restarts_on_step_one(spark):
+    # a@0 arms; b@100 expired (chain dead); a@110 restarts; b@120 completes
+    rows = [(1, 1, 0, "a"), (1, 2, 100, "b"), (1, 3, 110, "a"),
+            (1, 4, 120, "b")]
+    out = sequence_count(_ev(spark, rows), "u", "t", _steps("a", "b"),
+                         tiebreak="eid", within=50.0)
+    assert _counts(out) == {1: 1}
+
+
+def test_within_dead_chain_not_revived_by_later_steps(spark):
+    # a@0 arms, expires; b@100 and b@200 cannot revive it (only an 'a'
+    # restarts); count stays 0
+    rows = [(1, 1, 0, "a"), (1, 2, 100, "b"), (1, 3, 200, "b")]
+    out = sequence_count(_ev(spark, rows), "u", "t", _steps("a", "b"),
+                         tiebreak="eid", within=50.0)
+    assert _counts(out) == {1: 0}
+
+
+def test_within_window_measured_from_first_step(spark):
+    # 3-step chain: a@0 b@30 c@60 with W=50 -> c is 60s after the
+    # FIRST step, expired, even though only 30s after b
+    rows = [(1, 1, 0, "a"), (1, 2, 30, "b"), (1, 3, 60, "c")]
+    out = sequence_count(_ev(spark, rows), "u", "t", _steps("a", "b", "c"),
+                         tiebreak="eid", within=50.0)
+    assert _counts(out) == {1: 0}
+    # W=70 admits it
+    out2 = sequence_count(_ev(spark, rows), "u", "t", _steps("a", "b", "c"),
+                          tiebreak="eid", within=70.0)
+    assert _counts(out2) == {1: 1}
+
+
+def test_within_single_step_ignores_window(spark):
+    rows = [(1, 1, 0, "a"), (1, 2, 1000, "a")]
+    out = sequence_count(_ev(spark, rows), "u", "t", _steps("a"),
+                         tiebreak="eid", within=1.0)
+    assert _counts(out) == {1: 2}
+
+
+def test_within_none_unchanged(spark):
+    rows = [(1, 1, 0, "a"), (1, 2, 10_000, "b")]
+    out = sequence_count(_ev(spark, rows), "u", "t", _steps("a", "b"),
+                         tiebreak="eid")
+    assert _counts(out) == {1: 1}
