@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "hard_negative_mining",  # blocked contrastive negatives (EXTENDED)
     "cube_totals",  # four grouping sets, one aggregation (EXTENDED)
     "sequence_count_windowed",  # time-gated chain automaton (EXTENDED)
+    "winsorized_stats",  # winsorized + trimmed robust means (EXTENDED)
 ]
 
 

@@ -1007,3 +1007,65 @@ def q_sequence_count_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", "ts", steps, tiebreak="event_id",
         within=float(SEQ_W_SECONDS),
     )
+
+
+# ---------------------------------------------------------------------------
+# winsorized_stats — outlier-robust means (the winsorize/trim step of
+# metric pipelines): per event_type, the mean with values CLIPPED to
+# [p05, p95] (winsorized) and the mean with values outside DROPPED
+# (trimmed). Two dimension-sized aggregations + one broadcast join;
+# shared percentile interpolation keeps the bounds bit-identical, and
+# DECIMAL accumulation keeps both means shuffle-order independent.
+# ---------------------------------------------------------------------------
+
+WINSOR_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS p05,
+         quantile_cont(value, 0.95) AS p95
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(round(least(greatest(e.value, b.p05), b.p95) * 1e6)
+                           AS BIGINT)) AS DOUBLE) / count(*) / 1e6, 6)
+         AS winsor_mean,
+       round(CAST(sum(CASE WHEN e.value BETWEEN b.p05 AND b.p95
+                           THEN CAST(round(e.value * 1e6) AS BIGINT)
+                           ELSE 0 END) AS DOUBLE)
+             / sum(CASE WHEN e.value BETWEEN b.p05 AND b.p95 THEN 1 ELSE 0 END)
+             / 1e6, 6) AS trimmed_mean,
+       b.p05, b.p95
+FROM events e JOIN b USING (event_type)
+GROUP BY e.event_type, b.p05, b.p95
+"""
+
+
+@register_extended("winsorized_stats", WINSOR_ORACLE)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import catalog
+
+    ev = catalog.load_table(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), 0.05).alias("p05"),
+        F.percentile(F.col("value"), 0.95).alias("p95"),
+    )
+    j = ev.join(dim_broadcast(b), "event_type")
+    clipped = F.round(
+        F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")) * 1e6
+    ).cast("long")
+    inside = F.col("value").between(F.col("p05"), F.col("p95"))
+    scaled = F.round(F.col("value") * 1e6).cast("long")
+    return j.groupBy("event_type", "p05", "p95").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(clipped.cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)) / F.lit(1e6), 6,
+        ).alias("winsor_mean"),
+        F.round(
+            F.sum(F.when(inside, scaled).otherwise(F.lit(0)).cast("decimal(38,0)"))
+            .cast("double")
+            / F.sum(F.when(inside, 1).otherwise(0))
+            / F.lit(1e6), 6,
+        ).alias("trimmed_mean"),
+    ).select("event_type", "n", "winsor_mean", "trimmed_mean", "p05", "p95")

@@ -111,6 +111,7 @@ from .stats_ext import (
     SOURCE_QUALITY_ORACLE,
     TWAP_VWAP_ORACLE,
     WINDOW_FUNNEL_ORACLE,
+    WINSOR_ORACLE,
     q_ema_bars,
     q_length_histogram,
     q_moving_stats,
@@ -125,6 +126,7 @@ from .stats_ext import (
     q_twap_vwap,
     q_value_anomalies,
     q_window_funnel,
+    q_winsorized_stats,
 )
 from .core import GAPFILL_INTERP_ORACLE, q_gap_fill_interp
 from .er_ext import SNM_ORACLE, q_fuzzy_snm
@@ -902,6 +904,11 @@ SELECT 'cube', event_type, bucket_day, CAST(-1 AS BIGINT),
        CAST(g_day AS BIGINT), volume, CAST(-1.0 AS DOUBLE),
        CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE)
 FROM ({CUBE_ORACLE})
+UNION ALL
+SELECT 'winsor', event_type, CAST(NULL AS VARCHAR), CAST(-1 AS BIGINT),
+       n, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       winsor_mean, trimmed_mean, p05, p95
+FROM ({WINSOR_ORACLE})
 """
 
 
@@ -985,6 +992,19 @@ def q_corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NO_V().alias("v3"),
         _NO_V().alias("v4"),
     )
+    wi = q_winsorized_stats(spark, sf_dir).select(
+        F.lit("winsor").alias("part"),
+        F.col("event_type").alias("s1"),
+        _NO_S().alias("s2"),
+        _NO_K().alias("k"),
+        F.col("n").cast("long").alias("n1"),
+        _NO_K().alias("n2"),
+        _NO_K().alias("n3"),
+        F.col("winsor_mean").alias("v1"),
+        F.col("trimmed_mean").alias("v2"),
+        F.col("p05").alias("v3"),
+        F.col("p95").alias("v4"),
+    )
     cu = q_cube_totals(spark, sf_dir).select(
         F.lit("cube").alias("part"),
         F.col("event_type").alias("s1"),
@@ -1019,6 +1039,7 @@ def q_corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rb)
         .unionByName(hq)
         .unionByName(cu)
+        .unionByName(wi)
     )
 
 

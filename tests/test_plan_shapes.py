@@ -207,6 +207,7 @@ SCALE_SHAPE_QUERIES = {
     "hard_negative_mining": 0,  # bucket-bounded pair join, per-anchor windows
     "cube_totals": 0,  # one grouping-sets aggregation, map-side partials
     "sequence_count_windowed": 0,  # same single-shuffle automaton fold
+    "winsorized_stats": 0,  # two grouped aggs + broadcast bounds join
 }
 
 
