@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "cube_totals",  # four grouping sets, one aggregation (EXTENDED)
     "sequence_count_windowed",  # time-gated chain automaton (EXTENDED)
     "winsorized_stats",  # winsorized + trimmed robust means (EXTENDED)
+    "retrieval_eval",  # recall@k/precision@k/MRR harness (EXTENDED)
 ]
 
 

@@ -723,9 +723,12 @@ def _fuse_legs(bmr: DataFrame, annr: DataFrame) -> DataFrame:
     )
 
 
-@register("hybrid_retrieval", HYBRID_IDX_ORACLE)
+@register_extended("hybrid_retrieval", HYBRID_IDX_ORACLE)
 def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Index-backed hybrid retrieval (the registered/benched default):
+    """Index-backed hybrid retrieval (the benched default; its gate
+    slot is now the retrieval_suite composite in queries/suites2.py,
+    which carries this plus the whole r6 batch-retrieval family +
+    retrieval_eval behind the driver gate):
     BM25 via the persisted term-bucket inverted index + dense ANN via
     the persisted cell-partitioned IVF index, fused with integer RRF.
     Both legs read only probed buckets/cells — never the corpus."""
@@ -1192,3 +1195,85 @@ def q_hybrid_retrieval_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rrf",
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval evaluation (llm/eval.py): recall@k / precision@k / MRR of
+# the batch-ANN retrieval against same-label relevance, per query plus
+# a macro-average summary row (q_id = -1). Every metric is a ratio of
+# small integers; macro averages accumulate floor-scaled BIGINTs via
+# DECIMAL sums — bit-identical across engines and shuffle orders. The
+# oracle reuses the batch-ANN oracle verbatim as its result CTE.
+# ---------------------------------------------------------------------------
+
+RETRIEVAL_EVAL_ORACLE = f"""
+WITH res AS ({BATCH_ANN_ORACLE}),
+lab AS (SELECT vec_id, label FROM embeddings),
+qset AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id % {_BATCH_MOD} = 0),
+rel AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS doc_id
+  FROM lab a JOIN lab b ON a.label = b.label AND a.vec_id <> b.vec_id
+  WHERE a.vec_id % {_BATCH_MOD} = 0
+),
+nrel AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_rel FROM rel GROUP BY q_id),
+hits AS (
+  SELECT r.q_id, CAST(count(*) AS BIGINT) AS n_hits, min(r.rank) AS first_rank
+  FROM res r JOIN rel ON rel.q_id = r.q_id AND rel.doc_id = r.c_id
+  WHERE r.rank <= {_BATCH_K}
+  GROUP BY r.q_id
+),
+per AS (
+  SELECT q.q_id,
+         coalesce(n.n_rel, 0) AS n_rel,
+         coalesce(h.n_hits, 0) AS n_hits,
+         CASE WHEN coalesce(n.n_rel, 0) > 0
+              THEN coalesce(h.n_hits, 0) / CAST(n.n_rel AS DOUBLE)
+              ELSE 0.0 END AS recall_at_k,
+         coalesce(h.n_hits, 0) / CAST({_BATCH_K} AS DOUBLE) AS precision_at_k,
+         CASE WHEN h.first_rank IS NOT NULL
+              THEN 1.0 / h.first_rank ELSE 0.0 END AS reciprocal_rank
+  FROM qset q LEFT JOIN nrel n USING (q_id) LEFT JOIN hits h USING (q_id)
+)
+SELECT CAST(q_id AS BIGINT) AS q_id, n_rel, n_hits,
+       recall_at_k, precision_at_k, reciprocal_rank
+FROM per
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT), CAST(-1 AS BIGINT),
+       CAST(sum(CAST(floor(recall_at_k * 1e9) AS BIGINT)) AS DOUBLE)
+         / count(*) / 1e9,
+       CAST(sum(CAST(floor(precision_at_k * 1e9) AS BIGINT)) AS DOUBLE)
+         / count(*) / 1e9,
+       CAST(sum(CAST(floor(reciprocal_rank * 1e9) AS BIGINT)) AS DOUBLE)
+         / count(*) / 1e9
+FROM per
+"""
+
+
+@register_extended("retrieval_eval", RETRIEVAL_EVAL_ORACLE)
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.eval import retrieval_metrics, retrieval_summary
+    from .llm import _embs
+
+    res = q_embedding_ann_batch(spark, sf_dir)
+    lab = _embs(spark, sf_dir).select("vec_id", "label")
+    qs = lab.filter(F.col("vec_id") % _BATCH_MOD == 0).select(
+        F.col("vec_id").alias("q_id")
+    )
+    a = lab.filter(F.col("vec_id") % _BATCH_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("ql")
+    )
+    rel = (
+        a.join(lab, a["ql"] == lab["label"])
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", F.col("vec_id").alias("c_id"))
+    )
+    per = retrieval_metrics(res, rel, k=_BATCH_K, queries=qs)
+    summ = retrieval_summary(per).select(
+        F.lit(-1).cast("long").alias("q_id"),
+        F.col("n_queries").alias("n_rel"),
+        F.lit(-1).cast("long").alias("n_hits"),
+        F.col("macro_recall").alias("recall_at_k"),
+        F.col("macro_precision").alias("precision_at_k"),
+        F.col("mrr").alias("reciprocal_rank"),
+    )
+    return per.unionByName(summ)

@@ -35,21 +35,31 @@ from .classify_ext import (
     q_knn_label_vote_blocked,
 )
 from .clean_ext import (
+    BATCH_ANN_ORACLE,
     BIGRAM_ORACLE,
+    BM25_BATCH_ORACLE,
     BM25_ORACLE,
     CLEAN_ORACLE,
     COLLOC_ORACLE,
+    HYBRID_BATCH_ORACLE,
+    HYBRID_IDX_ORACLE,
     LINE_DEDUP_ORACLE,
+    RETRIEVAL_EVAL_ORACLE,
     SPANS_ORACLE,
     TEMP_SAMPLE_ORACLE,
     TRIGRAM_ORACLE,
     _leakage_split_oracle,
     q_bigram_fluency,
+    q_bm25_batch,
     q_bm25_search,
     q_collocations,
     q_dup_ngram_spans,
+    q_embedding_ann_batch,
+    q_hybrid_retrieval,
+    q_hybrid_retrieval_batch,
     q_leakage_free_split,
     q_line_dedup,
+    q_retrieval_eval,
     q_span_dedup_clean,
     q_temperature_sampling,
     q_trigram_fluency,
@@ -1206,4 +1216,105 @@ def q_sampling_split_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ws)
         .unionByName(kf)
         .unionByName(mx)
+    )
+
+
+# ---------------------------------------------------------------------------
+# retrieval_suite = hybrid_retrieval + bm25_batch + embedding_ann_batch
+#                 + hybrid_retrieval_batch + retrieval_eval — the whole
+# index-backed retrieval family (single-query fusion, the three batch
+# forms, and the metrics harness) behind ONE driver-gate slot (the
+# former standalone hybrid_retrieval slot; gate count unchanged).
+# schema: (part STRING, k1, doc, n1, n2, n3 BIGINT, v1, v2, v3 DOUBLE)
+# ---------------------------------------------------------------------------
+
+RETRIEVAL_SUITE_ORACLE = f"""
+SELECT 'hybrid' AS part, CAST(-1 AS BIGINT) AS k1,
+       CAST(doc_id AS BIGINT) AS doc, CAST(rrf_scaled AS BIGINT) AS n1,
+       CAST(n_retrievers AS BIGINT) AS n2, CAST(-1 AS BIGINT) AS n3,
+       rrf AS v1, CAST(-1.0 AS DOUBLE) AS v2, CAST(-1.0 AS DOUBLE) AS v3
+FROM ({HYBRID_IDX_ORACLE})
+UNION ALL
+SELECT 'bm25b', CAST(query_id AS BIGINT), CAST(doc_id AS BIGINT),
+       CAST(n_terms AS BIGINT), CAST(rank AS BIGINT), CAST(-1 AS BIGINT),
+       score, CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE)
+FROM ({BM25_BATCH_ORACLE})
+UNION ALL
+SELECT 'annb', CAST(q_id AS BIGINT), CAST(c_id AS BIGINT),
+       CAST(-1 AS BIGINT), CAST(rank AS BIGINT), CAST(-1 AS BIGINT),
+       cosine, CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE)
+FROM ({BATCH_ANN_ORACLE})
+UNION ALL
+SELECT 'hybridb', CAST(query_id AS BIGINT), CAST(doc_id AS BIGINT),
+       CAST(rrf_scaled AS BIGINT), CAST(n_retrievers AS BIGINT),
+       CAST(rank AS BIGINT), rrf, CAST(-1.0 AS DOUBLE),
+       CAST(-1.0 AS DOUBLE)
+FROM ({HYBRID_BATCH_ORACLE})
+UNION ALL
+SELECT 'eval', CAST(q_id AS BIGINT), CAST(-1 AS BIGINT),
+       n_rel, n_hits, CAST(-1 AS BIGINT),
+       recall_at_k, precision_at_k, reciprocal_rank
+FROM ({RETRIEVAL_EVAL_ORACLE})
+"""
+
+
+@register("retrieval_suite", RETRIEVAL_SUITE_ORACLE)
+def q_retrieval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hy = q_hybrid_retrieval(spark, sf_dir).select(
+        F.lit("hybrid").alias("part"),
+        _NO_K().alias("k1"),
+        F.col("doc_id").alias("doc"),
+        F.col("rrf_scaled").cast("long").alias("n1"),
+        F.col("n_retrievers").cast("long").alias("n2"),
+        _NO_K().alias("n3"),
+        F.col("rrf").alias("v1"),
+        _NO_V().alias("v2"),
+        _NO_V().alias("v3"),
+    )
+    bb = q_bm25_batch(spark, sf_dir).select(
+        F.lit("bm25b").alias("part"),
+        F.col("query_id").alias("k1"),
+        F.col("doc_id").alias("doc"),
+        F.col("n_terms").alias("n1"),
+        F.col("rank").alias("n2"),
+        _NO_K().alias("n3"),
+        F.col("score").alias("v1"),
+        _NO_V().alias("v2"),
+        _NO_V().alias("v3"),
+    )
+    ab = q_embedding_ann_batch(spark, sf_dir).select(
+        F.lit("annb").alias("part"),
+        F.col("q_id").alias("k1"),
+        F.col("c_id").alias("doc"),
+        _NO_K().alias("n1"),
+        F.col("rank").alias("n2"),
+        _NO_K().alias("n3"),
+        F.col("cosine").alias("v1"),
+        _NO_V().alias("v2"),
+        _NO_V().alias("v3"),
+    )
+    hb = q_hybrid_retrieval_batch(spark, sf_dir).select(
+        F.lit("hybridb").alias("part"),
+        F.col("query_id").alias("k1"),
+        F.col("doc_id").alias("doc"),
+        F.col("rrf_scaled").cast("long").alias("n1"),
+        F.col("n_retrievers").cast("long").alias("n2"),
+        F.col("rank").alias("n3"),
+        F.col("rrf").alias("v1"),
+        _NO_V().alias("v2"),
+        _NO_V().alias("v3"),
+    )
+    ev = q_retrieval_eval(spark, sf_dir).select(
+        F.lit("eval").alias("part"),
+        F.col("q_id").alias("k1"),
+        _NO_K().alias("doc"),
+        F.col("n_rel").alias("n1"),
+        F.col("n_hits").alias("n2"),
+        _NO_K().alias("n3"),
+        F.col("recall_at_k").alias("v1"),
+        F.col("precision_at_k").alias("v2"),
+        F.col("reciprocal_rank").alias("v3"),
+    )
+    return (
+        hy.unionByName(bb).unionByName(ab).unionByName(hb).unionByName(ev)
     )

@@ -208,6 +208,10 @@ SCALE_SHAPE_QUERIES = {
     "cube_totals": 0,  # one grouping-sets aggregation, map-side partials
     "sequence_count_windowed": 0,  # same single-shuffle automaton fold
     "winsorized_stats": 0,  # two grouped aggs + broadcast bounds join
+    # the 1 is the one-row macro-average summary aggregate, computed
+    # over the per-query metric frame (queries x metrics rows), never
+    # the corpus
+    "retrieval_eval": 1,
 }
 
 
