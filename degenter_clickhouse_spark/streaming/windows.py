@@ -52,3 +52,38 @@ def streaming_bars(
             "trade_count",
         )
     )
+
+
+def streaming_sessions(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts: str = "ts",
+    key: str = "user_id",
+    value: str = "value",
+) -> DataFrame:
+    """Gap-based session frames over a TRUE stream (the streaming
+    sibling of the batch ``session_frames`` query, W2): Spark's native
+    ``session_window`` merges events closer than ``gap`` into one
+    growing window per key; a session is emitted exactly once, when
+    the watermark passes its close (append mode). State per key is the
+    open session's bounds — bounded by key cardinality, not history.
+    DECIMAL accumulation keeps the emitted sums bit-stable under
+    micro-batch re-planning."""
+    w = events.withWatermark(ts, watermark)
+    return (
+        w.groupBy(F.col(key), F.session_window(F.col(ts), gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value).cast("decimal(25,6)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            key,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )

@@ -842,3 +842,67 @@ def test_streaming_sequence_count_across_restarts(spark, tmp_path):
         ).collect()
     }
     assert batch == latest
+
+
+def test_streaming_sessions_gap_and_watermark(spark, tmp_path):
+    """session_window streaming: events within the gap merge into one
+    session per user; the session emits exactly once after the
+    watermark passes its close; totals match the events that formed
+    it."""
+    import json as _json
+
+    from degenter_clickhouse_spark.streaming.windows import streaming_sessions
+
+    landing = tmp_path / "ev"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    schema = "event_id long, ts timestamp, user_id long, value double"
+
+    def write(fname, rows):
+        (landing / fname).write_text("\n".join(
+            _json.dumps({"event_id": e, "ts": t, "user_id": u, "value": v})
+            for e, t, u, v in rows
+        ))
+
+    def run():
+        stream = spark.readStream.schema(schema).json(str(landing))
+        sess = streaming_sessions(stream, gap="10 minutes", watermark="5 minutes")
+        q = (
+            sess.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # one burst: 3 events within the gap (session A), plus an isolated
+    # event 30 min later (session B) that also advances the watermark
+    # past session A's close
+    write("b1.json", [
+        (1, "2024-05-01 10:00:00", 1, 1.0),
+        (2, "2024-05-01 10:05:00", 1, 2.0),
+        (3, "2024-05-01 10:08:00", 1, 4.0),
+        (4, "2024-05-01 10:40:00", 1, 8.0),
+    ])
+    run()
+    import os
+
+    got = (
+        spark.read.parquet(out_dir).collect()
+        if os.path.exists(out_dir) else []
+    )
+    done = {(r.user_id, r.session_start.strftime("%H:%M")):
+            (r.n_events, r.value_sum) for r in got}
+    # session A (10:00-10:18) closed by the watermark (10:40 - 5min);
+    # session B still open -> not emitted
+    assert done == {(1, "10:00"): (3, 7.0)}
+    # a much-later event closes session B on the next drain
+    write("b2.json", [(5, "2024-05-01 12:00:00", 1, 16.0)])
+    run()
+    got2 = {(r.user_id, r.session_start.strftime("%H:%M")):
+            (r.n_events, r.value_sum)
+            for r in spark.read.parquet(out_dir).collect()}
+    assert got2[(1, "10:40")] == (1, 8.0)
