@@ -55,6 +55,7 @@ def sequence_count(
     tiebreak: str | None = None,
     out: str = "n_matches",
     within: float | None = None,
+    strict_order: bool = False,
 ) -> DataFrame:
     """Per-``key`` count of non-overlapping ``steps`` chains in ``ts``
     order → (key, out, n_events). Greedy automaton: an event matching
@@ -69,6 +70,14 @@ def sequence_count(
     matching step 1 restarts a fresh chain (events that only match
     later steps cannot revive it). Deterministic — same total order,
     same fold.
+
+    ``strict_order`` mirrors ClickHouse ``windowFunnel('strict_order')``:
+    while a chain is armed (stage > 0), an event that does not match
+    the expected step INTERRUPTS it — the chain resets to stage 1 if
+    the interrupting event matches step 1 (it starts a fresh chain),
+    else to stage 0. Default (False) is the subsequence semantics:
+    unrelated events interleave freely. ``within`` and
+    ``strict_order`` compose (expiry is checked first).
     """
     k = len(steps)
     if k == 0:
@@ -106,9 +115,22 @@ def sequence_count(
                 (acc["stage"] + 1).cast("int").alias("stage"),
                 acc["cnt"].alias("cnt"),
             )
-            return F.when(
+            base = F.when(
                 hit, F.when(acc["stage"] == k - 1, completed).otherwise(advanced)
-            ).otherwise(acc)
+            )
+            if strict_order:
+                hit0 = F.coalesce(F.element_at(x["__m"], 1), F.lit(False))
+                interrupted = F.struct(
+                    F.when(hit0, F.lit(1 if k > 1 else 0))
+                    .otherwise(F.lit(0))
+                    .cast("int")
+                    .alias("stage"),
+                    (acc["cnt"] + F.when(hit0 & F.lit(k == 1), 1).otherwise(0))
+                    .cast("int")
+                    .alias("cnt"),
+                )
+                return base.when(acc["stage"] > 0, interrupted).otherwise(acc)
+            return base.otherwise(acc)
 
     else:
         w = F.lit(float(within))
@@ -144,14 +166,21 @@ def sequence_count(
                     x["__tn"].alias("start"),
                 )
             )
-            return (
-                F.when(
-                    hit & valid,
-                    F.when(acc["stage"] == k - 1, completed).otherwise(advanced),
+            chain = F.when(
+                hit & valid,
+                F.when(acc["stage"] == k - 1, completed).otherwise(advanced),
+            ).when(~valid & hit0, restarted)
+            if strict_order:
+                interrupted = F.struct(
+                    F.when(hit0, F.lit(1 if k > 1 else 0))
+                    .otherwise(F.lit(0))
+                    .cast("int")
+                    .alias("stage"),
+                    acc["cnt"].alias("cnt"),
+                    F.when(hit0, x["__tn"]).otherwise(F.lit(0.0)).alias("start"),
                 )
-                .when(~valid & hit0, restarted)
-                .otherwise(acc)
-            )
+                chain = chain.when(acc["stage"] > 0, interrupted)
+            return chain.otherwise(acc)
 
     return arr.select(
         F.col(key),

@@ -156,3 +156,56 @@ def test_within_none_unchanged(spark):
     out = sequence_count(_ev(spark, rows), "u", "t", _steps("a", "b"),
                          tiebreak="eid")
     assert _counts(out) == {1: 1}
+
+
+# ---------------------------------------------------------------------------
+# strict_order (windowFunnel('strict_order') parity)
+# ---------------------------------------------------------------------------
+
+
+def test_strict_order_interrupted_by_unrelated_event(spark):
+    # a x b: the x interrupts the armed chain
+    rows = [(1, 1, 10, "a"), (1, 2, 20, "x"), (1, 3, 30, "b")]
+    loose = sequence_count(_ev(spark, rows), "u", "t", _steps("a", "b"),
+                           tiebreak="eid")
+    strict = sequence_count(_ev(spark, rows), "u", "t", _steps("a", "b"),
+                            tiebreak="eid", strict_order=True)
+    assert _counts(loose) == {1: 1}
+    assert _counts(strict) == {1: 0}
+
+
+def test_strict_order_contiguous_chain_counts(spark):
+    rows = [(1, 1, 10, "a"), (1, 2, 20, "b"), (1, 3, 30, "a"),
+            (1, 4, 40, "b")]
+    strict = sequence_count(_ev(spark, rows), "u", "t", _steps("a", "b"),
+                            tiebreak="eid", strict_order=True)
+    assert _counts(strict) == {1: 2}
+
+
+def test_strict_order_interrupting_step_one_restarts(spark):
+    # a(armed) a(interrupts=restarts) b -> one chain from the SECOND a
+    rows = [(1, 1, 10, "a"), (1, 2, 20, "a"), (1, 3, 30, "b")]
+    strict = sequence_count(_ev(spark, rows), "u", "t", _steps("a", "b"),
+                            tiebreak="eid", strict_order=True)
+    assert _counts(strict) == {1: 1}
+    # a x a b -> x kills chain 1, second a re-arms, b completes
+    rows2 = [(1, 1, 10, "a"), (1, 2, 20, "x"), (1, 3, 30, "a"),
+             (1, 4, 40, "b")]
+    strict2 = sequence_count(_ev(spark, rows2), "u", "t", _steps("a", "b"),
+                             tiebreak="eid", strict_order=True)
+    assert _counts(strict2) == {1: 1}
+
+
+def test_strict_order_with_within_composes(spark):
+    # contiguous but too slow -> 0; contiguous and fast -> 1
+    rows = [(1, 1, 0, "a"), (1, 2, 100, "b"),
+            (2, 3, 0, "a"), (2, 4, 10, "b")]
+    out = sequence_count(_ev(spark, rows), "u", "t", _steps("a", "b"),
+                         tiebreak="eid", within=50.0, strict_order=True)
+    assert _counts(out) == {1: 0, 2: 1}
+    # expired + interrupted: a ... (expiry) x a b -> second a arms, completes
+    rows2 = [(1, 1, 0, "a"), (1, 2, 100, "x"), (1, 3, 110, "a"),
+             (1, 4, 120, "b")]
+    out2 = sequence_count(_ev(spark, rows2), "u", "t", _steps("a", "b"),
+                          tiebreak="eid", within=50.0, strict_order=True)
+    assert _counts(out2) == {1: 1}
