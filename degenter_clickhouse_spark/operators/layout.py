@@ -102,6 +102,55 @@ def bloom_options(
     return opts
 
 
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    keys: Sequence[str],
+    n_buckets: int = 32,
+    sort_by: Sequence[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed table write — the co-located-join layout.
+
+    Every ``groupBy``/``join`` on ``keys`` against a table bucketed on
+    the same keys with the same ``n_buckets`` reads pre-shuffled data:
+    Spark's scan reports the bucket spec as its output partitioning, so
+    the planner drops the Exchange entirely. Two fact tables co-bucketed
+    on their join key (the reference's trades x pool_matrix join shape,
+    api/routes/trades.js) join at 100 TB with ZERO shuffle — the single
+    most expensive stage of a large join is simply absent. ``sort_by``
+    additionally orders rows inside each bucket file, which also drops
+    the per-partition Sort of a sort-merge join when each bucket is one
+    file (guaranteed here by the pre-``repartition`` on the bucket
+    keys: one task per bucket writes exactly one file).
+
+    ClickHouse gets the same effect from sharding keys + local joins;
+    this is the Spark-native equivalent (Hive-style bucketing, v1
+    parquet datasource — ``spark.sql.sources.bucketing.enabled`` is on
+    by default). Equality predicates on the first bucket key also prune
+    buckets at planning time (``SelectedBucketsCount`` in the scan):
+    a point lookup reads 1/n_buckets of the table before any row-group
+    stats apply.
+
+    Bucketed layouts live in the session catalog (``saveAsTable``) —
+    plain ``.parquet(path)`` writes cannot carry a bucket spec. Pass
+    ``path`` to keep the files at an external location; the table name
+    is the handle either way (``spark.table(name)``).
+    """
+    w = (
+        df.repartition(n_buckets, *[F.col(k) for k in keys])
+        .write.format("parquet")
+        .mode(mode)
+        .bucketBy(n_buckets, *list(keys))
+    )
+    if sort_by:
+        w = w.sortBy(*list(sort_by))
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(name)
+
+
 def zorder_write(
     df: DataFrame,
     path: str,

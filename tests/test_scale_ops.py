@@ -333,3 +333,61 @@ def test_quantile_state_extreme_quantiles(spark):
     # q=0 -> rank clamps to 1 -> first occupied bin; q=1 -> last bin
     assert 0.0 <= lo_est <= 1.0
     assert 9.0 <= hi_est <= 10.0
+
+
+def test_bucketed_join_no_shuffle_and_bucket_pruning(spark, tmp_path):
+    """Co-bucketed tables join with ZERO Exchange in the executed plan
+    (the 100 TB co-located-join layout), results equal the plain join,
+    and an equality predicate on the bucket key prunes buckets at
+    planning time (SelectedBucketsCount)."""
+    from degenter_clickhouse_spark.operators.layout import write_bucketed
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    left = ev.select("event_id", "user_id", "value")
+    right = (
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    write_bucketed(
+        left, "bkt_left", ["user_id"], n_buckets=8,
+        sort_by=["user_id"], path=str(tmp_path / "l"),
+    )
+    write_bucketed(
+        right, "bkt_right", ["user_id"], n_buckets=8,
+        sort_by=["user_id"], path=str(tmp_path / "r"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bkt_left").join(spark.table("bkt_right"), "user_id")
+        rows = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan  # co-located: no shuffle at all
+        want = {
+            (r.event_id, r.n_events)
+            for r in left.join(right, "user_id").collect()
+        }
+        assert {(r.event_id, r.n_events) for r in rows} == want
+
+        # bucket pruning: point lookup on the bucket key reads 1/8
+        # buckets (autoBucketedScan would drop the bucket spec for a
+        # pure filter query — it only keeps it when a join/agg
+        # benefits — so pin it on for the pruning assertion)
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        probe = left.limit(1).first().user_id
+        scan = (
+            spark.table("bkt_left")
+            .filter(F.col("user_id") == probe)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SelectedBucketsCount: 1 out of 8" in scan, scan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+        )
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
