@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "sequence_count_windowed",  # time-gated chain automaton (EXTENDED)
     "winsorized_stats",  # winsorized + trimmed robust means (EXTENDED)
     "retrieval_eval",  # recall@k/precision@k/MRR harness (EXTENDED)
+    "graph_triangles",  # degree-oriented wedge-join triangle counts (EXTENDED)
 ]
 
 

@@ -174,6 +174,54 @@ def personalized_pagerank(
     return ranks
 
 
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts via degree-ordered edge orientation —
+    the standard scale-safe triangle algorithm (node-iterator++ /
+    compact-forward): orienting every undirected edge from its
+    lower-(degree, id) endpoint to the higher one bounds each node's
+    oriented out-degree by O(sqrt(m)) on any graph (arboricity bound),
+    so the wedge join below generates O(m^1.5) candidate wedges worst
+    case instead of the O(sum deg^2) a naive neighbor self-join pays —
+    at 100 TB the difference between a hot-node (celebrity vertex)
+    blowing up quadratically and a bounded plan.
+
+    Shape: 3 keyed equi-joins (orientation annotate, wedge join on the
+    middle vertex, closure probe on (a, c)) + one corner-explode agg.
+    No cartesian, no driver materialization; every shuffle is on a
+    node key. Deterministic: orientation ties break on node id.
+
+    ``edges``: any BIGINT (src, dst) edge list; treated as undirected,
+    self-loops and duplicate edges collapse. Returns (node BIGINT,
+    n_triangles BIGINT) for every node in >= 1 triangle.
+    """
+    sym = symmetrize(edges).filter(F.col("src") != F.col("dst"))
+    und = sym.filter(F.col("src") < F.col("dst"))
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ed = und.join(deg, "src").withColumnRenamed("d", "du").join(
+        deg.select(F.col("src").alias("dst"), F.col("d").alias("dv")), "dst"
+    )
+    # orient src -> dst iff (du, src) < (dv, dst); src < dst already,
+    # so the tie case keeps the canonical direction
+    keep = (F.col("du") < F.col("dv")) | (F.col("du") == F.col("dv"))
+    o = ed.select(
+        F.when(keep, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(keep, F.col("dst")).otherwise(F.col("src")).alias("v"),
+    ).localCheckpoint(eager=True)  # probed three times below
+    wedges = (
+        o.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .join(o.select(F.col("u").alias("b"), F.col("v").alias("c")), "b")
+    )
+    tri = wedges.join(
+        o.select(F.col("u").alias("a"), F.col("v").alias("c")), ["a", "c"]
+    )
+    corners = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
 def degree_stats(edges: DataFrame) -> DataFrame:
     """Degree distribution of an edge list: for each total degree
     (out-degree of ``src`` occurrences), how many nodes have it.

@@ -129,6 +129,81 @@ def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Triangle counting over the item-item co-occurrence graph: items are
+# linked when they share >= 25% of all active users (adaptive
+# threshold — scale-free, works at every oracle sf). Triangle density
+# is the classic community-structure / spam-farm signal on host
+# graphs feeding corpus curation. The oracle replays the SAME
+# degree-ordered orientation, so counts match exactly.
+# ---------------------------------------------------------------------------
+
+TRIANGLES_ORACLE = """
+WITH ui AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+),
+nu AS (SELECT COUNT(DISTINCT user_id) AS n FROM ui),
+ce AS (
+  SELECT a.k AS u, b.k AS v, COUNT(*) AS shared
+  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.k < b.k
+  GROUP BY a.k, b.k
+),
+und AS (SELECT u, v FROM ce WHERE shared * 4 >= (SELECT n FROM nu)),
+sym AS (SELECT u AS src, v AS dst FROM und
+        UNION ALL SELECT v, u FROM und),
+deg AS (SELECT src, COUNT(*) AS d FROM sym GROUP BY src),
+o AS (
+  SELECT CASE WHEN du.d <= dv.d THEN e.u ELSE e.v END AS u,
+         CASE WHEN du.d <= dv.d THEN e.v ELSE e.u END AS v
+  FROM und e JOIN deg du ON e.u = du.src JOIN deg dv ON e.v = dv.src
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM o e1
+  JOIN o e2 ON e1.v = e2.u
+  JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY node
+ORDER BY n_triangles DESC, node
+LIMIT 20
+"""
+
+
+@register_extended("graph_triangles", TRIANGLES_ORACLE)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 items by triangle membership in the >= 25%-shared-users
+    item co-occurrence graph (degree-ordered orientation — see
+    operators/graph.triangle_counts for the O(m^1.5) bound)."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    ui = ev.select("user_id", k.alias("k")).distinct()
+    nu = ui.agg(F.countDistinct("user_id").alias("__n_users"))
+    a = ui.select("user_id", F.col("k").alias("u"))
+    b = ui.select("user_id", F.col("k").alias("v"))
+    edges = (
+        a.join(b, "user_id")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .crossJoin(F.broadcast(nu))
+        .filter(F.col("shared") * 4 >= F.col("__n_users"))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+    return (
+        graph.triangle_counts(edges)
+        .orderBy(F.desc("n_triangles"), "node")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Personalized PageRank: teleport mass lands only on a curated seed
 # set (items with k < 10) — TrustRank-style corpus-quality expansion.
 # ---------------------------------------------------------------------------

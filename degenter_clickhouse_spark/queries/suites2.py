@@ -143,8 +143,10 @@ from .er_ext import SNM_ORACLE, q_fuzzy_snm
 from .graph_ext import (
     DEGREE_ORACLE,
     PAGERANK_ORACLE,
+    TRIANGLES_ORACLE,
     q_graph_degree_stats,
     q_graph_pagerank,
+    q_graph_triangles,
 )
 from .quality_ext import QUALITY_ORACLE, q_data_quality
 
@@ -469,9 +471,9 @@ def q_dedup_baseline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # behavioral_suite = twap_vwap + window_funnel + retention_cohorts
-#                  + moving_stats + ema_bars + pagerank/degree + anomaly
-#                  + sequence_count (the ClickHouse behavioral-
-#                  analytics aggregate family)
+#                  + moving_stats + ema_bars + pagerank/degree/triangles
+#                  + anomaly + sequence_count (the ClickHouse
+#                  behavioral-analytics aggregate family)
 # schema: (part, k1..k4 BIGINT, s STRING, v1..v3 DOUBLE, n BIGINT)
 # ---------------------------------------------------------------------------
 
@@ -512,6 +514,11 @@ SELECT 'degree', degree, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
        CAST(-1 AS BIGINT), CAST(NULL AS VARCHAR), CAST(-1.0 AS DOUBLE),
        CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), n_nodes
 FROM ({DEGREE_ORACLE})
+UNION ALL
+SELECT 'triangles', node, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       CAST(-1 AS BIGINT), CAST(NULL AS VARCHAR), CAST(-1.0 AS DOUBLE),
+       CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), n_triangles
+FROM ({TRIANGLES_ORACLE})
 UNION ALL
 SELECT 'anomaly', event_id, user_id, dev2_num, var9_num,
        CAST(NULL AS VARCHAR), CAST(is_anomaly AS DOUBLE),
@@ -611,6 +618,18 @@ def q_behavioral_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NO_V().alias("v3"),
         F.col("n_nodes").alias("n"),
     )
+    tc = q_graph_triangles(spark, sf_dir).select(
+        F.lit("triangles").alias("part"),
+        F.col("node").alias("k1"),
+        _NO_K().alias("k2"),
+        _NO_K().alias("k3"),
+        _NO_K().alias("k4"),
+        _NO_S().alias("s"),
+        _NO_V().alias("v1"),
+        _NO_V().alias("v2"),
+        _NO_V().alias("v3"),
+        F.col("n_triangles").alias("n"),
+    )
     an = q_value_anomalies(spark, sf_dir).select(
         F.lit("anomaly").alias("part"),
         F.col("event_id").cast("long").alias("k1"),
@@ -642,6 +661,7 @@ def q_behavioral_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(em)
         .unionByName(pr)
         .unionByName(dg)
+        .unionByName(tc)
         .unionByName(an)
         .unionByName(sq)
     )

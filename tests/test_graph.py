@@ -115,3 +115,50 @@ def test_connected_components(spark):
     e = _edges(spark, [(1, 2), (2, 3), (10, 11), (20, 20)])
     got = {tuple(r) for r in graph.connected_components(e).collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20)}
+
+
+def _naive_triangles(pairs):
+    """Reference: per-node triangle membership by brute enumeration."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    adj = defaultdict(set)
+    for u, v in pairs:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    counts = defaultdict(int)
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            counts[a] += 1
+            counts[b] += 1
+            counts[c] += 1
+    return dict(counts)
+
+
+def test_triangle_counts_match_naive(spark):
+    """Degree-oriented wedge join equals brute enumeration on a graph
+    with a hub (skewed degrees), a clique, a chordless cycle, dup and
+    self-loop edges."""
+    pairs = (
+        [(0, i) for i in range(1, 8)]        # hub star (no triangles alone)
+        + [(1, 2), (2, 3), (1, 3)]           # triangles with hub + own
+        + [(10, 11), (11, 12), (12, 13), (13, 10)]  # C4: no triangles
+        + [(20, 21), (21, 22), (22, 20), (20, 22), (21, 21)]  # dup + loop
+    )
+    got = dict(
+        graph.triangle_counts(_edges(spark, pairs)).collect()
+    )
+    assert got == _naive_triangles(pairs)
+
+
+def test_triangle_counts_direction_invariant(spark):
+    """Reversed / doubled edge lists count identically (undirected)."""
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1)]
+    fwd = dict(graph.triangle_counts(_edges(spark, pairs)).collect())
+    rev = dict(
+        graph.triangle_counts(
+            _edges(spark, [(b, a) for a, b in pairs] + pairs)
+        ).collect()
+    )
+    assert fwd == rev == _naive_triangles(pairs)

@@ -212,6 +212,9 @@ SCALE_SHAPE_QUERIES = {
     # over the per-query metric frame (queries x metrics rows), never
     # the corpus
     "retrieval_eval": 1,
+    # the 1 is the one-row n_users threshold aggregate (broadcast into
+    # the edge filter); all triangle joins shuffle on node keys
+    "graph_triangles": 1,
 }
 
 
