@@ -54,6 +54,63 @@ def streaming_bars(
     )
 
 
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "pool_id",
+    left_ts: str = "ts",
+    right_ts: str = "tick_ts",
+    lower: str = "1 minute",
+    upper: str = "0 seconds",
+    left_watermark: str = "10 minutes",
+    right_watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — TWO live streams
+    joined at event time (the streaming sibling of the batch
+    ``range_join``; the reference enriches trades with ticks in batch,
+    api/routes/trades.js — this is the form where both sides arrive
+    continuously).
+
+    Matches ``l`` with every ``r`` of the same ``key`` whose
+    ``right_ts`` lies in ``[l.left_ts - lower, l.left_ts + upper]``.
+    Both sides carry a watermark AND the join condition bounds the
+    event-time distance, so Spark's state store evicts buffered rows
+    as the watermarks advance — state is bounded by (key cardinality x
+    interval width x arrival rate), never by stream history. Without
+    the time-range condition a stream-stream join would buffer both
+    streams forever; this shape is what makes the join runnable on an
+    unbounded 100 TB/day feed.
+
+    ``how='inner'`` emits matches as soon as both rows arrive;
+    ``how='leftOuter'`` additionally emits unmatched left rows
+    null-padded once the watermark proves no match can still arrive.
+    ``right_ts`` must differ from ``left_ts`` (rename upstream) so the
+    output is unambiguous; the join key keeps one column.
+    """
+    if left_ts == right_ts:
+        raise ValueError(
+            "streaming_interval_join: rename one side's event-time "
+            f"column — both are {left_ts!r}"
+        )
+    lw = left.withWatermark(left_ts, left_watermark)
+    rw = right.withWatermark(right_ts, right_watermark).withColumnRenamed(
+        key, "__rkey"
+    )
+    cond = (
+        (F.col(key) == F.col("__rkey"))
+        & (
+            F.col(right_ts)
+            >= F.col(left_ts) - F.expr(f"INTERVAL {lower}")
+        )
+        & (
+            F.col(right_ts)
+            <= F.col(left_ts) + F.expr(f"INTERVAL {upper}")
+        )
+    )
+    return lw.join(rw, cond, how).drop("__rkey")
+
+
 def streaming_sessions(
     events: DataFrame,
     gap: str = "30 minutes",

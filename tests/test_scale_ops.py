@@ -391,3 +391,120 @@ def test_bucketed_join_no_shuffle_and_bucket_pruning(spark, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_streaming_interval_join_inner_and_outer(spark, tmp_path):
+    """TWO live streams joined at event time: inner matches equal the
+    batch interval join; leftOuter additionally null-pads trades whose
+    match window the watermark has closed (and withholds trades whose
+    window could still fill)."""
+    from degenter_clickhouse_spark.streaming.windows import (
+        streaming_interval_join,
+    )
+
+    trades_dir, ticks_dir = tmp_path / "trades", tmp_path / "ticks"
+    trades_dir.mkdir()
+    ticks_dir.mkdir()
+    trades = [
+        {"pool_id": 1, "trade_id": 1, "ts": "2024-05-01 10:05:00"},
+        {"pool_id": 1, "trade_id": 2, "ts": "2024-05-01 10:20:00"},  # no tick
+        {"pool_id": 2, "trade_id": 3, "ts": "2024-05-01 10:06:00"},
+        # watermark pusher on the left stream
+        {"pool_id": 9, "trade_id": 99, "ts": "2024-05-01 12:00:00"},
+    ]
+    ticks = [
+        {"pool_id": 1, "tick_id": 10, "price": 1.5,
+         "tick_ts": "2024-05-01 10:04:30"},  # in [10:04, 10:05] of trade 1
+        {"pool_id": 1, "tick_id": 11, "price": 1.6,
+         "tick_ts": "2024-05-01 10:05:00"},  # boundary: also matches
+        {"pool_id": 2, "tick_id": 12, "price": 9.0,
+         "tick_ts": "2024-05-01 10:03:00"},  # too old for trade 3
+        # watermark pusher on the right stream
+        {"pool_id": 9, "tick_id": 99, "price": 0.0,
+         "tick_ts": "2024-05-01 12:00:00"},
+    ]
+    (trades_dir / "a.json").write_text(
+        "\n".join(json.dumps(r) for r in trades)
+    )
+    (ticks_dir / "a.json").write_text("\n".join(json.dumps(r) for r in ticks))
+
+    def run(how, out):
+        lt = spark.readStream.schema(
+            "pool_id long, trade_id long, ts timestamp"
+        ).json(str(trades_dir))
+        rt = spark.readStream.schema(
+            "pool_id long, tick_id long, price double, tick_ts timestamp"
+        ).json(str(ticks_dir))
+        j = streaming_interval_join(
+            lt, rt, key="pool_id", left_ts="ts", right_ts="tick_ts",
+            lower="1 minute", upper="0 seconds", how=how,
+        ).select("pool_id", "trade_id", "tick_id", "price")
+        q = (
+            j.writeStream.format("parquet")
+            .option("path", str(tmp_path / out))
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{out}"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(str(tmp_path / out))
+
+    inner = {
+        (r.trade_id, r.tick_id) for r in run("inner", "inner_out").collect()
+    }
+    assert inner == {(1, 10), (1, 11), (99, 99)}
+
+    outer = {
+        r.trade_id: (r.tick_id, r.price)
+        for r in run("leftOuter", "outer_out").collect()
+        if r.tick_id is None
+    }
+    # trade 2 and 3 have no tick in window; their windows are closed by
+    # the 12:00 watermark pushers -> emitted null-padded. The pusher
+    # trade's own window is still open -> withheld from outer output.
+    assert set(outer) == {2, 3}
+    assert all(v == (None, None) for v in outer.values())
+
+
+def test_agg_map_merge_equals_direct(spark):
+    """sumMap/minMap/maxMap mergeability: folding per-day partial maps
+    (merge_maps) must equal the direct fold over raw rows — the
+    AggregatingMergeTree contract that lets rollups answer any range
+    by merging states instead of rescanning."""
+    from degenter_clickhouse_spark.operators.maps import agg_map, merge_maps
+
+    ev = catalog.load_table(spark, SF_DIR, "events")
+    m = ev.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.create_map(
+            F.col("event_type"), F.col("value").cast("decimal(25,6)"),
+            F.lit("_n"), F.lit(1).cast("decimal(25,6)"),
+        ).alias("m"),
+    )
+    for how in ("sum", "min", "max"):
+        direct = {
+            r.user_id: sorted(r.fm.items())
+            for r in agg_map(m, ["user_id"], "m", how=how, out="fm").collect()
+        }
+        partial = agg_map(m, ["user_id", "day"], "m", how=how, out="fm")
+        merged = {
+            r.user_id: sorted(r.fm.items())
+            for r in merge_maps(
+                partial, ["user_id"], "fm", how=how
+            ).collect()
+        }
+        assert merged == direct, how
+
+
+def test_agg_map_rejects_bad_fold(spark):
+    import pytest as _pytest
+
+    from degenter_clickhouse_spark.operators.maps import agg_map
+
+    ev = catalog.load_table(spark, SF_DIR, "events").select(
+        "user_id", F.create_map(F.col("event_type"), F.col("value")).alias("m")
+    )
+    with _pytest.raises(ValueError):
+        agg_map(ev, ["user_id"], "m", how="avg")
