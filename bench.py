@@ -105,6 +105,8 @@ BENCH_QUERIES = [
     "winsorized_stats",  # winsorized + trimmed robust means (EXTENDED)
     "retrieval_eval",  # recall@k/precision@k/MRR harness (EXTENDED)
     "graph_triangles",  # degree-oriented wedge-join triangle counts (EXTENDED)
+    "rank_functions",  # rank/ntile/percent_rank/cume_dist per-key windows (EXTENDED)
+    "map_aggregates",  # sumMap/minMap/maxMap key-wise folds (EXTENDED)
 ]
 
 

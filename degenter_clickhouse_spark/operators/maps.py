@@ -1,0 +1,72 @@
+"""Mergeable map-typed aggregates — the ClickHouse ``sumMap`` /
+``minMap`` / ``maxMap`` family (reference rollups accumulate
+(key -> amount) maps per group, e.g. per-token side/venue volume
+breakdowns; phase3schema.sql's AggregatingMergeTree states).
+
+Semantics: each input row carries a ``map<K, V>``; the group result is
+the key-wise fold (sum/min/max) of all entry multisets, as a map whose
+entries are sorted by key (deterministic across shuffle orders).
+
+Spark-native shape — NOT a collect_list of maps (which would move
+whole maps into one reducer's memory): entries explode to rows, fold
+in ONE hash aggregation with map-side partials (the per-entry combine
+is where 100 TB of maps compresses to |group keys| x |map keys| rows),
+then re-assemble per group. Because sum/min/max are associative, the
+same operator applied to already-aggregated map rows is the merge
+(``sumMapMerge`` analogue) — asserted equal to the direct fold in
+tests/test_scale_ops.py.
+
+For bit-stable double sums across engines/partitionings, cast map
+values to DECIMAL upstream (see queries/stats_ext.q_map_aggregates).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_FOLDS = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
+def agg_map(
+    df: DataFrame,
+    keys: Sequence[str],
+    map_col: str,
+    how: str = "sum",
+    out: str | None = None,
+) -> DataFrame:
+    """Key-wise fold of a map column per group: ClickHouse
+    ``{how}Map``. Returns ``keys + [out]`` where ``out`` is a map with
+    entries sorted by key. Missing keys are absent (ClickHouse
+    semantics: only observed keys appear), never zero-filled."""
+    if how not in _FOLDS:
+        raise ValueError(f"agg_map: how must be one of {sorted(_FOLDS)}")
+    out = out or f"{how}_map"
+    ks = list(keys)
+    exploded = df.select(
+        *ks, F.explode(F.col(map_col)).alias("__mk", "__mv")
+    )
+    folded = exploded.groupBy(*ks, "__mk").agg(
+        _FOLDS[how]("__mv").alias("__fv")
+    )
+    return folded.groupBy(*ks).agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("__mk", "__fv")))
+        ).alias(out)
+    )
+
+
+def merge_maps(
+    df: DataFrame,
+    keys: Sequence[str],
+    map_col: str,
+    how: str = "sum",
+    out: str | None = None,
+) -> DataFrame:
+    """Merge pre-aggregated map states (``sumMapMerge`` analogue) —
+    identical algorithm, named separately to mark the rollup seam:
+    partial maps built per partition/day/shard re-fold to the global
+    answer without rescanning raw rows."""
+    return agg_map(df, keys, map_col, how=how, out=out or map_col)

@@ -1069,3 +1069,123 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6), 6,
         ).alias("trimmed_mean"),
     ).select("event_type", "n", "winsor_mean", "trimmed_mean", "p05", "p95")
+
+
+# ---------------------------------------------------------------------------
+# Analytic rank-function family (ClickHouse window functions /
+# rank-transform parity): rank, dense_rank, percent_rank, cume_dist
+# over a TIES-bearing order (o_orderpriority has 5 distinct values, so
+# peer groups are real), plus ntile + row_number over the fully
+# tie-broken order (ntile depends on row order, so it must be total).
+# Deterministic: rank-family values depend only on the peer multiset;
+# percent_rank/cume_dist are IEEE divisions of the same small integers
+# in both engines — bit-identical. Per-customer windows: the shuffle
+# key is o_custkey, never a global sort.
+# ---------------------------------------------------------------------------
+
+RANK_FUNCTIONS_ORACLE = """
+SELECT CAST(o_custkey AS BIGINT) AS custkey,
+       CAST(o_orderkey AS BIGINT) AS orderkey,
+       CAST(rank() OVER w1 AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w1 AS BIGINT) AS drnk,
+       percent_rank() OVER w1 AS prank,
+       cume_dist() OVER w1 AS cdist,
+       CAST(ntile(4) OVER w2 AS BIGINT) AS tile,
+       CAST(row_number() OVER w2 AS BIGINT) AS rn
+FROM orders
+WHERE o_custkey % 10 = 0
+WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderpriority),
+       w2 AS (PARTITION BY o_custkey ORDER BY o_orderpriority, o_orderkey)
+"""
+
+
+@register_extended("rank_functions", RANK_FUNCTIONS_ORACLE)
+def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .. import catalog
+
+    o = catalog.load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 10 == 0
+    )
+    w1 = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    w2 = Window.partitionBy("o_custkey").orderBy(
+        "o_orderpriority", "o_orderkey"
+    )
+    return o.select(
+        F.col("o_custkey").cast("long").alias("custkey"),
+        F.col("o_orderkey").cast("long").alias("orderkey"),
+        F.rank().over(w1).cast("long").alias("rnk"),
+        F.dense_rank().over(w1).cast("long").alias("drnk"),
+        F.percent_rank().over(w1).alias("prank"),
+        F.cume_dist().over(w1).alias("cdist"),
+        F.ntile(4).over(w2).cast("long").alias("tile"),
+        F.row_number().over(w2).cast("long").alias("rn"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Map-typed aggregate family (ClickHouse sumMap/minMap/maxMap): each
+# event row carries a map {event_type -> value, '_n' -> 1}; the
+# per-user fold is the key-wise sum/min/max. The oracle computes the
+# same cells directly per (user, key) — an independent formulation, so
+# agreement validates the explode-fold-reassemble pipeline, not just
+# the arithmetic. DECIMAL values keep the sum bit-stable.
+# ---------------------------------------------------------------------------
+
+MAP_AGG_ORACLE = """
+WITH base AS (
+  SELECT user_id, event_type, CAST(value AS DECIMAL(25, 6)) AS v
+  FROM events
+)
+SELECT 'sum' AS part, CAST(user_id AS BIGINT) AS user_id,
+       event_type AS mkey, CAST(SUM(v) AS DOUBLE) AS val
+FROM base GROUP BY user_id, event_type
+UNION ALL
+SELECT 'sum', CAST(user_id AS BIGINT), '_n', CAST(COUNT(*) AS DOUBLE)
+FROM base GROUP BY user_id
+UNION ALL
+SELECT 'min', CAST(user_id AS BIGINT), event_type, CAST(MIN(v) AS DOUBLE)
+FROM base GROUP BY user_id, event_type
+UNION ALL
+SELECT 'min', CAST(user_id AS BIGINT), '_n', CAST(1 AS DOUBLE)
+FROM base GROUP BY user_id
+UNION ALL
+SELECT 'max', CAST(user_id AS BIGINT), event_type, CAST(MAX(v) AS DOUBLE)
+FROM base GROUP BY user_id, event_type
+UNION ALL
+SELECT 'max', CAST(user_id AS BIGINT), '_n', CAST(1 AS DOUBLE)
+FROM base GROUP BY user_id
+"""
+
+
+@register_extended("map_aggregates", MAP_AGG_ORACLE)
+def q_map_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import catalog
+    from ..operators.maps import agg_map
+
+    ev = catalog.load_table(spark, sf_dir, "events")
+    m = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.create_map(
+            F.col("event_type"), F.col("value").cast("decimal(25,6)"),
+            F.lit("_n"), F.lit(1).cast("decimal(25,6)"),
+        ).alias("m"),
+    )
+    parts = []
+    for how in ("sum", "min", "max"):
+        folded = agg_map(m, ["user_id"], "m", how=how, out="fm")
+        parts.append(
+            folded.select(
+                F.lit(how).alias("part"),
+                "user_id",
+                F.explode("fm").alias("mkey", "__v"),
+            ).select(
+                "part", "user_id", "mkey",
+                F.col("__v").cast("double").alias("val"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -114,7 +114,9 @@ from .stats_ext import (
     MOVING_STATS_ORACLE,
     QUANTILE_ORACLE,
     CUBE_ORACLE,
+    MAP_AGG_ORACLE,
     QUANTILE_STATE_ORACLE,
+    RANK_FUNCTIONS_ORACLE,
     RETENTION_ORACLE,
     ROLLUP_ORACLE,
     SEQUENCE_COUNT_ORACLE,
@@ -126,8 +128,10 @@ from .stats_ext import (
     q_length_histogram,
     q_moving_stats,
     q_cube_totals,
+    q_map_aggregates,
     q_quantile_state_merge,
     q_quantile_summary,
+    q_rank_functions,
     q_retention_cohorts,
     q_robust_stats,
     q_rollup_totals,
@@ -520,6 +524,15 @@ SELECT 'triangles', node, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
        CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), n_triangles
 FROM ({TRIANGLES_ORACLE})
 UNION ALL
+SELECT 'ranks', custkey, orderkey, rnk, drnk, CAST(NULL AS VARCHAR),
+       prank, cdist, CAST(tile AS DOUBLE), rn
+FROM ({RANK_FUNCTIONS_ORACLE})
+UNION ALL
+SELECT 'map:' || part, user_id, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       CAST(-1 AS BIGINT), mkey, val, CAST(-1.0 AS DOUBLE),
+       CAST(-1.0 AS DOUBLE), CAST(-1 AS BIGINT)
+FROM ({MAP_AGG_ORACLE})
+UNION ALL
 SELECT 'anomaly', event_id, user_id, dev2_num, var9_num,
        CAST(NULL AS VARCHAR), CAST(is_anomaly AS DOUBLE),
        CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), n_window
@@ -618,6 +631,30 @@ def q_behavioral_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NO_V().alias("v3"),
         F.col("n_nodes").alias("n"),
     )
+    mp = q_map_aggregates(spark, sf_dir).select(
+        F.concat(F.lit("map:"), F.col("part")).alias("part"),
+        F.col("user_id").alias("k1"),
+        _NO_K().alias("k2"),
+        _NO_K().alias("k3"),
+        _NO_K().alias("k4"),
+        F.col("mkey").alias("s"),
+        F.col("val").alias("v1"),
+        _NO_V().alias("v2"),
+        _NO_V().alias("v3"),
+        _NO_K().alias("n"),
+    )
+    rk = q_rank_functions(spark, sf_dir).select(
+        F.lit("ranks").alias("part"),
+        F.col("custkey").alias("k1"),
+        F.col("orderkey").alias("k2"),
+        F.col("rnk").alias("k3"),
+        F.col("drnk").alias("k4"),
+        _NO_S().alias("s"),
+        F.col("prank").alias("v1"),
+        F.col("cdist").alias("v2"),
+        F.col("tile").cast("double").alias("v3"),
+        F.col("rn").alias("n"),
+    )
     tc = q_graph_triangles(spark, sf_dir).select(
         F.lit("triangles").alias("part"),
         F.col("node").alias("k1"),
@@ -662,6 +699,8 @@ def q_behavioral_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pr)
         .unionByName(dg)
         .unionByName(tc)
+        .unionByName(rk)
+        .unionByName(mp)
         .unionByName(an)
         .unionByName(sq)
     )

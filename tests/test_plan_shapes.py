@@ -215,6 +215,8 @@ SCALE_SHAPE_QUERIES = {
     # the 1 is the one-row n_users threshold aggregate (broadcast into
     # the edge filter); all triangle joins shuffle on node keys
     "graph_triangles": 1,
+    "rank_functions": 0,  # per-customer windows, never a global sort
+    "map_aggregates": 0,  # entry explode + two keyed aggs, no funnel
 }
 
 
