@@ -272,6 +272,27 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--vec-col", default="embedding")
     pc.add_argument("--output", help="projected parquet output (project)")
 
+    pqp = sub.add_parser(
+        "index-pq",
+        help="product-quantization ANN index: build 16x-compressed "
+        "codes once, ADC-search many (optional exact rerank)",
+    )
+    pqp.add_argument("action", choices=["build", "search"])
+    pqp.add_argument("--index", required=True, help="index path")
+    pqp.add_argument("--input", required=True, help="embeddings parquet")
+    pqp.add_argument("--m-sub", type=int, default=16, help="subspaces (build)")
+    pqp.add_argument(
+        "--k-sub", type=int, default=16, help="centroids per subspace (build)"
+    )
+    pqp.add_argument("--vec-col", default="embedding")
+    pqp.add_argument("--id-col", default="vec_id")
+    pqp.add_argument("--k", type=int, default=5, help="top-k (search)")
+    pqp.add_argument(
+        "--rerank",
+        action="store_true",
+        help="exact-rerank the ADC shortlist against --input vectors",
+    )
+
     va = sub.add_parser(
         "validate",
         help="data-quality constraint report (deequ-style ingest gate)",
@@ -579,6 +600,25 @@ def main(argv: list[str] | None = None) -> int:
                 quantize=args.quantize,
             )
             print("indexed:", vecs.count())
+        return 0
+    if args.cmd == "index-pq":
+        from .llm.pq import build_pq_index, pq_search
+
+        vecs = spark.read.parquet(args.input)
+        if args.action == "build":
+            build_pq_index(
+                vecs, args.index, m_sub=args.m_sub, k_sub=args.k_sub,
+                id_col=args.id_col, vec=args.vec_col,
+            )
+            print("indexed:", vecs.count())
+            return 0
+        res = pq_search(
+            spark, args.index, vecs, k=args.k,
+            id_col=args.id_col, vec=args.vec_col,
+            rerank_with=vecs if args.rerank else None,
+        )
+        for r in res.collect():
+            print(r["q_id"], r["rank"], r["c_id"], r["score"])
         return 0
     if args.cmd == "search":
         from .llm.clean import text_index_search

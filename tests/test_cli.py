@@ -229,3 +229,19 @@ def test_cli_pca_fit_and_project(spark, tmp_path):
     assert "pca" in df.columns
     row = df.select("pca").first()
     assert len(row["pca"]) == 3
+
+
+def test_cli_index_pq_build_and_search(spark, tmp_path, capsys):
+    idx = str(tmp_path / "pqidx")
+    emb = f"{SF_DIR}/embeddings.parquet"
+    assert main(["index-pq", "build", "--index", idx, "--input", emb]) == 0
+    assert "indexed: " in capsys.readouterr().out
+    assert main([
+        "index-pq", "search", "--index", idx, "--input", emb,
+        "--k", "3", "--rerank",
+    ]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    # every query vector gets exactly k result lines (q_id rank c_id score)
+    n_vecs = spark.read.parquet(emb).count()
+    assert len(out) == 3 * n_vecs
+    assert all(len(line.split()) == 4 for line in out)

@@ -1,0 +1,109 @@
+"""Product-quantization ANN: recall vs the exact scan, compression,
+determinism, artifact roundtrip."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from degenter_clickhouse_spark.llm import pq, similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _vectors(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+
+def test_pq_recall_vs_brute(spark):
+    """Plain ADC top-10 keeps signal even on this repo's isotropic
+    synthetic vectors (PQ's worst case: intrinsic dim == d), and the
+    two-stage ADC-shortlist + exact-rerank path recovers almost all
+    of the exact top-10 (measured 0.97 at shortlist=100; asserted
+    with margin for codebook drift under testdata regeneration)."""
+    vecs = _vectors(spark)
+    queries = vecs.filter(F.col("vec_id") % 25 == 0)
+    books = pq.fit_pq_codebooks(vecs)
+    encoded = pq.pq_encode(vecs, books)
+    exact = {
+        (r.q_id, r.c_id)
+        for r in similarity.brute_topk(queries, vecs, k=10).collect()
+    }
+    adc = {
+        (r.q_id, r.c_id)
+        for r in pq.pq_topk(queries, encoded, books, k=10).collect()
+    }
+    assert len(adc & exact) / len(exact) >= 0.35, len(adc & exact) / len(exact)
+    reranked = {
+        (r.q_id, r.c_id)
+        for r in pq.pq_topk(
+            queries, encoded, books, k=10,
+            rerank_with=vecs, shortlist=100,
+        ).collect()
+    }
+    assert len(reranked & exact) / len(exact) >= 0.85, (
+        len(reranked & exact) / len(exact)
+    )
+
+
+def test_pq_codes_compress_vs_floats(spark, tmp_path):
+    """The persisted code table must be far smaller than the float
+    vectors it replaces (8 small ints + norm vs 64 floats)."""
+    vecs = _vectors(spark)
+    pq.build_pq_index(vecs, str(tmp_path / "pqidx"))
+    vecs.write.parquet(str(tmp_path / "floats"))
+
+    def total(d):
+        return sum(
+            os.path.getsize(p)
+            for p in glob.glob(str(tmp_path / d) + "/**/*.parquet",
+                               recursive=True)
+        )
+
+    assert total("pqidx/codes") < 0.5 * total("floats"), (
+        total("pqidx/codes"), total("floats")
+    )
+
+
+def test_pq_encode_deterministic_across_partitionings(spark):
+    vecs = _vectors(spark)
+    books = pq.fit_pq_codebooks(vecs)
+    a = {r.vec_id: r.codes for r in pq.pq_encode(vecs, books).collect()}
+    b = {
+        r.vec_id: r.codes
+        for r in pq.pq_encode(vecs.repartition(13), books).collect()
+    }
+    assert a == b
+
+
+def test_pq_index_artifact_roundtrip(spark, tmp_path):
+    """pq_search over the persisted artifact equals in-memory
+    pq_topk bit-for-bit (same fit determinism contract as LM/DSIR/
+    BPE/PCA models)."""
+    vecs = _vectors(spark)
+    queries = vecs.filter(F.col("vec_id") % 50 == 0)
+    path = str(tmp_path / "pqidx")
+    pq.build_pq_index(vecs, path)
+    books = pq.fit_pq_codebooks(vecs)
+    encoded = pq.pq_encode(vecs, books)
+    direct = {
+        (r.q_id, r.rank): (r.c_id, r.score)
+        for r in pq.pq_topk(queries, encoded, books, k=5).collect()
+    }
+    from_artifact = {
+        (r.q_id, r.rank): (r.c_id, r.score)
+        for r in pq.pq_search(spark, path, queries, k=5).collect()
+    }
+    assert direct == from_artifact
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    import pytest as _pytest
+
+    vecs = _vectors(spark)
+    with _pytest.raises(ValueError):
+        pq.fit_pq_codebooks(vecs, m_sub=7)
