@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "graph_triangles",  # degree-oriented wedge-join triangle counts (EXTENDED)
     "rank_functions",  # rank/ntile/percent_rank/cume_dist per-key windows (EXTENDED)
     "map_aggregates",  # sumMap/minMap/maxMap key-wise folds (EXTENDED)
+    "audience_overlap",  # exact bitmap-state pairwise intersections (EXTENDED)
+    "graph_communities",  # deterministic synchronous label propagation (EXTENDED)
 ]
 
 

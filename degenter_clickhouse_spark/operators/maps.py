@@ -70,3 +70,38 @@ def merge_maps(
     partial maps built per partition/day/shard re-fold to the global
     answer without rescanning raw rows."""
     return agg_map(df, keys, map_col, how=how, out=out or map_col)
+
+
+# ---------------------------------------------------------------------------
+# Exact set states (ClickHouse groupBitmap / groupBitmapAnd/Or): the
+# group's member-id set as a sorted array — a mergeable EXACT distinct
+# state for bounded-cardinality ids (audience/segment analytics, where
+# set INTERSECTIONS are the question HLL cannot answer: sketch unions
+# are lossless but intersections are not). State size is O(distinct
+# ids per group) — the same envelope as ClickHouse's bitmaps; for
+# unbounded cardinality use operators/skew.distinct_state (HLL).
+# ---------------------------------------------------------------------------
+
+
+def bitmap_state(
+    df: DataFrame, keys: Sequence[str], id_col: str, out: str = "bm"
+) -> DataFrame:
+    """(keys, bm sorted-distinct array, n member count). One hash agg
+    with map-side partial collect_sets."""
+    return df.groupBy(*keys).agg(
+        F.array_sort(F.collect_set(F.col(id_col))).alias(out),
+        F.countDistinct(F.col(id_col)).alias("n"),
+    )
+
+
+def bitmap_merge(
+    df: DataFrame, keys: Sequence[str], bm_col: str = "bm"
+) -> DataFrame:
+    """Merge partial bitmap states (groupBitmapMergeState analogue):
+    per-day/shard states re-fold to the global set without rescanning
+    raw rows."""
+    return df.groupBy(*keys).agg(
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list(F.col(bm_col))))
+        ).alias(bm_col)
+    ).withColumn("n", F.size(F.col(bm_col)).cast("long"))

@@ -1189,3 +1189,61 @@ def q_map_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Exact audience overlap via bitmap states (ClickHouse groupBitmapAnd):
+# for every pair of event types, how many users did BOTH, plus the
+# Jaccard overlap. The Spark plan folds each type's audience into one
+# sorted-array state (8 rows total), then intersects states pairwise —
+# the corpus is scanned ONCE; the oracle recomputes each cell from raw
+# rows with an independent self-join formulation.
+# ---------------------------------------------------------------------------
+
+AUDIENCE_OVERLAP_ORACLE = """
+WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+cnt AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type),
+ovl AS (
+  SELECT a.event_type AS t1, b.event_type AS t2,
+         COUNT(*) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT b.t1, b.t2, CAST(c1.n AS BIGINT) AS n1, CAST(c2.n AS BIGINT) AS n2,
+       CAST(b.n_both AS BIGINT) AS n_both,
+       CAST(b.n_both AS DOUBLE) / (c1.n + c2.n - b.n_both) AS jaccard
+FROM ovl b
+JOIN cnt c1 ON b.t1 = c1.event_type
+JOIN cnt c2 ON b.t2 = c2.event_type
+"""
+
+
+@register_extended("audience_overlap", AUDIENCE_OVERLAP_ORACLE)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import catalog
+    from ..operators.maps import bitmap_state
+
+    ev = catalog.load_table(spark, sf_dir, "events")
+    st = bitmap_state(ev, ["event_type"], "user_id")
+    a = st.select(
+        F.col("event_type").alias("t1"),
+        F.col("bm").alias("bm1"),
+        F.col("n").alias("n1"),
+    )
+    b = st.select(
+        F.col("event_type").alias("t2"),
+        F.col("bm").alias("bm2"),
+        F.col("n").alias("n2"),
+    )
+    # states are |event types| rows — the pair join is dimension-sized
+    pairs = a.join(dim_broadcast(b), F.col("t1") < F.col("t2"))
+    n_both = F.size(F.array_intersect("bm1", "bm2")).cast("long")
+    return pairs.select(
+        "t1", "t2", "n1", "n2",
+        n_both.alias("n_both"),
+        (
+            n_both.cast("double")
+            / (F.col("n1") + F.col("n2") - n_both)
+        ).alias("jaccard"),
+    )

@@ -108,6 +108,7 @@ from .llm import (
 )
 from .stats_ext import (
     ANOMALY_ORACLE,
+    AUDIENCE_OVERLAP_ORACLE,
     EMA_ORACLE,
     ROBUST_ORACLE,
     LENGTH_HISTOGRAM_ORACLE,
@@ -124,6 +125,7 @@ from .stats_ext import (
     TWAP_VWAP_ORACLE,
     WINDOW_FUNNEL_ORACLE,
     WINSOR_ORACLE,
+    q_audience_overlap,
     q_ema_bars,
     q_length_histogram,
     q_moving_stats,
@@ -146,8 +148,10 @@ from .core import GAPFILL_INTERP_ORACLE, q_gap_fill_interp
 from .er_ext import SNM_ORACLE, q_fuzzy_snm
 from .graph_ext import (
     DEGREE_ORACLE,
+    LPA_ORACLE,
     PAGERANK_ORACLE,
     TRIANGLES_ORACLE,
+    q_graph_communities,
     q_graph_degree_stats,
     q_graph_pagerank,
     q_graph_triangles,
@@ -533,6 +537,11 @@ SELECT 'map:' || part, user_id, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
        CAST(-1.0 AS DOUBLE), CAST(-1 AS BIGINT)
 FROM ({MAP_AGG_ORACLE})
 UNION ALL
+SELECT 'lpa', node, label, CAST(-1 AS BIGINT),
+       CAST(-1 AS BIGINT), CAST(NULL AS VARCHAR), CAST(-1.0 AS DOUBLE),
+       CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), CAST(-1 AS BIGINT)
+FROM ({LPA_ORACLE})
+UNION ALL
 SELECT 'anomaly', event_id, user_id, dev2_num, var9_num,
        CAST(NULL AS VARCHAR), CAST(is_anomaly AS DOUBLE),
        CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), n_window
@@ -631,6 +640,18 @@ def q_behavioral_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NO_V().alias("v3"),
         F.col("n_nodes").alias("n"),
     )
+    lp = q_graph_communities(spark, sf_dir).select(
+        F.lit("lpa").alias("part"),
+        F.col("node").alias("k1"),
+        F.col("label").alias("k2"),
+        _NO_K().alias("k3"),
+        _NO_K().alias("k4"),
+        _NO_S().alias("s"),
+        _NO_V().alias("v1"),
+        _NO_V().alias("v2"),
+        _NO_V().alias("v3"),
+        _NO_K().alias("n"),
+    )
     mp = q_map_aggregates(spark, sf_dir).select(
         F.concat(F.lit("map:"), F.col("part")).alias("part"),
         F.col("user_id").alias("k1"),
@@ -701,6 +722,7 @@ def q_behavioral_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tc)
         .unionByName(rk)
         .unionByName(mp)
+        .unionByName(lp)
         .unionByName(an)
         .unionByName(sq)
     )
@@ -978,6 +1000,12 @@ SELECT 'winsor', event_type, CAST(NULL AS VARCHAR), CAST(-1 AS BIGINT),
        n, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
        winsor_mean, trimmed_mean, p05, p95
 FROM ({WINSOR_ORACLE})
+UNION ALL
+SELECT 'overlap', t1, t2, CAST(-1 AS BIGINT),
+       n1, n2, n_both,
+       jaccard, CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE),
+       CAST(-1.0 AS DOUBLE)
+FROM ({AUDIENCE_OVERLAP_ORACLE})
 """
 
 
@@ -1100,6 +1128,19 @@ def q_corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NO_V().alias("v3"),
         _NO_V().alias("v4"),
     )
+    ov = q_audience_overlap(spark, sf_dir).select(
+        F.lit("overlap").alias("part"),
+        F.col("t1").alias("s1"),
+        F.col("t2").alias("s2"),
+        _NO_K().alias("k"),
+        F.col("n1").alias("n1"),
+        F.col("n2").alias("n2"),
+        F.col("n_both").alias("n3"),
+        F.col("jaccard").alias("v1"),
+        _NO_V().alias("v2"),
+        _NO_V().alias("v3"),
+        _NO_V().alias("v4"),
+    )
     return (
         qu.unionByName(qn)
         .unionByName(hi)
@@ -1109,6 +1150,7 @@ def q_corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(hq)
         .unionByName(cu)
         .unionByName(wi)
+        .unionByName(ov)
     )
 
 

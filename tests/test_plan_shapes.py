@@ -217,6 +217,10 @@ SCALE_SHAPE_QUERIES = {
     "graph_triangles": 1,
     "rank_functions": 0,  # per-customer windows, never a global sort
     "map_aggregates": 0,  # entry explode + two keyed aggs, no funnel
+    "audience_overlap": 0,  # one keyed state agg; pair join is dim-sized
+    # the 1 is the one-row n_users threshold aggregate shared with
+    # graph_triangles; every LPA round shuffles on the node key
+    "graph_communities": 1,
 }
 
 

@@ -508,3 +508,27 @@ def test_agg_map_rejects_bad_fold(spark):
     )
     with _pytest.raises(ValueError):
         agg_map(ev, ["user_id"], "m", how="avg")
+
+
+def test_bitmap_state_merge_equals_direct(spark):
+    """Exact set states merge losslessly: per-day partial bitmaps
+    re-folded per type equal the direct global state — unlike HLL,
+    intersections over merged states stay EXACT."""
+    from degenter_clickhouse_spark.operators.maps import (
+        bitmap_merge,
+        bitmap_state,
+    )
+
+    ev = catalog.load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    direct = {
+        r.event_type: (list(r.bm), r.n)
+        for r in bitmap_state(ev, ["event_type"], "user_id").collect()
+    }
+    partial = bitmap_state(ev, ["event_type", "day"], "user_id")
+    merged = {
+        r.event_type: (list(r.bm), r.n)
+        for r in bitmap_merge(partial, ["event_type"]).collect()
+    }
+    assert merged == direct
