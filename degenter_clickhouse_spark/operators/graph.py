@@ -222,6 +222,51 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007), made DETERMINISTIC: every node starts with its own id
+    as label; each round it adopts the label that maximizes
+    (neighbor count, -label) — the tie always breaks to the LOWEST
+    label, so the result is independent of shuffle/visit order (the
+    classic async-LPA nondeterminism is removed; this is the
+    synchronous variant both engines can replay bit-for-bit).
+
+    One round = one edge-labels join + one (node, label) count
+    aggregation + one argmax per node: all keyed shuffles, no global
+    state. ``edges`` should be symmetrized; isolated direction-only
+    nodes keep their own label. Returns (node, label) — nodes sharing
+    a label after convergence form a community (denser than weak
+    components: labels stop at sparse cuts where min-id components
+    flood through)."""
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for i in range(iterations):
+        votes = (
+            e.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = votes.groupBy("node").agg(
+            F.expr("max_by(label, struct(cnt, -label))").alias("new_label")
+        )
+        labels = nodes.join(best, "node", "left").select(
+            "node",
+            F.coalesce("new_label", F.col("node")).alias("label"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
 def degree_stats(edges: DataFrame) -> DataFrame:
     """Degree distribution of an edge list: for each total degree
     (out-degree of ``src`` occurrences), how many nodes have it.

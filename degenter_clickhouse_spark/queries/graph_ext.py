@@ -137,8 +137,10 @@ def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # degree-ordered orientation, so counts match exactly.
 # ---------------------------------------------------------------------------
 
-TRIANGLES_ORACLE = """
-WITH ui AS (
+# shared co-occurrence CTE prefix (items linked when they share
+# >= 25% of all active users): reused by the triangle + LPA oracles
+_COOC_CTES = """
+ui AS (
   SELECT DISTINCT user_id,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
   FROM events
@@ -151,7 +153,11 @@ ce AS (
 ),
 und AS (SELECT u, v FROM ce WHERE shared * 4 >= (SELECT n FROM nu)),
 sym AS (SELECT u AS src, v AS dst FROM und
-        UNION ALL SELECT v, u FROM und),
+        UNION ALL SELECT v, u FROM und)
+"""
+
+TRIANGLES_ORACLE = f"""
+WITH {_COOC_CTES.strip()},
 deg AS (SELECT src, COUNT(*) AS d FROM sym GROUP BY src),
 o AS (
   SELECT CASE WHEN du.d <= dv.d THEN e.u ELSE e.v END AS u,
@@ -176,18 +182,18 @@ LIMIT 20
 """
 
 
-@register_extended("graph_triangles", TRIANGLES_ORACLE)
-def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 items by triangle membership in the >= 25%-shared-users
-    item co-occurrence graph (degree-ordered orientation — see
-    operators/graph.triangle_counts for the O(m^1.5) bound)."""
+def _cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (src < dst) item edges: pairs sharing >= 25% of all
+    active users. The per-user self-join is blocked on user_id (the
+    SNM-style bounded fanout surface: per-user item count is the skew
+    envelope — cap or salt it for adversarial users at 100 TB)."""
     ev = catalog.load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
     ui = ev.select("user_id", k.alias("k")).distinct()
     nu = ui.agg(F.countDistinct("user_id").alias("__n_users"))
     a = ui.select("user_id", F.col("k").alias("u"))
     b = ui.select("user_id", F.col("k").alias("v"))
-    edges = (
+    return (
         a.join(b, "user_id")
         .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
@@ -196,6 +202,14 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("shared") * 4 >= F.col("__n_users"))
         .select(F.col("u").alias("src"), F.col("v").alias("dst"))
     )
+
+
+@register_extended("graph_triangles", TRIANGLES_ORACLE)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 items by triangle membership in the >= 25%-shared-users
+    item co-occurrence graph (degree-ordered orientation — see
+    operators/graph.triangle_counts for the O(m^1.5) bound)."""
+    edges = _cooccurrence_edges(spark, sf_dir)
     return (
         graph.triangle_counts(edges)
         .orderBy(F.desc("n_triangles"), "node")
@@ -281,3 +295,53 @@ def q_graph_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), "node")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities over the same co-occurrence graph —
+# deterministic synchronous LPA (ties to the LOWEST label), so the
+# unrolled-CTE oracle replays it bit-for-bit like the PageRank one.
+# ---------------------------------------------------------------------------
+
+_LPA_ITER = 3
+
+
+def _lpa_oracle() -> str:
+    parts = [
+        _COOC_CTES.strip(),
+        "lnodes AS (SELECT DISTINCT src AS node FROM sym)",
+        "l0 AS (SELECT node, node AS label FROM lnodes)",
+    ]
+    for i in range(1, _LPA_ITER + 1):
+        parts.append(
+            f"v{i} AS (SELECT e.dst AS node, l.label, COUNT(*) AS cnt"
+            f" FROM sym e JOIN l{i - 1} l ON e.src = l.node"
+            f" GROUP BY e.dst, l.label)"
+        )
+        parts.append(
+            f"b{i} AS (SELECT node, label AS new_label FROM ("
+            f"SELECT node, label, ROW_NUMBER() OVER ("
+            f"PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn"
+            f" FROM v{i}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"l{i} AS (SELECT n.node,"
+            f" COALESCE(b.new_label, n.node) AS label"
+            f" FROM lnodes n LEFT JOIN b{i} b ON n.node = b.node)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, CAST(label AS BIGINT) AS label FROM l{_LPA_ITER}"
+    )
+
+
+LPA_ORACLE = _lpa_oracle()
+
+
+@register_extended("graph_communities", LPA_ORACLE)
+def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (3 rounds) over the
+    item co-occurrence graph: (node, label) community assignment."""
+    edges = graph.symmetrize(_cooccurrence_edges(spark, sf_dir))
+    return graph.label_propagation(edges, iterations=_LPA_ITER)

@@ -162,3 +162,36 @@ def test_triangle_counts_direction_invariant(spark):
         ).collect()
     )
     assert fwd == rev == _naive_triangles(pairs)
+
+
+def test_label_propagation_separates_communities(spark):
+    """Two 5-cliques joined by ONE bridge edge: LPA keeps two
+    communities (the sparse cut stops the flood) while weak components
+    merge everything — the reason LPA exists alongside
+    connected_components."""
+    from itertools import combinations
+
+    a = list(combinations(range(1, 6), 2))
+    b = list(combinations(range(11, 16), 2))
+    bridge = [(5, 11)]
+    edges = graph.symmetrize(_edges(spark, a + b + bridge))
+    labels = dict(graph.label_propagation(edges, iterations=4).collect())
+    assert len({labels[n] for n in range(1, 6)}) == 1
+    assert len({labels[n] for n in range(11, 16)}) == 1
+    assert labels[1] != labels[11]
+    comp = {c for _, c in graph.connected_components(
+        _edges(spark, a + b + bridge)
+    ).collect()}
+    assert len(comp) == 1  # components see one blob; LPA sees two
+
+
+def test_label_propagation_partition_invariant(spark):
+    pairs = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (3, 10)]
+    edges = graph.symmetrize(_edges(spark, pairs))
+    a = dict(graph.label_propagation(edges, iterations=3).collect())
+    b = dict(
+        graph.label_propagation(
+            edges.repartition(7), iterations=3
+        ).collect()
+    )
+    assert a == b
