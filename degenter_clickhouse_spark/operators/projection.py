@@ -177,3 +177,40 @@ class ProjectionSet:
 
 def projection_path(root: str, name: str) -> str:
     return os.path.join(root, f"proj_{name}")
+
+
+def refresh_projection(
+    spark: SparkSession,
+    base: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    measures: Mapping[str, tuple[str, str | None]],
+    touched: DataFrame,
+) -> int:
+    """CDC maintenance for a projection (the plans/incremental
+    recompute-touched-groups recipe, generalized): given the CURRENT
+    base snapshot and the distinct key tuples ``touched`` by a delta
+    (from ``vt_changes`` or the ingest batch), recompute partial
+    states for ONLY those groups (broadcast semi-join — bounded by the
+    delta's group count, never the fact table) and swap them into the
+    stored projection. Groups whose rows all vanished are REMOVED
+    (the vacated-group lesson: an un-upserted stale partial overcounts
+    forever). min/max states cannot decrement, which is exactly why
+    this recomputes touched groups instead of folding deltas.
+
+    The rewrite is O(|projection|), which is |group combinations| —
+    the same envelope ClickHouse pays merging projection parts.
+    Returns the number of groups refreshed (including deletions)."""
+    ks = list(keys)
+    t = touched.select(*ks).distinct().localCheckpoint(eager=True)
+    n_touched = t.count()
+    if n_touched == 0:
+        return 0
+    scoped = base.join(F.broadcast(t), ks, "left_semi")
+    aggs = [_partial_agg(op, src, out) for out, (op, src) in measures.items()]
+    fresh = scoped.groupBy(*ks).agg(*aggs)
+    current = spark.read.parquet(path)
+    kept = current.join(F.broadcast(t), ks, "left_anti")
+    out = kept.unionByName(fresh).localCheckpoint(eager=True)
+    out.write.mode("overwrite").parquet(path)
+    return n_touched

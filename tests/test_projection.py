@@ -132,3 +132,71 @@ def test_projection_plan_reads_projection_files(spark, tmp_path):
     plan = buf.getvalue()
     assert "proj_by_type" in plan
     assert "events.parquet" not in plan
+
+
+def test_projection_refresh_from_delta_equals_rebuild(spark, tmp_path):
+    """Append + delete events, refresh ONLY the touched groups: the
+    projection must equal a from-scratch rebuild, including REMOVAL of
+    a group whose rows all vanished."""
+    from degenter_clickhouse_spark.operators.projection import (
+        build_projection,
+        refresh_projection,
+    )
+
+    ev = _events(spark)
+    keys = ["event_type", "day"]
+    path = str(tmp_path / "proj")
+    build_projection(ev, path, keys, MEASURES)
+
+    # mutate: drop one whole (type, day) group, add rows to another
+    victim = ev.select(*keys).first()
+    changed = ev.filter(
+        ~(
+            (F.col("event_type") == victim.event_type)
+            & (F.col("day") == victim.day)
+        )
+    )
+    extra = changed.limit(50).withColumn("value", F.col("value") * 2)
+    new_base = changed.unionByName(extra)
+
+    touched = ev.select(*keys).limit(0).unionByName(
+        spark.createDataFrame(
+            [(victim.event_type, victim.day)], "event_type string, day date"
+        )
+    ).unionByName(extra.select(*keys))
+    n = refresh_projection(spark, new_base, path, keys, MEASURES, touched)
+    assert n >= 1
+
+    rebuilt_path = str(tmp_path / "rebuilt")
+    build_projection(new_base, rebuilt_path, keys, MEASURES)
+    got = _rows(spark.read.parquet(path))
+    want = _rows(spark.read.parquet(rebuilt_path))
+    assert got == want
+    # vacated group is gone
+    assert (
+        spark.read.parquet(path)
+        .filter(
+            (F.col("event_type") == victim.event_type)
+            & (F.col("day") == victim.day)
+        )
+        .count()
+        == 0
+    )
+
+
+def test_projection_refresh_noop_on_empty_delta(spark, tmp_path):
+    from degenter_clickhouse_spark.operators.projection import (
+        build_projection,
+        refresh_projection,
+    )
+
+    ev = _events(spark)
+    keys = ["event_type"]
+    path = str(tmp_path / "proj")
+    build_projection(ev, path, keys, MEASURES)
+    before = _rows(spark.read.parquet(path))
+    n = refresh_projection(
+        spark, ev, path, keys, MEASURES, ev.select(*keys).limit(0)
+    )
+    assert n == 0
+    assert _rows(spark.read.parquet(path)) == before
