@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "map_aggregates",  # sumMap/minMap/maxMap key-wise folds (EXTENDED)
     "audience_overlap",  # exact bitmap-state pairwise intersections (EXTENDED)
     "graph_communities",  # deterministic synchronous label propagation (EXTENDED)
+    "sequence_next_node",  # next-event-after-chain via per-key lead windows (EXTENDED)
 ]
 
 

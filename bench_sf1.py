@@ -66,6 +66,7 @@ SF1_QUERIES = [
     "leakage_free_split",
     "dedup_resolution",
     "graph_pagerank",
+    "graph_triangles",
     "fuzzy_snm_pairs",
     "router_combine",
     "hybrid_retrieval",

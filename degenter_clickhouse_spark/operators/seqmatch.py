@@ -204,3 +204,54 @@ def sequence_match(
     return c.select(
         F.col(key), (F.col("__n") > 0).alias(out), "n_events"
     )
+
+
+def sequence_next_node(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    node: str,
+    steps: Sequence[Column],
+    tiebreak: str | None = None,
+    out: str = "next_node",
+) -> DataFrame:
+    """ClickHouse ``sequenceNextNode('forward', 'first_match')``: per
+    ``key``, the ``node`` value of the event immediately AFTER the
+    first CONSECUTIVE occurrence of the ``steps`` chain in ``ts``
+    order ("what do users do right after view -> click?"). Keys whose
+    first match is the tail of their series (nothing follows) or that
+    never match are absent from the result.
+
+    Spark-first shape: consecutive matching needs no automaton — a
+    chain starting at position i exists iff ``steps[j]`` holds at
+    ``lead(j)`` for all j, so the whole operator is k ``lead()``
+    columns over ONE per-key window plus a min-position argmin. The
+    only shuffle is the window's key partitioning; ties on ``ts``
+    break on ``tiebreak`` for cross-engine determinism.
+    """
+    from pyspark.sql.window import Window
+
+    k = len(steps)
+    if k == 0:
+        raise ValueError("sequence_next_node needs at least one step")
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    flags = _step_flags(steps)
+    d = df.withColumn("__m", flags)
+    cond = F.lit(True)
+    for j in range(k):
+        cond = cond & F.coalesce(
+            F.element_at(F.lead("__m", j).over(w), j + 1), F.lit(False)
+        )
+    d = d.withColumn("__hit", cond).withColumn(
+        "__next", F.lead(F.col(node), k).over(w)
+    )
+    hits = d.filter(F.col("__hit") & F.col("__next").isNotNull()).select(
+        F.col(key),
+        F.struct(*([F.col(ts).alias("__t")]
+                   + ([F.col(tiebreak).alias("__tb")] if tiebreak else [])
+                   + [F.col("__next").alias("__n")])).alias("__h"),
+    )
+    return hits.groupBy(key).agg(
+        F.min("__h").alias("__first")
+    ).select(key, F.col("__first.__n").alias(out))

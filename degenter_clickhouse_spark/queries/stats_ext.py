@@ -1247,3 +1247,49 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n1") + F.col("n2") - n_both)
         ).alias("jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sequenceNextNode parity: the event type users produce right after
+# their first consecutive view -> click chain. Oracle formulates the
+# same per-key lead() window logic directly in SQL.
+# ---------------------------------------------------------------------------
+
+SEQ_NEXT_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         lead(event_type, 1) OVER w AS e1,
+         lead(event_type, 2) OVER w AS e2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+hits AS (
+  SELECT user_id, ts, event_id, e2 AS next_node
+  FROM o
+  WHERE event_type = 'view' AND e1 = 'click' AND e2 IS NOT NULL
+),
+ranked AS (
+  SELECT user_id, next_node,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM hits
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, next_node
+FROM ranked WHERE rn = 1
+"""
+
+
+@register_extended("sequence_next_node", SEQ_NEXT_ORACLE)
+def q_sequence_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import catalog
+    from ..operators.seqmatch import sequence_next_node
+
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return sequence_next_node(
+        ev,
+        key="user_id",
+        ts="ts",
+        node="event_type",
+        steps=[F.col("event_type") == "view", F.col("event_type") == "click"],
+        tiebreak="event_id",
+    ).select(F.col("user_id").cast("long").alias("user_id"), "next_node")

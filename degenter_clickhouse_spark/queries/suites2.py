@@ -119,6 +119,7 @@ from .stats_ext import (
     QUANTILE_STATE_ORACLE,
     RANK_FUNCTIONS_ORACLE,
     RETENTION_ORACLE,
+    SEQ_NEXT_ORACLE,
     ROLLUP_ORACLE,
     SEQUENCE_COUNT_ORACLE,
     SOURCE_QUALITY_ORACLE,
@@ -138,6 +139,7 @@ from .stats_ext import (
     q_robust_stats,
     q_rollup_totals,
     q_sequence_count,
+    q_sequence_next_node,
     q_source_quality_report,
     q_twap_vwap,
     q_value_anomalies,
@@ -542,6 +544,11 @@ SELECT 'lpa', node, label, CAST(-1 AS BIGINT),
        CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), CAST(-1 AS BIGINT)
 FROM ({LPA_ORACLE})
 UNION ALL
+SELECT 'seqnext', user_id, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       CAST(-1 AS BIGINT), next_node, CAST(-1.0 AS DOUBLE),
+       CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), CAST(-1 AS BIGINT)
+FROM ({SEQ_NEXT_ORACLE})
+UNION ALL
 SELECT 'anomaly', event_id, user_id, dev2_num, var9_num,
        CAST(NULL AS VARCHAR), CAST(is_anomaly AS DOUBLE),
        CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), n_window
@@ -640,6 +647,18 @@ def q_behavioral_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NO_V().alias("v3"),
         F.col("n_nodes").alias("n"),
     )
+    sn = q_sequence_next_node(spark, sf_dir).select(
+        F.lit("seqnext").alias("part"),
+        F.col("user_id").alias("k1"),
+        _NO_K().alias("k2"),
+        _NO_K().alias("k3"),
+        _NO_K().alias("k4"),
+        F.col("next_node").alias("s"),
+        _NO_V().alias("v1"),
+        _NO_V().alias("v2"),
+        _NO_V().alias("v3"),
+        _NO_K().alias("n"),
+    )
     lp = q_graph_communities(spark, sf_dir).select(
         F.lit("lpa").alias("part"),
         F.col("node").alias("k1"),
@@ -723,6 +742,7 @@ def q_behavioral_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rk)
         .unionByName(mp)
         .unionByName(lp)
+        .unionByName(sn)
         .unionByName(an)
         .unionByName(sq)
     )

@@ -221,6 +221,7 @@ SCALE_SHAPE_QUERIES = {
     # the 1 is the one-row n_users threshold aggregate shared with
     # graph_triangles; every LPA round shuffles on the node key
     "graph_communities": 1,
+    "sequence_next_node": 0,  # one per-key lead window + keyed argmin
 }
 
 

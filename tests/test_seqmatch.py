@@ -209,3 +209,48 @@ def test_strict_order_with_within_composes(spark):
     out2 = sequence_count(_ev(spark, rows2), "u", "t", _steps("a", "b"),
                           tiebreak="eid", within=50.0, strict_order=True)
     assert _counts(out2) == {1: 1}
+
+
+def test_sequence_next_node_semantics(spark):
+    """first_match forward semantics: consecutive chain required, the
+    FIRST match wins, tail matches (nothing follows) and non-matching
+    keys are absent."""
+    from degenter_clickhouse_spark.operators.seqmatch import (
+        sequence_next_node,
+    )
+
+    rows = [
+        # u1: view,click,buy ... view,click,err -> first next = buy
+        (1, 1, "view"), (1, 2, "click"), (1, 3, "buy"),
+        (1, 4, "view"), (1, 5, "click"), (1, 6, "err"),
+        # u2: view,X,click (not consecutive) -> absent
+        (2, 1, "view"), (2, 2, "noise"), (2, 3, "click"), (2, 4, "buy"),
+        # u3: chain at tail, nothing follows -> absent
+        (3, 1, "view"), (3, 2, "click"),
+        # u4: no chain at all -> absent
+        (4, 1, "buy"), (4, 2, "err"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, etype string")
+    got = dict(
+        sequence_next_node(
+            df, key="user_id", ts="ts", node="etype",
+            steps=[F.col("etype") == "view", F.col("etype") == "click"],
+        ).collect()
+    )
+    assert got == {1: "buy"}
+
+
+def test_sequence_next_node_single_step(spark):
+    from degenter_clickhouse_spark.operators.seqmatch import (
+        sequence_next_node,
+    )
+
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "c")]
+    df = spark.createDataFrame(rows, "user_id long, ts long, etype string")
+    got = dict(
+        sequence_next_node(
+            df, key="user_id", ts="ts", node="etype",
+            steps=[F.col("etype") == "a"],
+        ).collect()
+    )
+    assert got == {1: "b"}
