@@ -328,3 +328,139 @@ def pq_search(
         queries, codes, books, k=k, id_col=id_col, vec=vec,
         rerank_with=rerank_with, shortlist=shortlist,
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: cell-partitioned PQ codes — the FAISS IVFPQ layout. IVF
+# prunes WHICH files a probe reads (cell partitions skip at planning
+# time); PQ shrinks WHAT those files contain (codes, 16x less I/O);
+# the optional exact rerank bounds the full-precision work to
+# n_queries x shortlist rows. Together: a billion-vector probe reads
+# nprobe/k_cells of the corpus at 1/16 the bytes and touches float
+# vectors only for the shortlist.
+# ---------------------------------------------------------------------------
+
+
+def build_ivfpq_index(
+    vectors: DataFrame,
+    path: str,
+    k_cells: int = 8,
+    m_sub: int = DEFAULT_M_SUB,
+    k_sub: int = DEFAULT_K_SUB,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> None:
+    """centroids/ (IVF cells) + codebooks/ (PQ) + codes/ PARTITIONED
+    BY cell. PQ codebooks are fit on the WHOLE corpus (shared across
+    cells — one broadcastable artifact; per-cell residual codebooks
+    are the classic refinement, omitted deliberately: shared books
+    keep the LUT n_queries x m x k regardless of nprobe)."""
+    from .similarity import assign_cells, fit_ivf_centroids
+
+    cents = fit_ivf_centroids(
+        vectors, k=k_cells, iters=iters, id_col=id_col, vec=vec
+    )
+    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    books = fit_pq_codebooks(
+        vectors, m_sub=m_sub, k_sub=k_sub, iters=iters, id_col=id_col, vec=vec
+    )
+    books.write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
+    assigned = assign_cells(vectors, cents, id_col=id_col, vec=vec, nprobe=1)
+    codes = pq_encode(vectors, books, id_col=id_col, vec=vec).join(
+        assigned, id_col
+    )
+    codes.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "codes")
+    )
+
+
+def ivfpq_search(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    rerank_with: DataFrame | None = None,
+    shortlist: int | None = None,
+) -> DataFrame:
+    """Probe: assign each query to its ``nprobe`` nearest cells, read
+    ONLY those cells' code files (partition pruning), ADC-score via
+    the broadcast LUTs, keep the per-query top-k (or shortlist +
+    exact rerank when ``rerank_with`` is given)."""
+    from .similarity import assign_cells
+
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    books = spark.read.parquet(os.path.join(path, "codebooks"))
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    q_cells = assign_cells(
+        queries, cents, id_col=id_col, vec=vec, nprobe=nprobe
+    )
+
+    m_sub = books.select(F.max("sub")).first()[0] + 1
+    k_sub = books.select(F.max("cell")).first()[0]
+    d = _dim(queries, vec)
+    luts = _query_luts(queries, books, k_sub, m_sub, d, id_col, vec).join(
+        q_cells.withColumnRenamed(id_col, "q_id"), "q_id"
+    )
+    pairs = codes.withColumnRenamed(id_col, "c_id").join(
+        F.broadcast(luts), "cell"
+    ).filter(F.col("c_id") != F.col("q_id"))
+    approx_dot = F.expr(
+        f"aggregate(zip_with(codes, sequence(0, {m_sub - 1}), "
+        f"(c, s) -> element_at(lut, s * {k_sub} + c)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    scored = pairs.withColumn(
+        "score",
+        approx_dot
+        / F.sqrt(
+            (F.col("q_n2").cast("double") / F.lit(1e12))
+            * (F.col("norm2_s").cast("double") / F.lit(1e12))
+        ),
+    ).dropDuplicates(["q_id", "c_id"])
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("c_id").asc()
+    )
+    short = (shortlist or 10 * k) if rerank_with is not None else k
+    adc = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= short)
+        .select("q_id", "c_id", "score", "rank")
+    )
+    if rerank_with is None:
+        return adc
+    from .similarity import cosine_from_scaled, scaled_dot
+
+    c = with_norm(rerank_with, vec).select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec).alias("c_vec"),
+        F.col("norm2_s").alias("c_n2"),
+    )
+    qn = with_norm(queries, vec).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec).alias("q_vec"),
+        F.col("norm2_s").alias("q_n2x"),
+    )
+    exact = (
+        adc.select("q_id", "c_id")
+        .join(c, "c_id")
+        .join(dim_broadcast(qn), "q_id")
+        .withColumn("dot_s", scaled_dot("q_vec", "c_vec"))
+        .withColumn(
+            "score",
+            cosine_from_scaled(F.col("dot_s"), F.col("q_n2x"), F.col("c_n2")),
+        )
+    )
+    w2 = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("c_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "score", "rank")
+    )

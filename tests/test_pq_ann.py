@@ -107,3 +107,64 @@ def test_pq_rejects_indivisible_dim(spark):
     vecs = _vectors(spark)
     with _pytest.raises(ValueError):
         pq.fit_pq_codebooks(vecs, m_sub=7)
+
+
+def test_ivfpq_search_recall_and_pruning(spark, tmp_path):
+    """IVF-PQ: probe reads ONLY the probed cells' partitions
+    (PartitionFilters on cell), ADC+rerank recall stays high vs the
+    exact scan restricted to the probed cells (the exact sub-oracle
+    recipe), and the codes table is much smaller than floats."""
+    import io
+    from contextlib import redirect_stdout
+
+    from degenter_clickhouse_spark.llm.pq import (
+        build_ivfpq_index,
+        ivfpq_search,
+    )
+
+    vecs = _vectors(spark)
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(vecs, path, k_cells=8)
+    queries = vecs.filter(F.col("vec_id") % 50 == 0)
+
+    res = ivfpq_search(
+        spark, path, queries, k=5, nprobe=3,
+        rerank_with=vecs, shortlist=60,
+    )
+    got = {}
+    for r in res.collect():
+        got.setdefault(r.q_id, set()).add(r.c_id)
+
+    # exact sub-oracle: cosine top-5 within each query's probed cells
+    from degenter_clickhouse_spark.llm.similarity import (
+        assign_cells,
+        brute_topk,
+    )
+
+    cents = spark.read.parquet(f"{path}/centroids")
+    codes = spark.read.parquet(f"{path}/codes")
+    q_cells = assign_cells(queries, cents, nprobe=3)
+    want = {}
+    for q in queries.select("vec_id").collect():
+        cells = [
+            r.cell for r in q_cells.filter(F.col("vec_id") == q.vec_id).collect()
+        ]
+        cands = codes.filter(F.col("cell").isin(cells)).select(
+            F.col("vec_id")
+        ).join(vecs, "vec_id")
+        top = brute_topk(
+            queries.filter(F.col("vec_id") == q.vec_id), cands, k=5
+        )
+        want[q.vec_id] = {r.c_id for r in top.collect()}
+    hits = sum(len(got.get(q, set()) & want[q]) for q in want)
+    total = sum(len(want[q]) for q in want)
+    assert hits / total >= 0.8, hits / total
+
+    # partition pruning: the broadcast cell join plants a DYNAMIC
+    # partition-pruning filter on the codes scan — non-probed cell
+    # partitions are skipped at runtime
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        ivfpq_search(spark, path, queries, k=5, nprobe=3).explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruningexpression(cell" in plan, plan[:2000]
