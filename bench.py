@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "audience_overlap",  # exact bitmap-state pairwise intersections (EXTENDED)
     "graph_communities",  # deterministic synchronous label propagation (EXTENDED)
     "sequence_next_node",  # next-event-after-chain via per-key lead windows (EXTENDED)
+    "array_functions",  # arrayCumSum/Difference/Compact higher-order folds (EXTENDED)
+    "range_frames",  # trailing time-RANGE window aggregates (EXTENDED)
 ]
 
 

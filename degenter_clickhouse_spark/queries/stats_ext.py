@@ -1293,3 +1293,159 @@ def q_sequence_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
         steps=[F.col("event_type") == "view", F.col("event_type") == "click"],
         tiebreak="event_id",
     ).select(F.col("user_id").cast("long").alias("user_id"), "next_node")
+
+
+# ---------------------------------------------------------------------------
+# Array-function family parity (ClickHouse arrayCumSum /
+# arrayDifference / arrayCompact): per-user event-value series as an
+# array, transformed with HIGHER-ORDER functions only (aggregate /
+# zip_with / filter build the cumsum, differences, and
+# adjacent-distinct run count as pure column expressions), then
+# exploded back to rows. The oracle formulates the same cells with
+# window functions — an independent computation path. Values are
+# micro-scaled BIGINTs, so every cell is exact in both engines.
+# ---------------------------------------------------------------------------
+
+ARRAY_FUNCS_ORACLE = """
+WITH base AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 1e6) AS BIGINT) AS v
+  FROM events
+),
+o AS (
+  SELECT user_id, v,
+         ROW_NUMBER() OVER w AS idx,
+         SUM(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         v - COALESCE(lag(v) OVER w, 0) AS diff,
+         CASE WHEN lag(v) OVER w IS DISTINCT FROM v THEN 1 ELSE 0 END
+           AS run_start
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (SELECT user_id, CAST(SUM(run_start) AS BIGINT) AS n_compact
+         FROM o GROUP BY user_id)
+SELECT CAST(o.user_id AS BIGINT) AS user_id, CAST(idx AS BIGINT) AS idx,
+       v, CAST(cum AS BIGINT) AS cum, diff, n_compact
+FROM o JOIN runs ON o.user_id = runs.user_id
+"""
+
+
+@register_extended("array_functions", ARRAY_FUNCS_ORACLE)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import catalog
+
+    ev = catalog.load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.struct(
+            F.col("ts"),
+            F.col("event_id"),
+            F.round(F.col("value") * 1e6).cast("long").alias("v"),
+        ).alias("__e"),
+    )
+    arr = base.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list("__e")), lambda s: s["v"]
+        ).alias("vs")
+    )
+    # arrayCumSum: fold that APPENDS the running total per element
+    cums = F.expr(
+        "aggregate(vs, CAST(array() AS ARRAY<BIGINT>), "
+        "(acc, x) -> array_append(acc, "
+        "coalesce(try_element_at(acc, -1), CAST(0 AS BIGINT)) + x))"
+    )
+    # arrayDifference: x_i - x_{i-1}, first element vs 0
+    shifted = F.expr(
+        "concat(array(CAST(0 AS BIGINT)), slice(vs, 1, size(vs) - 1))"
+    )
+    diffs = F.zip_with("vs", shifted, lambda a, b: a - b)
+    # arrayCompact length: adjacent-distinct run count
+    n_compact = (
+        F.lit(1)
+        + F.size(
+            F.filter(
+                F.zip_with(
+                    F.expr("slice(vs, 2, size(vs) - 1)"),
+                    F.expr("slice(vs, 1, size(vs) - 1)"),
+                    lambda a, b: a != b,
+                ),
+                lambda x: x,
+            )
+        )
+    ).cast("long")
+    wide = arr.select(
+        "user_id",
+        F.col("vs"),
+        cums.alias("cums"),
+        diffs.alias("diffs"),
+        n_compact.alias("n_compact"),
+    )
+    return wide.select(
+        "user_id",
+        F.posexplode(F.arrays_zip("vs", "cums", "diffs")).alias("__i", "__z"),
+        "n_compact",
+    ).select(
+        "user_id",
+        (F.col("__i") + 1).cast("long").alias("idx"),
+        F.col("__z.vs").alias("v"),
+        F.col("__z.cums").alias("cum"),
+        F.col("__z.diffs").alias("diff"),
+        "n_compact",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-RANGE window frames (ClickHouse RANGE BETWEEN / trailing-window
+# aggregates): per-user trailing 1-hour event sum at every event —
+# RANGE frames bound by VALUE distance (epoch seconds), not row
+# count, so irregular event spacing is handled exactly. One per-user
+# window shuffle; micro-scaled BIGINT sums keep both engines
+# bit-identical.
+# ---------------------------------------------------------------------------
+
+RANGE_FRAMES_ORACLE = """
+WITH base AS (
+  SELECT user_id, event_id,
+         CAST(epoch(ts) AS BIGINT) AS sec,
+         CAST(round(value * 1e6) AS BIGINT) AS v
+  FROM events
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(event_id AS BIGINT) AS event_id,
+       CAST(SUM(v) OVER w AS BIGINT) AS trail_sum,
+       CAST(COUNT(*) OVER w AS BIGINT) AS trail_n,
+       CAST(MAX(v) OVER w AS BIGINT) AS trail_max
+FROM base
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register_extended("range_frames", RANGE_FRAMES_ORACLE)
+def q_range_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .. import catalog
+
+    ev = catalog.load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1_000_000))
+        .cast("long")
+        .alias("sec"),
+        F.round(F.col("value") * 1e6).cast("long").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        F.sum("v").over(w).cast("long").alias("trail_sum"),
+        F.count(F.lit(1)).over(w).cast("long").alias("trail_n"),
+        F.max("v").over(w).cast("long").alias("trail_max"),
+    )

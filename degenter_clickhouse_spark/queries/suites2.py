@@ -108,6 +108,7 @@ from .llm import (
 )
 from .stats_ext import (
     ANOMALY_ORACLE,
+    ARRAY_FUNCS_ORACLE,
     AUDIENCE_OVERLAP_ORACLE,
     EMA_ORACLE,
     ROBUST_ORACLE,
@@ -117,6 +118,7 @@ from .stats_ext import (
     CUBE_ORACLE,
     MAP_AGG_ORACLE,
     QUANTILE_STATE_ORACLE,
+    RANGE_FRAMES_ORACLE,
     RANK_FUNCTIONS_ORACLE,
     RETENTION_ORACLE,
     SEQ_NEXT_ORACLE,
@@ -126,6 +128,7 @@ from .stats_ext import (
     TWAP_VWAP_ORACLE,
     WINDOW_FUNNEL_ORACLE,
     WINSOR_ORACLE,
+    q_array_functions,
     q_audience_overlap,
     q_ema_bars,
     q_length_histogram,
@@ -134,6 +137,7 @@ from .stats_ext import (
     q_map_aggregates,
     q_quantile_state_merge,
     q_quantile_summary,
+    q_range_frames,
     q_rank_functions,
     q_retention_cohorts,
     q_robust_stats,
@@ -549,6 +553,16 @@ SELECT 'seqnext', user_id, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
        CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), CAST(-1 AS BIGINT)
 FROM ({SEQ_NEXT_ORACLE})
 UNION ALL
+SELECT 'arrays', user_id, idx, v, cum, CAST(NULL AS VARCHAR),
+       CAST(n_compact AS DOUBLE), CAST(-1.0 AS DOUBLE),
+       CAST(-1.0 AS DOUBLE), diff
+FROM ({ARRAY_FUNCS_ORACLE})
+UNION ALL
+SELECT 'ranges', user_id, event_id, trail_sum, trail_max,
+       CAST(NULL AS VARCHAR), CAST(-1.0 AS DOUBLE),
+       CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), trail_n
+FROM ({RANGE_FRAMES_ORACLE})
+UNION ALL
 SELECT 'anomaly', event_id, user_id, dev2_num, var9_num,
        CAST(NULL AS VARCHAR), CAST(is_anomaly AS DOUBLE),
        CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), n_window
@@ -647,6 +661,30 @@ def q_behavioral_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NO_V().alias("v3"),
         F.col("n_nodes").alias("n"),
     )
+    rf = q_range_frames(spark, sf_dir).select(
+        F.lit("ranges").alias("part"),
+        F.col("user_id").alias("k1"),
+        F.col("event_id").alias("k2"),
+        F.col("trail_sum").alias("k3"),
+        F.col("trail_max").alias("k4"),
+        _NO_S().alias("s"),
+        _NO_V().alias("v1"),
+        _NO_V().alias("v2"),
+        _NO_V().alias("v3"),
+        F.col("trail_n").alias("n"),
+    )
+    af = q_array_functions(spark, sf_dir).select(
+        F.lit("arrays").alias("part"),
+        F.col("user_id").alias("k1"),
+        F.col("idx").alias("k2"),
+        F.col("v").alias("k3"),
+        F.col("cum").alias("k4"),
+        _NO_S().alias("s"),
+        F.col("n_compact").cast("double").alias("v1"),
+        _NO_V().alias("v2"),
+        _NO_V().alias("v3"),
+        F.col("diff").alias("n"),
+    )
     sn = q_sequence_next_node(spark, sf_dir).select(
         F.lit("seqnext").alias("part"),
         F.col("user_id").alias("k1"),
@@ -743,6 +781,8 @@ def q_behavioral_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(mp)
         .unionByName(lp)
         .unionByName(sn)
+        .unionByName(af)
+        .unionByName(rf)
         .unionByName(an)
         .unionByName(sq)
     )

@@ -222,6 +222,8 @@ SCALE_SHAPE_QUERIES = {
     # graph_triangles; every LPA round shuffles on the node key
     "graph_communities": 1,
     "sequence_next_node": 0,  # one per-key lead window + keyed argmin
+    "array_functions": 0,  # one groupBy(user) + map-only array folds
+    "range_frames": 0,  # one per-user RANGE window, no global sort
 }
 
 
