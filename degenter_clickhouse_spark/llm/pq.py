@@ -464,3 +464,49 @@ def ivfpq_search(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "score", "rank")
     )
+
+
+def pq_index_append(
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> int:
+    """Incremental PQ index maintenance (the FAISS add-after-train
+    model shared with ivf_index_append): encode NEW vectors with the
+    index's FROZEN codebooks and append their codes — old and new
+    codes score identically under the same LUTs, nothing re-encodes.
+    Effectively-once via an anti-join on the stored ids (id-column-
+    pruned scan), so shard replays append nothing. Works for both
+    plain PQ (codes/) and IVF-PQ (cell-partitioned codes/ — new rows
+    are also cell-assigned against the frozen IVF centroids).
+    Returns the number of newly indexed vectors."""
+    from ..operators.merge import _table_lock
+
+    with _table_lock(path):
+        books = spark.read.parquet(os.path.join(path, "codebooks"))
+        codes_path = os.path.join(path, "codes")
+        stored = (
+            spark.read.parquet(codes_path).select(F.col(id_col)).distinct()
+        )
+        fresh = new_vectors.join(
+            stored, id_col, "left_anti"
+        ).localCheckpoint(eager=True)
+        n = fresh.count()
+        if n == 0:
+            return 0
+        enc = pq_encode(fresh, books, id_col=id_col, vec=vec)
+        cents_path = os.path.join(path, "centroids")
+        if os.path.exists(cents_path):
+            from .similarity import assign_cells
+
+            cents = spark.read.parquet(cents_path)
+            enc = enc.join(
+                assign_cells(fresh, cents, id_col=id_col, vec=vec, nprobe=1),
+                id_col,
+            )
+            enc.write.mode("append").partitionBy("cell").parquet(codes_path)
+        else:
+            enc.write.mode("append").parquet(codes_path)
+        return n

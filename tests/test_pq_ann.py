@@ -168,3 +168,58 @@ def test_ivfpq_search_recall_and_pruning(spark, tmp_path):
         ivfpq_search(spark, path, queries, k=5, nprobe=3).explain("formatted")
     plan = buf.getvalue()
     assert "dynamicpruningexpression(cell" in plan, plan[:2000]
+
+
+def test_pq_index_append_effectively_once_and_search_equal(spark, tmp_path):
+    """Appending a new shard encodes it with the FROZEN codebooks:
+    probe results over (build(old) + append(new)) equal a probe over
+    build(old+new) with the same books; replaying the shard appends 0."""
+    from degenter_clickhouse_spark.llm.pq import (
+        build_pq_index,
+        pq_index_append,
+        pq_search,
+    )
+
+    vecs = _vectors(spark)
+    old = vecs.filter(F.col("vec_id") % 5 != 0)
+    new = vecs.filter(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "pq_grow")
+    build_pq_index(old, path)
+    assert pq_index_append(spark, new, path) == new.count()
+    assert pq_index_append(spark, new, path) == 0  # replay: no-op
+
+    queries = vecs.filter(F.col("vec_id") % 50 == 0)
+    grown = {
+        (r.q_id, r.rank): (r.c_id, r.score)
+        for r in pq_search(spark, path, queries, k=5).collect()
+    }
+    # reference: same frozen books (fit on OLD only), everything encoded
+    books = pq.fit_pq_codebooks(old)
+    enc = pq.pq_encode(vecs, books)
+    want = {
+        (r.q_id, r.rank): (r.c_id, r.score)
+        for r in pq.pq_topk(queries, enc, books, k=5).collect()
+    }
+    assert grown == want
+
+
+def test_ivfpq_index_append_lands_in_cells(spark, tmp_path):
+    from degenter_clickhouse_spark.llm.pq import (
+        build_ivfpq_index,
+        ivfpq_search,
+        pq_index_append,
+    )
+
+    vecs = _vectors(spark)
+    old = vecs.filter(F.col("vec_id") % 5 != 0)
+    new = vecs.filter(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "ivfpq_grow")
+    build_ivfpq_index(old, path, k_cells=8)
+    assert pq_index_append(spark, new, path) == new.count()
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.count() == vecs.count()
+    assert "cell" in codes.columns
+    # appended vectors are findable
+    queries = new.limit(3)
+    res = ivfpq_search(spark, path, queries, k=3, nprobe=3)
+    assert res.count() == 3 * 3
