@@ -315,11 +315,17 @@ def main(argv: list[str] | None = None) -> int:
         "vt",
         help="manifest-versioned table maintenance (history/compact/vacuum)",
     )
-    vt.add_argument("action", choices=["history", "compact", "vacuum", "changes"])
+    vt.add_argument(
+        "action", choices=["history", "compact", "vacuum", "changes", "clone"]
+    )
     vt.add_argument("--from-version", type=int, default=1)
     vt.add_argument("--path", required=True)
     vt.add_argument("--target-files", type=int, default=8)
     vt.add_argument("--keep-versions", type=int, default=2)
+    vt.add_argument("--dest", help="clone destination path")
+    vt.add_argument(
+        "--at-version", type=int, help="clone source version (default: latest)"
+    )
 
     args = p.parse_args(argv)
     from .session import build_session
@@ -575,6 +581,11 @@ def main(argv: list[str] | None = None) -> int:
                 print(r.asDict())
         elif args.action == "compact":
             print("compacted to v", _vt.vt_compact(spark, args.path, args.target_files))
+        elif args.action == "clone":
+            if not args.dest:
+                p.error("vt clone requires --dest")
+            v = _vt.vt_clone(spark, args.path, args.dest, version=args.at_version)
+            print("cloned to v", v)
         else:
             print("removed files:", _vt.vt_vacuum(args.path, args.keep_versions))
         return 0

@@ -689,3 +689,50 @@ def vt_changes(
     inserts = new.exceptAll(old).withColumn("__change", F.lit("insert"))
     deletes = old.exceptAll(new).withColumn("__change", F.lit("delete"))
     return inserts.unionByName(deletes).select(*cols, "__change")
+
+
+def vt_clone(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    version: int | None = None,
+) -> int:
+    """Branch a snapshot: create a NEW table at ``dst`` whose v1 holds
+    the rows of ``src`` at ``version`` (default: current). The
+    lakehouse CLONE/branch workflow — experiment against production
+    data without touching it.
+
+    Data files are HARD-LINKED into the clone's data dir when the
+    filesystem allows it (zero-copy: the bytes exist once; either
+    table's vacuum only unlinks its own directory entry, so the other
+    table keeps the inode alive — no cross-table refcounting needed),
+    falling back to a byte copy. The clone is a fully independent
+    table afterward: its own manifests, versions, vacuum horizon.
+
+    Returns the clone's committed version (always 1).
+    """
+    import shutil
+
+    if vt_version(dst):
+        raise ValueError(f"vt_clone: destination {dst!r} already exists")
+    with _table_lock(src):
+        v = version or vt_version(src)
+        if not v:
+            raise ValueError(f"vt_clone: source {src!r} has no commits")
+        m = _manifest(src, v)
+        os.makedirs(os.path.join(dst, _DATA), exist_ok=True)
+        for f in m["files"]:
+            s = os.path.join(src, _DATA, f)
+            d = os.path.join(dst, _DATA, f)
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+        extra = {"stats_cols": m.get("stats_cols") or []}
+        if m.get("stats"):
+            extra["stats"] = {
+                f: m["stats"][f] for f in m["files"] if f in m["stats"]
+            }
+        extra["cloned_from"] = {"path": os.path.abspath(src), "version": v}
+    with _table_lock(dst):
+        return _commit(dst, 0, list(m["files"]), "clone", extra=extra)

@@ -245,3 +245,11 @@ def test_cli_index_pq_build_and_search(spark, tmp_path, capsys):
     n_vecs = spark.read.parquet(emb).count()
     assert len(out) == 3 * n_vecs
     assert all(len(line.split()) == 4 for line in out)
+
+
+def test_cli_vt_clone(spark, tmp_path, capsys):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    V.vt_write(spark, spark.range(5).selectExpr("id", "id * 2 AS v"), src)
+    assert main(["vt", "clone", "--path", src, "--dest", dst]) == 0
+    assert "cloned to v 1" in capsys.readouterr().out
+    assert V.vt_read(spark, dst).count() == 5

@@ -567,3 +567,55 @@ def test_two_process_writer_race(spark, tmp_path):
         100: (float(n - 1), n - 1),
         200: (float(n - 1), n - 1),
     }
+
+
+def test_vt_clone_branches_snapshot(spark, tmp_path):
+    """Clone at an old version: the clone reads that snapshot, evolves
+    independently, and the source is untouched; data files are shared
+    (hard links) until either side vacuums its own entry."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df1 = spark.range(10).withColumn("v", F.col("id") * 2)
+    V.vt_write(spark, df1, src)
+    V.vt_append(spark, spark.range(10, 15).withColumn("v", F.col("id")), src)
+    assert V.vt_version(src) == 2
+
+    V.vt_clone(spark, src, dst, version=1)
+    assert V.vt_version(dst) == 1
+    got = {r.id for r in V.vt_read(spark, dst).collect()}
+    want = {r.id for r in V.vt_read(spark, src, version=1).collect()}
+    assert got == want == set(range(10))
+
+    # independent evolution: delete in the clone, source unchanged
+    V.vt_delete(spark, dst, ["id"], spark.range(5).select("id"))
+    assert V.vt_read(spark, dst).count() == 5
+    assert V.vt_read(spark, src).count() == 15
+    # provenance recorded
+    m = V._manifest(dst, 1)
+    assert m["op"] == "clone" and m["cloned_from"]["version"] == 1
+
+    # zero-copy: shared files are the same inode (hard link)
+    shared = m["files"][0]
+    s = os.stat(os.path.join(src, "data", shared))
+    d = os.stat(os.path.join(dst, "data", shared))
+    assert s.st_ino == d.st_ino
+
+    # vacuuming the source does not break the clone
+    V.vt_write(spark, spark.range(3).withColumn("v", F.col("id")), src)
+    V.vt_vacuum(src, keep_versions=1)
+    assert V.vt_read(spark, dst).count() == 5
+
+
+def test_vt_clone_guards(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    src, dst = str(tmp_path / "s"), str(tmp_path / "d")
+    with pytest.raises(ValueError):
+        V.vt_clone(spark, src, dst)  # no source commits
+    V.vt_write(spark, spark.range(3).withColumn("v", F.col("id")), src)
+    V.vt_clone(spark, src, dst)
+    with pytest.raises(ValueError):
+        V.vt_clone(spark, src, dst)  # destination exists
