@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "sequence_next_node",  # next-event-after-chain via per-key lead windows (EXTENDED)
     "array_functions",  # arrayCumSum/Difference/Compact higher-order folds (EXTENDED)
     "range_frames",  # trailing time-RANGE window aggregates (EXTENDED)
+    "snapshot_diff",  # keyed full-outer snapshot reconciliation (EXTENDED)
 ]
 
 

@@ -161,3 +161,69 @@ def q_interval_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("overlap_secs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot reconciliation (operators/diff.snapshot_diff): yesterday's
+# vs today's orders snapshot — "today" is derived deterministically
+# from the same table (every 7th customer's orders dropped; every 5th
+# order's priority rewritten; status-'F' orders of every 11th customer
+# re-keyed as new rows), so both engines diff identical states. Oracle is a FULL
+# OUTER JOIN with NULL-safe value comparison — the independent
+# formulation of the same question.
+# ---------------------------------------------------------------------------
+
+SNAPSHOT_DIFF_ORACLE = """
+WITH today AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN '9-REPRICED'
+              ELSE o_orderpriority END AS o_orderpriority,
+         o_totalprice
+  FROM orders WHERE o_custkey % 7 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_orderpriority, o_totalprice
+  FROM orders WHERE o_orderstatus = 'F' AND o_custkey % 11 = 0
+),
+yesterday AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+)
+SELECT CASE WHEN y.o_orderkey IS NULL THEN 'added'
+            WHEN t.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS status,
+       COALESCE(y.o_orderkey, t.o_orderkey) AS o_orderkey
+FROM yesterday y
+FULL OUTER JOIN today t ON y.o_orderkey = t.o_orderkey
+WHERE y.o_orderkey IS NULL OR t.o_orderkey IS NULL
+   OR y.o_orderpriority IS DISTINCT FROM t.o_orderpriority
+   OR y.o_totalprice IS DISTINCT FROM t.o_totalprice
+"""
+
+
+@register_extended("snapshot_diff", SNAPSHOT_DIFF_ORACLE)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.diff import snapshot_diff
+
+    o = catalog.load_table(spark, sf_dir, "orders")
+    yesterday = o.select("o_orderkey", "o_orderpriority", "o_totalprice")
+    today = (
+        o.filter(F.col("o_custkey") % 7 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 5 == 0, F.lit("9-REPRICED"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("o_orderpriority"),
+            "o_totalprice",
+        )
+        .unionByName(
+            o.filter(
+                (F.col("o_orderstatus") == "F") & (F.col("o_custkey") % 11 == 0)
+            ).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                "o_orderpriority",
+                "o_totalprice",
+            )
+        )
+    )
+    return snapshot_diff(yesterday, today, ["o_orderkey"]).select(
+        "status", F.col("o_orderkey").cast("long").alias("o_orderkey")
+    )

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from . import register
 from .core import ANTI_ORACLE, SEMI_ORACLE, q_anti, q_semi
+from .joins_ext import SNAPSHOT_DIFF_ORACLE, q_snapshot_diff
 from .llm import (
     FP_ORACLE,
     IVF_ANN_ORACLE,
@@ -275,6 +276,10 @@ UNION ALL
 SELECT 'multikey', CAST(nationkey AS BIGINT), CAST(best_custkey AS BIGINT),
        CAST(relevance AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
 FROM ({RESOLVE_ORACLE})
+UNION ALL
+SELECT 'diff', o_orderkey, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       status, CAST(NULL AS VARCHAR)
+FROM ({SNAPSHOT_DIFF_ORACLE})
 """
 
 
@@ -304,7 +309,15 @@ def q_ordering_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NO_S().alias("s1"),
         _NO_S().alias("s2"),
     )
-    return pr.unionByName(nm).unionByName(mk)
+    sd = q_snapshot_diff(spark, sf_dir).select(
+        F.lit("diff").alias("part"),
+        F.col("o_orderkey").alias("k"),
+        _NO_K().alias("v1"),
+        _NO_K().alias("v2"),
+        F.col("status").alias("s1"),
+        _NO_S().alias("s2"),
+    )
+    return pr.unionByName(nm).unionByName(mk).unionByName(sd)
 
 
 # ---------------------------------------------------------------------------

@@ -226,3 +226,20 @@ def test_interval_join_self_join_suffix(spark):
     got = sorted((r["id"], r["id_r"]) for r in out.collect())
     # both directions + self-overlaps (caller filters id < id_r)
     assert got == [(1, 1), (1, 2), (2, 1), (2, 2)]
+
+
+def test_snapshot_diff_null_transitions(spark):
+    """NULL-safe comparison: value->NULL and NULL->value are changes;
+    NULL==NULL is unchanged; added/removed classified by side."""
+    from degenter_clickhouse_spark.operators.diff import snapshot_diff
+
+    left = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, "d")], "k long, v string"
+    )
+    right = spark.createDataFrame(
+        [(1, None), (2, None), (3, "c2"), (5, "e")], "k long, v string"
+    )
+    got = {r.k: r.status for r in snapshot_diff(left, right, ["k"]).collect()}
+    assert got == {1: "changed", 3: "changed", 4: "removed", 5: "added"}
+    # key 2 (NULL == NULL) is unchanged -> absent
+    assert 2 not in got

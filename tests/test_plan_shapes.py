@@ -224,6 +224,7 @@ SCALE_SHAPE_QUERIES = {
     "sequence_next_node": 0,  # one per-key lead window + keyed argmin
     "array_functions": 0,  # one groupBy(user) + map-only array folds
     "range_frames": 0,  # one per-user RANGE window, no global sort
+    "snapshot_diff": 0,  # one keyed full-outer join, delta-sized output
 }
 
 
