@@ -97,10 +97,18 @@ class Projection:
         self.measures = dict(measures)
 
     def covers(
-        self, group_by: Sequence[str], measure_names: Sequence[str]
+        self,
+        group_by: Sequence[str],
+        measures: Mapping[str, tuple[str, str | None]],
     ) -> bool:
-        return set(group_by) <= set(self.keys) and set(measure_names) <= set(
-            self.measures
+        """Keys must be a subset AND every requested measure must match
+        the stored definition (op + source expression), not just the
+        name — a same-named measure computed differently must fall to
+        the base table, never silently merge the wrong states."""
+        if not set(group_by) <= set(self.keys):
+            return False
+        return all(
+            self.measures.get(name) == spec for name, spec in measures.items()
         )
 
 
@@ -128,12 +136,14 @@ class ProjectionSet:
         self.projections.append(Projection(name, path, keys, measures))
 
     def route(
-        self, group_by: Sequence[str], measure_names: Sequence[str]
+        self,
+        group_by: Sequence[str],
+        measures: Mapping[str, tuple[str, str | None]],
     ) -> Projection | None:
         fits = [
             p
             for p in self.projections
-            if p.covers(group_by, measure_names)
+            if p.covers(group_by, measures)
         ]
         if not fits:
             return None
@@ -152,7 +162,7 @@ class ProjectionSet:
         Results are identical whichever source is chosen — asserted in
         tests/test_projection.py."""
         gb = list(group_by)
-        proj = self.route(gb, list(measures))
+        proj = self.route(gb, measures)
         if proj is None:
             aggs = [
                 _partial_agg(op, src, out)

@@ -200,3 +200,22 @@ def test_projection_refresh_noop_on_empty_delta(spark, tmp_path):
     )
     assert n == 0
     assert _rows(spark.read.parquet(path)) == before
+
+
+def test_projection_same_name_different_definition_falls_back(spark, tmp_path):
+    """A measure with a projection's NAME but a different definition
+    must route to the base table — never merge the wrong states."""
+    _, ps = _pset(spark, tmp_path)
+    # 'vol' stored as sum(value); request 'vol' as sum(user_id)
+    routed, src = ps.aggregate(
+        ["event_type"], {"vol": ("sum", "user_id"), "n": ("count", None)}
+    )
+    assert src == "base"
+    ev = _events(spark)
+    want = _rows(
+        ev.groupBy("event_type").agg(
+            F.sum(F.col("user_id").cast("decimal(38,6)")).alias("vol"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    assert _rows(routed) == want
