@@ -161,8 +161,12 @@ def main() -> None:
     # robust to background-load noise (single-shot local[32] timings
     # swing far more than +/-20% with hypervisor-neighbor load — r4
     # observed 17s..35s totals for identical code); runs are reported
-    # in the JSON line
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # in the JSON line. Default dropped 3 -> 2 when the headline list
+    # crossed ~80 queries: min-of-3 pushed the tail queries to
+    # single-run and squeezed the sf1 scale section out of the 480s
+    # budget entirely — min-of-2 everywhere + a live sf1 section beats
+    # min-of-3 for half the list.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     runs_done: dict[str, int] = {}
     errors: dict[str, str] = {}
