@@ -189,7 +189,14 @@ def _cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     envelope — cap or salt it for adversarial users at 100 TB)."""
     ev = catalog.load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
-    ui = ev.select("user_id", k.alias("k")).distinct()
+    # checkpoint: the (user, item) distinct feeds BOTH sides of the
+    # self-join plus the threshold scalar — one JSON-parse + distinct
+    # instead of three replays
+    ui = (
+        ev.select("user_id", k.alias("k"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     nu = ui.agg(F.countDistinct("user_id").alias("__n_users"))
     a = ui.select("user_id", F.col("k").alias("u"))
     b = ui.select("user_id", F.col("k").alias("v"))
