@@ -40,20 +40,28 @@ def agg_map(
     """Key-wise fold of a map column per group: ClickHouse
     ``{how}Map``. Returns ``keys + [out]`` where ``out`` is a map with
     entries sorted by key. Missing keys are absent (ClickHouse
-    semantics: only observed keys appear), never zero-filled."""
+    semantics: only observed keys appear), never zero-filled; a group
+    whose maps are all empty/NULL still appears, with an empty map
+    (``explode_outer`` keeps its rows — GROUP BY semantics, found by
+    the hypothesis property test)."""
     if how not in _FOLDS:
         raise ValueError(f"agg_map: how must be one of {sorted(_FOLDS)}")
     out = out or f"{how}_map"
     ks = list(keys)
     exploded = df.select(
-        *ks, F.explode(F.col(map_col)).alias("__mk", "__mv")
+        *ks, F.explode_outer(F.col(map_col)).alias("__mk", "__mv")
     )
     folded = exploded.groupBy(*ks, "__mk").agg(
         _FOLDS[how]("__mv").alias("__fv")
     )
+    # collect_list skips the NULL struct of an entry-less group, so it
+    # folds to map() rather than dropping the group
+    entry = F.when(
+        F.col("__mk").isNotNull(), F.struct("__mk", "__fv")
+    )
     return folded.groupBy(*ks).agg(
         F.map_from_entries(
-            F.array_sort(F.collect_list(F.struct("__mk", "__fv")))
+            F.array_sort(F.collect_list(entry))
         ).alias(out)
     )
 

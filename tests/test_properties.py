@@ -519,3 +519,104 @@ def test_weighted_sample_valid_keys_for_negative_and_huge_ids(spark):
     out = weighted_sample(df, "n_chars", k=100).collect()
     assert len(out) == 7  # every positive-weight row qualifies
     assert all(r["es_key"] is not None and r["es_key"] <= 0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# round-7 continuation-3 operators
+# ---------------------------------------------------------------------------
+
+_edge_lists = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(pairs=_edge_lists)
+@_settings
+def test_triangle_counts_property_vs_naive(spark, pairs):
+    """Any random multigraph (self-loops, duplicates, both directions):
+    degree-oriented wedge counts == brute enumeration."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from degenter_clickhouse_spark.operators import graph
+
+    adj = defaultdict(set)
+    for u, v in pairs:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    want = defaultdict(int)
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            want[a] += 1
+            want[b] += 1
+            want[c] += 1
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = dict(graph.triangle_counts(df).collect())
+    assert got == dict(want)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # group
+            st.dictionaries(
+                st.sampled_from(["a", "b", "c"]),
+                st.integers(-1000, 1000),
+                max_size=3,
+            ),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@_settings
+def test_agg_map_property_vs_dict_fold(spark, rows):
+    """agg_map sum/min/max == a plain Python dict fold per group."""
+    from degenter_clickhouse_spark.operators.maps import agg_map
+
+    df = spark.createDataFrame(rows, "g long, m map<string,long>")
+    for how, fold in (
+        ("sum", lambda a, b: a + b),
+        ("min", min),
+        ("max", max),
+    ):
+        want: dict[int, dict[str, int]] = {}
+        for g, m in rows:
+            acc = want.setdefault(g, {})
+            for k, v in m.items():
+                acc[k] = fold(acc[k], v) if k in acc else v
+        got = {
+            r.g: dict(r.fm)
+            for r in agg_map(df, ["g"], "m", how=how, out="fm").collect()
+        }
+        assert got == want, how
+
+
+@given(
+    left=st.dictionaries(st.integers(0, 15), st.one_of(st.none(), st.integers(0, 5)), max_size=12),
+    right=st.dictionaries(st.integers(0, 15), st.one_of(st.none(), st.integers(0, 5)), max_size=12),
+)
+@_settings
+def test_snapshot_diff_property(spark, left, right):
+    """diff statuses == set algebra over the two dicts (NULL-safe)."""
+    from degenter_clickhouse_spark.operators.diff import snapshot_diff
+
+    l = spark.createDataFrame(list(left.items()) or [(None, None)], "k long, v long").filter(
+        F.col("k").isNotNull()
+    )
+    r = spark.createDataFrame(list(right.items()) or [(None, None)], "k long, v long").filter(
+        F.col("k").isNotNull()
+    )
+    got = {row.k: row.status for row in snapshot_diff(l, r, ["k"]).collect()}
+    want = {}
+    for k in set(left) | set(right):
+        if k not in left:
+            want[k] = "added"
+        elif k not in right:
+            want[k] = "removed"
+        elif left[k] != right[k]:
+            want[k] = "changed"
+    assert got == want

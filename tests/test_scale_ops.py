@@ -532,3 +532,17 @@ def test_bitmap_state_merge_equals_direct(spark):
         for r in bitmap_merge(partial, ["event_type"]).collect()
     }
     assert merged == direct
+
+
+def test_streaming_interval_join_rejects_same_ts_name(spark, tmp_path):
+    import pytest as _pytest
+
+    from degenter_clickhouse_spark.streaming.windows import (
+        streaming_interval_join,
+    )
+
+    df = spark.readStream.schema("pool_id long, ts timestamp").json(
+        str(tmp_path)
+    )
+    with _pytest.raises(ValueError):
+        streaming_interval_join(df, df, left_ts="ts", right_ts="ts")
