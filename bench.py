@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "array_functions",  # arrayCumSum/Difference/Compact higher-order folds (EXTENDED)
     "range_frames",  # trailing time-RANGE window aggregates (EXTENDED)
     "snapshot_diff",  # keyed full-outer snapshot reconciliation (EXTENDED)
+    "column_profile",  # one-pass per-column stats profile (EXTENDED)
 ]
 
 

@@ -207,3 +207,78 @@ def constraints_from_specs(spark, specs: list[dict]) -> list:
         else:
             raise ValueError(f"unknown constraint type: {t!r}")
     return out
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """One-pass column profiler (the deequ/great-expectations
+    ColumnProfile shape): for every column — row count, null count,
+    exact distinct count, min/max (as strings, type-agnostic), and the
+    most frequent value with its count. Long-form output
+    (column, n_rows, n_null, n_distinct, min_val, max_val, top_val,
+    top_n), one row per column.
+
+    Plan: ALL per-column aggregates compile into ONE aggregation over
+    a single scan (count_distinct partials fold map-side like any
+    other aggregate); the mode per column costs one extra grouped
+    aggregation per column over (value, count) pairs — each bounded by
+    that column's cardinality, computed via a fixed-size union, never
+    a corpus re-scan per metric. Deterministic: the top value maximizes
+    (count, value), so ties break to the LARGEST string rendering.
+
+    At 100 TB swap the exact ``count_distinct`` for
+    ``approx_count_distinct`` and the exact mode for
+    ``operators/topk.frequent_items`` — this exact form is the
+    profile's oracle-able contract.
+    """
+    cols = columns or df.columns
+    aggs: list[F.Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        s = F.col(c).cast("string")
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__ndv_{c}"),
+            F.min(s).alias(f"__min_{c}"),
+            F.max(s).alias(f"__max_{c}"),
+        ]
+    base = df.agg(*aggs)
+    modes = []
+    for c in cols:
+        m = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(F.col(c).cast("string").alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(
+                F.expr("max_by(__v, struct(__c, __v))").alias("top_val"),
+                F.max(F.struct("__c", "__v")).getField("__c").alias("top_n"),
+            )
+            .select(F.lit(c).alias("column"), "top_val", "top_n")
+        )
+        modes.append(m)
+    top = modes[0]
+    for m in modes[1:]:
+        top = top.unionByName(m)
+    # long form via ONE explode of the single stats row — a per-column
+    # union would replan (and re-run) the global aggregate per branch
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__null_{c}").alias("n_null"),
+                F.col(f"__ndv_{c}").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_val"),
+                F.col(f"__max_{c}").alias("max_val"),
+            )
+            for c in cols
+        ]
+    )
+    wide = base.select(
+        F.col("__n").alias("n_rows"), F.explode(entries).alias("__p")
+    ).select(
+        F.col("__p.column").alias("column"),
+        "n_rows",
+        F.col("__p.n_null").alias("n_null"),
+        F.col("__p.n_distinct").alias("n_distinct"),
+        F.col("__p.min_val").alias("min_val"),
+        F.col("__p.max_val").alias("max_val"),
+    )
+    return wide.join(top, "column", "left")

@@ -84,3 +84,49 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# One-pass column profile over documents (operators/validate.
+# profile_table): per column — rows, nulls, exact NDV, min/max (string
+# renderings; the profiled table is int/string-typed so renderings are
+# engine-identical), and the (count, value)-max frequent value. The
+# oracle rebuilds each column's row with plain SQL aggregates + a
+# top-1 subquery: an independent formulation per metric.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(f"""
+SELECT '{c}' AS "column",
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER ({c} IS NULL) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       MIN(CAST({c} AS VARCHAR)) AS min_val,
+       MAX(CAST({c} AS VARCHAR)) AS max_val,
+       (SELECT v FROM (
+          SELECT CAST({c} AS VARCHAR) AS v, COUNT(*) AS cnt
+          FROM documents WHERE {c} IS NOT NULL GROUP BY 1
+          ORDER BY cnt DESC, v DESC LIMIT 1)) AS top_val,
+       (SELECT CAST(cnt AS BIGINT) FROM (
+          SELECT CAST({c} AS VARCHAR) AS v, COUNT(*) AS cnt
+          FROM documents WHERE {c} IS NOT NULL GROUP BY 1
+          ORDER BY cnt DESC, v DESC LIMIT 1)) AS top_n
+FROM documents""")
+    return "\nUNION ALL\n".join(parts)
+
+
+PROFILE_ORACLE = _profile_oracle()
+
+
+@register_extended("column_profile", PROFILE_ORACLE)
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import catalog
+    from ..operators.validate import profile_table
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    return profile_table(docs, _PROFILE_COLS)

@@ -162,7 +162,12 @@ from .graph_ext import (
     q_graph_pagerank,
     q_graph_triangles,
 )
-from .quality_ext import QUALITY_ORACLE, q_data_quality
+from .quality_ext import (
+    PROFILE_ORACLE,
+    QUALITY_ORACLE,
+    q_column_profile,
+    q_data_quality,
+)
 
 
 def _NO_K():
@@ -1066,6 +1071,13 @@ SELECT 'overlap', t1, t2, CAST(-1 AS BIGINT),
        jaccard, CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE),
        CAST(-1.0 AS DOUBLE)
 FROM ({AUDIENCE_OVERLAP_ORACLE})
+UNION ALL
+SELECT 'colprofile', "column",
+       min_val || '|' || max_val || '|' || top_val,
+       CAST(-1 AS BIGINT), n_rows, n_null, n_distinct,
+       CAST(top_n AS DOUBLE), CAST(-1.0 AS DOUBLE),
+       CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE)
+FROM ({PROFILE_ORACLE})
 """
 
 
@@ -1188,6 +1200,19 @@ def q_corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NO_V().alias("v3"),
         _NO_V().alias("v4"),
     )
+    cp = q_column_profile(spark, sf_dir).select(
+        F.lit("colprofile").alias("part"),
+        F.col("column").alias("s1"),
+        F.concat_ws("|", "min_val", "max_val", "top_val").alias("s2"),
+        _NO_K().alias("k"),
+        F.col("n_rows").alias("n1"),
+        F.col("n_null").alias("n2"),
+        F.col("n_distinct").alias("n3"),
+        F.col("top_n").cast("double").alias("v1"),
+        _NO_V().alias("v2"),
+        _NO_V().alias("v3"),
+        _NO_V().alias("v4"),
+    )
     ov = q_audience_overlap(spark, sf_dir).select(
         F.lit("overlap").alias("part"),
         F.col("t1").alias("s1"),
@@ -1211,6 +1236,7 @@ def q_corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cu)
         .unionByName(wi)
         .unionByName(ov)
+        .unionByName(cp)
     )
 
 

@@ -225,6 +225,9 @@ SCALE_SHAPE_QUERIES = {
     "array_functions": 0,  # one groupBy(user) + map-only array folds
     "range_frames": 0,  # one per-user RANGE window, no global sort
     "snapshot_diff": 0,  # one keyed full-outer join, delta-sized output
+    # the 6 one-row aggregates: the single all-columns stats pass +
+    # one bounded (value,count) top-1 per profiled column
+    "column_profile": 6,
 }
 
 
