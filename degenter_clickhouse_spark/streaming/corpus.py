@@ -99,10 +99,37 @@ def read_length_profile(spark: SparkSession, output_dir: str, q: float = 0.5) ->
     return quantile_merge(states.drop("__batch_id"), ["source"], q)
 
 
+def _prior_ids(
+    spark: SparkSession, path: str, batch_id: int, batch_rows: DataFrame
+) -> DataFrame:
+    """Other batches' doc_ids restricted to THIS batch's hash buckets:
+    the bucket list collects driver-side (<= N_SHINGLE_BUCKETS ints —
+    dimension-sized by construction) and becomes a static IN partition
+    filter, so the replay-guard read prunes every untouched bucket's
+    files at planning time. Tables written before the bucket layout
+    (no __bucket partition) fall back to the full column-pruned
+    read."""
+    prior = spark.read.parquet(path)
+    if "__bucket" in prior.columns:
+        buckets = [
+            r.b
+            for r in batch_rows.select(_doc_bucket("doc_id").alias("b"))
+            .distinct()
+            .collect()
+        ]
+        prior = prior.where(F.col("__bucket").isin(buckets))
+    return prior.where(F.col("__batch_id") != int(batch_id)).select("doc_id")
+
+
 def _idempotent_write(df: DataFrame, path: str, batch_id: int, *extra_parts: str) -> None:
     """Batch-scoped dynamic partition overwrite: replaying batch N
     rewrites exactly batch N's partitions (idempotent under
-    foreachBatch's at-least-once contract)."""
+    foreachBatch's at-least-once contract). With sub-partitions the
+    frame is first repartitioned on them — otherwise every input task
+    writes into every partition it holds rows for (tasks x buckets
+    small files per batch)."""
+    if extra_parts:
+        df = df.repartition(*[F.col(c) for c in extra_parts])
     (
         df.withColumn("__batch_id", F.lit(int(batch_id)))
         .write.mode("overwrite")
@@ -145,14 +172,20 @@ def process_corpus_batch(
         # Doing it before any downstream write protects accepted, the
         # quarantine, the MinHash/text/IVF index growth, and the
         # profile states in one place.
+        #
+        # BOUNDED read: accepted/quarantine are additionally
+        # partitioned by a doc-id hash bucket, and the guard reads
+        # ONLY this batch's buckets (a static IN partition filter —
+        # the candidate_index_shingles discipline). Without this the
+        # guard scanned the whole corpus's doc_id column per
+        # micro-batch: O(corpus) per batch, quadratic over the stream.
         acc_path = os.path.join(output_dir, "accepted")
         if os.path.exists(acc_path):
-            prior = (
-                spark.read.parquet(acc_path)
-                .where(F.col("__batch_id") != int(batch_id))
-                .select("doc_id")
+            accepted = accepted.join(
+                _prior_ids(spark, acc_path, batch_id, accepted),
+                "doc_id",
+                "left_anti",
             )
-            accepted = accepted.join(prior, "doc_id", "left_anti")
         if near_dup_threshold is not None:
             accepted = accepted.cache()
             to_unpersist.append(accepted)
@@ -225,7 +258,12 @@ def process_corpus_batch(
                 batch_id,
                 "band",
             )
-        _idempotent_write(accepted, os.path.join(output_dir, "accepted"), batch_id)
+        _idempotent_write(
+            accepted.withColumn("__bucket", _doc_bucket("doc_id")),
+            os.path.join(output_dir, "accepted"),
+            batch_id,
+            "__bucket",
+        )
         if maintain_text_index:
             # BM25 index grows with the corpus, like the MinHash index
             # above: batch-scoped idempotent writes, search-ready after
@@ -308,15 +346,17 @@ def process_corpus_batch(
         # batch don't duplicate their existing quarantine rows either
         quar_path = os.path.join(output_dir, "quarantine")
         if os.path.exists(quar_path):
-            prior_q = (
-                spark.read.parquet(quar_path)
-                .where(F.col("__batch_id") != int(batch_id))
-                .select("doc_id")
+            rejected = rejected.join(
+                _prior_ids(spark, quar_path, batch_id, rejected),
+                "doc_id",
+                "left_anti",
             )
-            rejected = rejected.join(prior_q, "doc_id", "left_anti")
         if rejected.limit(1).count():
             _idempotent_write(
-                rejected, os.path.join(output_dir, "quarantine"), batch_id
+                rejected.withColumn("__bucket", _doc_bucket("doc_id")),
+                os.path.join(output_dir, "quarantine"),
+                batch_id,
+                "__bucket",
             )
     finally:
         for df in to_unpersist:

@@ -906,3 +906,43 @@ def test_streaming_sessions_gap_and_watermark(spark, tmp_path):
             (r.n_events, r.value_sum)
             for r in spark.read.parquet(out_dir).collect()}
     assert got2[(1, "10:40")] == (1, 8.0)
+
+
+def test_replay_guard_reads_are_bucket_pruned(spark, tmp_path):
+    """The cross-batch replay guard must prune the prior read to this
+    batch's doc-id hash buckets (static partition IN filter) — the
+    whole point of the bucket layout: guard cost tracks the batch,
+    not the corpus. Legacy tables without the bucket layout fall back
+    to the full column-pruned read."""
+    import os
+
+    from degenter_clickhouse_spark.streaming.corpus import (
+        _doc_bucket,
+        _idempotent_write,
+        _prior_ids,
+    )
+
+    acc = str(tmp_path / "accepted")
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"), F.lit("t").alias("text")
+    )
+    _idempotent_write(
+        docs.withColumn("__bucket", _doc_bucket("doc_id")), acc, 0, "__bucket"
+    )
+    batch = spark.range(3).select(F.col("id").alias("doc_id"))
+    plan = (
+        _prior_ids(spark, acc, 1, batch)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "__bucket" in m.group(1), plan[:1500]
+
+    # legacy layout (no __bucket): fall back, still correct
+    legacy = str(tmp_path / "legacy")
+    _idempotent_write(docs, legacy, 0)
+    ids = {r.doc_id for r in _prior_ids(spark, legacy, 1, batch).collect()}
+    assert ids == set(range(200))
