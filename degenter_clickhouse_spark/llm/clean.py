@@ -473,19 +473,36 @@ def update_text_index_batch(
 
     docs = accepted.select(F.col(id_col), F.col(text_col))
     docs_path = os.path.join(path, "docs")
+    ibkt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(64)).cast("int")
     if os.path.exists(docs_path):
-        existing = (
-            spark.read.parquet(docs_path)
-            .where(F.col("__batch_id") != int(batch_id))
-            .select(id_col)
+        existing = spark.read.parquet(docs_path)
+        if "__ibkt" in existing.columns:
+            # bounded read: prune the anti-join to THIS batch's id
+            # buckets (static partition filter) — without it the guard
+            # scans every stored doc id per micro-batch, O(corpus) per
+            # batch. Pre-bucket-layout indexes fall back to the full
+            # column-pruned read.
+            buckets = [
+                r.b for r in docs.select(ibkt.alias("b")).distinct().collect()
+            ]
+            existing = existing.where(F.col("__ibkt").isin(buckets))
+        docs = docs.join(
+            existing.where(F.col("__batch_id") != int(batch_id)).select(
+                id_col
+            ),
+            id_col,
+            "left_anti",
         )
-        docs = docs.join(existing, id_col, "left_anti")
     docs = docs.cache()
     try:
         ws = F.split(F.col(text_col), " ")
         d = docs.select(F.col(id_col), F.size(ws).cast("long").alias("dl"))
 
         def batch_overwrite(df: DataFrame, sub: str, *parts: str) -> None:
+            if parts:
+                # one task per sub-partition — otherwise every input
+                # task writes a file into every partition it holds
+                df = df.repartition(*[F.col(c) for c in parts])
             (
                 df.withColumn("__batch_id", F.lit(int(batch_id)))
                 .write.mode("overwrite")
@@ -495,7 +512,7 @@ def update_text_index_batch(
             )
 
         batch_overwrite(_postings(docs, id_col, text_col), "postings", "bucket")
-        batch_overwrite(d, "docs")
+        batch_overwrite(d.withColumn("__ibkt", ibkt), "docs", "__ibkt")
         batch_overwrite(
             d.agg(
                 F.count(F.lit(1)).alias("n_docs"),

@@ -481,7 +481,12 @@ def pq_index_append(
     pruned scan), so shard replays append nothing. Works for both
     plain PQ (codes/) and IVF-PQ (cell-partitioned codes/ — new rows
     are also cell-assigned against the frozen IVF centroids).
-    Returns the number of newly indexed vectors."""
+    Returns the number of newly indexed vectors.
+
+    Cost note: like ivf_index_append, the stored-id anti-join scans
+    the id column of the whole code table per append — batch shards
+    before appending in high-frequency loops (the code column itself
+    is never read)."""
     from ..operators.merge import _table_lock
 
     with _table_lock(path):

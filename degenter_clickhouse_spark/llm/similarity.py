@@ -617,6 +617,15 @@ def ivf_index_append(
     ivf_search keeps pruning untouched cells at planning time. Run
     ``build_ivf_index`` afresh when drift makes the frozen centroids
     stale (the index stores everything needed to compare recall).
+
+    Cost note: the stored-id anti-join is a column-pruned scan of the
+    id column across ALL cells — O(corpus ids) per append. Cell
+    pruning can NOT bound it in general (an existing id may live in
+    any cell if its vector changed). When appends arrive from the
+    streaming corpus pipeline the upstream bucket-pruned replay guard
+    (streaming/corpus._prior_ids) already deduplicates, so this scan
+    is a second line of defense; for standalone high-frequency append
+    loops, batch shards before appending.
     """
     import os
 
