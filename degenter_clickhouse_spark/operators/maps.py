@@ -113,3 +113,60 @@ def bitmap_merge(
             F.array_distinct(F.flatten(F.collect_list(F.col(bm_col))))
         ).alias(bm_col)
     ).withColumn("n", F.size(F.col(bm_col)).cast("long"))
+
+
+def distinct_up_to(
+    df: DataFrame,
+    keys: Sequence[str],
+    id_col: str,
+    n: int,
+    out: str = "bm",
+) -> DataFrame:
+    """ClickHouse ``uniqUpTo(N)``: exact distinct count capped at N —
+    the "more than N distinct buyers?" gate where the precise count
+    above N is irrelevant. State = the N+1 SMALLEST distinct ids per
+    group, so state size is O(N) regardless of group cardinality
+    (unlike ``bitmap_state``) while counts <= N stay exact and > N is
+    detected exactly.
+
+    The smallest-(N+1) cap is what makes states MERGEABLE without
+    error: every one of the union's N+1 smallest ids is among its own
+    partial's N+1 smallest, so re-capping the union of capped states
+    equals capping the uncapped union (asserted in
+    tests/test_scale_ops.py). Returns (keys, bm capped array,
+    n_up_to = least(N+1, true distinct) — read n_up_to > N as "more
+    than N").
+
+    Shape note: the cap is applied BEFORE any per-group collection —
+    distinct, then a spillable per-key row_number <= N+1, then a
+    bounded collect — so no agg buffer ever holds a hot group's full
+    id set (a collect_set-then-slice would)."""
+    from pyspark.sql.window import Window
+
+    ks = list(keys)
+    dist = df.select(*ks, F.col(id_col)).distinct()
+    w = Window.partitionBy(*ks).orderBy(F.col(id_col).asc())
+    capped_rows = dist.withColumn(
+        "__rk", F.row_number().over(w)
+    ).filter(F.col("__rk") <= n + 1)
+    capped = capped_rows.groupBy(*ks).agg(
+        F.array_sort(F.collect_list(F.col(id_col))).alias(out)
+    )
+    return capped.withColumn("n_up_to", F.size(F.col(out)).cast("long"))
+
+
+def distinct_up_to_merge(
+    df: DataFrame, keys: Sequence[str], n: int, bm_col: str = "bm"
+) -> DataFrame:
+    """Merge capped states (``uniqUpToMerge``): union, re-sort,
+    re-cap."""
+    merged = df.groupBy(*keys).agg(
+        F.slice(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list(F.col(bm_col))))
+            ),
+            1,
+            n + 1,
+        ).alias(bm_col)
+    )
+    return merged.withColumn("n_up_to", F.size(F.col(bm_col)).cast("long"))

@@ -546,3 +546,37 @@ def test_streaming_interval_join_rejects_same_ts_name(spark, tmp_path):
     )
     with _pytest.raises(ValueError):
         streaming_interval_join(df, df, left_ts="ts", right_ts="ts")
+
+
+def test_distinct_up_to_exact_and_mergeable(spark):
+    """uniqUpTo(N): counts <= N exact, > N detected as N+1; per-day
+    capped states merge to EXACTLY the direct capped state (the
+    smallest-(N+1) cap proof)."""
+    from degenter_clickhouse_spark.operators.maps import (
+        distinct_up_to,
+        distinct_up_to_merge,
+    )
+
+    ev = catalog.load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    n = 5
+    direct = {
+        r.event_type: (list(r.bm), r.n_up_to)
+        for r in distinct_up_to(ev, ["event_type"], "user_id", n).collect()
+    }
+    true = {
+        r.event_type: r.c
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("c"))
+        .collect()
+    }
+    for t, (bm, cnt) in direct.items():
+        assert cnt == min(true[t], n + 1)
+        assert len(bm) == cnt
+    partial = distinct_up_to(ev, ["event_type", "day"], "user_id", n)
+    merged = {
+        r.event_type: (list(r.bm), r.n_up_to)
+        for r in distinct_up_to_merge(partial, ["event_type"], n).collect()
+    }
+    assert merged == direct
