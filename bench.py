@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "range_frames",  # trailing time-RANGE window aggregates (EXTENDED)
     "snapshot_diff",  # keyed full-outer snapshot reconciliation (EXTENDED)
     "column_profile",  # one-pass per-column stats profile (EXTENDED)
+    "seasonal_anomalies",  # per-(type,dow,hour) median/MAD deviation flags (EXTENDED)
 ]
 
 

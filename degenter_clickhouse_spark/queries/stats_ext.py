@@ -1449,3 +1449,75 @@ def q_range_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("long").alias("trail_n"),
         F.max("v").over(w).cast("long").alias("trail_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-baseline anomaly detection: each event compared against its
+# (event_type, day-of-week, hour) cell's robust baseline — median +
+# MAD computed per seasonal cell (the weekly-seasonality profile that
+# calendar-blind rolling z-scores miss: a Monday-9am spike is normal
+# on Mondays at 9). Flags |v - med| > 3 * MAD. Shared percentile
+# interpolation keeps med/MAD bit-identical across engines (the
+# robust_stats contract); the flag compare is exact arithmetic on
+# those values. Two grouped aggregations + one broadcast baseline
+# join — the fact table is scanned twice, shuffled on the cell key
+# only.
+# ---------------------------------------------------------------------------
+
+SEASONAL_ORACLE = """
+WITH base AS (
+  SELECT event_id, event_type, value,
+         CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,  -- DuckDB 0=Sun; Spark 1=Sun
+         CAST(hour(ts) AS BIGINT) AS hr
+  FROM events
+),
+med AS (
+  SELECT event_type, dow, hr,
+         quantile_cont(value, 0.5) AS med
+  FROM base GROUP BY event_type, dow, hr
+),
+mad AS (
+  SELECT b.event_type, b.dow, b.hr, m.med,
+         quantile_cont(abs(b.value - m.med), 0.5) AS mad,
+         CAST(COUNT(*) AS BIGINT) AS n_cell
+  FROM base b JOIN med m
+    ON b.event_type = m.event_type AND b.dow = m.dow AND b.hr = m.hr
+  GROUP BY b.event_type, b.dow, b.hr, m.med
+)
+SELECT CAST(b.event_id AS BIGINT) AS event_id, b.event_type,
+       b.dow, b.hr, m.med, m.mad, m.n_cell
+FROM base b
+JOIN mad m
+  ON b.event_type = m.event_type AND b.dow = m.dow AND b.hr = m.hr
+WHERE abs(b.value - m.med) > 3 * m.mad
+"""
+
+
+@register_extended("seasonal_anomalies", SEASONAL_ORACLE)
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import catalog
+
+    ev = catalog.load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        "value",
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hr"),
+    )
+    cell = ["event_type", "dow", "hr"]
+    med = base.groupBy(*cell).agg(
+        F.percentile(F.col("value"), 0.5).alias("med")
+    )
+    dev = base.join(dim_broadcast(med), cell)
+    mad = dev.groupBy(*cell, "med").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad"),
+        F.count(F.lit(1)).alias("n_cell"),
+    )
+    flagged = base.join(dim_broadcast(mad), cell).filter(
+        F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad")
+    )
+    return flagged.select(
+        "event_id", "event_type", "dow", "hr", "med", "mad",
+        F.col("n_cell").cast("long").alias("n_cell"),
+    )

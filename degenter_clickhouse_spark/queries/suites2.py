@@ -121,6 +121,7 @@ from .stats_ext import (
     RANGE_FRAMES_ORACLE,
     RANK_FUNCTIONS_ORACLE,
     RETENTION_ORACLE,
+    SEASONAL_ORACLE,
     SEQ_NEXT_ORACLE,
     ROLLUP_ORACLE,
     SEQUENCE_COUNT_ORACLE,
@@ -142,6 +143,7 @@ from .stats_ext import (
     q_retention_cohorts,
     q_robust_stats,
     q_rollup_totals,
+    q_seasonal_anomalies,
     q_sequence_count,
     q_sequence_next_node,
     q_source_quality_report,
@@ -568,6 +570,10 @@ SELECT 'ranges', user_id, event_id, trail_sum, trail_max,
        CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), trail_n
 FROM ({RANGE_FRAMES_ORACLE})
 UNION ALL
+SELECT 'seasonal', event_id, dow, hr, n_cell, event_type,
+       med, mad, CAST(-1.0 AS DOUBLE), CAST(-1 AS BIGINT)
+FROM ({SEASONAL_ORACLE})
+UNION ALL
 SELECT 'anomaly', event_id, user_id, dev2_num, var9_num,
        CAST(NULL AS VARCHAR), CAST(is_anomaly AS DOUBLE),
        CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE), n_window
@@ -665,6 +671,18 @@ def q_behavioral_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NO_V().alias("v2"),
         _NO_V().alias("v3"),
         F.col("n_nodes").alias("n"),
+    )
+    se = q_seasonal_anomalies(spark, sf_dir).select(
+        F.lit("seasonal").alias("part"),
+        F.col("event_id").alias("k1"),
+        F.col("dow").alias("k2"),
+        F.col("hr").alias("k3"),
+        F.col("n_cell").alias("k4"),
+        F.col("event_type").alias("s"),
+        F.col("med").alias("v1"),
+        F.col("mad").alias("v2"),
+        _NO_V().alias("v3"),
+        _NO_K().alias("n"),
     )
     rf = q_range_frames(spark, sf_dir).select(
         F.lit("ranges").alias("part"),
@@ -788,6 +806,7 @@ def q_behavioral_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(sn)
         .unionByName(af)
         .unionByName(rf)
+        .unionByName(se)
         .unionByName(an)
         .unionByName(sq)
     )

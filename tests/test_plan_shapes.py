@@ -228,6 +228,7 @@ SCALE_SHAPE_QUERIES = {
     # the 6 one-row aggregates: the single all-columns stats pass +
     # one bounded (value,count) top-1 per profiled column
     "column_profile": 6,
+    "seasonal_anomalies": 0,  # cell-key aggs + broadcast baseline joins
 }
 
 
