@@ -157,9 +157,14 @@ def _query_luts(
     id_col: str,
     vec: str,
 ) -> DataFrame:
-    """(q_id, q_n2, lut array<double>) where lut[sub * k_sub + cell - 1]
-    = dot(query_sub, centroid(sub, cell)). n_queries x m_sub x k_sub
-    doubles — dimension-sized, broadcast by the caller."""
+    """(q_id, q_n2, lut map<int,double>) where lut[sub * k_sub + cell]
+    = dot(query_sub, centroid(sub, cell)). A MAP, not a positional
+    array: codebooks can be SPARSE (Lloyd drops empty cells when the
+    training set is small), and a compacted array shifts every lookup
+    after the first gap — a real mis-scoring bug caught by the
+    streaming-maintained index test, where books fit on a 10-doc first
+    batch. n_queries x m_sub x k_sub entries — dimension-sized,
+    broadcast by the caller."""
     sub = _subvectors(queries, m_sub, d, id_col, vec)
     dot = F.expr(
         "aggregate(zip_with(subvec, centroid, (x, y) -> "
@@ -170,14 +175,13 @@ def _query_luts(
         sub.join(dim_broadcast(codebooks), "sub")
         .select(
             F.col(id_col).alias("q_id"),
-            (F.col("sub") * k_sub + F.col("cell") - 1).alias("slot"),
+            (F.col("sub") * k_sub + F.col("cell")).alias("slot"),
             dot.alias("dp"),
         )
     )
     luts = entries.groupBy("q_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("slot", "dp"))),
-            lambda s: s["dp"],
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("slot", "dp")))
         ).alias("lut")
     )
     return luts.join(

@@ -148,6 +148,7 @@ def process_corpus_batch(
     near_dup_threshold: float | None,
     maintain_text_index: bool = False,
     maintain_ivf_index: bool = False,
+    maintain_pq_index: bool = False,
     maintain_profile: bool = False,
     validate_constraints: list | None = None,
 ) -> None:
@@ -309,6 +310,24 @@ def process_corpus_batch(
                     k_cells=adaptive_ivf_cells(emb.count()),
                     iters=1,
                 )
+        if maintain_pq_index:
+            # 16x-compressed PQ codes grow with the stream (all FOUR
+            # index families now stream-maintained: MinHash bands,
+            # posting lists, IVF cells, PQ codes). Codebooks freeze on
+            # the first batch (the add-after-train contract shared
+            # with IVF); pq_index_append's stored-id anti-join makes
+            # replays converge.
+            from ..llm.pq import build_pq_index, pq_index_append
+            from ..llm.similarity import hash_embed
+
+            pq_dir = os.path.join(output_dir, "pq_idx")
+            pemb = hash_embed(accepted.select("doc_id", "text"))
+            if os.path.exists(os.path.join(pq_dir, "codebooks")) and os.path.exists(
+                os.path.join(pq_dir, "codes")
+            ):
+                pq_index_append(spark, pemb, pq_dir)
+            else:
+                build_pq_index(pemb, pq_dir, iters=1)
         if maintain_profile:
             # mergeable corpus profile (operators/skew.quantile_state):
             # one summable histogram-state row set per batch over the
@@ -374,6 +393,7 @@ def stream_corpus_ingest(
     near_dup_threshold: float | None = None,
     maintain_text_index: bool = False,
     maintain_ivf_index: bool = False,
+    maintain_pq_index: bool = False,
     maintain_profile: bool = False,
     validate_constraints: list | None = None,
     available_now: bool = True,
@@ -435,6 +455,7 @@ def stream_corpus_ingest(
             near_dup_threshold,
             maintain_text_index=maintain_text_index,
             maintain_ivf_index=maintain_ivf_index,
+            maintain_pq_index=maintain_pq_index,
             maintain_profile=maintain_profile,
             validate_constraints=validate_constraints,
         )

@@ -946,3 +946,64 @@ def test_replay_guard_reads_are_bucket_pruned(spark, tmp_path):
     _idempotent_write(docs, legacy, 0)
     ids = {r.doc_id for r in _prior_ids(spark, legacy, 1, batch).collect()}
     assert ids == set(range(200))
+
+
+def test_streaming_maintained_pq_index(spark, tmp_path):
+    """All four index families stream-maintained: with
+    maintain_pq_index=True the PQ code table grows with accepted docs
+    (codebooks frozen on the first batch) and a pq_search over the
+    streaming-grown index finds the expected docs."""
+    import json
+    import os
+
+    from degenter_clickhouse_spark.llm.pq import pq_search
+    from degenter_clickhouse_spark.llm.similarity import hash_embed
+    from degenter_clickhouse_spark.streaming.corpus import (
+        stream_corpus_ingest,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = str(tmp_path / "out")
+
+    def shard(name, docs):
+        (landing / name).write_text(
+            "\n".join(
+                json.dumps(
+                    {
+                        "doc_id": i,
+                        "text": t,
+                        "lang": "en",
+                        "source": "s",
+                        "n_chars": len(t),
+                        "event_ts": f"2024-05-01 10:{i % 60:02d}:00",
+                    }
+                )
+                for i, t in docs
+            )
+        )
+
+    texts = {
+        i: f"document number {i} talks about topic {i % 3} in many plain words"
+        for i in range(20)
+    }
+    shard("a.json", [(i, texts[i]) for i in range(10)])
+    stream_corpus_ingest(
+        spark, str(landing), out, str(tmp_path / "ckpt"),
+        maintain_pq_index=True,
+    )
+    n1 = spark.read.parquet(f"{out}/pq_idx/codes").count()
+    assert n1 == 10
+    shard("b.json", [(i, texts[i]) for i in range(10, 20)])
+    stream_corpus_ingest(
+        spark, str(landing), out, str(tmp_path / "ckpt"),
+        maintain_pq_index=True,
+    )
+    assert spark.read.parquet(f"{out}/pq_idx/codes").count() == 20
+
+    acc = spark.read.parquet(f"{out}/accepted").select("doc_id", "text")
+    q = hash_embed(acc.filter(F.col("doc_id") == 3))
+    res = pq_search(
+        spark, f"{out}/pq_idx", q, k=3, rerank_with=hash_embed(acc),
+    )
+    assert res.count() == 3
