@@ -81,6 +81,12 @@ def main(argv: list[str] | None = None) -> int:
         "OUTPUT/ivf_idx (frozen centroids, replay-converging appends)",
     )
     ci.add_argument(
+        "--maintain-pq-index",
+        action="store_true",
+        help="hash-embed accepted docs and grow the 16x-compressed PQ "
+        "code index at OUTPUT/pq_idx (frozen codebooks)",
+    )
+    ci.add_argument(
         "--maintain-profile",
         action="store_true",
         help="write mergeable length-quantile histogram states to "
@@ -369,6 +375,7 @@ def main(argv: list[str] | None = None) -> int:
             near_dup_threshold=args.near_dup_threshold,
             maintain_text_index=args.maintain_text_index,
             maintain_ivf_index=args.maintain_ivf_index,
+            maintain_pq_index=args.maintain_pq_index,
             maintain_profile=args.maintain_profile,
             validate_constraints=_vc,
             available_now=args.once,
