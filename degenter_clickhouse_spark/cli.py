@@ -237,10 +237,15 @@ def main(argv: list[str] | None = None) -> int:
 
     gr = sub.add_parser(
         "graph",
-        help="graph centrality over an edge-list parquet "
-        "(pagerank/components/degrees)",
+        help="graph analytics over an edge-list parquet "
+        "(pagerank/components/degrees/triangles/communities)",
     )
-    gr.add_argument("action", choices=["pagerank", "components", "degrees"])
+    gr.add_argument(
+        "action",
+        choices=[
+            "pagerank", "components", "degrees", "triangles", "communities",
+        ],
+    )
     gr.add_argument("--edges", required=True, help="edge-list parquet")
     gr.add_argument("--src", default="src")
     gr.add_argument("--dst", default="dst")
@@ -316,6 +321,14 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="exit 1 if any constraint fails (batch-gate semantics)",
     )
+
+    pf = sub.add_parser(
+        "profile",
+        help="one-pass column profile (rows/nulls/NDV/min-max/top value)",
+    )
+    pf.add_argument("--input", required=True, help="parquet table to profile")
+    pf.add_argument("--columns", help="comma-separated subset (default: all)")
+    pf.add_argument("--output", help="optional parquet path for the profile")
 
     vt = sub.add_parser(
         "vt",
@@ -510,6 +523,12 @@ def main(argv: list[str] | None = None) -> int:
         elif args.action == "components":
             out = _graph.connected_components(edges)
             order = ["component", "node"]
+        elif args.action == "triangles":
+            out = _graph.triangle_counts(edges)
+            order = [_F.desc("n_triangles"), "node"]
+        elif args.action == "communities":
+            out = _graph.label_propagation(edges, iterations=args.iterations)
+            order = ["label", "node"]
         else:
             out = _graph.degree_stats(edges)
             order = [_F.desc("degree")]
@@ -549,6 +568,21 @@ def main(argv: list[str] | None = None) -> int:
         if args.output:
             out.write.mode("overwrite").parquet(args.output)
         print(f"projected {out.count()} vectors to k={len(model['components'])}")
+        return 0
+    if args.cmd == "profile":
+        from .operators.validate import profile_table
+
+        df = spark.read.parquet(args.input)
+        cols = args.columns.split(",") if args.columns else None
+        prof = profile_table(df, cols)
+        if args.output:
+            prof.write.mode("overwrite").parquet(args.output)
+        for r in prof.orderBy("column").collect():  # column-count-sized
+            print(
+                r["column"], r["n_rows"], r["n_null"], r["n_distinct"],
+                repr(r["min_val"]), repr(r["max_val"]),
+                repr(r["top_val"]), r["top_n"],
+            )
         return 0
     if args.cmd == "validate":
         import json as _json

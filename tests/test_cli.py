@@ -253,3 +253,33 @@ def test_cli_vt_clone(spark, tmp_path, capsys):
     assert main(["vt", "clone", "--path", src, "--dest", dst]) == 0
     assert "cloned to v 1" in capsys.readouterr().out
     assert V.vt_read(spark, dst).count() == 5
+
+
+def test_cli_profile_and_graph_triangles(spark, tmp_path, capsys):
+    assert main([
+        "profile", "--input", DOCS, "--columns", "doc_id,lang",
+    ]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 2 and all(len(line.split()) >= 8 for line in out)
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    ep = str(tmp_path / "edges")
+    edges.write.parquet(ep)
+    import ast
+
+    assert main(["graph", "triangles", "--edges", ep]) == 0
+    tri = {
+        d["node"]: d["n_triangles"]
+        for d in map(ast.literal_eval,
+                     capsys.readouterr().out.strip().splitlines())
+    }
+    assert tri == {1: 1, 2: 1, 3: 1}
+    assert main(["graph", "communities", "--edges", ep]) == 0
+    labels = {
+        d["node"]: d["label"]
+        for d in map(ast.literal_eval,
+                     capsys.readouterr().out.strip().splitlines())
+    }
+    assert set(labels) == {1, 2, 3, 4}
