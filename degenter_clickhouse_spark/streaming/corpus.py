@@ -109,7 +109,14 @@ def _prior_ids(
     files at planning time. Tables written before the bucket layout
     (no __bucket partition) fall back to the full column-pruned
     read."""
-    prior = spark.read.parquet(path)
+    from pyspark.errors import AnalysisException
+
+    try:
+        prior = spark.read.parquet(path)
+    except AnalysisException:
+        # directory exists but holds no data files (e.g. only _SUCCESS
+        # from an all-rejected batch written before the empty-guard)
+        return batch_rows.select("doc_id").limit(0)
     if "__bucket" in prior.columns:
         buckets = [
             r.b
@@ -259,13 +266,18 @@ def process_corpus_batch(
                 batch_id,
                 "band",
             )
-        _idempotent_write(
-            accepted.withColumn("__bucket", _doc_bucket("doc_id")),
-            os.path.join(output_dir, "accepted"),
-            batch_id,
-            "__bucket",
-        )
-        if maintain_text_index:
+        # an empty write would create a data-less directory (only
+        # _SUCCESS) that breaks every subsequent reader — skip it and
+        # the growth hooks below (nothing to add)
+        has_accepted = bool(accepted.limit(1).count())
+        if has_accepted:
+            _idempotent_write(
+                accepted.withColumn("__bucket", _doc_bucket("doc_id")),
+                os.path.join(output_dir, "accepted"),
+                batch_id,
+                "__bucket",
+            )
+        if maintain_text_index and has_accepted:
             # BM25 index grows with the corpus, like the MinHash index
             # above: batch-scoped idempotent writes, search-ready after
             # every micro-batch (llm/clean.update_text_index_batch)
@@ -277,7 +289,7 @@ def process_corpus_batch(
                 os.path.join(output_dir, "text_idx"),
                 batch_id,
             )
-        if maintain_ivf_index:
+        if maintain_ivf_index and has_accepted:
             # dense ANN index grows too (completing the trio: MinHash
             # bands, posting lists, IVF cells — all stream-maintained):
             # accepted docs are hash-trick embedded (zero-shuffle
@@ -303,14 +315,19 @@ def process_corpus_batch(
                 ivf_index_append(spark, emb, ivf_dir)
             else:
                 # first batch seeds the (frozen) centroids; rebuild
-                # offline when drift warrants (build_ivf_index docs)
-                build_ivf_index(
-                    emb,
-                    ivf_dir,
-                    k_cells=adaptive_ivf_cells(emb.count()),
-                    iters=1,
-                )
-        if maintain_pq_index:
+                # offline when drift warrants (build_ivf_index docs).
+                # A batch whose accepted set is EMPTY cannot seed —
+                # defer until one with rows arrives (an all-rejected
+                # first shard used to crash the k-means seeding here)
+                n_emb = emb.count()
+                if n_emb:
+                    build_ivf_index(
+                        emb,
+                        ivf_dir,
+                        k_cells=adaptive_ivf_cells(n_emb),
+                        iters=1,
+                    )
+        if maintain_pq_index and has_accepted:
             # 16x-compressed PQ codes grow with the stream (all FOUR
             # index families now stream-maintained: MinHash bands,
             # posting lists, IVF cells, PQ codes). Codebooks freeze on
@@ -326,9 +343,9 @@ def process_corpus_batch(
                 os.path.join(pq_dir, "codes")
             ):
                 pq_index_append(spark, pemb, pq_dir)
-            else:
+            elif pemb.limit(1).count():  # same empty-first-batch guard
                 build_pq_index(pemb, pq_dir, iters=1)
-        if maintain_profile:
+        if maintain_profile and has_accepted:
             # mergeable corpus profile (operators/skew.quantile_state):
             # one summable histogram-state row set per batch over the
             # accepted docs' token counts — any-range length quantiles

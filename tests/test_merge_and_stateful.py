@@ -1007,3 +1007,57 @@ def test_streaming_maintained_pq_index(spark, tmp_path):
         spark, f"{out}/pq_idx", q, k=3, rerank_with=hash_embed(acc),
     )
     assert res.count() == 3
+
+
+def test_all_rejected_first_batch_defers_index_seeding(spark, tmp_path):
+    """A first shard whose docs ALL fail the quality gate must not
+    crash the IVF/PQ seeding (k-means over an empty frame) — the
+    indexes defer to the first batch with accepted rows."""
+    import json
+    import os
+
+    from degenter_clickhouse_spark.streaming.corpus import (
+        stream_corpus_ingest,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = str(tmp_path / "out")
+    # all too short -> all rejected
+    (landing / "a.json").write_text(
+        "\n".join(
+            json.dumps(
+                {
+                    "doc_id": i, "text": "tiny", "lang": "en", "source": "s",
+                    "n_chars": 4, "event_ts": "2024-05-01 10:00:00",
+                }
+            )
+            for i in range(3)
+        )
+    )
+    stream_corpus_ingest(
+        spark, str(landing), out, str(tmp_path / "ckpt"),
+        maintain_ivf_index=True, maintain_pq_index=True,
+    )
+    assert not os.path.exists(f"{out}/pq_idx/codes")
+    assert not os.path.exists(f"{out}/ivf_idx/cells")
+    # a later shard with real docs seeds both
+    (landing / "b.json").write_text(
+        "\n".join(
+            json.dumps(
+                {
+                    "doc_id": 100 + i,
+                    "text": f"a proper document with enough words {i}",
+                    "lang": "en", "source": "s", "n_chars": 40,
+                    "event_ts": "2024-05-01 11:00:00",
+                }
+            )
+            for i in range(5)
+        )
+    )
+    stream_corpus_ingest(
+        spark, str(landing), out, str(tmp_path / "ckpt"),
+        maintain_ivf_index=True, maintain_pq_index=True,
+    )
+    assert spark.read.parquet(f"{out}/pq_idx/codes").count() == 5
+    assert spark.read.parquet(f"{out}/ivf_idx/cells").count() == 5
