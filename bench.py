@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "snapshot_diff",  # keyed full-outer snapshot reconciliation (EXTENDED)
     "column_profile",  # one-pass per-column stats profile (EXTENDED)
     "seasonal_anomalies",  # per-(type,dow,hour) median/MAD deviation flags (EXTENDED)
+    "weighted_median",  # exact cumulative-weight median walk (EXTENDED)
 ]
 
 

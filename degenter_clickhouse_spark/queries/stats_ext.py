@@ -1521,3 +1521,61 @@ def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "dow", "hr", "med", "mad",
         F.col("n_cell").cast("long").alias("n_cell"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted median (ClickHouse medianExactWeighted): per event
+# type, the value at which cumulative integer weight first reaches
+# half the total. Cross-engine check by DIFFERENT algorithms: Spark
+# computes the cumulative-weight walk (one per-key window over sorted
+# values); the oracle REPLICATES each row weight times (unnest range)
+# and takes the lower discrete median — the definitions coincide for
+# integer weights, so agreement validates the walk, not a shared
+# formula. Weights here are small ints (1 + user_id % 7).
+# ---------------------------------------------------------------------------
+
+WEIGHTED_MEDIAN_ORACLE = """
+WITH w AS (
+  SELECT event_type, value, 1 + (user_id % 7) AS wt FROM events
+),
+expanded AS (
+  SELECT event_type, value
+  FROM w, UNNEST(generate_series(1, CAST(w.wt AS BIGINT)))
+),
+ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM expanded
+)
+SELECT event_type, value AS wmedian
+FROM ranked WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+"""
+
+
+@register_extended("weighted_median", WEIGHTED_MEDIAN_ORACLE)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .. import catalog
+
+    ev = catalog.load_table(spark, sf_dir, "events")
+    w = ev.select(
+        "event_type", "value",
+        (1 + F.col("user_id") % 7).cast("long").alias("wt"),
+    )
+    win = Window.partitionBy("event_type").orderBy("value")
+    tot = Window.partitionBy("event_type")
+    c = (
+        w.withColumn("cum", F.sum("wt").over(win))
+        .withColumn("total", F.sum("wt").over(tot))
+        # lower weighted median: first value whose cumulative weight
+        # reaches ceil(total / 2)
+        .filter(F.col("cum") >= F.ceil(F.col("total") / 2.0))
+    )
+    first = Window.partitionBy("event_type").orderBy("value")
+    return (
+        c.withColumn("__rk", F.row_number().over(first))
+        .filter(F.col("__rk") == 1)
+        .select("event_type", F.col("value").alias("wmedian"))
+    )

@@ -127,6 +127,7 @@ from .stats_ext import (
     SEQUENCE_COUNT_ORACLE,
     SOURCE_QUALITY_ORACLE,
     TWAP_VWAP_ORACLE,
+    WEIGHTED_MEDIAN_ORACLE,
     WINDOW_FUNNEL_ORACLE,
     WINSOR_ORACLE,
     q_array_functions,
@@ -149,6 +150,7 @@ from .stats_ext import (
     q_source_quality_report,
     q_twap_vwap,
     q_value_anomalies,
+    q_weighted_median,
     q_window_funnel,
     q_winsorized_stats,
 )
@@ -1097,6 +1099,12 @@ SELECT 'colprofile', "column",
        CAST(top_n AS DOUBLE), CAST(-1.0 AS DOUBLE),
        CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE)
 FROM ({PROFILE_ORACLE})
+UNION ALL
+SELECT 'wmedian', event_type, CAST(NULL AS VARCHAR),
+       CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       CAST(-1 AS BIGINT), wmedian, CAST(-1.0 AS DOUBLE),
+       CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE)
+FROM ({WEIGHTED_MEDIAN_ORACLE})
 """
 
 
@@ -1219,6 +1227,19 @@ def q_corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NO_V().alias("v3"),
         _NO_V().alias("v4"),
     )
+    wm = q_weighted_median(spark, sf_dir).select(
+        F.lit("wmedian").alias("part"),
+        F.col("event_type").alias("s1"),
+        _NO_S().alias("s2"),
+        _NO_K().alias("k"),
+        _NO_K().alias("n1"),
+        _NO_K().alias("n2"),
+        _NO_K().alias("n3"),
+        F.col("wmedian").alias("v1"),
+        _NO_V().alias("v2"),
+        _NO_V().alias("v3"),
+        _NO_V().alias("v4"),
+    )
     cp = q_column_profile(spark, sf_dir).select(
         F.lit("colprofile").alias("part"),
         F.col("column").alias("s1"),
@@ -1256,6 +1277,7 @@ def q_corpus_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(wi)
         .unionByName(ov)
         .unionByName(cp)
+        .unionByName(wm)
     )
 
 

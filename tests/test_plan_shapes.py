@@ -229,6 +229,7 @@ SCALE_SHAPE_QUERIES = {
     # one bounded (value,count) top-1 per profiled column
     "column_profile": 6,
     "seasonal_anomalies": 0,  # cell-key aggs + broadcast baseline joins
+    "weighted_median": 0,  # per-type cumulative-weight windows only
 }
 
 
