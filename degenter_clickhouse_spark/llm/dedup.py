@@ -222,11 +222,15 @@ def candidate_index_shingles(spark, idx_dir: str, cand: DataFrame) -> DataFrame 
     ]
     if not buckets:
         return None
-    return (
-        spark.read.parquet(os.path.join(idx_dir, "shingles"))
-        .filter(F.col("__bucket").isin(buckets))
-        .select("d", "hs")
-    )
+    from pyspark.errors import AnalysisException
+
+    try:
+        stored = spark.read.parquet(os.path.join(idx_dir, "shingles"))
+    except AnalysisException:
+        # dir holds no data files (empty write from a pre-guard run):
+        # same as "no index candidates"
+        return None
+    return stored.filter(F.col("__bucket").isin(buckets)).select("d", "hs")
 
 
 def build_minhash_index(

@@ -128,6 +128,20 @@ def _prior_ids(
     return prior.where(F.col("__batch_id") != int(batch_id)).select("doc_id")
 
 
+def _read_optional(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a stream-grown parquet dir, treating "missing" and "exists
+    but holds no data files" (a pre-guard empty dynamic overwrite left
+    only _SUCCESS) identically: no index yet."""
+    from pyspark.errors import AnalysisException
+
+    if not os.path.exists(path):
+        return None
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return None
+
+
 def _idempotent_write(df: DataFrame, path: str, batch_id: int, *extra_parts: str) -> None:
     """Batch-scoped dynamic partition overwrite: replaying batch N
     rewrites exactly batch N's partitions (idempotent under
@@ -194,18 +208,22 @@ def process_corpus_batch(
                 "doc_id",
                 "left_anti",
             )
-        if near_dup_threshold is not None:
-            accepted = accepted.cache()
-            to_unpersist.append(accepted)
+        accepted = accepted.cache()
+        to_unpersist.append(accepted)
+        # Evaluate emptiness BEFORE the near-dup block: an all-rejected
+        # batch must not grow the MinHash index — an empty dynamic
+        # overwrite would create a data-less shingles/bands directory
+        # (only _SUCCESS) that makes the next batch's index read raise
+        # UNABLE_TO_INFER_SCHEMA (same failure class as the accepted/
+        # quarantine empty-write guard below).
+        has_accepted = bool(accepted.limit(1).count())
+        if near_dup_threshold is not None and has_accepted:
             sh = D._minhash_shingles(accepted)
             bands = D._minhash_bands(sh)
             a = bands.alias("a")
-            if os.path.exists(os.path.join(idx_dir, "bands")):
-                idx_bands = (
-                    spark.read.parquet(os.path.join(idx_dir, "bands"))
-                    .select("d", "band", "key")
-                    .alias("b")
-                )
+            idx_bands = _read_optional(spark, os.path.join(idx_dir, "bands"))
+            if idx_bands is not None:
+                idx_bands = idx_bands.select("d", "band", "key").alias("b")
                 # vs the INDEX: any collision drops the NEW doc, no id
                 # ordering — an already-accepted near-duplicate wins even
                 # when the new doc's id is lower (ids need not arrive

@@ -364,24 +364,30 @@ def _delta_available() -> bool:
         return False
 
 
-def test_upsert_write_delta_merge(spark, tmp_path):
-    """The fmt='delta' branch runs a transactional MERGE (S10/S11 at
-    concurrent-writer scale, reference semantics core/tokens.js:387-415).
-    Skip-marked: delta-spark is not installable in this env (no pip);
-    when present, the branch must produce the same rows as the parquet
-    path on the identical update set."""
-    import pytest
-
-    if not _delta_available():
-        pytest.skip("delta-spark not installed in this env (pip unavailable)")
+def test_upsert_write_delta_seam_contract(spark, tmp_path):
+    """The fmt='delta' adapter seam (S10/S11 under concurrent writers,
+    reference semantics core/tokens.js:387-415). The transactional
+    story TESTED in this repo is operators/versioned.py (11 tests);
+    delta-spark is not installable here (no pip/network/jars), so this
+    asserts the seam's CONTRACT in both environments instead of
+    skipping: without delta-spark the branch must fail fast with the
+    documented actionable error BEFORE touching the table; with it,
+    the MERGE must upsert like the parquet path."""
     path = str(tmp_path / "tokens_delta")
+    upd = spark.createDataFrame(
+        [(2, "BETA2", 12), (9, "new", 6)], "token_id long, name string, exponent int"
+    )
+    if not _delta_available():
+        import pytest
+
+        with pytest.raises(RuntimeError, match="delta-spark"):
+            M.upsert_write(spark, upd, path, keys=["token_id"], fmt="delta")
+        assert not (tmp_path / "tokens_delta").exists()  # fail-fast, no debris
+        return
     t0 = spark.createDataFrame(
         [(1, "alpha", 6), (2, "beta", 6)], "token_id long, name string, exponent int"
     )
     t0.write.format("delta").save(path)
-    upd = spark.createDataFrame(
-        [(2, "BETA2", 12), (9, "new", 6)], "token_id long, name string, exponent int"
-    )
     M.upsert_write(spark, upd, path, keys=["token_id"], fmt="delta")
     got = {r.token_id: r for r in spark.read.format("delta").load(path).collect()}
     assert set(got) == {1, 2, 9}
@@ -1061,3 +1067,66 @@ def test_all_rejected_first_batch_defers_index_seeding(spark, tmp_path):
     )
     assert spark.read.parquet(f"{out}/pq_idx/codes").count() == 5
     assert spark.read.parquet(f"{out}/ivf_idx/cells").count() == 5
+
+
+def test_all_rejected_first_batch_defers_minhash_index(spark, tmp_path):
+    """With near_dup_threshold enabled, a first shard whose docs ALL
+    fail the quality gate must not seed a data-less minhash_idx
+    (an empty dynamic overwrite leaves only _SUCCESS, and the next
+    batch's index read would raise UNABLE_TO_INFER_SCHEMA). The index
+    defers to the first batch with accepted rows, and near-dedup vs
+    that index still works afterwards."""
+    import json
+    import os
+
+    from degenter_clickhouse_spark.streaming.corpus import (
+        stream_corpus_ingest,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # batch 1: all too short -> all quality-rejected
+    (landing / "a.json").write_text(
+        "\n".join(
+            json.dumps(
+                {
+                    "doc_id": i, "text": "tiny", "lang": "en", "source": "s",
+                    "n_chars": 4, "event_ts": "2024-05-01 10:00:00",
+                }
+            )
+            for i in range(3)
+        )
+    )
+    stream_corpus_ingest(spark, str(landing), out, ckpt,
+                         near_dup_threshold=0.5)
+    assert not os.path.exists(f"{out}/minhash_idx/bands")
+    assert not os.path.exists(f"{out}/minhash_idx/shingles")
+    assert not os.path.exists(f"{out}/accepted")
+    # batch 2: real docs seed the index (regression: this crashed at
+    # the unguarded bands read / candidate_index_shingles)
+    base = ("the quick brown fox jumps over the lazy dog while the calm "
+            "cat watches the bright moon rise above the quiet hills")
+    (landing / "b.json").write_text(json.dumps(
+        {"doc_id": 100, "text": base, "lang": "en", "source": "s",
+         "n_chars": len(base), "event_ts": "2024-05-01 11:00:00"}
+    ))
+    stream_corpus_ingest(spark, str(landing), out, ckpt,
+                         near_dup_threshold=0.5)
+    assert {r.d for r in spark.read.parquet(
+        f"{out}/minhash_idx/shingles").collect()} == {100}
+    # batch 3: a near-dup of doc 100 is quarantined against the index
+    (landing / "c.json").write_text(json.dumps(
+        {"doc_id": 200, "text": base.replace("lazy", "sleepy"),
+         "lang": "en", "source": "s", "n_chars": len(base),
+         "event_ts": "2024-05-01 12:00:00"}
+    ))
+    stream_corpus_ingest(spark, str(landing), out, ckpt,
+                         near_dup_threshold=0.5)
+    acc = sorted(r.doc_id for r in spark.read.parquet(
+        f"{out}/accepted").collect())
+    assert acc == [100]
+    quar = {r.doc_id: r.reject_reason for r in spark.read.parquet(
+        f"{out}/quarantine").collect()}
+    assert quar[200] == "near_duplicate"
