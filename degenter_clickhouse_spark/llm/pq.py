@@ -310,9 +310,13 @@ def build_pq_index(
         vectors, m_sub=m_sub, k_sub=k_sub, iters=iters, id_col=id_col, vec=vec
     )
     books.write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
-    pq_encode(vectors, books, id_col=id_col, vec=vec).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(path, "codes"))
+    from .similarity import _id_bucket
+
+    pq_encode(vectors, books, id_col=id_col, vec=vec).withColumn(
+        "__idb", _id_bucket(id_col)
+    ).write.mode("overwrite").partitionBy("__idb").parquet(
+        os.path.join(path, "codes")
+    )
 
 
 def pq_search(
@@ -371,12 +375,14 @@ def build_ivfpq_index(
     )
     books.write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
     assigned = assign_cells(vectors, cents, id_col=id_col, vec=vec, nprobe=1)
+    from .similarity import _id_bucket
+
     codes = pq_encode(vectors, books, id_col=id_col, vec=vec).join(
         assigned, id_col
     )
-    codes.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(path, "codes")
-    )
+    codes.withColumn("__idb", _id_bucket(id_col)).write.mode(
+        "overwrite"
+    ).partitionBy("cell", "__idb").parquet(os.path.join(path, "codes"))
 
 
 def ivfpq_search(
@@ -487,18 +493,20 @@ def pq_index_append(
     are also cell-assigned against the frozen IVF centroids).
     Returns the number of newly indexed vectors.
 
-    Cost note: like ivf_index_append, the stored-id anti-join scans
-    the id column of the whole code table per append — batch shards
-    before appending in high-frequency loops (the code column itself
-    is never read)."""
+    The guard read is BOUNDED (same layout as ivf_index_append): codes
+    are partitioned by an id-hash bucket (``__idb``), so the anti-join
+    reads only the new batch's buckets via a static IN partition
+    filter — O(batch), not O(index), per append. Pre-layout indexes
+    fall back to the full id-column scan and keep their layout."""
     from ..operators.merge import _table_lock
+    from .similarity import _id_bucket, _stored_ids_for
 
     with _table_lock(path):
         books = spark.read.parquet(os.path.join(path, "codebooks"))
         codes_path = os.path.join(path, "codes")
-        stored = (
-            spark.read.parquet(codes_path).select(F.col(id_col)).distinct()
-        )
+        codes_tbl = spark.read.parquet(codes_path)
+        bucketed = "__idb" in codes_tbl.columns
+        stored = _stored_ids_for(codes_tbl, new_vectors, id_col, id_col).distinct()
         fresh = new_vectors.join(
             stored, id_col, "left_anti"
         ).localCheckpoint(eager=True)
@@ -507,6 +515,7 @@ def pq_index_append(
             return 0
         enc = pq_encode(fresh, books, id_col=id_col, vec=vec)
         cents_path = os.path.join(path, "centroids")
+        parts: list[str] = []
         if os.path.exists(cents_path):
             from .similarity import assign_cells
 
@@ -515,7 +524,12 @@ def pq_index_append(
                 assign_cells(fresh, cents, id_col=id_col, vec=vec, nprobe=1),
                 id_col,
             )
-            enc.write.mode("append").partitionBy("cell").parquet(codes_path)
+            parts.append("cell")
+        if bucketed:
+            enc = enc.withColumn("__idb", _id_bucket(id_col))
+            parts.append("__idb")
+        if parts:
+            enc.write.mode("append").partitionBy(*parts).parquet(codes_path)
         else:
             enc.write.mode("append").parquet(codes_path)
         return n

@@ -411,9 +411,9 @@ def build_ivf_index(
             F.col("norm2_s").alias("c_n2"),
             "cell",
         )
-    out.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(path, "cells")
-    )
+    out.withColumn("__idb", _id_bucket("c_id")).write.mode(
+        "overwrite"
+    ).partitionBy("cell", "__idb").parquet(os.path.join(path, "cells"))
 
 
 def _ivf_tombstones(spark, path: str):
@@ -479,7 +479,12 @@ def ivf_index_delete(
     from ..operators.merge import _table_lock
 
     with _table_lock(path):
-        stored = spark.read.parquet(os.path.join(path, "cells")).select("c_id")
+        stored = _stored_ids_for(
+            spark.read.parquet(os.path.join(path, "cells")),
+            vec_ids.withColumnRenamed(id_col, "c_id"),
+            "c_id",
+            "c_id",
+        )
         hit = stored.join(
             vec_ids.select(F.col(id_col).alias("c_id")).distinct(),
             "c_id",
@@ -512,14 +517,19 @@ def compact_ivf_index(
     # cleanup (the nested compact_table lock is on the cells subdir —
     # a different key, so no self-deadlock)
     with _table_lock(path):
+        cells_p = os.path.join(path, "cells")
+        parts = (
+            ["cell", "__idb"]
+            if "__idb" in spark.read.parquet(cells_p).columns
+            else ["cell"]
+        )
         dead = _ivf_tombstones(spark, path)
         if dead is not None:
-            cells_p = os.path.join(path, "cells")
             kept = spark.read.parquet(cells_p).join(
                 dead, "c_id", "left_anti"
             )
             tmp = cells_p + "._compacting"
-            kept.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+            kept.write.mode("overwrite").partitionBy(*parts).parquet(tmp)
             old = cells_p + "._old"
             if os.path.exists(old):
                 shutil.rmtree(old)
@@ -529,8 +539,8 @@ def compact_ivf_index(
             shutil.rmtree(os.path.join(path, "_deleted"))
         return compact_table(
             spark,
-            os.path.join(path, "cells"),
-            partition_col="cell",
+            cells_p,
+            partition_col=parts,
             files_per_partition=files_per_partition,
         )
 
@@ -596,6 +606,39 @@ def cluster_documents(
     )
 
 
+# id-hash-bucket sub-partitioning for the append replay guards: the
+# bucket is a PURE FUNCTION of the vector id (cell is not — an id's
+# cell depends on its vector), so the effectively-once anti-join can
+# prune its stored-id read to the batch's own buckets with a static IN
+# partition filter — O(batch) instead of O(index) per append. Same
+# recipe as streaming/corpus._prior_ids / candidate_index_shingles.
+N_ID_BUCKETS = 16
+
+
+def _id_bucket(col: str) -> F.Column:
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(N_ID_BUCKETS)).cast("int")
+
+
+def _stored_ids_for(
+    stored: DataFrame, new_vectors: DataFrame, id_col: str, stored_id: str
+) -> DataFrame:
+    """The replay-guard read: stored ids restricted to the NEW batch's
+    id-hash buckets when the table carries the ``__idb`` layout (the
+    bucket list collects driver-side — <= N_ID_BUCKETS ints — and
+    becomes a static IN partition filter, so planning prunes every
+    untouched bucket's files). Pre-layout tables fall back to the full
+    column-pruned id scan."""
+    if "__idb" in stored.columns:
+        buckets = [
+            r.b
+            for r in new_vectors.select(_id_bucket(id_col).alias("b"))
+            .distinct()
+            .collect()
+        ]
+        stored = stored.where(F.col("__idb").isin(buckets))
+    return stored.select(F.col(stored_id).alias(id_col))
+
+
 def ivf_index_append(
     spark,
     new_vectors: DataFrame,
@@ -618,14 +661,13 @@ def ivf_index_append(
     ``build_ivf_index`` afresh when drift makes the frozen centroids
     stale (the index stores everything needed to compare recall).
 
-    Cost note: the stored-id anti-join is a column-pruned scan of the
-    id column across ALL cells — O(corpus ids) per append. Cell
-    pruning can NOT bound it in general (an existing id may live in
-    any cell if its vector changed). When appends arrive from the
-    streaming corpus pipeline the upstream bucket-pruned replay guard
-    (streaming/corpus._prior_ids) already deduplicates, so this scan
-    is a second line of defense; for standalone high-frequency append
-    loops, batch shards before appending.
+    The guard read is BOUNDED: cells are sub-partitioned by an id-hash
+    bucket (``__idb`` — a pure function of the id, unlike cell), and
+    the anti-join reads only the new batch's buckets via a static IN
+    partition filter, so per-append cost tracks the batch, not the
+    index — the stream-lifetime-quadratic full-id scan is gone.
+    Indexes built before the ``__idb`` layout fall back to the full
+    column-pruned id scan (and keep their cell-only layout on write).
     """
     import os
 
@@ -641,7 +683,8 @@ def _ivf_append_locked(spark, new_vectors, path, id_col, vec):
     cents = spark.read.parquet(os.path.join(path, "centroids"))
     cells = spark.read.parquet(os.path.join(path, "cells"))
     quantized = "c_vec_q" in cells.columns  # match the index's layout
-    existing = cells.select(F.col("c_id").alias(id_col))
+    bucketed = "__idb" in cells.columns
+    existing = _stored_ids_for(cells, new_vectors, id_col, "c_id")
     fresh = new_vectors.join(existing, on=id_col, how="left_anti").cache()
     try:
         n_new = fresh.count()
@@ -665,9 +708,15 @@ def _ivf_append_locked(spark, new_vectors, path, id_col, vec):
                 F.col("norm2_s").alias("c_n2"),
                 "cell",
             )
-        out.write.mode("append").partitionBy("cell").parquet(
-            os.path.join(path, "cells")
-        )
+        if bucketed:
+            out = out.withColumn("__idb", _id_bucket("c_id"))
+            out.write.mode("append").partitionBy("cell", "__idb").parquet(
+                os.path.join(path, "cells")
+            )
+        else:  # pre-__idb index: keep its cell-only layout
+            out.write.mode("append").partitionBy("cell").parquet(
+                os.path.join(path, "cells")
+            )
         return n_new
     finally:
         fresh.unpersist()

@@ -264,7 +264,7 @@ def snapshot_overwrite(
 def compact_table(
     spark: SparkSession,
     path: str,
-    partition_col: str | None = "dt",
+    partition_col: str | Sequence[str] | None = "dt",
     files_per_partition: int = 1,
     zorder_by: Sequence[str] | None = None,
 ) -> dict[str, int]:
@@ -294,11 +294,14 @@ def compact_table(
         before = count_files(path)
         df = spark.read.parquet(path)
         tmp = path.rstrip("/") + "._compacting"
-        if partition_col is not None and partition_col in df.columns:
+        part_cols = (
+            [partition_col] if isinstance(partition_col, str) else list(partition_col or [])
+        )
+        if part_cols and all(c in df.columns for c in part_cols):
             (
-                df.repartition(files_per_partition, F.col(partition_col))
+                df.repartition(files_per_partition, *[F.col(c) for c in part_cols])
                 .write.mode("overwrite")
-                .partitionBy(partition_col)
+                .partitionBy(*part_cols)
                 .parquet(tmp)
             )
         elif zorder_by:

@@ -223,3 +223,49 @@ def test_ivfpq_index_append_lands_in_cells(spark, tmp_path):
     queries = new.limit(3)
     res = ivfpq_search(spark, path, queries, k=3, nprobe=3)
     assert res.count() == 3 * 3
+
+
+def test_pq_append_guard_is_bucket_pruned(spark, tmp_path):
+    """VERDICT r7 #1 (PQ side): the code table is partitioned by the
+    id-hash bucket, and the append replay guard reads only the new
+    shard's buckets (static IN partition filter) — plus the legacy
+    unpartitioned fallback."""
+    import re
+
+    from degenter_clickhouse_spark.llm.pq import (
+        build_pq_index,
+        pq_index_append,
+        pq_search,
+    )
+    from degenter_clickhouse_spark.llm.similarity import _stored_ids_for
+
+    vecs = _vectors(spark)
+    old = vecs.filter(F.col("vec_id") % 5 != 0)
+    new = vecs.filter(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "pqb")
+    build_pq_index(old, path)
+    codes = spark.read.parquet(f"{path}/codes")
+    assert "__idb" in codes.columns
+    plan = (
+        _stored_ids_for(codes, new.limit(3), "vec_id", "vec_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "__idb" in m.group(1), plan[:1500]
+    assert pq_index_append(spark, new, path) == new.count()
+    assert pq_index_append(spark, new, path) == 0
+
+    # legacy unpartitioned codes: fall back, keep layout, stay correct
+    legacy = str(tmp_path / "pql")
+    os.makedirs(legacy)
+    import shutil
+
+    shutil.copytree(f"{path}/codebooks", f"{legacy}/codebooks")
+    spark.read.parquet(f"{path}/codes").filter(
+        F.col("vec_id") % 5 != 0
+    ).drop("__idb").write.parquet(f"{legacy}/codes")
+    assert pq_index_append(spark, new, legacy) == new.count()
+    assert "__idb" not in spark.read.parquet(f"{legacy}/codes").columns
+    assert pq_search(spark, legacy, new.limit(2), k=3).count() == 6
