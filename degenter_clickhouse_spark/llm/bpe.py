@@ -127,15 +127,26 @@ def apply_bpe(
     """Tokenize documents with a learned merge list: per word, apply
     every merge in training order. Map-only — one nested fold per
     merge, all inside codegen. Returns (id, tokens array<string>,
-    n_tokens)."""
+    n_tokens).
+
+    Document token order is CONTRACTUAL, not an accident of row
+    order: words carry their posexplode position and the final
+    assembly sorts on it (``array_sort`` over (pos, syms) structs —
+    struct ordering compares fields left-to-right, so pos decides).
+    A bare ``flatten(collect_list(syms))`` would depend on rows
+    arriving in document order, which no Spark shuffle/AQE-skew-split
+    guarantees."""
     tok = docs.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
     ).filter(F.col("word") != "")
     tok = tok.withColumn("syms", F.expr("split(word, '')"))
     for left, right in merges:
         tok = tok.withColumn("syms", _apply_merge("syms", left, right))
     return tok.groupBy(id_col).agg(
-        F.flatten(F.collect_list("syms")).alias("tokens"),
+        F.flatten(
+            F.expr("transform(array_sort(collect_list(struct(pos, syms))), x -> x.syms)")
+        ).alias("tokens"),
         F.sum(F.size("syms")).cast("long").alias("n_tokens"),
     )
 
