@@ -218,26 +218,40 @@ def interval_join(
     ``by`` keys) come back suffixed with ``suffix`` — self-joins work
     unmodified. Empty/negative intervals (``end <= start``) match
     nothing, per half-open semantics.
+
+    Bucketing runs in INTEGER microseconds (ADVICE r7): the end bucket
+    is ``floor((end_us - 1) / width_us)``, so an interval ending
+    exactly on a bucket boundary does NOT explode into that bucket —
+    a float-epsilon subtraction can't do this at epoch magnitudes
+    (double ulp near 1.7e9 s is ~2.4e-7, swallowing any 1e-9 nudge).
     """
     by = list(by)
+    w_us = int(round(float(bucket_width) * 1e6))
+    if w_us <= 0:
+        raise ValueError(f"bucket_width too small: {bucket_width}")
 
-    def to_num(df: DataFrame, c: str) -> F.Column:
+    def to_us(df: DataFrame, c: str) -> F.Column:
         if _is_timestamp(df, c):
-            return _micros(F.col(c)) / F.lit(1e6)
-        return F.col(c).cast("double")
+            return _micros(F.col(c))
+        return F.round(F.col(c).cast("double") * F.lit(1e6)).cast("long")
+
+    def fdiv(col: F.Column) -> F.Column:
+        # exact floor-division of integer micros by w_us (pmod keeps
+        # it correct for negative spans; the quotient is an exact
+        # double because the numerator is a multiple of w_us)
+        return ((col - F.pmod(col, F.lit(w_us))) / F.lit(w_us)).cast("long")
 
     ls, le = left_span
     rs, re_ = right_span
-    wlit = F.lit(float(bucket_width))
 
     lx = (
-        left.withColumn("__ls", to_num(left, ls))
-        .withColumn("__le", to_num(left, le))
+        left.withColumn("__ls", to_us(left, ls))
+        .withColumn("__le", to_us(left, le))
         .filter(F.col("__le") > F.col("__ls"))
     )
     rx = (
-        right.withColumn("__rs", to_num(right, rs))
-        .withColumn("__re", to_num(right, re_))
+        right.withColumn("__rs", to_us(right, rs))
+        .withColumn("__re", to_us(right, re_))
         .filter(F.col("__re") > F.col("__rs"))
     )
     for c in right.columns:
@@ -247,28 +261,19 @@ def interval_join(
     lx = lx.withColumn(
         "__bucket",
         F.explode(
-            F.sequence(
-                F.floor(F.col("__ls") / wlit).cast("long"),
-                F.floor((F.col("__le") - F.lit(1e-9)) / wlit).cast("long"),
-            )
+            F.sequence(fdiv(F.col("__ls")), fdiv(F.col("__le") - F.lit(1)))
         ),
     )
     rx = rx.withColumn(
         "__bucket",
         F.explode(
-            F.sequence(
-                F.floor(F.col("__rs") / wlit).cast("long"),
-                F.floor((F.col("__re") - F.lit(1e-9)) / wlit).cast("long"),
-            )
+            F.sequence(fdiv(F.col("__rs")), fdiv(F.col("__re") - F.lit(1)))
         ),
     )
     joined = lx.join(rx, ["__bucket", *by])
     out = joined.filter(
         (F.col("__ls") < F.col("__re"))
         & (F.col("__rs") < F.col("__le"))
-        & (
-            F.col("__bucket")
-            == F.floor(F.greatest("__ls", "__rs") / wlit).cast("long")
-        )
+        & (F.col("__bucket") == fdiv(F.greatest("__ls", "__rs")))
     )
     return out.drop("__bucket", "__ls", "__le", "__rs", "__re")

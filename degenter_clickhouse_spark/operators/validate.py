@@ -47,7 +47,12 @@ class Predicate:
 
 @dataclass
 class Unique:
-    """Distinct-count constraint over a key column set."""
+    """Distinct-count constraint over a key column set. NULL-keyed
+    rows participate: the metric is ``count_distinct(struct(cols))``
+    (a struct with NULL fields is itself non-NULL, and NULL fields
+    compare equal under DISTINCT), so duplicated NULL keys lower the
+    uniqueness ratio instead of silently vanishing from the numerator
+    — matching SQL ``COUNT(DISTINCT (a, b))`` row-value semantics."""
 
     name: str
     cols: list[str] = field(default_factory=list)
@@ -120,7 +125,8 @@ def check(df: DataFrame, constraints: list) -> DataFrame:
         )
     for i, u in enumerate(uniqs):
         aggs.append(
-            F.count_distinct(*[F.col(c) for c in u.cols])
+            # struct-wrapped so NULL-keyed rows count (see Unique)
+            F.count_distinct(F.struct(*[F.col(c) for c in u.cols]))
             .cast("long")
             .alias(f"__u{i}")
         )

@@ -5,11 +5,11 @@ lineitem fact table, with referential integrity against orders.
 Integer (num, den, cross-multiplied pass flag) verdicts keep the
 report bit-identical across engines — see operators/validate.py.
 
-Note: ``Unique`` compiles to Spark ``count_distinct(a, b)`` which
-skips rows where any key column is NULL, while the DuckDB oracle's
-``COUNT(DISTINCT (a, b))`` counts a struct-of-NULLs; the two agree on
-NULL-free key columns (asserted by the not_null constraint riding the
-same report).
+``Unique`` compiles to Spark ``count_distinct(struct(a, b))``, which
+like the DuckDB oracle's ``COUNT(DISTINCT (a, b))`` counts
+NULL-containing key tuples (NULL fields compare equal under
+DISTINCT) — the two dialects agree on NULL-keyed rows by
+construction, not just on NULL-free columns.
 """
 
 from __future__ import annotations

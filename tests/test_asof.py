@@ -243,3 +243,40 @@ def test_snapshot_diff_null_transitions(spark):
     assert got == {1: "changed", 3: "changed", 4: "removed", 5: "added"}
     # key 2 (NULL == NULL) is unchanged -> absent
     assert 2 not in got
+
+
+def test_interval_join_epoch_magnitude_boundaries(spark):
+    """ADVICE r7: half-open bucket attribution must hold at epoch
+    magnitudes, where a float 1e-9 epsilon is below the double ulp
+    (~2.4e-7 near 1.7e9) — the bucketing now runs in integer
+    microseconds. Touching intervals at an exact bucket boundary stay
+    excluded; overlapping pairs surface exactly once; results match a
+    brute-force overlap join."""
+    from degenter_clickhouse_spark.operators.asof import interval_join
+
+    w = 3600.0
+    base = float(472_222 * 3600)  # ~1.69999e9, a bucket boundary
+    left = _iv(spark, [
+        (1, 10, base, base + w),           # ends exactly on a boundary
+        (1, 11, base + w, base + 2 * w),
+        (1, 12, base + 0.5 * w, base + 1.5 * w),
+    ])
+    right = _iv(spark, [
+        (1, 20, base + w, base + 2 * w),   # touches id=10 -> excluded
+        (1, 21, base, base + 0.25 * w),
+        (1, 22, base + 10 * w, base + 11 * w),
+    ])
+    out = interval_join(left, right, ("s", "e"), ("s", "e"), by=["k"],
+                        bucket_width=w)
+    # brute-force oracle: ls < re AND rs < le
+    import itertools
+
+    lrows = left.collect()
+    rrows = right.collect()
+    want = sorted(
+        (l.id, r.id)
+        for l, r in itertools.product(lrows, rrows)
+        if l.s < r.e and r.s < l.e
+    )
+    assert _pairs(out) == want
+    assert (10, 20) not in _pairs(out)  # touching, not overlapping

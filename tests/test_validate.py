@@ -81,3 +81,22 @@ def test_single_scan_plan_for_predicates(spark, frame):
     plan = rep._jdf.queryExecution().optimizedPlan().toString()
     # exactly one scan of the in-memory relation in the optimized plan
     assert plan.count("LocalRelation") <= 2  # relation + empty-struct side
+
+
+def test_unique_counts_null_keys(spark):
+    """ADVICE r7: NULL-keyed rows must participate in the uniqueness
+    metric (struct-wrapped count_distinct). Duplicated NULL keys lower
+    the ratio; a single NULL key counts as one distinct value — the
+    SQL COUNT(DISTINCT (a, b)) row-value semantics."""
+    df = spark.createDataFrame(
+        [(1, "x"), (None, "x"), (None, "x"), (2, "y"), (None, "z")],
+        "k long, g string",
+    )
+    rep = _report(df, [V.Unique("u1", ["k"]), V.Unique("u2", ["k", "g"])])
+    # k: {1, 2, NULL} -> 3 distinct of 5 rows (two dup NULLs collapse)
+    assert rep["u1"] == (3, 5, False)
+    # (k,g): (NULL,x) duplicated -> 4 distinct of 5
+    assert rep["u2"] == (4, 5, False)
+    # fully unique incl. a NULL key passes
+    ok = spark.createDataFrame([(1,), (None,)], "k long")
+    assert _report(ok, [V.Unique("u", ["k"])])["u"] == (2, 2, True)
