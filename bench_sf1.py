@@ -186,7 +186,25 @@ def run(spark: SparkSession, registry, budget_remaining=None) -> dict:
     timings: dict[str, float] = {}
     runs_done: dict[str, int] = {}
     exhausted = False
-    for name in SF1_QUERIES:
+    # VERDICT r7 #5 backstop: rotate the probe order per round (offset
+    # = count of committed BENCH_r*.json artifacts) so that even when
+    # the budget truncates the tail, every query shows an sf1 number
+    # across consecutive rounds instead of the same tail starving
+    # forever. SPARK_GRAFT_BENCH_SF1_ROT overrides.
+    import glob as _glob
+
+    rot_env = os.environ.get("SPARK_GRAFT_BENCH_SF1_ROT")
+    if rot_env is not None:
+        off = int(rot_env)
+    else:
+        off = len(
+            _glob.glob(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")
+            )
+        )
+    off %= len(SF1_QUERIES)
+    order = SF1_QUERIES[off:] + SF1_QUERIES[:off]
+    for name in order:
         q = registry.get(name)
         if q is None:
             continue
@@ -206,6 +224,7 @@ def run(spark: SparkSession, registry, budget_remaining=None) -> dict:
     return {
         "dir": dst,
         "replicas_of_sf0.1": REPLICAS,
+        "rotation_offset": off,
         "synth_sec": synth_sec,
         "runs_per_query": runs,
         "runs": runs_done,

@@ -11,9 +11,11 @@ through DECIMAL sums, so the summary is bit-identical across shuffle
 orders and engines (floor, not round: floor of identical doubles can
 never straddle a rounding rule difference).
 
-nDCG is deliberately absent: its log2 discount is a libm call whose
-last-ulp behavior differs across engines — the harmonic-discount
-variants here (MRR) carry the same signal with exact rationals.
+nDCG lives in :func:`ndcg_at_k`, SEPARATE from the hash-gated metrics
+above: its log2 discount is a libm call whose last-ulp behavior
+differs across engines, so it is verified by a tolerance-checked
+pytest (tests/test_eval.py) rather than the driver's value-hash
+oracle — the exact-rational metrics keep their bit-identical gate.
 """
 
 from __future__ import annotations
@@ -103,4 +105,67 @@ def retrieval_summary(per_query: DataFrame, query_col: str = "q_id") -> DataFram
         favg("recall_at_k").alias("macro_recall"),
         favg("precision_at_k").alias("macro_precision"),
         favg("reciprocal_rank").alias("mrr"),
+    )
+
+
+def ndcg_at_k(
+    results: DataFrame,
+    relevance: DataFrame,
+    k: int,
+    queries: DataFrame | None = None,
+    query_col: str = "q_id",
+    doc_col: str = "c_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Binary-relevance nDCG@k per query → (query, dcg, idcg, ndcg).
+
+    DCG = Σ 1/log2(rank+1) over the relevant docs retrieved in the
+    top-k; IDCG = Σ_{i=1..min(n_rel,k)} 1/log2(i+1) (the best possible
+    ordering); nDCG = DCG/IDCG, 0 for queries with no relevant docs.
+    Same two dimension-sized joins as :func:`retrieval_metrics` — the
+    shuffle carries queries, never the corpus. The IDCG fold
+    short-circuits ``n_rel = 0`` explicitly (Spark's sequence(1, 0)
+    counts DOWN, not empty).
+
+    Kept out of the value-hash oracle surface on purpose: log2 is a
+    libm call with engine-specific last-ulp behavior; correctness is
+    asserted with an epsilon in tests/test_eval.py.
+    """
+    r = results.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("__q"), F.col(doc_col).alias("__d"),
+        F.col(rank_col).alias("__r"),
+    )
+    rel = relevance.select(
+        F.col(query_col).alias("__q"), F.col(doc_col).alias("__d")
+    )
+    if queries is None:
+        qs = rel.select("__q").union(r.select("__q")).distinct()
+    else:
+        qs = queries.select(F.col(queries.columns[0]).alias("__q")).distinct()
+    nrel = rel.groupBy("__q").agg(F.count(F.lit(1)).alias("n_rel"))
+    dcg = (
+        r.join(rel, ["__q", "__d"])
+        .groupBy("__q")
+        .agg(F.sum(F.lit(1.0) / F.log2(F.col("__r") + F.lit(1.0))).alias("dcg"))
+    )
+    ideal = F.expr(
+        f"aggregate(sequence(1, int(least(n_rel, {int(k)}))), "
+        f"CAST(0.0 AS DOUBLE), (acc, i) -> acc + 1.0 / log2(i + 1.0))"
+    )
+    return (
+        qs.join(nrel, "__q", "left")
+        .join(dcg, "__q", "left")
+        .select(
+            F.col("__q").alias(query_col),
+            F.coalesce("dcg", F.lit(0.0)).alias("dcg"),
+            F.when(F.coalesce("n_rel", F.lit(0)) > 0, ideal)
+            .otherwise(F.lit(0.0))
+            .alias("idcg"),
+        )
+        .withColumn(
+            "ndcg",
+            F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")).otherwise(
+                F.lit(0.0)
+            ),
+        )
     )

@@ -61,3 +61,43 @@ def test_summary_macro_averages(spark):
     # determinism across partitionings
     s2 = retrieval_summary(per.repartition(7)).collect()[0]
     assert s == s2
+
+
+def test_ndcg_at_k_matches_python_oracle(spark):
+    """VERDICT r7 #8: nDCG@k joins the harness with a tolerance oracle
+    (log2 is libm — epsilon, not value-hash). Hand-built case plus a
+    pure-Python recomputation; zero-relevance and empty-result queries
+    pin to 0."""
+    import math
+
+    from degenter_clickhouse_spark.llm.eval import ndcg_at_k
+
+    res = _res(spark, [
+        (1, 10, 1), (1, 11, 2), (1, 12, 3),   # rel at ranks 1, 3
+        (2, 20, 1), (2, 21, 2),               # rel at rank 2 only
+        (3, 30, 1),                           # no relevant docs at all
+    ])
+    rel = _rel(spark, [
+        (1, 10), (1, 12), (1, 99),   # n_rel=3 (one never retrieved)
+        (2, 21), (2, 98), (2, 97),   # n_rel=3
+        (4, 40),                     # query with relevance, no results
+    ])
+    got = {r.q_id: r for r in ndcg_at_k(res, rel, k=3).collect()}
+
+    def idcg(n_rel, k=3):
+        return sum(1.0 / math.log2(i + 1) for i in range(1, min(n_rel, k) + 1))
+
+    want = {
+        1: (1 / math.log2(2) + 1 / math.log2(4)) / idcg(3),
+        2: (1 / math.log2(3)) / idcg(3),
+        3: 0.0,  # no relevant docs -> idcg 0 -> ndcg 0
+        4: 0.0,  # nothing retrieved -> dcg 0
+    }
+    assert set(got) == set(want)
+    for q, w in want.items():
+        assert abs(got[q].ndcg - w) < 1e-9, (q, got[q].ndcg, w)
+    # bounds + perfect-ranking sanity: rel docs at the top -> ndcg 1
+    perfect = _res(spark, [(7, 1, 1), (7, 2, 2)])
+    prel = _rel(spark, [(7, 1), (7, 2)])
+    row = ndcg_at_k(perfect, prel, k=3).collect()[0]
+    assert abs(row.ndcg - 1.0) < 1e-12
