@@ -25,15 +25,32 @@ def digits_or_null(col: Column) -> Column:
     return F.when(col.rlike(DIGITS), col)
 
 
+def amount_decimal(col: Column) -> Column:
+    """Raw on-chain amount string -> Decimal(38,0), OVERFLOW -> NULL.
+
+    The reference stores amounts as NUMERIC(78,0) strings and clamps
+    its ClickHouse DDL to Decimal(38,0) (SURVEY §1.2,
+    jobs/token-security.js:20-21) — a >38-digit value simply cannot be
+    stored there. Spark 4 runs ANSI mode, where a plain cast would
+    ABORT THE JOB on the first oversized amount (one malformed event
+    killing a 100 TB ingest); try_cast makes the un-storable value
+    NULL instead — the same row-level outcome as the reference's
+    digitsOrNull invalid-numeric convention, asserted by a hypothesis
+    property test (tests/test_properties.py)."""
+    return col.try_cast("decimal(38,0)")
+
+
 def parse_asset(col: Column) -> Column:
     """P6 (core/parse.js:38-47): '123udenom' -> struct(amount_base, denom).
-    Amount must be leading digits; denom is the rest."""
+    Amount must be leading digits; denom is the rest. Amounts past
+    Decimal(38,0) become NULL (``amount_decimal``) with the asset's
+    list position preserved."""
     amount = F.regexp_extract(col, r"^(\d+)", 1)
     denom = F.regexp_extract(col, r"^\d+([a-zA-Z0-9.\-_/]+)$", 1)
     return F.when(
         col.rlike(r"^\d+[a-zA-Z0-9.\-_/]+$"),
         F.struct(
-            amount.cast("decimal(38,0)").alias("amount_base"),
+            amount_decimal(amount).alias("amount_base"),
             denom.alias("denom"),
         ),
     )
@@ -54,7 +71,7 @@ def parse_reserves_kv(col: Column) -> Column:
         s.rlike(r"^[a-zA-Z0-9.\-_/]+:\d+$"),
         F.struct(
             F.regexp_extract(s, r"^([a-zA-Z0-9.\-_/]+):", 1).alias("denom"),
-            F.regexp_extract(s, r":(\d+)$", 1).cast("decimal(38,0)").alias(
+            amount_decimal(F.regexp_extract(s, r":(\d+)$", 1)).alias(
                 "amount_base"
             ),
         ),

@@ -186,12 +186,12 @@ def _reserves(col_m: Column) -> tuple[Column, Column, Column, Column]:
     r1d = F.coalesce(kv[0]["denom"], col_m["reserve_asset1_denom"])
     r1a = F.coalesce(
         kv[0]["amount_base"],
-        parse.digits_or_null(col_m["reserve_asset1_amount"]).cast("decimal(38,0)"),
+        parse.amount_decimal(parse.digits_or_null(col_m["reserve_asset1_amount"])),
     )
     r2d = F.coalesce(kv[1]["denom"], col_m["reserve_asset2_denom"])
     r2a = F.coalesce(
         kv[1]["amount_base"],
-        parse.digits_or_null(col_m["reserve_asset2_amount"]).cast("decimal(38,0)"),
+        parse.amount_decimal(parse.digits_or_null(col_m["reserve_asset2_amount"])),
     )
     return r1d, r1a, r2d, r2a
 
@@ -236,10 +236,10 @@ def extract_swaps(
         F.lit("swap").alias("action"),
         direction.alias("direction"),
         m["offer_asset"].alias("offer_asset_denom"),
-        parse.digits_or_null(m["offer_amount"]).cast("decimal(38,0)").alias("offer_amount_base"),
+        parse.amount_decimal(parse.digits_or_null(m["offer_amount"])).alias("offer_amount_base"),
         m["ask_asset"].alias("ask_asset_denom"),
-        parse.digits_or_null(m["return_amount"]).cast("decimal(38,0)").alias("ask_amount_base"),
-        parse.digits_or_null(m["return_amount"]).cast("decimal(38,0)").alias("return_amount_base"),
+        parse.amount_decimal(parse.digits_or_null(m["return_amount"])).alias("ask_amount_base"),
+        parse.amount_decimal(parse.digits_or_null(m["return_amount"])).alias("return_amount_base"),
         is_router.alias("is_router"),
         r1d.alias("reserve_asset1_denom"),
         r1a.alias("reserve_asset1_amount"),
@@ -275,7 +275,7 @@ def extract_liquidity(ev: DataFrame, pools_dim: DataFrame) -> DataFrame:
             F.lit(None).cast("decimal(38,0)").alias("offer_amount_base"),
             F.lit(None).cast("string").alias("ask_asset_denom"),
             F.lit(None).cast("decimal(38,0)").alias("ask_amount_base"),
-            share.cast("decimal(38,0)").alias("return_amount_base"),
+            parse.amount_decimal(share).alias("return_amount_base"),
             F.lit(False).alias("is_router"),
             F.lit(None).cast("string").alias("reserve_asset1_denom"),
             F.lit(None).cast("decimal(38,0)").alias("reserve_asset1_amount"),

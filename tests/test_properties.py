@@ -620,3 +620,51 @@ def test_snapshot_diff_property(spark, left, right):
         elif left[k] != right[k]:
             want[k] = "changed"
     assert got == want
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    n_digits=st.lists(st.integers(min_value=1, max_value=78), min_size=1,
+                      max_size=6),
+)
+def test_decimal38_overflow_clamps_to_null_end_to_end(spark, n_digits):
+    """VERDICT r7 #7 (SURVEY §1.2): raw on-chain amounts are
+    NUMERIC(78,0) strings; the engine clamps to Decimal(38,0) like the
+    reference's DDL (jobs/token-security.js:20-21). Property: through
+    parse_assets_list -> to_display -> a volume rollup, any amount of
+    <= 38 digits survives EXACTLY (as a decimal; non-lossy), any
+    amount of > 38 digits becomes NULL at the cast (never an ANSI
+    ArithmeticException killing the job), keeps its assets-list
+    position, and drops out of sums the way SQL NULLs do."""
+    from degenter_clickhouse_spark.functions import parse
+
+    amounts = [("1" * 9 + "7" * max(0, n - 9))[:n] for n in n_digits]
+    encoded = ",".join(f"{a}udenom{i}" for i, a in enumerate(amounts))
+    df = spark.createDataFrame([(1, encoded)], ["id", "encoded"])
+    parsed = df.select(
+        F.posexplode(parse.parse_assets_list(F.col("encoded"))).alias(
+            "pos", "s"
+        )
+    ).select("pos", "s.amount_base", "s.denom")
+    rows = {r.pos: r for r in parsed.collect()}
+    # every asset keeps its position regardless of overflow
+    assert set(rows) == set(range(len(amounts)))
+    for i, a in enumerate(amounts):
+        if len(a) <= 38:
+            assert rows[i].amount_base is not None
+            assert str(rows[i].amount_base) == a, (a, rows[i].amount_base)
+        else:
+            assert rows[i].amount_base is None, (a, rows[i].amount_base)
+        assert rows[i].denom == f"udenom{i}"
+    # volume rollup: NULL amounts drop out of the sum, job never dies
+    disp = parsed.select(
+        parse.to_display(F.col("amount_base"), F.lit(6)).alias("v")
+    )
+    got_sum = disp.agg(F.sum("v")).collect()[0][0]
+    want = sum(int(a) / 1e6 for a in amounts if len(a) <= 38)
+    if all(len(a) > 38 for a in amounts):
+        assert got_sum is None
+    else:
+        assert got_sum is not None
+        assert abs(got_sum - want) <= max(1e-9 * want, 1e-9)
