@@ -2,11 +2,13 @@
 process (bin/start-jobs.js:23-34) as a driver-side loop over engine
 plans.
 
-Each job is a full recompute written to storage (the reference's
-semantics: SURVEY.md ST4 — recompute, not incremental), with the
-reference's cadences as defaults. ``tick()`` runs one cycle of every
-due job and is what tests exercise; ``run_forever`` is the process
-entry point.
+Each job is a recompute written to storage (the reference's
+semantics: SURVEY.md ST4), with the reference's cadences as defaults.
+With ``trades_vt`` set, the pool-matrix 30m/1h volume legs instead
+ride CDC-maintained per-minute partials (plans/incremental.py) — see
+the JobsRunner docstring. ``tick()`` runs one cycle of every due job
+and is what tests exercise; ``run_forever`` is the process entry
+point.
 """
 
 from __future__ import annotations
@@ -38,12 +40,81 @@ COMPACT_MIN_FILES = 16
 
 
 class JobsRunner:
+    """``trades_vt`` (path of a versioned trades table,
+    operators/versioned.py) switches the pool-matrix volume legs for
+    ``incremental_buckets`` (default 30m/1h — the short windows the
+    reference recomputes most wastefully, ST4) to the CDC partials
+    path: each matrix tick advances per-(pool, minute) partials by the
+    row-level delta since the stored cursor
+    (plans/incremental.refresh_partials_from_changes) and rolls
+    trailing windows off the partials — per-tick cost ∝ changed groups
+    + pools x window minutes, independent of fact-table size. The
+    longer buckets (4h/24h) keep the direct recompute by default;
+    equality of the two paths is the gate
+    (tests/test_incremental.py::test_runner_incremental_matrix_equals_direct).
+    The CDC cursor persists at ``output_dir/_partials_cursor`` so a
+    restarted runner resumes instead of rescanning."""
+
     def __init__(self, engine: DegenterEngine, output_dir: str,
-                 cadences: dict[str, int] | None = None):
+                 cadences: dict[str, int] | None = None,
+                 trades_vt: str | None = None,
+                 incremental_buckets: tuple[str, ...] = ("30m", "1h")):
         self.engine = engine
         self.output_dir = output_dir
         self.cadences = {**DEFAULT_CADENCES, **(cadences or {})}
         self.last_run: dict[str, float] = {}
+        self.trades_vt = trades_vt
+        self.incremental_buckets = tuple(incremental_buckets)
+        self.partials_path = os.path.join(output_dir, "minute_partials")
+        self._cursor_file = os.path.join(output_dir, "_partials_cursor")
+
+    def _cursor(self) -> int:
+        try:
+            with open(self._cursor_file) as fh:
+                return int(fh.read().strip())
+        except (OSError, ValueError):
+            return 0
+
+    def _advance_partials(self) -> None:
+        from .operators.versioned import vt_read, vt_version
+        from .plans import incremental as INC
+
+        to_v = vt_version(self.trades_vt)
+        from_v = self._cursor()
+        if from_v == 0 or not os.path.exists(self.partials_path):
+            # bootstrap: no CDC baseline yet (version diffs start at
+            # v1) — build the partials from the current snapshot once;
+            # every later tick reads only the delta
+            INC.minute_partials(
+                vt_read(self.engine.spark, self.trades_vt, to_v)
+            ).write.mode("overwrite").parquet(self.partials_path)
+        elif to_v > from_v:
+            INC.refresh_partials_from_changes(
+                self.engine.spark, self.trades_vt, self.partials_path,
+                from_version=from_v, to_version=to_v,
+            )
+        else:
+            return
+        os.makedirs(self.output_dir, exist_ok=True)
+        with open(self._cursor_file, "w") as fh:
+            fh.write(str(to_v))
+
+    def _pool_matrix_bucket(self, bucket: str, now):
+        if self.trades_vt is not None and bucket in self.incremental_buckets:
+            from .plans import incremental as INC
+
+            partials = self.engine.spark.read.parquet(self.partials_path)
+            return INC.rollup_from_partials(
+                partials,
+                self.engine.table("pools"),
+                self.engine.table("tokens"),
+                self.engine.table("prices"),
+                self.engine.table("pool_state"),
+                self.engine.table("ohlcv_1m"),
+                now,
+                bucket,
+            )
+        return self.engine.pool_matrix(bucket, now)
 
     def _due(self, job: str, at: float) -> bool:
         # a job that has never run is due immediately (first tick runs
@@ -60,9 +131,11 @@ class JobsRunner:
         now = now_col if now_col is not None else F.current_timestamp()
         ran: list[str] = []
         if self._due("matrix", at):
+            if self.trades_vt is not None:
+                self._advance_partials()
             pm = None
             for bucket in PM.BUCKETS:
-                df = self.engine.pool_matrix(bucket, now)
+                df = self._pool_matrix_bucket(bucket, now)
                 pm = df if pm is None else pm.unionByName(df)
             self._write(pm, "pool_matrix")
             tm = None

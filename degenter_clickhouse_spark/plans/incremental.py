@@ -162,3 +162,33 @@ def refresh_partials_from_changes(
     finally:
         touched.unpersist()
     return n
+
+
+def rollup_from_partials(
+    partials: DataFrame,
+    pools: DataFrame,
+    tokens: DataFrame,
+    prices: DataFrame,
+    pool_state: DataFrame,
+    ohlcv_1m: DataFrame,
+    now: Column,
+    bucket: str,
+) -> DataFrame:
+    """One pool-matrix bucket fed from the per-minute partials instead
+    of raw trades: the volume leg is ``trailing_volumes`` (cost ∝
+    pools x window minutes, independent of trade volume) pushed
+    through the SAME ``enrich_volumes`` display tail and the SAME
+    ``pool_matrix.rollup`` price/TVL logic as the direct recompute —
+    equality is asserted minute-for-minute in tests/test_incremental.py
+    for minute-aligned ``now`` (partials are minute-bucketed, exactly
+    like the reference's toStartOfMinute materialized-view rollup).
+    """
+    from . import pool_matrix as PM
+
+    minutes = PM.BUCKETS[bucket]
+    q = trailing_volumes(partials, now, minutes)
+    vols = PM.enrich_volumes(q, pools, tokens, prices)
+    return PM.rollup(
+        None, pools, tokens, prices, pool_state, ohlcv_1m, now, bucket,
+        vols=vols,
+    )

@@ -78,6 +78,20 @@ def trade_volumes(
         F.count(F.when(F.col("direction") == "sell", 1)).alias("tx_sell"),
         traders_agg.alias("traders"),
     )
+    return enrich_volumes(q, pools, tokens, prices)
+
+
+def enrich_volumes(
+    q: DataFrame,
+    pools: DataFrame,
+    tokens: DataFrame,
+    prices: DataFrame | None = None,
+) -> DataFrame:
+    """vol_enriched tail shared by the direct rollup above and the
+    partials-fed incremental path (plans/incremental.py): per-pool base
+    sums (vol_buy_base, vol_sell_base, tx_buy, tx_sell, traders) ->
+    ZIG display units via pool/token dims. One definition, so the two
+    rollup paths cannot drift."""
     p = pools.select("pool_id", "base_token_id", "quote_token_id", "is_uzig_quote")
     qt = tokens.select(F.col("token_id").alias("quote_token_id"), F.col("exponent").alias("quote_exp"))
     enriched = q.join(dim_broadcast(p), "pool_id").join(dim_broadcast(qt), "quote_token_id", "left")
@@ -183,9 +197,16 @@ def rollup(
     ohlcv_1m: DataFrame,
     now: Column,
     bucket: str,
+    vols: DataFrame | None = None,
 ) -> DataFrame:
+    """One bucket of the pool matrix. ``vols`` overrides the volume
+    leg with a pre-computed enrich_volumes frame — the incremental
+    partials path (plans/incremental.rollup_from_partials) supplies
+    trailing_volumes output here so price/TVL logic stays single-
+    sourced."""
     minutes = BUCKETS[bucket]
-    vols = trade_volumes(trades, pools, tokens, now, minutes, prices=prices)
+    if vols is None:
+        vols = trade_volumes(trades, pools, tokens, now, minutes, prices=prices)
     px = price_with_fallback(pools, prices, ohlcv_1m)
     tvl = pool_tvl(pools, tokens, pool_state, prices, ohlcv_1m)
     base = pools.select("pool_id")
