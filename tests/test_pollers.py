@@ -1,0 +1,327 @@
+"""RPC/LCD/FX poller layer (sources/pollers.py) against a stdlib
+http.server double: failover + backoff, LCD helpers, the indexer loop
+landing RAW_SCHEMA shards consumed by the real Spark ingest, FX and
+price-from-reserves jobs."""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+from datetime import datetime, timezone
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from urllib.parse import parse_qs, unquote, urlparse
+
+import pytest
+
+from degenter_clickhouse_spark.sources.pollers import (
+    BlockPoller,
+    FileCheckpoint,
+    FxPoller,
+    HttpJson,
+    LcdClient,
+    PriceFromReservesJob,
+    RpcClient,
+)
+
+# ---------------------------------------------------------------------------
+# http.server double
+# ---------------------------------------------------------------------------
+
+TIP = 5
+
+
+def _mk_block_txs(height):
+    def attr(k, v):
+        return {"key": k, "value": str(v)}
+
+    out = []
+    if height == 1:  # register the pool first (swaps on unknown pools drop)
+        out.append(
+            {
+                "events": [
+                    {"type": "message", "attributes": [attr("sender", "zig1creator"), attr("msg_index", 0)]},
+                    {
+                        "type": "wasm",
+                        "attributes": [
+                            attr("action", "create_pair"),
+                            attr("_contract_address", "zig1pool00001"),
+                            attr("pair", "coin.zig1f.utok-uzig"),
+                            attr("pair_type", "xyk"),
+                            attr("msg_index", 0),
+                        ],
+                    },
+                ]
+            }
+        )
+    out.append(
+        {
+            "events": [
+                {"type": "message", "attributes": [attr("sender", f"zig1u{height}"), attr("msg_index", 0)]},
+                {
+                    "type": "wasm",
+                    "attributes": [
+                        attr("action", "swap"),
+                        attr("_contract_address", "zig1pool00001"),
+                        attr("offer_asset", "uzig"),
+                        attr("offer_amount", 1000000 + height),
+                        attr("ask_asset", "coin.zig1f.utok"),
+                        attr("return_amount", 500000 + height),
+                        attr("msg_index", 0),
+                    ],
+                },
+            ]
+        }
+    )
+    return out
+
+
+class _Handler(BaseHTTPRequestHandler):
+    fail_always = False
+
+    def log_message(self, *a):  # silence
+        pass
+
+    def _json(self, obj, status=200):
+        body = json.dumps(obj).encode()
+        self.send_response(status)
+        self.send_header("content-type", "application/json")
+        self.send_header("content-length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):  # noqa: N802 — stdlib naming
+        if self.fail_always:
+            return self._json({"error": "boom"}, status=500)
+        u = urlparse(self.path)
+        q = parse_qs(u.query)
+        if u.path == "/status":
+            return self._json(
+                {"result": {"sync_info": {"latest_block_height": str(TIP)}}}
+            )
+        if u.path == "/block":
+            h = int(q["height"][0])
+            return self._json(
+                {
+                    "result": {
+                        "block": {
+                            "header": {"time": f"2024-06-01T00:00:{h:02d}Z"},
+                            "data": {"txs": [base64.b64encode(f"tx-{h}".encode()).decode()]},
+                        }
+                    }
+                }
+            )
+        if u.path == "/block_results":
+            h = int(q["height"][0])
+            return self._json({"result": {"txs_results": _mk_block_txs(h)}})
+        if u.path.startswith("/cosmos/bank/v1beta1/denoms_metadata/"):
+            denom = unquote(u.path.rsplit("/", 1)[1])
+            return self._json(
+                {"metadata": {"base": denom, "symbol": "TOK", "display": "tok",
+                              "denom_units": [{"denom": "tok", "exponent": 6}]}}
+            )
+        if u.path.startswith("/cosmos/bank/v1beta1/denom_owners/"):
+            if "pagination.key" in q.get("pagination.key", [""])[0] or q.get("pagination.key"):
+                return self._json(
+                    {"denom_owners": [{"address": "zig1b", "balance": {"amount": "2"}}],
+                     "pagination": {"next_key": None}}
+                )
+            return self._json(
+                {"denom_owners": [{"address": "zig1a", "balance": {"amount": "1"}}],
+                 "pagination": {"next_key": "PAGE2"}}
+            )
+        if "/smart/" in u.path:
+            msg = json.loads(base64.b64decode(u.path.rsplit("/", 1)[1]))
+            assert msg == {"pool": {}}
+            return self._json(
+                {"data": {"assets": [
+                    {"denom": "uzig", "amount": "2000000"},
+                    {"denom": "coin.zig1f.utok", "amount": "1000000000"},
+                ]}}
+            )
+        if u.path == "/v1/cryptocurrency/quotes/latest":
+            if self.headers.get("X-CMC_PRO_API_KEY") != "k3y":
+                return self._json({"error": "unauthorized"}, status=401)
+            return self._json(
+                {"data": {"ZIG": {"quote": {"USD": {"price": 0.0123}}}}}
+            )
+        return self._json({"error": "not found"}, status=404)
+
+
+class _FailingHandler(_Handler):
+    fail_always = True
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = HTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+@pytest.fixture(scope="module")
+def bad_server():
+    srv = HTTPServer(("127.0.0.1", 0), _FailingHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _http(*endpoints):
+    # no real sleeping in tests; record backoffs instead
+    slept: list[float] = []
+    h = HttpJson(list(endpoints), sleep=slept.append)
+    return h, slept
+
+
+# ---------------------------------------------------------------------------
+# HttpJson: failover + backoff (lib/lcd.js:9-26)
+# ---------------------------------------------------------------------------
+
+
+def test_http_failover_to_backup_endpoint(server, bad_server):
+    http, slept = _http(bad_server, server)
+    out = http.get("/status")
+    assert out["result"]["sync_info"]["latest_block_height"] == str(TIP)
+    assert len(slept) == 1  # one failed attempt, one backoff
+    assert 1.0 <= slept[0] <= 1.25  # base 1.0 + jitter <= 0.25
+
+
+def test_http_backoff_growth_and_bounded_failure(bad_server):
+    http, slept = _http(bad_server)
+    http.max_attempts = 5
+    with pytest.raises(RuntimeError, match="all 5 attempts"):
+        http.get("/status")
+    assert len(slept) == 5
+    # 1.5x growth capped at max_backoff_s (jitter <= 0.25 on top)
+    for i in range(4):
+        assert slept[i + 1] >= slept[i] - 0.25
+    assert all(s <= 10.25 for s in slept)
+
+
+def test_http_rotates_start_endpoint_per_call(server):
+    http, _ = _http(server, server)
+    http.get("/status")
+    assert http._idx == 1
+    http.get("/status")
+    assert http._idx == 2
+
+
+# ---------------------------------------------------------------------------
+# LCD helpers (lib/lcd.js:30-51)
+# ---------------------------------------------------------------------------
+
+
+def test_lcd_helpers_roundtrip(server):
+    lcd = LcdClient(_http(server)[0])
+    meta = lcd.denoms_metadata("coin.zig1f.utok")
+    assert meta["metadata"]["base"] == "coin.zig1f.utok"
+    page1 = lcd.denom_owners("coin.zig1f.utok")
+    assert page1["pagination"]["next_key"] == "PAGE2"
+    page2 = lcd.denom_owners("coin.zig1f.utok", next_key="PAGE2")
+    assert page2["denom_owners"][0]["address"] == "zig1b"
+    res = lcd.smart("zig1pool00001", {"pool": {}})
+    assert res["data"]["assets"][0]["denom"] == "uzig"
+
+
+# ---------------------------------------------------------------------------
+# BlockPoller -> landing shards -> REAL Spark ingest (bin/start-indexer.js)
+# ---------------------------------------------------------------------------
+
+
+def test_block_poller_lands_shards_spark_ingests_them(spark, server, tmp_path):
+    import glob
+
+    from degenter_clickhouse_spark.sources import blocks as B
+
+    landing = str(tmp_path / "landing")
+    ckpt = FileCheckpoint(str(tmp_path / "ckpt"))
+    ckpt.write(0)  # backfill from genesis; no checkpoint = start at tip
+    rpc = RpcClient(_http(server)[0])
+    poller = BlockPoller(rpc, landing, ckpt, pipeline_depth=2)
+    n = poller.run(max_blocks=100)  # bounded mode stops at the tip
+    assert n == TIP
+    assert ckpt.read() == TIP
+    shards = sorted(glob.glob(f"{landing}/blocks-*.json"))
+    assert len(shards) == 3  # depth 2 over 5 heights: 2+2+1
+    raw = spark.read.schema(B.RAW_SCHEMA).json(landing)
+    assert raw.count() == TIP
+    out = B.ingest(raw)
+    trades = out["trades"]
+    assert trades.count() == TIP  # one swap per block
+    assert {r.height for r in raw.select("height").collect()} == set(range(1, TIP + 1))
+    # resume: nothing new at the tip -> lands zero, checkpoint stable
+    assert poller.run(max_blocks=100) == 0
+    assert ckpt.read() == TIP
+
+
+def test_block_poller_resumes_from_checkpoint(server, tmp_path):
+    landing = str(tmp_path / "landing")
+    ckpt = FileCheckpoint(str(tmp_path / "ckpt"))
+    ckpt.write(3)  # heights 1-3 already indexed
+    poller = BlockPoller(RpcClient(_http(server)[0]), landing, ckpt)
+    assert poller.run(max_blocks=100) == 2  # lands 4..5 only
+    import glob
+
+    heights = []
+    for f in glob.glob(f"{landing}/*.json"):
+        heights += [json.loads(l)["height"] for l in open(f) if l.strip()]
+    assert sorted(heights) == [4, 5]
+
+
+# ---------------------------------------------------------------------------
+# FX + price-from-reserves jobs
+# ---------------------------------------------------------------------------
+
+
+def test_fx_poller_lands_minute_truncated_rate(spark, server, tmp_path):
+    fx = FxPoller(
+        _http(server)[0],
+        str(tmp_path / "fx"),
+        api_key="k3y",
+        now=lambda: datetime(2024, 6, 1, 10, 0, 37, tzinfo=timezone.utc),
+    )
+    assert fx.once() == pytest.approx(0.0123)
+    from degenter_clickhouse_spark import schemas
+
+    df = spark.read.schema(schemas.EXCHANGE_RATES).json(str(tmp_path / "fx"))
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0].zig_usd == pytest.approx(0.0123)
+    assert rows[0].ts.second == 0  # toStartOfMinute(now()) semantics
+
+
+def test_fx_poller_rejects_bad_key(server, tmp_path):
+    fx = FxPoller(_http(server)[0], str(tmp_path / "fx"), api_key="wrong")
+    with pytest.raises(RuntimeError, match="no price"):
+        fx.once()
+
+
+def test_price_from_reserves_job_matches_spark_formula(spark, server, tmp_path):
+    from pyspark.sql import functions as F
+
+    from degenter_clickhouse_spark.functions import business
+
+    lcd = LcdClient(_http(server)[0])
+    job = PriceFromReservesJob(lcd, str(tmp_path / "px"))
+    pools = [
+        {"pool_id": 1, "pair_contract": "zig1pool00001",
+         "base_denom": "coin.zig1f.utok", "base_exp": 6},
+        # wait-for-meta: no exponent -> skipped (reference semantics)
+        {"pool_id": 2, "pair_contract": "zig1pool00002",
+         "base_denom": "coin.zig1g.utok2", "base_exp": None},
+    ]
+    assert job.once(pools) == 1
+    rows = spark.read.json(str(tmp_path / "px")).collect()
+    assert len(rows) == 1 and rows[0].pool_id == 1
+    # the landed price equals functions/business.price_from_reserves
+    # (core/prices.js:72-92) on the same reserves
+    want = spark.range(1).select(
+        business.price_from_reserves(
+            F.lit(2000000), F.lit(1000000000), F.lit(6)
+        ).alias("px")
+    ).collect()[0].px
+    assert rows[0].price_in_zig == pytest.approx(want, rel=1e-12)
