@@ -20,7 +20,23 @@ import json
 import sys
 
 FACTOR = 2.0
-DEFAULT_FLOOR = "BENCH_r05.json"
+
+
+def _default_floor() -> str:
+    """Newest committed full-bench artifact (BENCH_LOCAL_r*.json,
+    written by bench.py each round — VERDICT r7 #3) if present; the
+    last driver artifact with a parsed payload otherwise."""
+    import glob
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    locals_ = sorted(glob.glob(os.path.join(here, "BENCH_LOCAL_r*.json")))
+    if locals_:
+        return locals_[-1]
+    return os.path.join(here, "BENCH_r05.json")
+
+
+DEFAULT_FLOOR = _default_floor()
 
 
 def load_bench(text: str) -> dict:
