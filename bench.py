@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "embedding_ann_batch",  # batch probe of the persisted IVF index (EXTENDED)
     "embedding_neardup",
     "text_analysis",  # lang-id + quality + token counts + fingerprint
+    "web_url_suite",  # URL canonicalization/domains/quota/url-dedup
     "multimodal_features",
     "sequence_packing",  # per-shard greedy token-budget packing
     "corpus_sampling",  # stratified hash sample + domain quota

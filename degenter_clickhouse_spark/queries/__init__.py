@@ -81,6 +81,7 @@ def load_registry(extended: bool = False) -> dict[str, QueryDef]:
             joins_ext,
             quality_ext,
             stats_ext,
+            web_ext,
         )
 
         full = dict(load_registry())
