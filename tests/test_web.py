@@ -110,3 +110,24 @@ def test_url_dedup_collapses_canonical_variants(spark):
     )
     kept = web.url_dedup(docs, order_by=[F.col("quality").desc(), F.col("doc_id")])
     assert sorted(r.doc_id for r in kept.collect()) == [2, 3]
+
+
+def test_web_plans_are_scale_shaped(spark):
+    """Plan guards: the whole URL family is map-shaped column work —
+    no cartesian products anywhere; domain_filter's list side joins as
+    a broadcast; quota/dedup shuffle once on their partition key."""
+    docs = spark.createDataFrame(
+        [(i, f"https://d{i % 5}.example.com/p/{i}", float(i)) for i in range(100)],
+        "doc_id long, url string, quality double",
+    )
+    filt = web.domain_filter(docs, ["d1.example.com"], mode="block")
+    plan = filt._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    for df in (
+        web.domain_quota(docs, k=2),
+        web.url_dedup(docs),
+    ):
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in p
+        assert "SinglePartition" not in p  # keyed window, never global
