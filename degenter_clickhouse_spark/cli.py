@@ -346,7 +346,38 @@ def main(argv: list[str] | None = None) -> int:
         "--at-version", type=int, help="clone source version (default: latest)"
     )
 
+    po = sub.add_parser(
+        "poller",
+        help="RPC block poller: follow the chain tip and land RAW_SCHEMA "
+        "JSON shards for the indexer stream (bin/start-indexer.js shape)",
+    )
+    po.add_argument("--rpc", required=True, nargs="+",
+                    help="RPC endpoint(s); extras are failover backups")
+    po.add_argument("--landing", required=True)
+    po.add_argument("--checkpoint", required=True)
+    po.add_argument("--max-blocks", type=int, default=None,
+                    help="land at most N blocks then exit (default: follow)")
+    po.add_argument("--pipeline-depth", type=int, default=3)
+
     args = p.parse_args(argv)
+    if args.cmd == "poller":  # pure driver glue: no SparkSession needed
+        from .sources.pollers import (
+            BlockPoller,
+            FileCheckpoint,
+            HttpJson,
+            RpcClient,
+        )
+
+        poller = BlockPoller(
+            RpcClient(HttpJson(args.rpc)),
+            args.landing,
+            FileCheckpoint(args.checkpoint),
+            pipeline_depth=args.pipeline_depth,
+        )
+        n = poller.run(max_blocks=args.max_blocks)
+        print(f"landed {n} blocks")
+        return 0
+
     from .session import build_session
 
     spark = build_session(app_name=f"degenter-{args.cmd}")

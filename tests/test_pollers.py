@@ -325,3 +325,19 @@ def test_price_from_reserves_job_matches_spark_formula(spark, server, tmp_path):
         ).alias("px")
     ).collect()[0].px
     assert rows[0].price_in_zig == pytest.approx(want, rel=1e-12)
+
+
+def test_cli_poller_command(server, tmp_path, capsys):
+    """degenter-spark poller: the process entry point lands shards
+    without ever building a SparkSession (pure driver glue)."""
+    from degenter_clickhouse_spark.cli import main
+
+    ckpt = str(tmp_path / "ckpt")
+    FileCheckpoint(ckpt).write(0)
+    rc = main([
+        "poller", "--rpc", server, "--landing", str(tmp_path / "landing"),
+        "--checkpoint", ckpt, "--max-blocks", "3",
+    ])
+    assert rc == 0
+    assert "landed 3 blocks" in capsys.readouterr().out
+    assert FileCheckpoint(ckpt).read() == 3
