@@ -138,22 +138,31 @@ def domain_quota(
     url_col: str = "url",
     order_by: list[Column] | None = None,
     id_col: str = "doc_id",
+    skew_salted: bool = False,
 ) -> DataFrame:
     """Keep at most ``k`` docs per registrable domain, best-first
     (RefinedWeb's per-domain cap — stops any one site from dominating
     the corpus). Default order: ``id_col`` ascending; pass e.g.
     ``[F.col('quality').desc(), F.col('doc_id')]`` to keep the best.
-    One shuffle on the domain key; the per-domain window never sees
-    more than a domain's docs (hot domains are exactly what the
-    operator exists to cut, and rank<=k short-circuits in the window
-    codegen)."""
+
+    ``skew_salted=True`` routes through skew.salted_topk: a web crawl
+    IS hot-domain-skewed by definition (the top domain can be a double
+    digit percent of the corpus), and a plain per-domain window sorts
+    every hot-domain row in ONE task. The salted form takes a local
+    top-k per input slice first, so no task ever sorts more than a
+    slice — identical output (order must break ties fully; the default
+    order does)."""
     from pyspark.sql.window import Window
 
+    from ..operators.skew import salted_topk
+
     order = order_by if order_by is not None else [F.col(id_col).asc()]
+    tagged = docs.withColumn("__dom", url_domain(F.col(url_col)))
+    if skew_salted:
+        return salted_topk(tagged, ["__dom"], k, order).drop("__dom")
     w = Window.partitionBy("__dom").orderBy(*order)
     return (
-        docs.withColumn("__dom", url_domain(F.col(url_col)))
-        .withColumn("__rk", F.row_number().over(w))
+        tagged.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= int(k))
         .drop("__dom", "__rk")
     )

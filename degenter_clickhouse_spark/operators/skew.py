@@ -53,6 +53,42 @@ def salted_agg(
     )
 
 
+def salted_topk(
+    df: DataFrame,
+    keys: Sequence[str],
+    k: int,
+    order_by: Sequence[Column],
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Per-key top-k that survives hot keys: phase 1 takes the local
+    top-k within each (key, input-partition) slice — the hot key's
+    rows are already spread over input partitions, so no single window
+    partition ever sorts more than one slice — and phase 2 ranks the
+    surviving ≤ partitions × k rows per key. Identical output to a
+    plain ``row_number() <= k`` window for any total order (``order_by``
+    must break ties fully) — asserted in tests — at the cost of one
+    extra, much smaller shuffle.
+
+    ``rank_col``: also expose the final per-key rank (1-based)."""
+    from pyspark.sql.window import Window
+
+    order = list(order_by)
+    w1 = Window.partitionBy(*keys, "__salt").orderBy(*order)
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    out = (
+        df.withColumn("__salt", F.spark_partition_id())
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= int(k))
+        .drop("__r1")
+        .withColumn("__rk", F.row_number().over(w2))
+        .filter(F.col("__rk") <= int(k))
+        .drop("__salt")
+    )
+    if rank_col is not None:
+        return out.withColumnRenamed("__rk", rank_col)
+    return out.drop("__rk")
+
+
 def approx_distinct(col: str | Column, rsd: float = 0.01) -> Column:
     """HyperLogLog++ distinct count (the at-scale stand-in for
     ClickHouse uniqExact / Spark countDistinct); rsd = relative

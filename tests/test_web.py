@@ -131,3 +131,40 @@ def test_web_plans_are_scale_shaped(spark):
         p = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in p
         assert "SinglePartition" not in p  # keyed window, never global
+
+
+def test_salted_topk_equals_plain_window_on_skew(spark):
+    """skew.salted_topk must return exactly the plain-window top-k on
+    a hot-key fixture (one domain = 90% of rows), under several input
+    partitionings — the equality is what licenses using it for hot
+    web domains."""
+    from degenter_clickhouse_spark.operators.skew import salted_topk
+
+    rows = [(i, "hot.com", float((i * 37) % 1000)) for i in range(900)]
+    rows += [(1000 + i, f"cold{i % 7}.net", float(i)) for i in range(100)]
+    base = spark.createDataFrame(rows, "doc_id long, dom string, q double")
+    order = [F.col("q").desc(), F.col("doc_id").asc()]
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("dom").orderBy(*order)
+    want = sorted(
+        r.doc_id
+        for r in base.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .collect()
+    )
+    for parts in (1, 7, 64):
+        got = sorted(
+            r.doc_id
+            for r in salted_topk(base.repartition(parts), ["dom"], 5, order).collect()
+        )
+        assert got == want, parts
+    # quota path through the salted form agrees with the plain form
+    docs = base.select(
+        "doc_id", F.concat(F.lit("https://"), "dom", F.lit("/p")).alias("url"), "q"
+    )
+    plain = sorted(r.doc_id for r in web.domain_quota(
+        docs, k=5, order_by=order).collect())
+    salted = sorted(r.doc_id for r in web.domain_quota(
+        docs, k=5, order_by=order, skew_salted=True).collect())
+    assert plain == salted == want
