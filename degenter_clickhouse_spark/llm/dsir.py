@@ -72,6 +72,18 @@ def dsir_lambdas(
     zero-coalesced counts."""
     ct = _counts(_features(target, None, text_col))
     cr = _counts(_features(raw, None, text_col))
+    return _lambdas_from_counts(ct, cr)
+
+
+def _lambdas_from_counts(ct: DataFrame, cr: DataFrame) -> DataFrame:
+    """Lambda table from pre-computed per-feature counts — shared by
+    the two-scan fit above and dsir_scores' fused fit-and-score path
+    (which derives ``cr`` from the same per-(doc, f) exchange the
+    scoring leg reuses). Both count tables are <= N_BUCKETS rows;
+    lazily checkpointing them means the nt/nr totals sum the tiny
+    tables instead of re-deriving them from another corpus scan."""
+    ct = ct.localCheckpoint(eager=False)
+    cr = cr.localCheckpoint(eager=False)
     nt = ct.agg(F.sum("c").cast("long").alias("nt"))
     nr = cr.agg(F.sum("c").cast("long").alias("nr"))
     both = (
@@ -154,13 +166,14 @@ def dsir_scores(
     artifact instead of refitting both feature distributions per call —
     bit-equal to fit-and-score on the fitted corpus (the lambda table
     round-trips rounded doubles exactly); on a DIFFERENT corpus,
-    buckets the model never saw score the persisted lam_default."""
-    if model is not None:
-        lam, meta = model
-    elif target is not None:
-        lam, meta = dsir_lambdas(raw, target, text_col), None
-    else:
-        raise ValueError("dsir_scores: pass either target= or model=")
+    buckets the model never saw score the persisted lam_default.
+
+    Plan shape: raw features aggregate ONCE into per-(doc, f)
+    occurrence counts; the raw-side distribution for the lambda fit
+    and the scoring leg both derive from that one exchange (Spark's
+    ReusedExchange), so fit-and-score reads the raw corpus once
+    instead of twice. Scores are bit-equal to occurrence-level
+    summing: DECIMAL(38,12) lam x exact integer count."""
     hw = word_hash_array(f"split({text_col}, ' ')")
     grams = (
         f"CASE WHEN size(__hw) >= 2 THEN transform(sequence(1, size(__hw) - 1), "
@@ -171,7 +184,34 @@ def dsir_scores(
     feats = raw.withColumn("__hw", hw).select(
         F.col(id_col), F.explode(F.expr(grams)).alias("f")
     )
-    j = feats.join(dim_broadcast(lam), "f", "left")
+    # materialized once (lazy localCheckpoint), then shared by THREE
+    # consumers — the raw-side distribution, its total, and the
+    # scoring join — so fit-and-score explodes the raw corpus once,
+    # not three times (AQE does not canonicalize the three branches
+    # into a ReusedExchange on its own; verified). Storage is the
+    # distinct (doc, feature) pairs — the same order of bytes the
+    # aggregation's shuffle already writes.
+    df_cnt = (
+        feats.groupBy(id_col, "f")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        .localCheckpoint(eager=False)
+    )
+    if model is not None:
+        lam, meta = model
+    elif target is not None:
+        # raw-side counts re-aggregate the per-(doc, f) exchange —
+        # sentinel NULL features (docs of < 2 words) are no rows in
+        # the two-scan _features form, so they are excluded here too
+        cr = (
+            df_cnt.filter(F.col("f").isNotNull())
+            .groupBy("f")
+            .agg(F.sum("__n").cast("long").alias("c"))
+        )
+        ct = _counts(_features(target, None, text_col))
+        lam, meta = _lambdas_from_counts(ct, cr), None
+    else:
+        raise ValueError("dsir_scores: pass either target= or model=")
+    j = df_cnt.join(dim_broadcast(lam), "f", "left")
     lam_eff = F.col("lam")
     if meta is not None:
         # artifact scoring of a corpus the model was not fitted on:
@@ -182,8 +222,20 @@ def dsir_scores(
         j = j.crossJoin(dim_broadcast(meta.select("lam_default")))
         lam_eff = F.coalesce(F.col("lam"), F.col("lam_default"))
     agg = j.groupBy(id_col).agg(
-        F.count(F.col("f")).cast("long").alias("n_feats"),
-        F.sum(lam_eff.cast("decimal(38,12)")).alias("__s"),
+        F.sum(
+            F.when(F.col("f").isNotNull(), F.col("__n")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_feats"),
+        # decimal(20,12) x decimal(18,0) -> decimal(38,12) EXACTLY
+        # (38,12 x bigint would trip Spark's precision-loss scale cut)
+        F.sum(
+            F.when(
+                F.col("f").isNotNull(),
+                lam_eff.cast("decimal(20,12)")
+                * F.col("__n").cast("decimal(18,0)"),
+            )
+        ).alias("__s"),
     )
     return agg.select(
         id_col,
