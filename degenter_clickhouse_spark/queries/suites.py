@@ -136,12 +136,15 @@ SELECT doc_id,
          AS DOUBLE) / len(ws) END AS symbol_word_frac
 FROM g
 """
+    from .web_ext import WEB_NORM_SQL
+
     return f"""
 WITH l AS ({_langid_oracle()}),
 q AS ({_quality_oracle()}),
 t AS ({TOKEN_ORACLE}),
 fp AS ({FP_ORACLE}),
-r AS ({rep})
+r AS ({rep}),
+wu AS ({WEB_NORM_SQL})
 SELECT l.doc_id, l.labeled_lang, l.s_en, l.s_de, l.s_es, l.s_fr, l.s_zh,
        l.lang_guess,
        q.n_chars, q.n_words, q.n_stop, q.punct_count, q.digit_count,
@@ -150,6 +153,7 @@ SELECT l.doc_id, l.labeled_lang, l.s_en, l.s_de, l.s_es, l.s_fr, l.s_zh,
        fp.fingerprint,
        r.word_rep_ratio, r.dup_2gram_frac, r.dup_3gram_frac,
        r.top_2gram_frac, r.mean_word_len, r.symbol_word_frac,
+       wu.norm_url, wu.domain AS url_domain,
        (q.n_words BETWEEN 30 AND 100000
         AND r.mean_word_len BETWEEN 3.0 AND 10.0
         AND q.stop_ratio >= 0.05
@@ -161,6 +165,7 @@ JOIN q  ON q.doc_id  = l.doc_id
 JOIN t  ON t.doc_id  = l.doc_id
 JOIN fp ON fp.doc_id = l.doc_id
 JOIN r  ON r.doc_id  = l.doc_id
+JOIN wu ON wu.doc_id = l.doc_id
 """
 
 
@@ -171,7 +176,9 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE scan of documents (each component is also available standalone:
     q_lang_id / q_text_quality / q_token_counts / q_doc_fingerprint)."""
     from ..llm import text as T
+    from ..llm import web as _web
     from .llm import _docs
+    from .web_ext import _URL_SPARK
 
     d = (
         _docs(spark, sf_dir, parallel=True)
@@ -209,6 +216,10 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.top_ngram_fraction("g2").alias("top_2gram_frac"),
         T.mean_word_length("words").alias("mean_word_len"),
         T.nonalnum_word_fraction("words").alias("symbol_word_frac"),
+        # URL canonicalization riding the same single pass (llm/web.py;
+        # synthetic URL from (doc_id, source) — queries/web_ext.py)
+        _web.url_normalize(F.expr(_URL_SPARK)).alias("norm_url"),
+        _web.url_domain(F.expr(_URL_SPARK)).alias("url_domain"),
     )
     best = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
     guess = None
@@ -245,6 +256,8 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_2gram_frac",
         "mean_word_len",
         "symbol_word_frac",
+        "norm_url",
+        "url_domain",
         # composite Gopher keep-rule: every shape/repetition gate passes
         (
             F.col("n_words").between(30, 100000)

@@ -181,3 +181,9 @@ def q_web_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("n"),
     )
     return norm.unionByName(dom).unionByName(quota).unionByName(dedup)
+
+
+# standalone canonicalization SELECT, nestable as a CTE body by other
+# oracles (queries/suites.py text_analysis folds norm_url/domain into
+# the driver gate through this)
+WEB_NORM_SQL = f"WITH {_DUCK_NORM_CTES} SELECT doc_id, norm_url, host, domain FROM domained"
