@@ -668,3 +668,88 @@ def test_decimal38_overflow_clamps_to_null_end_to_end(spark, n_digits):
     else:
         assert got_sum is not None
         assert abs(got_sum - want) <= max(1e-9 * want, 1e-9)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    scheme=st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
+    host=st.lists(
+        st.text(alphabet="abcDEF12", min_size=1, max_size=5),
+        min_size=1, max_size=4,
+    ),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=st.text(alphabet="abC/9.-", max_size=12),
+    params=st.lists(
+        st.tuples(
+            st.sampled_from(["q", "id", "utm_source", "utm_x", "fbclid",
+                             "gclid", "ref", "refresh"]),
+            st.text(alphabet="aB3", max_size=4),
+        ),
+        max_size=4,
+    ),
+    frag=st.sampled_from(["", "#x", "#Sec/1"]),
+)
+def test_url_normalize_properties(spark, scheme, host, port, path, params, frag):
+    """Canonicalization properties on randomized messy URLs:
+    IDEMPOTENT (normalizing a normalized URL is a no-op), never emits
+    tracking params or fragments, authority comes back lowercase, and
+    url_domain is insensitive to case/port/userinfo noise."""
+    from pyspark.sql import functions as F
+
+    from degenter_clickhouse_spark.llm import web
+
+    h = ".".join(host)
+    q = "&".join(f"{k}={v}" for k, v in params)
+    url = f"{scheme}://{h}{port}/{path}" + (f"?{q}" if q else "") + frag
+    df = spark.createDataFrame([(url,)], "url string")
+    row = df.select(
+        web.url_normalize(F.col("url")).alias("n"),
+        web.url_normalize(web.url_normalize(F.col("url"))).alias("nn"),
+        web.url_domain(F.col("url")).alias("d1"),
+        web.url_domain(web.url_normalize(F.col("url"))).alias("d2"),
+    ).collect()[0]
+    assert row.n == row.nn, (url, row.n, row.nn)
+    assert "#" not in row.n
+    for bad in ("utm_source=", "utm_x=", "fbclid=", "gclid=", "ref="):
+        # ref= may legitimately appear inside a VALUE; check param keys
+        kept = row.n.split("?", 1)[1].split("&") if "?" in row.n else []
+        assert not any(p.split("=")[0] in ("utm_source", "utm_x", "fbclid",
+                                           "gclid", "ref") for p in kept), row.n
+    auth = row.n.split("://", 1)[1].split("/", 1)[0] if "://" in row.n else ""
+    assert auth == auth.lower(), row.n
+    assert row.d1 == row.d2, (url, row.d1, row.d2)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 1000)),
+        min_size=1, max_size=120,
+    ),
+    k=st.integers(1, 4),
+    parts=st.sampled_from([1, 3, 17]),
+)
+def test_salted_topk_property_vs_plain_window(spark, rows, k, parts):
+    """salted_topk == plain per-key window top-k for ANY key/value
+    multiset, k, and input partitioning (given a tie-breaking total
+    order)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from degenter_clickhouse_spark.operators.skew import salted_topk
+
+    data = [(i, key, float(v)) for i, (key, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "rid long, key int, v double")
+    order = [F.col("v").desc(), F.col("rid").asc()]
+    w = Window.partitionBy("key").orderBy(*order)
+    want = sorted(
+        r.rid for r in df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k).collect()
+    )
+    got = sorted(
+        r.rid
+        for r in salted_topk(df.repartition(parts), ["key"], k, order).collect()
+    )
+    assert got == want
