@@ -28,11 +28,17 @@ def _default_floor() -> str:
     last driver artifact with a parsed payload otherwise."""
     import glob
     import os
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    locals_ = sorted(glob.glob(os.path.join(here, "BENCH_LOCAL_r*.json")))
+    locals_ = glob.glob(os.path.join(here, "BENCH_LOCAL_r*.json"))
     if locals_:
-        return locals_[-1]
+        # NUMERIC round order — lexicographic would rank r9 above r10
+        def rnum(p: str) -> int:
+            m = re.search(r"_r(\d+)\.json$", p)
+            return int(m.group(1)) if m else -1
+
+        return max(locals_, key=rnum)
     return os.path.join(here, "BENCH_r05.json")
 
 

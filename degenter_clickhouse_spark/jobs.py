@@ -66,25 +66,27 @@ class JobsRunner:
         self.trades_vt = trades_vt
         self.incremental_buckets = tuple(incremental_buckets)
         self.partials_path = os.path.join(output_dir, "minute_partials")
-        self._cursor_file = os.path.join(output_dir, "_partials_cursor")
+        from .sources.pollers import FileCheckpoint
 
-    def _cursor(self) -> int:
-        try:
-            with open(self._cursor_file) as fh:
-                return int(fh.read().strip())
-        except (OSError, ValueError):
-            return 0
+        os.makedirs(output_dir, exist_ok=True)
+        self._cursor = FileCheckpoint(os.path.join(output_dir, "_partials_cursor"))
 
     def _advance_partials(self) -> None:
         from .operators.versioned import vt_read, vt_version
         from .plans import incremental as INC
 
         to_v = vt_version(self.trades_vt)
-        from_v = self._cursor()
-        if from_v == 0 or not os.path.exists(self.partials_path):
-            # bootstrap: no CDC baseline yet (version diffs start at
-            # v1) — build the partials from the current snapshot once;
-            # every later tick reads only the delta
+        from_v = self._cursor.read() or 0
+        if (
+            from_v == 0
+            or from_v > to_v  # vt rebuilt/reset under us: stale cursor
+            or not os.path.exists(self.partials_path)
+        ):
+            # bootstrap: no usable CDC baseline (version diffs start
+            # at v1, and a cursor AHEAD of the table means the table
+            # was recreated — serving the old table's partials forever
+            # would be silent corruption) — build the partials from
+            # the current snapshot once; later ticks read the delta
             INC.minute_partials(
                 vt_read(self.engine.spark, self.trades_vt, to_v)
             ).write.mode("overwrite").parquet(self.partials_path)
@@ -95,9 +97,7 @@ class JobsRunner:
             )
         else:
             return
-        os.makedirs(self.output_dir, exist_ok=True)
-        with open(self._cursor_file, "w") as fh:
-            fh.write(str(to_v))
+        self._cursor.write(to_v)
 
     def _pool_matrix_bucket(self, bucket: str, now):
         if self.trades_vt is not None and bucket in self.incremental_buckets:

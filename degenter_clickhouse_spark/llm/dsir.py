@@ -184,18 +184,20 @@ def dsir_scores(
     feats = raw.withColumn("__hw", hw).select(
         F.col(id_col), F.explode(F.expr(grams)).alias("f")
     )
-    # materialized once (lazy localCheckpoint), then shared by THREE
-    # consumers — the raw-side distribution, its total, and the
-    # scoring join — so fit-and-score explodes the raw corpus once,
-    # not three times (AQE does not canonicalize the three branches
-    # into a ReusedExchange on its own; verified). Storage is the
-    # distinct (doc, feature) pairs — the same order of bytes the
-    # aggregation's shuffle already writes.
-    df_cnt = (
-        feats.groupBy(id_col, "f")
-        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
-        .localCheckpoint(eager=False)
+    df_cnt = feats.groupBy(id_col, "f").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
     )
+    if model is None:
+        # fit-and-score: materialized once (lazy localCheckpoint) and
+        # shared by THREE consumers — the raw-side distribution, its
+        # total, and the scoring join — so the raw corpus explodes
+        # once, not three times (AQE does not canonicalize the
+        # branches into a ReusedExchange on its own; verified).
+        # Storage is the distinct (doc, feature) pairs — the same
+        # order of bytes the aggregation's shuffle already writes.
+        # Artifact scoring (model=) has exactly ONE consumer: skip
+        # the checkpoint, keep the recomputable lineage.
+        df_cnt = df_cnt.localCheckpoint(eager=False)
     if model is not None:
         lam, meta = model
     elif target is not None:

@@ -20,8 +20,9 @@ Canonicalization contract (documented, deterministic):
 4. drop tracking query params (``utm_*``, ``fbclid``, ``gclid``,
    ``ref``), preserving the order of the survivors; an emptied query
    loses its ``?``;
-5. strip ONE trailing slash when it follows a non-slash character
-   (``…/path/`` == ``…/path``; ``https://h/`` == ``https://h``).
+5. strip ONE trailing slash from the PATH when it follows a non-slash
+   character (``…/path/`` == ``…/path``; ``https://h/`` == ``https://h``)
+   — never from a query value (``?next=/home/`` keeps its slash).
 """
 
 from __future__ import annotations
@@ -58,31 +59,36 @@ def url_normalize(url: Column) -> Column:
     # 3. default ports (capture groups, no lookaround)
     u = F.regexp_replace(u, r"^(http://[^/:?#]+):80($|[/?#].*)", "$1$2")
     u = F.regexp_replace(u, r"^(https://[^/:?#]+):443($|[/?#].*)", "$1$2")
-    # 4. tracking params: rebuild the query from surviving pairs
-    base = F.regexp_replace(u, r"\?.*$", "")
+    # 4. tracking params: rebuild the query from surviving pairs;
+    # 5. one trailing PATH slash after a non-slash char — applied to
+    #    the pre-query part only, so query values keep their slashes
+    base = F.regexp_replace(
+        F.regexp_replace(u, r"\?.*$", ""), r"([^/])/$", "$1"
+    )
     query = F.regexp_extract(u, r"^[^?]*\?(.*)$", 1)
     kept = F.filter(
         F.split(query, "&"),
         lambda p: (p != "") & ~p.rlike(_TRACKING),
     )
-    u = F.when(
-        query != "",
-        F.when(
-            F.size(kept) > 0,
-            F.concat(base, F.lit("?"), F.array_join(kept, "&")),
-        ).otherwise(base),
-    ).otherwise(u)
-    # 5. one trailing slash after a non-slash char
-    return F.regexp_replace(u, r"([^/])/$", "$1")
+    return F.when(
+        (query != "") & (F.size(kept) > 0),
+        F.concat(base, F.lit("?"), F.array_join(kept, "&")),
+    ).otherwise(base)
 
 
 def url_host(url: Column) -> Column:
     """Lowercased host of an absolute URL (userinfo and port
-    stripped); NULL when the value has no ``scheme://host`` shape."""
+    stripped); NULL when the value has no ``scheme://host`` shape.
+    Bracketed IPv6 authorities (``https://[2001:db8::1]:8080/x``)
+    return the bracketed literal intact — the generic pattern would
+    stop at the first ``:`` and emit a truncated garbage host."""
+    v6 = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/@?#]*@)?(\[[^\]]+\])", 1
+    )
     h = F.lower(
         F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1)
     )
-    return F.when(h != "", h)
+    return F.when(v6 != "", F.lower(v6)).when(h != "", h)
 
 
 def url_domain(
@@ -99,7 +105,7 @@ def url_domain(
     last3 = F.concat_ws(
         ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
     )
-    is_ip = host.rlike(r"^\d+\.\d+\.\d+\.\d+$")
+    is_ip = host.rlike(r"^\d+\.\d+\.\d+\.\d+$") | host.startswith("[")
     return F.when(host.isNull(), F.lit(None).cast("string")).when(
         is_ip | (n <= 1), host
     ).when((n >= 3) & last2.isin(*multi_suffixes), last3).otherwise(last2)

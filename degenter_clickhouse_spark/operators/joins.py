@@ -60,6 +60,14 @@ def dim_broadcast(dim: DataFrame) -> DataFrame:
         # estimate unavailable (e.g. streaming subplan): keep the hint —
         # matches the pre-helper behavior for frames Catalyst can't size
         return F.broadcast(dim)
+    if est >= (1 << 63) - 1:
+        # Catalyst's "no estimate" SENTINEL (defaultSizeInBytes =
+        # Long.MaxValue), not a real size — RDD-backed frames
+        # (createDataFrame dims: runtime block/allow lists, alert
+        # specs) report this and were silently falling back to a
+        # sort-merge join. No estimate == estimate unavailable: keep
+        # the hint, same as the exception path above.
+        return F.broadcast(dim)
     return F.broadcast(dim) if est <= max_bytes else dim
 
 

@@ -72,23 +72,20 @@ n4 AS (
 ),
 n5 AS (
   SELECT *,
-         regexp_replace(u3, '\\?.*$', '') AS base,
+         -- trailing PATH slash strips on the pre-query part only
+         regexp_replace(regexp_replace(u3, '\\?.*$', ''),
+                        '([^/])/$', '\\1') AS base,
          regexp_extract(u3, '^[^?]*\\?(.*)$', 1) AS q,
          list_filter(string_split(regexp_extract(u3, '^[^?]*\\?(.*)$', 1), '&'),
                      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)(=.*)?$')) AS kept
   FROM n4
 ),
-n6 AS (
-  SELECT *, CASE WHEN q <> '' THEN
-                   CASE WHEN len(kept) > 0 THEN base || '?' || array_to_string(kept, '&')
-                        ELSE base END
-                 ELSE u3 END AS u4
-  FROM n5
-),
 canon AS (
   SELECT doc_id, source, n_chars, url,
-         regexp_replace(u4, '([^/])/$', '\\1') AS norm_url
-  FROM n6
+         CASE WHEN q <> '' AND len(kept) > 0
+              THEN base || '?' || array_to_string(kept, '&')
+              ELSE base END AS norm_url
+  FROM n5
 ),
 hosted AS (
   SELECT *,

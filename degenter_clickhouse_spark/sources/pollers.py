@@ -103,9 +103,14 @@ class HttpJson:
                 status, body = self.transport(f"{base}{path}", headers)
                 if status == 429 or status >= 500:
                     raise RuntimeError(f"HTTP {status}")
+                # non-retryable 4xx bodies return as parsed JSON, like
+                # the reference (an LCD 404 is a legitimate "denom not
+                # found" answer consumed by callers, lib/lcd.js:17-18)
                 return json.loads(body)
             except Exception as e:  # noqa: BLE001 — retry loop, re-raised below
                 last = e
+                if attempt + 1 >= self.max_attempts:
+                    break  # no further attempt: fail now, don't sleep
                 backoff = min(
                     self.base_backoff_s * (1.5 ** attempt), self.max_backoff_s
                 ) + self.rng.random() * 0.25
@@ -198,11 +203,21 @@ class FileCheckpoint:
         self.path = path
 
     def read(self) -> int | None:
-        try:
-            with open(self.path) as fh:
-                return int(fh.read().strip())
-        except (OSError, ValueError):
+        """None ONLY when no checkpoint exists (fresh start). A file
+        that exists but cannot be parsed raises: treating a corrupt
+        cursor as 'fresh' would silently jump the poller to the chain
+        tip and lose the gap (or force a full partials rebuild)."""
+        if not os.path.exists(self.path):
             return None
+        with open(self.path) as fh:
+            content = fh.read().strip()
+        try:
+            return int(content)
+        except ValueError as e:
+            raise RuntimeError(
+                f"corrupt checkpoint {self.path!r}: {content[:80]!r} — "
+                "restore or delete it explicitly to restart fresh"
+            ) from e
 
     def write(self, height: int) -> None:
         tmp = self.path + ".tmp"
@@ -297,9 +312,11 @@ class BlockPoller:
 @dataclass
 class FxPoller:
     """jobs/fx-zig.js:13-59: poll a CMC-shaped quote API and land one
-    minute-truncated (ts, zig_usd) JSON line per cycle. Retry policy
-    is the reference's: 4 attempts, x2 backoff capped at 15 s, only on
-    429/5xx; other statuses raise immediately."""
+    minute-truncated (ts, zig_usd) JSON line per cycle. Retries ride
+    HttpJson's shared policy (429/5xx retried with capped backoff);
+    a non-retryable error body surfaces as the 'no price' RuntimeError
+    below — same terminal outcome as the reference's CMC-status
+    raise."""
 
     http: HttpJson
     landing_dir: str

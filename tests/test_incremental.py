@@ -202,7 +202,7 @@ def test_runner_incremental_matrix_equals_direct(spark, dom, tmp_path):  # noqa:
     r_inc.tick(at=1000.0, now_col=_now())
     r_full.tick(at=1000.0, now_col=_now())
     assert matrix_rows(inc_out) == matrix_rows(full_out)
-    cursor1 = r_inc._cursor()
+    cursor1 = r_inc._cursor.read() or 0
     assert cursor1 >= 1
 
     # CDC delta: the remaining trades arrive via upsert
@@ -212,6 +212,6 @@ def test_runner_incremental_matrix_equals_direct(spark, dom, tmp_path):  # noqa:
     r_inc.tick(at=2000.0, now_col=_now())
     r_full.tick(at=2000.0, now_col=_now())
     assert matrix_rows(inc_out) == matrix_rows(full_out)
-    assert r_inc._cursor() > cursor1  # cursor advanced past the delta
+    assert (r_inc._cursor.read() or 0) > cursor1  # cursor advanced past the delta
     half.unpersist()
     trades.unpersist()

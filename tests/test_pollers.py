@@ -195,9 +195,10 @@ def test_http_backoff_growth_and_bounded_failure(bad_server):
     http.max_attempts = 5
     with pytest.raises(RuntimeError, match="all 5 attempts"):
         http.get("/status")
-    assert len(slept) == 5
+    # the FINAL failure raises without a pointless trailing sleep
+    assert len(slept) == 4
     # 1.5x growth capped at max_backoff_s (jitter <= 0.25 on top)
-    for i in range(4):
+    for i in range(3):
         assert slept[i + 1] >= slept[i] - 0.25
     assert all(s <= 10.25 for s in slept)
 
@@ -341,3 +342,16 @@ def test_cli_poller_command(server, tmp_path, capsys):
     assert rc == 0
     assert "landed 3 blocks" in capsys.readouterr().out
     assert FileCheckpoint(ckpt).read() == 3
+
+
+def test_file_checkpoint_corrupt_vs_missing(tmp_path):
+    """A missing checkpoint means fresh start (None); a corrupt one
+    must raise — treating it as fresh would silently jump the poller
+    to the tip and lose the gap."""
+    ck = FileCheckpoint(str(tmp_path / "ck"))
+    assert ck.read() is None
+    ck.write(7)
+    assert ck.read() == 7
+    (tmp_path / "ck").write_text("garbled\n")
+    with pytest.raises(RuntimeError, match="corrupt checkpoint"):
+        ck.read()

@@ -34,8 +34,14 @@ def test_url_normalize_contract(spark):
         # one trailing slash collapses; root slash too
         "https://a.com/p/": "https://a.com/p",
         "https://a.com/": "https://a.com",
+        # ... on the PATH only: query values keep their slashes, and a
+        # path slash collapses even when a query follows
+        "https://a.com/r?next=/home/": "https://a.com/r?next=/home/",
+        "https://a.com/p/?q=1": "https://a.com/p?q=1",
         # query-value case preserved
         "https://a.com/x?Q=AbC": "https://a.com/x?Q=AbC",
+        # IPv6 literal authority survives intact
+        "https://[2001:DB8::1]:8080/x": "https://[2001:db8::1]:8080/x",
     }
     got = _norm(spark, list(cases))
     for (src, want), g in zip(cases.items(), got):
@@ -58,6 +64,7 @@ def test_url_domain_and_host(spark):
         "https://a.b.news.co.uk/x": ("a.b.news.co.uk", "news.co.uk"),
         "http://user:pw@Sub.Site.ORG:8080/p": ("sub.site.org", "site.org"),
         "https://10.1.2.3:443/x": ("10.1.2.3", "10.1.2.3"),
+        "https://[2001:db8::1]:8080/x": ("[2001:db8::1]", "[2001:db8::1]"),
         "https://localhost/x": ("localhost", "localhost"),
         "not a url": (None, None),
     }
@@ -123,7 +130,8 @@ def test_web_plans_are_scale_shaped(spark):
     filt = web.domain_filter(docs, ["d1.example.com"], mode="block")
     plan = filt._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan, plan[:2000]
     for df in (
         web.domain_quota(docs, k=2),
         web.url_dedup(docs),
