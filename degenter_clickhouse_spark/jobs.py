@@ -86,10 +86,14 @@ class JobsRunner:
             # at v1, and a cursor AHEAD of the table means the table
             # was recreated — serving the old table's partials forever
             # would be silent corruption) — build the partials from
-            # the current snapshot once; later ticks read the delta
-            INC.minute_partials(
-                vt_read(self.engine.spark, self.trades_vt, to_v)
-            ).write.mode("overwrite").parquet(self.partials_path)
+            # the current snapshot once (day-partitioned, so later
+            # delta refreshes rewrite only touched days)
+            INC.write_partials(
+                INC.minute_partials(
+                    vt_read(self.engine.spark, self.trades_vt, to_v)
+                ),
+                self.partials_path,
+            )
         elif to_v > from_v:
             INC.refresh_partials_from_changes(
                 self.engine.spark, self.trades_vt, self.partials_path,

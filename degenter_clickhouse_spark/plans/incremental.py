@@ -73,6 +73,10 @@ def trailing_volumes(
     # minute-granular windows (the reference's buckets are whole
     # minutes): lower bound is the minute containing (now - N)
     lo = F.date_trunc("minute", now - F.expr(f"INTERVAL {window_minutes} MINUTES"))
+    if "__day" in partials.columns:
+        # day-partitioned store (write_partials): prune whole days'
+        # files at planning before the minute filter runs
+        partials = partials.filter(F.col("__day") >= F.to_date(lo)).drop("__day")
     w = partials.filter((F.col("minute") >= lo) & (F.col("minute") <= now))
     traders = (
         F.hll_sketch_estimate(F.hll_union_agg(F.col("signers_sk")))
@@ -114,9 +118,17 @@ def refresh_partials_from_changes(
 
     A touched group whose swaps were ALL deleted yields no recomputed
     row — its stale partial must be REMOVED, not merely left un-upserted
-    (otherwise trailing_volumes overcounts forever): groups in the
-    touched set but absent from the recompute are deleted from the
-    store after the upsert.
+    (otherwise trailing_volumes overcounts forever): the touched-day
+    rewrite drops it (day-partitioned store) / it is key-deleted
+    (legacy flat store).
+
+    BOUNDED WRITE: when the store is day-partitioned (``__day``, the
+    layout ``write_partials``/the JobsRunner bootstrap produce), only
+    the delta's days are read and dynamically overwritten — per-tick
+    write cost tracks the delta's day span, never the store's history
+    (a flat store's upsert rewrites the whole table each tick, which
+    grows with corpus age — the same cliff class as the pre-r8 index
+    append guards). Flat legacy stores keep the old upsert+delete path.
 
     Returns the number of (pool, minute) groups refreshed. The caller
     persists ``to_version`` as its CDC cursor (the jobs-runner pattern:
@@ -147,21 +159,68 @@ def refresh_partials_from_changes(
         )
         fresh = minute_partials(scoped.drop("minute")).cache()
         try:
-            upsert_write(spark, fresh, partials_path, keys=["pool_id", "minute"])
-            # groups whose swaps were ALL deleted produce no fresh row:
-            # their stale partials must go, or trailing windows overcount
-            vacated = touched.join(
-                fresh.select("pool_id", "minute"), ["pool_id", "minute"], "left_anti"
-            )
-            if not vacated.isEmpty():
-                delete_keys(
-                    spark, partials_path, keys=["pool_id", "minute"], matching=vacated
+            stored = spark.read.parquet(partials_path)
+            if "__day" in stored.columns:
+                # touched days: dimension-sized (delta's day span)
+                days = [
+                    r.d
+                    for r in touched.select(
+                        F.to_date("minute").alias("d")
+                    ).distinct().collect()
+                ]
+                survivors = (
+                    stored.where(F.col("__day").isin(days))
+                    .drop("__day")
+                    .join(
+                        dim_broadcast(touched), ["pool_id", "minute"], "left_anti"
+                    )
                 )
+                # vacated groups are simply absent from survivors+fresh
+                out = survivors.unionByName(fresh).localCheckpoint(eager=True)
+                (
+                    out.withColumn("__day", F.to_date("minute"))
+                    .repartition(F.col("__day"))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("__day")
+                    .parquet(partials_path)
+                )
+            else:  # legacy flat store: full-rewrite upsert + delete
+                upsert_write(
+                    spark, fresh, partials_path, keys=["pool_id", "minute"]
+                )
+                vacated = touched.join(
+                    fresh.select("pool_id", "minute"),
+                    ["pool_id", "minute"],
+                    "left_anti",
+                )
+                if not vacated.isEmpty():
+                    delete_keys(
+                        spark,
+                        partials_path,
+                        keys=["pool_id", "minute"],
+                        matching=vacated,
+                    )
         finally:
             fresh.unpersist()
     finally:
         touched.unpersist()
     return n
+
+
+def write_partials(partials: DataFrame, path: str) -> None:
+    """Persist per-minute partials DAY-PARTITIONED (``__day``) so CDC
+    refreshes rewrite only the delta's days and trailing reads prune
+    to the window's days — per-tick cost independent of table age."""
+    from pyspark.sql import functions as F
+
+    (
+        partials.withColumn("__day", F.to_date("minute"))
+        .repartition(F.col("__day"))
+        .write.mode("overwrite")
+        .partitionBy("__day")
+        .parquet(path)
+    )
 
 
 def rollup_from_partials(

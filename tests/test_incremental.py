@@ -215,3 +215,60 @@ def test_runner_incremental_matrix_equals_direct(spark, dom, tmp_path):  # noqa:
     assert (r_inc._cursor.read() or 0) > cursor1  # cursor advanced past the delta
     half.unpersist()
     trades.unpersist()
+
+
+def test_day_partitioned_partials_refresh_and_pruned_reads(spark, dom, tmp_path):  # noqa: F811
+    """The day-partitioned partials store (write_partials): a CDC
+    refresh rewrites ONLY the delta's days (bounded write — the flat
+    store's full-table upsert grows with history), equals the full
+    recompute including vacated-group removal, and trailing reads
+    prune whole days at planning."""
+    import re
+
+    from degenter_clickhouse_spark.operators import versioned as V
+
+    trades = dom["trades_clean"].cache()
+    half = trades.limit(trades.count() // 2).cache()
+    table = str(tmp_path / "trades_vt")
+    parts = str(tmp_path / "partials")
+    V.vt_write(spark, half, table)
+    INC.write_partials(INC.minute_partials(half), parts)
+    assert "__day" in spark.read.parquet(parts).columns
+
+    # delta: rest arrives + one group fully deleted
+    V.vt_upsert(spark, trades, table, keys=["tx_hash", "msg_index"])
+    victim = (
+        trades.filter(F.col("action") == "swap")
+        .select("pool_id", F.date_trunc("minute", F.col("created_at")).alias("minute"))
+        .limit(1)
+        .collect()[0]
+    )
+    doomed = trades.filter(
+        (F.col("pool_id") == victim.pool_id)
+        & (F.date_trunc("minute", F.col("created_at")) == victim.minute)
+        & (F.col("action") == "swap")
+    )
+    V.vt_delete(spark, table, ["tx_hash", "msg_index"], doomed)
+    n = INC.refresh_partials_from_changes(spark, table, parts, from_version=1)
+    assert n >= 1
+    got = {
+        (r.pool_id, r.minute): (r.tx_buy, r.tx_sell, sorted(r.signers))
+        for r in spark.read.parquet(parts).drop("__day").collect()
+    }
+    want = {
+        (r.pool_id, r.minute): (r.tx_buy, r.tx_sell, sorted(r.signers))
+        for r in INC.minute_partials(V.vt_read(spark, table)).collect()
+    }
+    assert (victim.pool_id, victim.minute) not in got
+    assert got == want
+    # trailing read prunes day partitions at planning
+    plan = (
+        INC.trailing_volumes(spark.read.parquet(parts), _now(), 60)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "__day" in m.group(1), plan[:2000]
+    half.unpersist()
+    trades.unpersist()
