@@ -179,18 +179,25 @@ def url_dedup(
     url_col: str = "url",
     order_by: list[Column] | None = None,
     id_col: str = "doc_id",
+    skew_salted: bool = False,
 ) -> DataFrame:
     """Exactly one doc per CANONICAL URL (url_normalize collisions
     collapse), best-first like domain_quota — the recrawl/variant
     dedup pass that runs before any content-level dedup. One shuffle
-    on the normalized URL."""
+    on the normalized URL; ``skew_salted`` bounds the per-URL window
+    the same way as domain_quota's (a hammered URL — a recrawled
+    homepage — is the k=1 case of the same hot-key problem)."""
     from pyspark.sql.window import Window
 
+    from ..operators.skew import salted_topk
+
     order = order_by if order_by is not None else [F.col(id_col).asc()]
+    tagged = docs.withColumn("__u", url_normalize(F.col(url_col)))
+    if skew_salted:
+        return salted_topk(tagged, ["__u"], 1, order).drop("__u")
     w = Window.partitionBy("__u").orderBy(*order)
     return (
-        docs.withColumn("__u", url_normalize(F.col(url_col)))
-        .withColumn("__rk", F.row_number().over(w))
+        tagged.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") == 1)
         .drop("__u", "__rk")
     )

@@ -115,8 +115,12 @@ def test_url_dedup_collapses_canonical_variants(spark):
         ],
         "doc_id long, url string, quality double",
     )
-    kept = web.url_dedup(docs, order_by=[F.col("quality").desc(), F.col("doc_id")])
-    assert sorted(r.doc_id for r in kept.collect()) == [2, 3]
+    for salted in (False, True):
+        kept = web.url_dedup(
+            docs, order_by=[F.col("quality").desc(), F.col("doc_id")],
+            skew_salted=salted,
+        )
+        assert sorted(r.doc_id for r in kept.collect()) == [2, 3], salted
 
 
 def test_web_plans_are_scale_shaped(spark):
