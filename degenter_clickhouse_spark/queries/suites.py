@@ -186,6 +186,7 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("norm_text", T.normalized_text())
         .withColumn("g2", T.shingles("words", 2))
         .withColumn("g3", T.shingles("words", 3))
+        .withColumn("__url", F.expr(_URL_SPARK))
     )
     langs = list(T.LANG_STOPWORDS)
     bpe = T.token_count_regex()
@@ -217,9 +218,13 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.mean_word_length("words").alias("mean_word_len"),
         T.nonalnum_word_fraction("words").alias("symbol_word_frac"),
         # URL canonicalization riding the same single pass (llm/web.py;
-        # synthetic URL from (doc_id, source) — queries/web_ext.py)
-        _web.url_normalize(F.expr(_URL_SPARK)).alias("norm_url"),
-        _web.url_domain(F.expr(_URL_SPARK)).alias("url_domain"),
+        # synthetic URL from (doc_id, source) — queries/web_ext.py).
+        # __url is projected ONCE upstream: inlining the CASE builder
+        # into every regex step duplicated its subtree dozens of times
+        # across the two expression trees (measured ~0.9s of pure
+        # Catalyst/codegen overhead at 5k rows)
+        _web.url_normalize(F.col("__url")).alias("norm_url"),
+        _web.url_domain(F.col("__url")).alias("url_domain"),
     )
     best = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
     guess = None
