@@ -26,6 +26,8 @@ DEFAULT_CADENCES = {
     "leaderboard": 60,  # LEADERBOARD_SEC (jobs/leaderboards.js:5)
     "security": 180,    # SECURITY_SCAN_SEC (jobs/token-security.js:6)
     "alerts": 10,       # ALERTS_SEC (jobs/alerts.js:5)
+    "fx": 36,           # FX_SEC (jobs/fx-zig.js:6) — runs only when
+                        # an FxPoller is wired in (fx= constructor arg)
     # maintenance: the reference's partitions job slot (jobs/partitions.js
     # — a no-op under ClickHouse because MergeTree self-compacts; a
     # parquet lake needs the OPTIMIZE pass done explicitly)
@@ -58,12 +60,18 @@ class JobsRunner:
     def __init__(self, engine: DegenterEngine, output_dir: str,
                  cadences: dict[str, int] | None = None,
                  trades_vt: str | None = None,
-                 incremental_buckets: tuple[str, ...] = ("30m", "1h")):
+                 incremental_buckets: tuple[str, ...] = ("30m", "1h"),
+                 fx=None):
         self.engine = engine
         self.output_dir = output_dir
         self.cadences = {**DEFAULT_CADENCES, **(cadences or {})}
         self.last_run: dict[str, float] = {}
         self.trades_vt = trades_vt
+        # sources/pollers.FxPoller (or anything with fetch_price());
+        # wired here the FX job runs at the reference's 36s cadence and
+        # appends minute-truncated rows to output_dir/exchange_rates,
+        # also refreshing the engine's exchange_rates view
+        self.fx = fx
         self.incremental_buckets = tuple(incremental_buckets)
         self.partials_path = os.path.join(output_dir, "minute_partials")
         from .sources.pollers import FileCheckpoint
@@ -173,6 +181,23 @@ class JobsRunner:
                 "alerts", AL.record_fired(self.engine.table("alerts"), fired, now)
             )
             ran.append("alerts")
+        if self.fx is not None and self._due("fx", at):
+            # jobs/fx-zig.js onceFx: fetch the quote, insert one
+            # toStartOfMinute(now) row into exchange_rates
+            from datetime import datetime, timezone
+
+            px = self.fx.fetch_price()
+            ts = datetime.now(timezone.utc).replace(
+                second=0, microsecond=0, tzinfo=None
+            )
+            rates_path = os.path.join(self.output_dir, "exchange_rates")
+            self.engine.spark.createDataFrame(
+                [(ts, float(px))], "ts timestamp, zig_usd double"
+            ).write.mode("append").parquet(rates_path)
+            self.engine.set_table(
+                "exchange_rates", self.engine.spark.read.parquet(rates_path)
+            )
+            ran.append("fx")
         if self._due("compact", at):
             import glob as _glob
 

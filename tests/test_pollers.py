@@ -355,3 +355,33 @@ def test_file_checkpoint_corrupt_vs_missing(tmp_path):
     (tmp_path / "ck").write_text("garbled\n")
     with pytest.raises(RuntimeError, match="corrupt checkpoint"):
         ck.read()
+
+
+def test_jobs_runner_fx_job(spark, server, tmp_path):
+    """With an FxPoller wired in, the runner's fx job appends one
+    minute-truncated exchange_rates row at FX_SEC cadence and
+    refreshes the engine view (jobs/fx-zig.js onceFx semantics)."""
+    from degenter_clickhouse_spark.engine import DegenterEngine
+    from degenter_clickhouse_spark.jobs import JobsRunner
+    from degenter_clickhouse_spark import schemas
+
+    empty = spark.createDataFrame([], schemas.EXCHANGE_RATES)
+    eng = DegenterEngine(spark, tables={"exchange_rates": empty})
+    fx = FxPoller(_http(server)[0], str(tmp_path / "unused"), api_key="k3y")
+    runner = JobsRunner(eng, str(tmp_path / "out"), fx=fx)
+    # first tick runs every never-run job; pin the others as just-run
+    # so this test exercises ONLY the fx job (the engine carries no
+    # trade tables here)
+    runner.last_run = {j: 1000.0 for j in
+                       ("matrix", "leaderboard", "security", "alerts",
+                        "compact")}
+    ran = runner.tick(at=1000.0)
+    assert ran == ["fx"]
+    rows = spark.read.parquet(str(tmp_path / "out/exchange_rates")).collect()
+    assert len(rows) == 1 and rows[0].zig_usd == 0.0123
+    assert rows[0].ts.second == 0
+    assert eng.table("exchange_rates").count() == 1
+    # cadence: not due 10s later, due after 36s
+    assert runner.tick(at=1010.0) == []
+    assert runner.tick(at=1037.0) == ["fx"]
+    assert spark.read.parquet(str(tmp_path / "out/exchange_rates")).count() == 2
