@@ -716,7 +716,13 @@ def test_url_normalize_properties(spark, scheme, host, port, path, params, frag)
         kept = row.n.split("?", 1)[1].split("&") if "?" in row.n else []
         assert not any(p.split("=")[0] in ("utm_source", "utm_x", "fbclid",
                                            "gclid", "ref") for p in kept), row.n
-    auth = row.n.split("://", 1)[1].split("/", 1)[0] if "://" in row.n else ""
+    import re as _re
+
+    auth = (
+        _re.split(r"[/?#]", row.n.split("://", 1)[1], maxsplit=1)[0]
+        if "://" in row.n
+        else ""
+    )
     assert auth == auth.lower(), row.n
     assert row.d1 == row.d2, (url, row.d1, row.d2)
 
