@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "embedding_neardup",
     "text_analysis",  # lang-id + quality + token counts + fingerprint
     "web_url_suite",  # URL canonicalization/domains/quota/url-dedup
+    "winnow_overlap",  # MOSS winnowing fingerprint overlap pairs
     "multimodal_features",
     "sequence_packing",  # per-shard greedy token-budget packing
     "corpus_sampling",  # stratified hash sample + domain quota

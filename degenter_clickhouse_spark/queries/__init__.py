@@ -82,6 +82,7 @@ def load_registry(extended: bool = False) -> dict[str, QueryDef]:
             quality_ext,
             stats_ext,
             web_ext,
+            winnow_ext,
         )
 
         full = dict(load_registry())

@@ -1,0 +1,103 @@
+"""Winnowing fingerprints (llm/winnow.py): the guarantee (any shared
+word run of >= k+w-1 contributes a common fingerprint), density,
+short-doc degradation, stop-fingerprint capping, score exactness."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from degenter_clickhouse_spark.llm.winnow import (
+    DEFAULT_K,
+    DEFAULT_W,
+    winnow_fingerprints,
+    winnow_overlap_pairs,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+
+
+def _words(rng, n):
+    return " ".join(f"w{rng.randint(0, 500)}" for _ in range(n))
+
+
+def test_winnowing_guarantee_shared_run_yields_common_fp(spark):
+    """Schleimer et al. Theorem: a shared substring of at least
+    k + w - 1 tokens always contributes >= 1 common fingerprint —
+    for ANY surrounding context. Randomized: plant an 8-word run
+    (k=4, w=5 -> threshold 8) inside two otherwise-unrelated docs."""
+    rng = random.Random(11)
+    shared_run = _words(rng, DEFAULT_K + DEFAULT_W - 1)
+    texts = []
+    for i in range(10):
+        texts.append(f"{_words(rng, 30)} {shared_run} {_words(rng, 30)}")
+    fps = winnow_fingerprints(_docs(spark, texts))
+    by_doc = {
+        r.doc_id: set(r.fps)
+        for r in fps.groupBy("doc_id").agg(F.collect_set("fp").alias("fps")).collect()
+    }
+    common = set.intersection(*by_doc.values())
+    assert common, "planted shared run produced no common fingerprint"
+
+
+def test_density_and_short_doc_degradation(spark):
+    rng = random.Random(3)
+    long_doc = _words(rng, 200)
+    short_doc = _words(rng, DEFAULT_K + 1)  # k-grams exist, no full window
+    tiny_doc = "a b c"  # < k words -> no fingerprints
+    fps = winnow_fingerprints(_docs(spark, [long_doc, short_doc, tiny_doc]))
+    counts = {r.doc_id: r.n for r in fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_kgrams = 200 - DEFAULT_K + 1
+    # winnowing keeps far fewer than all k-grams (expected ~2/(w+1))
+    assert counts[0] < 0.6 * n_kgrams
+    # short doc: every (distinct) k-gram hash kept
+    assert counts[1] == 2  # k+1 words -> 2 k-grams
+    assert 2 not in counts  # tiny doc fingerprints to nothing
+
+
+def test_overlap_pairs_discriminate(spark):
+    rng = random.Random(7)
+    base = _words(rng, 120)
+    near = base.replace("w", "w", 1)  # identical copy
+    mutated = " ".join(
+        (f"x{i}" if i % 9 == 0 else t) for i, t in enumerate(base.split())
+    )
+    other = _words(rng, 120)
+    pairs = {
+        (r.d1, r.d2): r.overlap_1e9
+        for r in winnow_overlap_pairs(
+            _docs(spark, [base, near, mutated, other]), min_shared=1
+        ).collect()
+    }
+    assert pairs[(0, 1)] == 1_000_000_000  # identical docs: full overlap
+    assert pairs.get((0, 2), 0) > 100_000_000  # mutated copy: strong signal
+    assert pairs.get((0, 3), 0) < pairs[(0, 1)]  # unrelated: weaker/no pair
+
+
+def test_stop_fingerprint_cap_bounds_pairs(spark):
+    """A fingerprint shared by every doc (boilerplate) must be dropped
+    before the pair join: with the cap below the corpus size, the
+    boilerplate-only pairs disappear."""
+    rng = random.Random(5)
+    boiler = _words(rng, DEFAULT_K + DEFAULT_W - 1)
+    texts = [f"{_words(rng, 40)} {boiler}" for _ in range(12)]
+    docs = _docs(spark, texts)
+    capped = winnow_overlap_pairs(docs, min_shared=1, max_fp_freq=4)
+    uncapped = winnow_overlap_pairs(docs, min_shared=1, max_fp_freq=1000)
+    assert uncapped.count() >= 66  # all 12*11/2 pairs share the boiler run
+    assert capped.count() < 20  # boilerplate excluded; only chance overlaps
+
+
+def test_score_is_exact_integer_arithmetic(spark):
+    rng = random.Random(13)
+    base = _words(rng, 60)
+    pairs = winnow_overlap_pairs(_docs(spark, [base, base]), min_shared=1).collect()
+    assert len(pairs) == 1
+    r = pairs[0]
+    assert r.shared == r.min_fps
+    assert r.overlap_1e9 == (r.shared * 1_000_000_000) // r.min_fps
