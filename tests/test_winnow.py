@@ -101,3 +101,20 @@ def test_score_is_exact_integer_arithmetic(spark):
     r = pairs[0]
     assert r.shared == r.min_fps
     assert r.overlap_1e9 == (r.shared * 1_000_000_000) // r.min_fps
+
+
+def test_winnow_plan_is_scale_shaped(spark):
+    """Fingerprint selection is map-only; the pair stage equi-joins on
+    the fingerprint value — never a cartesian product, no global
+    window/sort funnel."""
+    rng = random.Random(2)
+    docs = _docs(spark, [_words(rng, 50) for _ in range(30)])
+    plan = (
+        winnow_overlap_pairs(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
