@@ -759,3 +759,45 @@ def test_salted_topk_property_vs_plain_window(spark, rows, k, parts):
         for r in salted_topk(df.repartition(parts), ["key"], k, order).collect()
     )
     assert got == want
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    spans=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 30)),
+        min_size=1, max_size=25,
+    ),
+    width=st.sampled_from([60.0, 3600.0, 7200.0]),
+)
+def test_interval_join_property_vs_bruteforce_epoch(spark, spans, width):
+    """interval_join == the brute-force theta join (ls < re AND rs <
+    le, equal keys) for random intervals at EPOCH magnitudes and any
+    bucket width — including zero-length intervals (match nothing)
+    and boundary-aligned ends (the integer-microsecond fix)."""
+    import itertools
+
+    from degenter_clickhouse_spark.operators.asof import interval_join
+
+    base = 472_222 * 3600.0  # epoch-scale bucket boundary
+    rows = [
+        (k, i, base + s * 60.0, base + (s + d) * 60.0)
+        for i, (k, s, d) in enumerate(spans)
+    ]
+    left = spark.createDataFrame(rows, "k int, id long, s double, e double")
+    right = spark.createDataFrame(
+        [(k, i + 1000, s, e) for k, i, s, e in rows],
+        "k int, id long, s double, e double",
+    )
+    got = sorted(
+        (r.id, r.id_r)
+        for r in interval_join(
+            left, right, ("s", "e"), ("s", "e"), by=["k"], bucket_width=width
+        ).collect()
+    )
+    want = sorted(
+        (a[1], b[1] + 1000)
+        for a, b in itertools.product(rows, rows)
+        if a[0] == b[0] and a[2] < b[3] and b[2] < a[3]
+    )
+    assert got == want
