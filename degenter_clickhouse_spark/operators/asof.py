@@ -202,8 +202,16 @@ def interval_join(
     suffix: str = "_r",
 ) -> DataFrame:
     """Inner join of left intervals [ls, le) with right intervals
-    [rs, re) that OVERLAP (``ls < re AND rs < le``; equal ``by`` keys
+    [rs, re) whose INTERSECTION IS NON-EMPTY
+    (``greatest(ls, rs) < least(le, re)``; equal ``by`` keys
     required) — the interval-interval sibling of ``range_join``.
+
+    Note this is strictly stronger than the raw theta shorthand
+    ``ls < re AND rs < le``: the shorthand admits a zero-length
+    interval strictly inside another even though their intersection
+    is empty. This operator rejects every empty interval up front
+    (``end <= start`` rows match nothing), which makes the two
+    predicates equivalent on the rows that remain.
 
     Both sides explode to the fixed-width buckets their interval
     covers; the (key, bucket) equi-join finds every overlapping pair

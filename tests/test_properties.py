@@ -761,7 +761,7 @@ def test_salted_topk_property_vs_plain_window(spark, rows, k, parts):
     assert got == want
 
 
-@settings(max_examples=15, deadline=None,
+@settings(max_examples=100, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
     spans=st.lists(
@@ -771,10 +771,13 @@ def test_salted_topk_property_vs_plain_window(spark, rows, k, parts):
     width=st.sampled_from([60.0, 3600.0, 7200.0]),
 )
 def test_interval_join_property_vs_bruteforce_epoch(spark, spans, width):
-    """interval_join == the brute-force theta join (ls < re AND rs <
-    le, equal keys) for random intervals at EPOCH magnitudes and any
-    bucket width — including zero-length intervals (match nothing)
-    and boundary-aligned ends (the integer-microsecond fix)."""
+    """interval_join == brute-force non-empty-intersection join
+    (a.s < a.e AND b.s < b.e AND max(starts) < min(ends), equal keys)
+    for random intervals at EPOCH magnitudes and any bucket width —
+    zero-length intervals match nothing (the operator's contract: the
+    raw theta shorthand ls < re AND rs < le is NOT equivalent for
+    empty intervals, so the oracle guards them out explicitly) and
+    boundary-aligned ends exercise the integer-microsecond fix."""
     import itertools
 
     from degenter_clickhouse_spark.operators.asof import interval_join
@@ -798,6 +801,9 @@ def test_interval_join_property_vs_bruteforce_epoch(spark, spans, width):
     want = sorted(
         (a[1], b[1] + 1000)
         for a, b in itertools.product(rows, rows)
-        if a[0] == b[0] and a[2] < b[3] and b[2] < a[3]
+        if a[0] == b[0]
+        and a[2] < a[3]  # non-empty left
+        and b[2] < b[3]  # non-empty right
+        and max(a[2], b[2]) < min(a[3], b[3])
     )
     assert got == want
