@@ -22,16 +22,27 @@ import sys
 FACTOR = 2.0
 
 
-def _default_floor() -> str:
+def _default_floor(current: str | None = None) -> str:
     """Newest committed full-bench artifact (BENCH_LOCAL_r*.json,
     written by bench.py each round — VERDICT r7 #3) if present; the
-    last driver artifact with a parsed payload otherwise."""
+    last driver artifact with a parsed payload otherwise.
+
+    The artifact under test is EXCLUDED from floor selection
+    (VERDICT r8 #5): once a round commits its own BENCH_LOCAL_rN.json,
+    a default invocation against that same file must pick the previous
+    round's floor, never compare the artifact to itself (a vacuous
+    1.00x PASS)."""
     import glob
     import os
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    locals_ = glob.glob(os.path.join(here, "BENCH_LOCAL_r*.json"))
+    cur_real = os.path.realpath(current) if current else None
+    locals_ = [
+        p
+        for p in glob.glob(os.path.join(here, "BENCH_LOCAL_r*.json"))
+        if os.path.realpath(p) != cur_real
+    ]
     if locals_:
         # NUMERIC round order — lexicographic would rank r9 above r10
         def rnum(p: str) -> int:
@@ -40,9 +51,6 @@ def _default_floor() -> str:
 
         return max(locals_, key=rnum)
     return os.path.join(here, "BENCH_r05.json")
-
-
-DEFAULT_FLOOR = _default_floor()
 
 
 def load_bench(text: str) -> dict:
@@ -70,10 +78,12 @@ def load_bench(text: str) -> dict:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("current", nargs="?", help="bench output file (default: stdin)")
-    ap.add_argument("--floor", default=DEFAULT_FLOOR)
+    ap.add_argument("--floor", default=None)
     ap.add_argument("--factor", type=float, default=FACTOR)
     args = ap.parse_args()
 
+    if args.floor is None:
+        args.floor = _default_floor(args.current)
     floor = load_bench(open(args.floor).read())
     cur_text = open(args.current).read() if args.current else sys.stdin.read()
     cur = load_bench(cur_text)
