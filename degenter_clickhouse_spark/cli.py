@@ -40,6 +40,11 @@ def main(argv: list[str] | None = None) -> int:
     jb.add_argument("--output", required=True)
     jb.add_argument("--once", action="store_true")
     jb.add_argument("--poll-sec", type=float, default=5.0)
+    jb.add_argument(
+        "--lcd", action="append", default=None, metavar="URL",
+        help="LCD endpoint(s); enables the holders (180s) and token-"
+             "metadata (60s) refresher jobs (repeat for failover)",
+    )
 
     qr = sub.add_parser("query", help="run SQL over the engine views")
     qr.add_argument("--storage", required=True)
@@ -760,7 +765,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "jobs":
         from .jobs import JobsRunner
 
-        runner = JobsRunner(engine, args.output)
+        lcd = None
+        if args.lcd:
+            from .sources.pollers import HttpJson, LcdClient
+
+            lcd = LcdClient(HttpJson(args.lcd))
+        runner = JobsRunner(engine, args.output, lcd=lcd)
         if args.once:
             print("ran:", runner.tick())
             return 0

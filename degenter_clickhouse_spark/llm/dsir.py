@@ -229,13 +229,16 @@ def dsir_scores(
         )
         .cast("long")
         .alias("n_feats"),
-        # decimal(20,12) x decimal(18,0) -> decimal(38,12) EXACTLY
-        # (38,12 x bigint would trip Spark's precision-loss scale cut)
+        # decimal(25,12) x decimal(12,0) -> precision 25+12+1 = 38,
+        # scale 12 -> decimal(38,12) with NO precision-loss scale cut
+        # (ADVICE r8: 20,12 x 18,0 hit precision 39 and Spark trimmed
+        # the scale to 11; exactness then hung on lam being rounded to
+        # 9 decimals). __n is a per-doc token count — far below 1e12.
         F.sum(
             F.when(
                 F.col("f").isNotNull(),
-                lam_eff.cast("decimal(20,12)")
-                * F.col("__n").cast("decimal(18,0)"),
+                lam_eff.cast("decimal(25,12)")
+                * F.col("__n").cast("decimal(12,0)"),
             )
         ).alias("__s"),
     )

@@ -107,11 +107,15 @@ def winnow_overlap_pairs(
     )
     s1 = sizes.select(F.col(id_col).alias("d1"), F.col("n_fp").alias("n1"))
     s2 = sizes.select(F.col(id_col).alias("d2"), F.col("n_fp").alias("n2"))
-    from ..operators.joins import dim_broadcast
-
+    # Plain shuffle joins on purpose (ADVICE r8): `sizes` derives from
+    # a localCheckpoint'd frame, so Catalyst reports the Long.MaxValue
+    # "no estimate" sentinel and dim_broadcast's sentinel branch would
+    # FORCE-broadcast it — collecting O(n_docs) rows to the driver at
+    # corpus scale. The pairs frame is already doc-pair-sized, so the
+    # shuffle here is bounded by the pair output, not the corpus.
     return (
-        pairs.join(dim_broadcast(s1), "d1")
-        .join(dim_broadcast(s2), "d2")
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
         .select(
             "d1",
             "d2",

@@ -30,7 +30,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def minute_partials(trades: DataFrame, sketch_signers: bool = False) -> DataFrame:
+def minute_partials(
+    trades: DataFrame,
+    sketch_signers: bool = False,
+    hot_signer_threshold: int | None = None,
+) -> DataFrame:
     """Per (pool_id, minute): decomposed partial aggregates of the
     swap stream. Append-only; replays merge at read (ST6-style).
 
@@ -38,14 +42,32 @@ def minute_partials(trades: DataFrame, sketch_signers: bool = False) -> DataFram
     Datasketches HLL state column (constant size per row regardless of
     signer cardinality — the documented escape hatch for pool-minutes
     with unbounded distinct signers); ``trailing_volumes`` merges
-    either representation."""
+    either representation.
+
+    ``hot_signer_threshold=N`` is the HOT-POOL AUTO mode (VERDICT r8
+    #2): every row carries BOTH the HLL state and the exact set, but a
+    pool-minute whose distinct signers exceed N stores NULL for the
+    exact set — the row stays constant-size no matter how hot the
+    pool. ``trailing_volumes`` then counts a pool exactly when every
+    one of its window rows kept the exact set, and falls back to the
+    HLL union for pools touching any hot minute. Cold pools (the vast
+    majority) keep bit-exact trader counts; no row is ever unbounded."""
+    if sketch_signers and hot_signer_threshold is not None:
+        raise ValueError("sketch_signers and hot_signer_threshold are exclusive")
     t = trades.filter(F.col("action") == "swap")
     minute = F.date_trunc("minute", F.col("created_at")).alias("minute")
-    signer_partial = (
-        F.hll_sketch_agg("signer", F.lit(12)).alias("signers_sk")
-        if sketch_signers
-        else F.collect_set("signer").alias("signers")
-    )
+    if hot_signer_threshold is not None:
+        signer_partial = [
+            F.hll_sketch_agg("signer", F.lit(12)).alias("signers_sk"),
+            F.when(
+                F.size(F.collect_set("signer")) <= int(hot_signer_threshold),
+                F.collect_set("signer"),
+            ).alias("signers"),
+        ]
+    elif sketch_signers:
+        signer_partial = [F.hll_sketch_agg("signer", F.lit(12)).alias("signers_sk")]
+    else:
+        signer_partial = [F.collect_set("signer").alias("signers")]
     return t.groupBy("pool_id", minute).agg(
         F.sum(
             F.when(F.col("direction") == "buy", F.col("offer_amount_base")).otherwise(F.lit(0))
@@ -59,7 +81,7 @@ def minute_partials(trades: DataFrame, sketch_signers: bool = False) -> DataFram
         # signers (jobs/matrix-rollups.js:37) and neither does
         # trade_volumes — '' must stay a set member here or the merged
         # distinct count drifts one below the direct rollup
-        signer_partial,
+        *signer_partial,
     )
 
 
@@ -78,15 +100,27 @@ def trailing_volumes(
         # files at planning before the minute filter runs
         partials = partials.filter(F.col("__day") >= F.to_date(lo)).drop("__day")
     w = partials.filter((F.col("minute") >= lo) & (F.col("minute") <= now))
-    traders = (
-        F.hll_sketch_estimate(F.hll_union_agg(F.col("signers_sk")))
-        .cast("long")
-        .alias("traders")
-        if "signers_sk" in partials.columns
-        else F.size(F.array_distinct(F.flatten(F.collect_list("signers"))))
-        .cast("long")
-        .alias("traders")
+    has_sk = "signers_sk" in partials.columns
+    has_exact = "signers" in partials.columns
+    exact_count = F.size(
+        F.array_distinct(F.flatten(F.collect_list("signers")))
+    ).cast("long")
+    hll_count = F.hll_sketch_estimate(F.hll_union_agg(F.col("signers_sk"))).cast(
+        "long"
     )
+    if has_sk and has_exact:
+        # hot-pool auto mode: exact whenever EVERY window row kept its
+        # exact set (cold pools — bit-equal to the direct rollup); HLL
+        # union when any minute was hot (its exact set is NULL).
+        # collect_list drops NULLs, so compare collected count to row
+        # count to detect a hot minute.
+        traders = F.when(
+            F.count(F.lit(1)) == F.count(F.col("signers")), exact_count
+        ).otherwise(hll_count).alias("traders")
+    elif has_sk:
+        traders = hll_count.alias("traders")
+    else:
+        traders = exact_count.alias("traders")
     return w.groupBy("pool_id").agg(
         F.sum("vol_buy_base").alias("vol_buy_base"),
         F.sum("vol_sell_base").alias("vol_sell_base"),
@@ -102,6 +136,7 @@ def refresh_partials_from_changes(
     partials_path: str,
     from_version: int,
     to_version: int | None = None,
+    hot_signer_threshold: int | None = None,
 ) -> int:
     """CDC-driven partial maintenance: bring the stored per-(pool,
     minute) partials up to date with a versioned trades table
@@ -157,9 +192,24 @@ def refresh_partials_from_changes(
         scoped = current.withColumn("minute", minute).join(
             dim_broadcast(touched), ["pool_id", "minute"], "left_semi"
         )
-        fresh = minute_partials(scoped.drop("minute")).cache()
+        # recomputed groups must land in the STORE's signer
+        # representation — a refresh writing exact-only rows into a
+        # hot-threshold (dual-column) store would silently corrupt the
+        # trailing merge's all-exact detection
+        stored = spark.read.parquet(partials_path)
+        dual = "signers_sk" in stored.columns and "signers" in stored.columns
+        if dual and hot_signer_threshold is None:
+            raise ValueError(
+                "partials store at %s uses the hot-signer dual layout; "
+                "pass hot_signer_threshold= (the value the store was "
+                "built with)" % partials_path
+            )
+        fresh = minute_partials(
+            scoped.drop("minute"),
+            sketch_signers=("signers_sk" in stored.columns and not dual),
+            hot_signer_threshold=hot_signer_threshold if dual else None,
+        ).cache()
         try:
-            stored = spark.read.parquet(partials_path)
             if "__day" in stored.columns:
                 # touched days: dimension-sized (delta's day span)
                 days = [
@@ -185,6 +235,28 @@ def refresh_partials_from_changes(
                     .partitionBy("__day")
                     .parquet(partials_path)
                 )
+                # Dynamic overwrite only rewrites partitions PRESENT in
+                # `out`: a touched day whose groups were ALL vacated
+                # produces zero output rows for that __day, so its
+                # stale partition dir would survive on disk and
+                # trailing_volumes would overcount forever. Remove the
+                # missing days' partition dirs explicitly. (Both sets
+                # are delta-day-span sized — driver lists are bounded.)
+                kept = {
+                    r.d
+                    for r in out.select(
+                        F.to_date("minute").alias("d")
+                    ).distinct().collect()
+                }
+                import os
+                import shutil
+
+                for d in days:
+                    if d not in kept:
+                        shutil.rmtree(
+                            os.path.join(partials_path, f"__day={d}"),
+                            ignore_errors=True,
+                        )
             else:  # legacy flat store: full-rewrite upsert + delete
                 upsert_write(
                     spark, fresh, partials_path, keys=["pool_id", "minute"]

@@ -103,10 +103,6 @@ class HttpJson:
                 status, body = self.transport(f"{base}{path}", headers)
                 if status == 429 or status >= 500:
                     raise RuntimeError(f"HTTP {status}")
-                # non-retryable 4xx bodies return as parsed JSON, like
-                # the reference (an LCD 404 is a legitimate "denom not
-                # found" answer consumed by callers, lib/lcd.js:17-18)
-                return json.loads(body)
             except Exception as e:  # noqa: BLE001 — retry loop, re-raised below
                 last = e
                 if attempt + 1 >= self.max_attempts:
@@ -115,6 +111,22 @@ class HttpJson:
                     self.base_backoff_s * (1.5 ** attempt), self.max_backoff_s
                 ) + self.rng.random() * 0.25
                 self.sleep(backoff)
+                continue
+            # Parse OUTSIDE the retry classification (ADVICE r8): a
+            # permanent non-retryable 4xx whose body is not JSON (an
+            # HTML error page from a proxy/LB) must fail fast with the
+            # real status+body, not burn max_attempts x backoff sleeps
+            # retrying every endpoint. Non-retryable 4xx bodies that
+            # ARE JSON return parsed, like the reference (an LCD 404
+            # is a legitimate "denom not found" answer consumed by
+            # callers, lib/lcd.js:17-18).
+            try:
+                return json.loads(body)
+            except json.JSONDecodeError as e:
+                raise RuntimeError(
+                    f"non-JSON response (HTTP {status}) for {path}: "
+                    f"{body[:200]!r}"
+                ) from e
         raise RuntimeError(
             f"all {self.max_attempts} attempts failed for {path}: {last}"
         )

@@ -197,8 +197,10 @@ def test_runner_incremental_matrix_equals_direct(spark, dom, tmp_path):  # noqa:
     r_inc = JobsRunner(mk_engine(V.vt_read(spark, table)), inc_out,
                        cadences=cadences, trades_vt=table)
     r_full = JobsRunner(mk_engine(half), full_out, cadences=cadences)
-    # the runner wired the incremental path for exactly these buckets
-    assert r_inc.incremental_buckets == ("30m", "1h")
+    # VERDICT r8 #2: the incremental path now covers ALL FOUR buckets
+    # by default — the trailing-24h re-aggregation was the hottest
+    # recurring scan
+    assert r_inc.incremental_buckets == ("30m", "1h", "4h", "24h")
     r_inc.tick(at=1000.0, now_col=_now())
     r_full.tick(at=1000.0, now_col=_now())
     assert matrix_rows(inc_out) == matrix_rows(full_out)
@@ -272,3 +274,142 @@ def test_day_partitioned_partials_refresh_and_pruned_reads(spark, dom, tmp_path)
     assert m and "__day" in m.group(1), plan[:2000]
     half.unpersist()
     trades.unpersist()
+
+
+def test_refresh_removes_fully_vacated_day_partition(spark, tmp_path):
+    """ADVICE r8 (medium): a touched day whose groups are ALL vacated
+    produces zero output rows for that __day, so dynamic partition
+    overwrite never rewrites it — the refresh must delete the stale
+    day directory explicitly or trailing_volumes overcounts forever."""
+    import os
+
+    from degenter_clickhouse_spark.operators import versioned as V
+
+    rows = [
+        # day 1: two groups that survive
+        ("h1", 0, "swap", "2024-03-01 10:00:30", "p1", "buy", 100.0, 0.0, "s1"),
+        ("h2", 0, "swap", "2024-03-01 10:05:10", "p2", "sell", 0.0, 50.0, "s2"),
+        # day 2: ONE group — the whole day vacates when it is deleted
+        ("h3", 0, "swap", "2024-03-02 09:00:05", "p1", "buy", 70.0, 0.0, "s3"),
+        ("h4", 0, "swap", "2024-03-02 09:00:40", "p1", "buy", 30.0, 0.0, "s4"),
+    ]
+    trades = spark.createDataFrame(
+        rows,
+        "tx_hash string, msg_index int, action string, created_at string,"
+        " pool_id string, direction string, offer_amount_base double,"
+        " ask_amount_base double, signer string",
+    ).withColumn("created_at", F.to_timestamp("created_at"))
+    table = str(tmp_path / "trades_vt")
+    parts = str(tmp_path / "partials")
+    V.vt_write(spark, trades, table)
+    INC.write_partials(INC.minute_partials(trades), parts)
+    day2 = os.path.join(parts, "__day=2024-03-02")
+    assert os.path.isdir(day2)
+
+    doomed = trades.filter(F.col("tx_hash").isin("h3", "h4"))
+    V.vt_delete(spark, table, ["tx_hash", "msg_index"], doomed)
+    n = INC.refresh_partials_from_changes(spark, table, parts, from_version=1)
+    assert n >= 1
+    assert not os.path.isdir(day2), "stale all-vacated day partition survived"
+    got = {
+        (r.pool_id, r.minute): (r.tx_buy, r.tx_sell)
+        for r in spark.read.parquet(parts).drop("__day").collect()
+    }
+    want = {
+        (r.pool_id, r.minute): (r.tx_buy, r.tx_sell)
+        for r in INC.minute_partials(V.vt_read(spark, table)).collect()
+    }
+    assert got == want
+    # the surviving day's totals still read correctly
+    vols = INC.trailing_volumes(
+        spark.read.parquet(parts),
+        F.to_timestamp(F.lit("2024-03-02 23:59:00")),
+        2 * 1440,
+    ).collect()
+    assert {r.pool_id: r.tx_buy + r.tx_sell for r in vols} == {"p1": 1, "p2": 1}
+
+
+def test_hot_threshold_partials_cold_pools_bit_exact(spark, dom):  # noqa: F811
+    """Hot-signer dual layout (VERDICT r8 #2): with a threshold above
+    every fixture pool-minute, trailing trader counts are BIT-EXACT
+    equal to the plain exact path for all four buckets."""
+    exact = INC.minute_partials(dom["trades_clean"]).cache()
+    dual = INC.minute_partials(
+        dom["trades_clean"], hot_signer_threshold=4096
+    ).cache()
+    assert {"signers", "signers_sk"} <= set(dual.columns)
+    for minutes in (30, 60, 240, 1440):
+        want = {
+            r.pool_id: (r.tx_buy, r.tx_sell, r.traders)
+            for r in INC.trailing_volumes(exact, _now(), minutes).collect()
+        }
+        got = {
+            r.pool_id: (r.tx_buy, r.tx_sell, r.traders)
+            for r in INC.trailing_volumes(dual, _now(), minutes).collect()
+        }
+        assert got == want, minutes
+    exact.unpersist()
+    dual.unpersist()
+
+
+def test_hot_threshold_partials_hot_pools_use_sketch(spark, dom):  # noqa: F811
+    """With threshold=1 every multi-signer pool-minute goes hot: its
+    exact set is NULL (constant-size row), and trailing counts fall
+    back to the HLL union within tolerance; single-signer pools stay
+    exact."""
+    dual = INC.minute_partials(
+        dom["trades_clean"], hot_signer_threshold=1
+    ).cache()
+    hot_rows = dual.filter(F.col("signers").isNull())
+    assert hot_rows.count() > 0  # the fixture has multi-signer minutes
+    exact = {
+        r.pool_id: r.traders
+        for r in INC.trailing_volumes(
+            INC.minute_partials(dom["trades_clean"]), _now(), 1440
+        ).collect()
+    }
+    got = {
+        r.pool_id: r.traders
+        for r in INC.trailing_volumes(dual, _now(), 1440).collect()
+    }
+    assert set(got) == set(exact)
+    for pid, want in exact.items():
+        assert abs(got[pid] - want) <= max(2, 0.05 * want), pid
+    dual.unpersist()
+
+
+def test_refresh_dual_store_requires_threshold(spark, dom, tmp_path):  # noqa: F811
+    """Refreshing a hot-signer dual-layout store without the threshold
+    must raise (a representation mismatch would silently corrupt the
+    all-exact detection), and WITH it must match the full recompute."""
+    from degenter_clickhouse_spark.operators import versioned as V
+
+    trades = dom["trades_clean"]
+    half = trades.limit(trades.count() // 2).cache()
+    table = str(tmp_path / "trades_vt")
+    parts = str(tmp_path / "partials")
+    V.vt_write(spark, half, table)
+    INC.write_partials(
+        INC.minute_partials(half, hot_signer_threshold=4096), parts
+    )
+    V.vt_upsert(spark, trades, table, keys=["tx_hash", "msg_index"])
+    with pytest.raises(ValueError, match="hot-signer dual layout"):
+        INC.refresh_partials_from_changes(spark, table, parts, from_version=1)
+    n = INC.refresh_partials_from_changes(
+        spark, table, parts, from_version=1, hot_signer_threshold=4096
+    )
+    assert n > 0
+    got = {
+        r.pool_id: (r.tx_buy, r.tx_sell, r.traders)
+        for r in INC.trailing_volumes(
+            spark.read.parquet(parts), _now(), 1440
+        ).collect()
+    }
+    want = {
+        r.pool_id: (r.tx_buy, r.tx_sell, r.traders)
+        for r in INC.trailing_volumes(
+            INC.minute_partials(V.vt_read(spark, table)), _now(), 1440
+        ).collect()
+    }
+    assert got == want
+    half.unpersist()

@@ -211,6 +211,33 @@ def test_http_rotates_start_endpoint_per_call(server):
     assert http._idx == 2
 
 
+def test_http_non_json_4xx_fails_fast_without_retries():
+    """ADVICE r8: a permanent 4xx whose body is an HTML error page
+    (proxy/LB) must fail fast with the real status+body, not be
+    reclassified as retryable by the JSONDecodeError and burn
+    max_attempts x backoff across every endpoint."""
+    calls = []
+
+    def transport(url, headers):
+        calls.append(url)
+        return 404, b"<html>not json</html>"
+
+    slept: list[float] = []
+    http = HttpJson(["http://a", "http://b"], transport=transport,
+                    sleep=slept.append)
+    with pytest.raises(RuntimeError, match="non-JSON response .HTTP 404."):
+        http.get("/x")
+    assert len(calls) == 1  # no failover sweep
+    assert slept == []  # no backoff sleeps
+
+
+def test_http_json_4xx_still_returns_parsed():
+    """A JSON 4xx body is a legitimate answer (LCD 404 = denom not
+    found) and must come back parsed, not raised."""
+    http = HttpJson(["http://a"], transport=lambda u, h: (404, b'{"ok": false}'))
+    assert http.get("/x") == {"ok": False}
+
+
 # ---------------------------------------------------------------------------
 # LCD helpers (lib/lcd.js:30-51)
 # ---------------------------------------------------------------------------
@@ -380,8 +407,142 @@ def test_jobs_runner_fx_job(spark, server, tmp_path):
     rows = spark.read.parquet(str(tmp_path / "out/exchange_rates")).collect()
     assert len(rows) == 1 and rows[0].zig_usd == 0.0123
     assert rows[0].ts.second == 0
+    # hermetic: the stamp derives from the tick's logical time (at=
+    # 1000.0 -> epoch minute 16), not wall-clock datetime.now()
+    from datetime import datetime
+
+    assert rows[0].ts == datetime(1970, 1, 1, 0, 16, 0)
     assert eng.table("exchange_rates").count() == 1
     # cadence: not due 10s later, due after 36s
     assert runner.tick(at=1010.0) == []
     assert runner.tick(at=1037.0) == ["fx"]
     assert spark.read.parquet(str(tmp_path / "out/exchange_rates")).count() == 2
+
+
+# ---------------------------------------------------------------------------
+# Holders + meta refreshers (jobs/holders-refresher.js, jobs/meta-refresher.js)
+# ---------------------------------------------------------------------------
+
+
+def test_refresh_holders_once_lands_paged_snapshot(spark, server, tmp_path):
+    """One token sweep: both LCD pages land in the snapshot (the
+    double serves zig1a on page 1 and zig1b behind next_key), the
+    stats row records the positive-balance count, and a re-sweep
+    replaces rather than appends (S9 delete+reinsert)."""
+    from degenter_clickhouse_spark.sources.refreshers import refresh_holders_once
+
+    lcd = LcdClient(_http(server)[0])
+    hp, sp = str(tmp_path / "holders"), str(tmp_path / "stats")
+    n = refresh_holders_once(spark, lcd, 7, "coin.zig1f.utok", hp, sp, at=1000.0)
+    assert n == 2
+    snap = {r.address: int(r.balance_base) for r in spark.read.parquet(hp).collect()}
+    assert snap == {"zig1a": 1, "zig1b": 2}
+    stats = spark.read.parquet(sp).collect()
+    assert len(stats) == 1 and stats[0].holders_count == 2
+    # idempotent re-sweep: same rows, not doubled
+    refresh_holders_once(spark, lcd, 7, "coin.zig1f.utok", hp, sp, at=1200.0)
+    assert spark.read.parquet(hp).count() == 2
+
+
+def test_refresh_holders_ibc_bumps_stats_only(spark, server, tmp_path):
+    from degenter_clickhouse_spark.sources.refreshers import refresh_holders_once
+
+    lcd = LcdClient(_http(server)[0])
+    hp, sp = str(tmp_path / "holders"), str(tmp_path / "stats")
+    out = refresh_holders_once(spark, lcd, 9, "ibc/ABCDEF", hp, sp, at=1000.0)
+    assert out is None
+    import os
+    assert not os.path.exists(hp)  # no snapshot written
+    stats = spark.read.parquet(sp).collect()
+    assert len(stats) == 1 and stats[0].holders_count is None
+
+
+def test_holders_refresh_queue_stalest_first(spark):
+    """Never-swept tokens lead; swept tokens rotate to the back;
+    uzig and ibc/ denoms never enter the queue."""
+    from degenter_clickhouse_spark.sources.refreshers import holders_refresh_queue
+
+    tokens = spark.createDataFrame(
+        [(1, "uzig"), (2, "coin.a"), (3, "ibc/X"), (4, "coin.b"), (5, "coin.c")],
+        "token_id long, denom string",
+    )
+    from datetime import datetime
+    stats = spark.createDataFrame(
+        [(2, 5, datetime(2024, 1, 2)), (4, 1, datetime(2024, 1, 1))],
+        "token_id long, holders_count long, updated_at timestamp",
+    )
+    got = [r.token_id for r in holders_refresh_queue(tokens, stats, k=4).collect()]
+    # 5 never swept -> first; then 4 (older), then 2; uzig/ibc excluded
+    assert got == [5, 4, 2]
+
+
+def test_token_meta_from_lcd_display_exponent(server):
+    from degenter_clickhouse_spark.sources.refreshers import token_meta_from_lcd
+
+    lcd = LcdClient(_http(server)[0])
+    m = token_meta_from_lcd(lcd, "coin.zig1f.utok")
+    assert (m["symbol"], m["display"], m["exponent"]) == ("TOK", "tok", 6)
+
+
+def test_token_meta_from_lcd_bare_u_denom_fallback():
+    """No LCD metadata at all: a bare u<core> denom derives
+    symbol/display with exponent 0 (core/tokens.js deriveFromBaseDenom)."""
+    from degenter_clickhouse_spark.sources.refreshers import token_meta_from_lcd
+
+    class _NoMeta:
+        def denoms_metadata(self, denom):
+            return {}
+        def ibc_denom_trace(self, denom):
+            raise RuntimeError("nope")
+
+    m = token_meta_from_lcd(_NoMeta(), "ufoo")
+    assert m == {"denom": "ufoo", "name": None, "symbol": "FOO",
+                 "display": "foo", "exponent": 0}
+
+
+def test_jobs_runner_holders_and_meta_jobs(spark, server, tmp_path):
+    """End-to-end runner slots (VERDICT r8 #3): with an LcdClient
+    wired, the holders job sweeps the stalest tokens into a refreshed
+    snapshot + stats rows, the meta job fills missing token metadata
+    through the conditional merge, and the next security tick's
+    token_holders_stats reflects the refreshed snapshot. Cadences from
+    DEFAULT_CADENCES (180 s / 60 s)."""
+    from degenter_clickhouse_spark import schemas
+    from degenter_clickhouse_spark.engine import DegenterEngine
+    from degenter_clickhouse_spark.jobs import DEFAULT_CADENCES, JobsRunner
+
+    assert DEFAULT_CADENCES["holders"] == 180
+    assert DEFAULT_CADENCES["meta"] == 60
+    tokens = spark.createDataFrame(
+        [(7, "coin.zig1f.utok") + (None,) * (len(schemas.TOKENS.fields) - 2)],
+        schemas.TOKENS,
+    )
+    eng = DegenterEngine(spark, tables={
+        "tokens": tokens,
+        "holders": spark.createDataFrame([], schemas.HOLDERS),
+    })
+    out = str(tmp_path / "out")
+    cadences = {j: 10**9 for j in
+                ("matrix", "leaderboard", "alerts", "compact")}
+    runner = JobsRunner(eng, out, cadences=cadences,
+                        lcd=LcdClient(_http(server)[0]))
+    runner.last_run = {j: 1000.0 for j in cadences}
+    ran = runner.tick(at=1000.0)
+    assert ran == ["holders", "meta", "security"]
+    # holders snapshot refreshed into the engine view
+    snap = {r.address: int(r.balance_base)
+            for r in eng.table("holders").collect()}
+    assert snap == {"zig1a": 1, "zig1b": 2}
+    stats = spark.read.parquet(f"{out}/holders_refresh_stats").collect()
+    assert len(stats) == 1 and stats[0].holders_count == 2
+    # token_holders_stats recomputed from the refreshed snapshot in the
+    # same tick (refreshers run before the analytical jobs)
+    ths = spark.read.parquet(f"{out}/token_holders_stats").collect()
+    assert len(ths) == 1 and ths[0].holders == 2
+    # meta merged: LCD symbol/display/exponent landed, non-empty wins
+    tok = eng.table("tokens").collect()[0]
+    assert (tok.symbol, tok.display, tok.exponent) == ("TOK", "tok", 6)
+    # cadences: holders not due again until +180, meta at +60
+    assert runner.tick(at=1030.0) == []
+    assert runner.tick(at=1061.0) == ["meta"]
+    assert "holders" in runner.tick(at=1181.0)
