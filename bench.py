@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "embedding_ann_topk",
     "embedding_ann_scalable",  # LSH multi-probe + IVF cell probe
     "embedding_ann_batch",  # batch probe of the persisted IVF index (EXTENDED)
+    "embedding_ann_batch_fixed",  # constant 64-query batch: plan-scaling row (EXTENDED)
     "embedding_neardup",
     "text_analysis",  # lang-id + quality + token counts + fingerprint
     "web_url_suite",  # URL canonicalization/domains/quota/url-dedup

@@ -62,6 +62,12 @@ SF1_QUERIES = [
     # (and the newest additions) come first
     "knn_label_vote_blocked",
     "embedding_ann_batch",
+    # VERDICT r8 #6: the constant-64-query twin of embedding_ann_batch
+    # — its ratio isolates PLAN scaling (expect ~flat modulo the
+    # candidates-per-cell term) while the corpus-growing probe above
+    # keeps its documented O(n^1.5) workload law. High in the list so
+    # budget truncation can't drop the pair's control arm.
+    "embedding_ann_batch_fixed",
     "dedup_minhash_lsh",
     "leakage_free_split",
     "dedup_resolution",

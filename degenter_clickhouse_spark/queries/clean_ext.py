@@ -945,6 +945,91 @@ def q_embedding_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Fixed-size batch ANN (VERDICT r8 #6): embedding_ann_batch's query set
+# is 10% of ALL vectors, so its bench/sf1 numbers measure WORKLOAD
+# growth under the documented O(n^1.5) law, not plan regression. This
+# row holds the batch CONSTANT (the 64 lowest vec_ids — stable across
+# the sf1 synthesis, whose replicas shift ids up by +100M), so the sf1
+# section separates plan scaling (this row, ~flat modulo the
+# candidates-per-cell term) from workload scaling (the corpus-growing
+# probe, kept as the scale study).
+# ---------------------------------------------------------------------------
+
+_FIXED_BATCH = 64
+
+BATCH_ANN_FIXED_ORACLE = f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id ASC) AS cell,
+         embedding AS centroid
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id ASC LIMIT {_IVF_CELLS})
+),
+qs AS (SELECT vec_id FROM embeddings ORDER BY vec_id ASC LIMIT {_FIXED_BATCH}),
+dd AS (
+  SELECT v.vec_id, c.cell,
+         {_O_L2.format(a="v.embedding", b="c.centroid")} AS dist
+  FROM embeddings v CROSS JOIN cents c
+),
+ca AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+           ORDER BY dist ASC, cell ASC) AS rk FROM dd
+  ) WHERE rk <= 1
+),
+qa AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+           ORDER BY dist ASC, cell ASC) AS rk
+    FROM dd WHERE vec_id IN (SELECT vec_id FROM qs)
+  ) WHERE rk <= {_IVF_NPROBE}
+),
+vn AS (
+  SELECT vec_id, embedding, {O_NORM2.format(e="embedding")} AS n2
+  FROM embeddings
+),
+p AS (
+  SELECT DISTINCT qa.vec_id AS q_id, ca.vec_id AS c_id
+  FROM qa JOIN ca ON ca.cell = qa.cell AND ca.vec_id <> qa.vec_id
+),
+s AS (
+  SELECT p.q_id, p.c_id,
+         ({O_DOT.format(a="qv.embedding", b="cv.embedding")} / 1e12)
+           / (sqrt(qv.n2 / 1e12) * sqrt(cv.n2 / 1e12)) AS cosine
+  FROM p JOIN vn qv ON qv.vec_id = p.q_id JOIN vn cv ON cv.vec_id = p.c_id
+)
+SELECT CAST(q_id AS BIGINT) AS q_id, CAST(c_id AS BIGINT) AS c_id,
+       cosine, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, c_id ASC) AS rank
+  FROM s
+) WHERE rank <= {_BATCH_K}
+"""
+
+
+@register_extended("embedding_ann_batch_fixed", BATCH_ANN_FIXED_ORACLE)
+def q_embedding_ann_batch_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same persisted-IVF batch probe as embedding_ann_batch, but with
+    a constant {_FIXED_BATCH}-query batch — the benched/sf1 row whose
+    flatness certifies the PLAN as the corpus grows."""
+    from ..llm.similarity import ivf_search
+    from .llm import _embs
+
+    root = _hybrid_index_root(spark, sf_dir)
+    e = _embs(spark, sf_dir)
+    q = e.orderBy(F.col("vec_id").asc()).limit(_FIXED_BATCH)
+    out = ivf_search(
+        spark, os.path.join(root, "ivf"), q, k=_BATCH_K, nprobe=_IVF_NPROBE
+    )
+    return out.select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("c_id").cast("long").alias("c_id"),
+        "cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Batch BM25 (the lexical twin of embedding_ann_batch): many queries
 # served by ONE pruned postings scan of the persisted inverted index,
 # fanned out via a broadcast (query_id, term) table, per-query top-k by
