@@ -126,3 +126,268 @@ def winnow_overlap_pairs(
             .alias("overlap_1e9"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted winnow index (VERDICT r8 #8): the build-once/probe-many
+# lifecycle the other dedup families have (llm/dedup.build_minhash_index
+# is the template). Layout:
+#
+#   path/fps    — (d, fp) partitioned by (__idb, __fpb): __fpb is a
+#                 hash bucket OF THE FINGERPRINT, so a probe prunes to
+#                 the query's fingerprint buckets; __idb is a hash
+#                 bucket OF THE DOC ID, so the append replay guard
+#                 prunes to the batch's id buckets (the r8 IVF/PQ
+#                 nested-bucket discipline — both reads are O(batch),
+#                 never O(index)).
+#   path/sizes  — (d, n_fp) partitioned by __idb (per-doc fingerprint
+#                 counts for the overlap denominator + the id store
+#                 the replay guard anti-joins against).
+#
+# Replay convergence: appends guard per-doc (anti-join on stored ids,
+# bucket-pruned), write fps BEFORE sizes, and every probe read
+# ``.distinct()``s its candidate-sized slice — a crash anywhere
+# mid-append leaves at-most-duplicated rows that the next replay
+# completes and the dedup-at-read makes invisible.
+# ---------------------------------------------------------------------------
+
+N_FP_BUCKETS = 16
+N_WID_BUCKETS = 8
+
+
+def _fp_bucket(col: str) -> F.Column:
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(N_FP_BUCKETS)).cast("int")
+
+
+def _wid_bucket(col: str) -> F.Column:
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(N_WID_BUCKETS)).cast("int")
+
+
+def build_winnow_index(
+    docs: DataFrame,
+    path: str,
+    k: int = DEFAULT_K,
+    w: int = DEFAULT_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the corpus's winnowed fingerprints so new shards check
+    overlap against the corpus WITHOUT re-fingerprinting it."""
+    import os
+
+    fps = winnow_fingerprints(docs, k, w, id_col, text_col).localCheckpoint(
+        eager=False
+    )
+    (
+        fps.withColumn("__idb", _wid_bucket(id_col))
+        .withColumn("__fpb", _fp_bucket("fp"))
+        .repartition(F.col("__idb"), F.col("__fpb"))
+        .write.mode("overwrite")
+        .partitionBy("__idb", "__fpb")
+        .parquet(os.path.join(path, "fps"))
+    )
+    (
+        fps.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_fp"))
+        .withColumn("__idb", _wid_bucket(id_col))
+        .repartition(F.col("__idb"))
+        .write.mode("overwrite")
+        .partitionBy("__idb")
+        .parquet(os.path.join(path, "sizes"))
+    )
+
+
+def _stored_winnow_ids_for(sizes: DataFrame, new_docs: DataFrame, id_col: str):
+    """Stored doc ids restricted to the new batch's id-hash buckets —
+    the bucket list collects driver-side (<= N_WID_BUCKETS ints) and
+    becomes a static IN partition filter, so the guard read prunes
+    every untouched bucket's files at planning (O(batch), the
+    similarity._stored_ids_for discipline)."""
+    buckets = [
+        r.b
+        for r in new_docs.select(_wid_bucket(id_col).alias("b")).distinct().collect()
+    ]
+    return sizes.where(F.col("__idb").isin(buckets)).select(id_col)
+
+
+def winnow_index_append(
+    spark,
+    new_docs: DataFrame,
+    path: str,
+    k: int = DEFAULT_K,
+    w: int = DEFAULT_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Append a new shard's fingerprints, effectively-once: docs whose
+    ids are already stored (bucket-pruned anti-join) append nothing,
+    so replaying a shard is a no-op and a crashed append converges on
+    the next replay (see module layout note). Returns the number of
+    newly indexed docs."""
+    import os
+
+    from ..operators.merge import _table_lock
+
+    with _table_lock(path):
+        sizes = spark.read.parquet(os.path.join(path, "sizes"))
+        existing = _stored_winnow_ids_for(sizes, new_docs, id_col)
+        fresh = new_docs.join(existing, on=id_col, how="left_anti").cache()
+        try:
+            n_new = fresh.count()
+            if not n_new:
+                return 0
+            fps = winnow_fingerprints(fresh, k, w, id_col, text_col).localCheckpoint(
+                eager=True
+            )
+            (
+                fps.withColumn("__idb", _wid_bucket(id_col))
+                .withColumn("__fpb", _fp_bucket("fp"))
+                .repartition(F.col("__idb"), F.col("__fpb"))
+                .write.mode("append")
+                .partitionBy("__idb", "__fpb")
+                .parquet(os.path.join(path, "fps"))
+            )
+            (
+                fps.groupBy(id_col)
+                .agg(F.count(F.lit(1)).alias("n_fp"))
+                .withColumn("__idb", _wid_bucket(id_col))
+                .repartition(F.col("__idb"))
+                .write.mode("append")
+                .partitionBy("__idb")
+                .parquet(os.path.join(path, "sizes"))
+            )
+            return n_new
+        finally:
+            fresh.unpersist()
+
+
+def winnow_index_probe(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    k: int = DEFAULT_K,
+    w: int = DEFAULT_W,
+    min_shared: int = 2,
+    max_fp_freq: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlap pairs TOUCHING the new shard (new x corpus and
+    new x new) with the same (d1, d2, shared, min_fps, overlap_1e9)
+    contract as ``winnow_overlap_pairs`` — only the shard is
+    fingerprinted; the index read prunes to the shard's fingerprint
+    buckets (and sizes to the candidates' id buckets), so probe cost
+    tracks the shard and its collisions, not the corpus.
+
+    The frequency cap counts document frequency over (pruned index +
+    shard) rows per fingerprint — identical to the full-frame count
+    for every fingerprint the shard holds, because a fingerprint's
+    index rows all live in its own bucket."""
+    import os
+
+    q_fps = winnow_fingerprints(new_docs, k, w, id_col, text_col).localCheckpoint(
+        eager=False
+    )
+    q_ids = new_docs.select(id_col).distinct()
+    fp_buckets = [
+        r.b for r in q_fps.select(_fp_bucket("fp").alias("b")).distinct().collect()
+    ]
+    stored = (
+        spark.read.parquet(os.path.join(path, "fps"))
+        .where(F.col("__fpb").isin(fp_buckets))
+        .select(id_col, "fp")
+        .join(q_fps.select("fp").distinct(), "fp", "left_semi")
+        .distinct()  # dedup-at-read: converged replays may hold dup rows
+    )
+    all_fps = stored.unionByName(q_fps.select(id_col, "fp"))
+    rare = (
+        all_fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= int(max_fp_freq))
+        .select("fp")
+    )
+    keep = all_fps.join(rare, "fp", "left_semi").localCheckpoint(eager=False)
+    a = keep.select(F.col(id_col).alias("d1"), "fp")
+    b = keep.select(F.col(id_col).alias("d2"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .filter(F.col("shared") >= int(min_shared))
+    )
+    # keep only pairs touching the shard (index x index collisions in
+    # a shared bucket are corpus-internal — not this probe's business)
+    from ..operators.joins import dim_broadcast
+
+    q1 = dim_broadcast(q_ids.select(F.col(id_col).alias("d1")))
+    q2 = dim_broadcast(q_ids.select(F.col(id_col).alias("d2")))
+    pairs = (
+        pairs.join(q1, "d1", "left_semi")
+        .unionByName(pairs.join(q2, "d2", "left_semi"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # sizes: fresh for the shard; bucket-pruned stored rows for the
+    # candidate index docs (ids in pairs but not in the shard)
+    q_sizes = q_fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    cand_ids = (
+        pairs.select(F.col("d1").alias(id_col))
+        .unionByName(pairs.select(F.col("d2").alias(id_col)))
+        .distinct()
+        .join(q_ids, id_col, "left_anti")
+    )
+    id_buckets = [
+        r.b
+        for r in cand_ids.select(_wid_bucket(id_col).alias("b")).distinct().collect()
+    ]
+    sizes = q_sizes
+    if id_buckets:
+        stored_sizes = (
+            spark.read.parquet(os.path.join(path, "sizes"))
+            .where(F.col("__idb").isin(id_buckets))
+            .select(id_col, "n_fp")
+            .distinct()  # dedup-at-read, as above
+            .join(dim_broadcast(cand_ids), id_col, "left_semi")
+        )
+        sizes = q_sizes.unionByName(stored_sizes)
+    s1 = sizes.select(F.col(id_col).alias("d1"), F.col("n_fp").alias("n1"))
+    s2 = sizes.select(F.col(id_col).alias("d2"), F.col("n_fp").alias("n2"))
+    # plain shuffle joins (pairs is collision-sized; sizes derives from
+    # checkpointed frames whose Catalyst estimate is the sentinel)
+    return (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            "shared",
+            F.least("n1", "n2").cast("long").alias("min_fps"),
+            F.expr(f"(shared * {SCALE}) div least(n1, n2)")
+            .cast("long")
+            .alias("overlap_1e9"),
+        )
+    )
+
+
+def compact_winnow_index(spark, path: str, files_per_partition: int = 1) -> dict:
+    """Small-file compaction for a streaming-grown winnow index —
+    probes before and after see identical state."""
+    import os
+
+    from ..operators.merge import compact_table
+
+    return {
+        "fps": compact_table(
+            spark,
+            os.path.join(path, "fps"),
+            partition_col=("__idb", "__fpb"),
+            files_per_partition=files_per_partition,
+        ),
+        "sizes": compact_table(
+            spark,
+            os.path.join(path, "sizes"),
+            partition_col="__idb",
+            files_per_partition=files_per_partition,
+        ),
+    }

@@ -170,6 +170,7 @@ def process_corpus_batch(
     maintain_text_index: bool = False,
     maintain_ivf_index: bool = False,
     maintain_pq_index: bool = False,
+    maintain_winnow_index: bool = False,
     maintain_profile: bool = False,
     validate_constraints: list | None = None,
 ) -> None:
@@ -363,6 +364,22 @@ def process_corpus_batch(
                 pq_index_append(spark, pemb, pq_dir)
             elif pemb.limit(1).count():  # same empty-first-batch guard
                 build_pq_index(pemb, pq_dir, iters=1)
+        if maintain_winnow_index and has_accepted:
+            # winnowed-fingerprint (MOSS) index grows with the stream
+            # too (the FIFTH stream-maintained family): first non-empty
+            # batch builds, later batches ride winnow_index_append's
+            # bucket-pruned effectively-once guard (replays converge;
+            # probe reads dedup — llm/winnow.py layout note).
+            from ..llm.winnow import build_winnow_index, winnow_index_append
+
+            widx_dir = os.path.join(output_dir, "winnow_idx")
+            wdocs = accepted.select("doc_id", "text")
+            if os.path.exists(os.path.join(widx_dir, "fps")) and os.path.exists(
+                os.path.join(widx_dir, "sizes")
+            ):
+                winnow_index_append(spark, wdocs, widx_dir)
+            else:
+                build_winnow_index(wdocs, widx_dir)
         if maintain_profile and has_accepted:
             # mergeable corpus profile (operators/skew.quantile_state):
             # one summable histogram-state row set per batch over the
@@ -429,6 +446,7 @@ def stream_corpus_ingest(
     maintain_text_index: bool = False,
     maintain_ivf_index: bool = False,
     maintain_pq_index: bool = False,
+    maintain_winnow_index: bool = False,
     maintain_profile: bool = False,
     validate_constraints: list | None = None,
     available_now: bool = True,
@@ -460,7 +478,11 @@ def stream_corpus_ingest(
     growing corpus without a rebuild. ``validate_constraints``
     (operators/validate.py constraint objects) appends a per-batch
     admission report to ``output_dir/quality_reports`` — the streaming
-    form of the deequ-style batch gate. ``maintain_profile`` keeps a
+    form of the deequ-style batch gate. ``maintain_winnow_index`` keeps a
+    winnowed-fingerprint (MOSS) index at ``output_dir/winnow_idx``
+    (llm/winnow.build_winnow_index layout) so substring-overlap probes
+    (winnow_index_probe) run against the growing corpus without
+    re-fingerprinting it. ``maintain_profile`` keeps a
     MERGEABLE length-quantile profile at ``output_dir/length_profile``
     (operators/skew.quantile_state rows per batch); read it with
     ``read_length_profile``."""
@@ -491,6 +513,7 @@ def stream_corpus_ingest(
             maintain_text_index=maintain_text_index,
             maintain_ivf_index=maintain_ivf_index,
             maintain_pq_index=maintain_pq_index,
+            maintain_winnow_index=maintain_winnow_index,
             maintain_profile=maintain_profile,
             validate_constraints=validate_constraints,
         )

@@ -1130,3 +1130,74 @@ def test_all_rejected_first_batch_defers_minhash_index(spark, tmp_path):
     quar = {r.doc_id: r.reject_reason for r in spark.read.parquet(
         f"{out}/quarantine").collect()}
     assert quar[200] == "near_duplicate"
+
+
+def test_streaming_maintained_winnow_index(spark, tmp_path):
+    """maintain_winnow_index=True grows the MOSS fingerprint index
+    with each batch's accepted docs: probes against the stored index
+    equal the inline computation over the accepted corpus, replays add
+    nothing, and quarantined docs never index (VERDICT r8 #8)."""
+    import json as _json
+    import os
+
+    from degenter_clickhouse_spark.llm.winnow import (
+        winnow_index_probe,
+        winnow_overlap_pairs,
+    )
+    from degenter_clickhouse_spark.streaming.corpus import stream_corpus_ingest
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def doc(i, text, ts="2024-01-01 10:00:00"):
+        return {"doc_id": i, "text": text, "lang": "en", "source": "src0",
+                "n_chars": len(text), "event_ts": ts}
+
+    t1 = ("spark shuffles data across executors while windows merge rows "
+          "and the optimizer prunes columns from every scan")
+    t2 = ("a different second document about graphs and components "
+          "with its own vocabulary entirely separate words")
+    (landing / "b1.json").write_text(
+        "\n".join([_json.dumps(doc(1, t1)), _json.dumps(doc(3, "short"))])
+    )
+    stream_corpus_ingest(spark, str(landing), out, ckpt,
+                         maintain_winnow_index=True)
+    idx = os.path.join(out, "winnow_idx")
+    ids = {r.doc_id for r in spark.read.parquet(idx + "/sizes").collect()}
+    assert ids == {1}  # quarantined doc 3 never indexed
+    (landing / "b2.json").write_text(
+        _json.dumps(doc(2, t2, ts="2024-01-01 10:10:00"))
+    )
+    stream_corpus_ingest(spark, str(landing), out, ckpt,
+                         maintain_winnow_index=True)
+    ids = {r.doc_id for r in spark.read.parquet(idx + "/sizes").collect()}
+    assert ids == {1, 2}
+    # probe a doc that plagiarizes doc 1: index probe == inline pairs
+    probe = spark.createDataFrame(
+        [(50, "prefix words then " + t1)], "doc_id long, text string"
+    )
+    accepted = spark.read.parquet(os.path.join(out, "accepted")).select(
+        "doc_id", "text"
+    )
+    got = sorted(
+        tuple(r)
+        for r in winnow_index_probe(spark, idx, probe, min_shared=1).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in winnow_overlap_pairs(
+            accepted.unionByName(probe), min_shared=1
+        ).collect()
+        if r.d1 == 50 or r.d2 == 50
+    )
+    assert want and got == want
+    # lost-checkpoint replay: the bucket-pruned guard adds nothing
+    stream_corpus_ingest(spark, str(landing), out, str(tmp_path / "ckpt2"),
+                         maintain_winnow_index=True)
+    assert spark.read.parquet(idx + "/sizes").count() == 2
+    assert sorted(
+        tuple(r)
+        for r in winnow_index_probe(spark, idx, probe, min_shared=1).collect()
+    ) == want

@@ -118,3 +118,158 @@ def test_winnow_plan_is_scale_shaped(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SinglePartition" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Persisted index lifecycle (VERDICT r8 #8)
+# ---------------------------------------------------------------------------
+
+
+def _corpus_and_shard(spark):
+    rng = random.Random(77)
+    base = [_words(rng, 60) for _ in range(20)]
+    # shard doc 100 copies a run from corpus doc 3; 101 is fresh text
+    shard_texts = [base[3].split(" ", 5)[-1], _words(rng, 50)]
+    corpus = _docs(spark, base)
+    shard = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(shard_texts)],
+        "doc_id long, text string",
+    )
+    return corpus, shard
+
+
+def test_winnow_index_probe_matches_inline_pairs(spark, tmp_path):
+    """Build/probe parity: probing a shard against the persisted index
+    returns EXACTLY the inline winnow_overlap_pairs rows of
+    (corpus ∪ shard) that touch the shard."""
+    from degenter_clickhouse_spark.llm.winnow import (
+        build_winnow_index,
+        winnow_index_probe,
+    )
+
+    corpus, shard = _corpus_and_shard(spark)
+    idx = str(tmp_path / "widx")
+    build_winnow_index(corpus, idx)
+    got = {
+        (r.d1, r.d2): (r.shared, r.min_fps, r.overlap_1e9)
+        for r in winnow_index_probe(spark, idx, shard, min_shared=1).collect()
+    }
+    shard_ids = {r.doc_id for r in shard.select("doc_id").collect()}
+    want = {
+        (r.d1, r.d2): (r.shared, r.min_fps, r.overlap_1e9)
+        for r in winnow_overlap_pairs(
+            corpus.unionByName(shard), min_shared=1
+        ).collect()
+        if r.d1 in shard_ids or r.d2 in shard_ids
+    }
+    assert want, "fixture must produce at least one overlapping pair"
+    assert got == want
+
+
+def test_winnow_index_append_effectively_once_and_parity(spark, tmp_path):
+    """Appending a shard indexes exactly its docs once (replay = 0);
+    after the append, probing a LATER shard against the grown index
+    equals the inline computation over the grown corpus."""
+    from degenter_clickhouse_spark.llm.winnow import (
+        build_winnow_index,
+        winnow_index_append,
+        winnow_index_probe,
+    )
+
+    corpus, shard = _corpus_and_shard(spark)
+    idx = str(tmp_path / "widx")
+    build_winnow_index(corpus, idx)
+    assert winnow_index_append(spark, shard, idx) == 2
+    assert winnow_index_append(spark, shard, idx) == 0  # replay no-op
+    rng = random.Random(9)
+    later = spark.createDataFrame(
+        [(200, " ".join([_words(rng, 10), shard.collect()[0].text]))],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.d1, r.d2): (r.shared, r.min_fps, r.overlap_1e9)
+        for r in winnow_index_probe(spark, idx, later, min_shared=1).collect()
+    }
+    want = {
+        (r.d1, r.d2): (r.shared, r.min_fps, r.overlap_1e9)
+        for r in winnow_overlap_pairs(
+            corpus.unionByName(shard).unionByName(later), min_shared=1
+        ).collect()
+        if r.d1 == 200 or r.d2 == 200
+    }
+    assert want
+    assert got == want
+
+
+def test_winnow_append_guard_read_is_bucket_pruned(spark, tmp_path):
+    """O(batch) replay guard (the r8 __idb discipline): the stored-id
+    read prunes to the batch's id-hash buckets via a static IN
+    partition filter — planning never touches the other buckets."""
+    import re
+
+    from degenter_clickhouse_spark.llm.winnow import (
+        _stored_winnow_ids_for,
+        build_winnow_index,
+    )
+
+    corpus, shard = _corpus_and_shard(spark)
+    idx = str(tmp_path / "widx")
+    build_winnow_index(corpus, idx)
+    sizes = spark.read.parquet(f"{idx}/sizes")
+    plan = (
+        _stored_winnow_ids_for(sizes, shard.limit(1), "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "__idb" in m.group(1), plan[:1500]
+
+
+def test_winnow_probe_fps_read_is_fpb_pruned(spark, tmp_path):
+    """The probe's index read prunes on the fingerprint-bucket
+    partition column — probing a tiny shard plans a static __fpb IN
+    filter, never a full-index scan."""
+    import re
+
+    from degenter_clickhouse_spark.llm import winnow as W
+
+    corpus, shard = _corpus_and_shard(spark)
+    idx = str(tmp_path / "widx")
+    W.build_winnow_index(corpus, idx)
+    q_fps = W.winnow_fingerprints(shard.limit(1))
+    buckets = [
+        r.b for r in q_fps.select(W._fp_bucket("fp").alias("b")).distinct().collect()
+    ]
+    stored = spark.read.parquet(f"{idx}/fps").where(F.col("__fpb").isin(buckets))
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "__fpb" in m.group(1), plan[:1500]
+
+
+def test_winnow_compact_preserves_probe_state(spark, tmp_path):
+    from degenter_clickhouse_spark.llm.winnow import (
+        build_winnow_index,
+        compact_winnow_index,
+        winnow_index_append,
+        winnow_index_probe,
+    )
+
+    corpus, shard = _corpus_and_shard(spark)
+    idx = str(tmp_path / "widx")
+    build_winnow_index(corpus, idx)
+    winnow_index_append(spark, shard, idx)
+    rng = random.Random(5)
+    probe = spark.createDataFrame(
+        [(300, shard.collect()[0].text + " " + _words(rng, 5))],
+        "doc_id long, text string",
+    )
+    before = sorted(
+        tuple(r) for r in winnow_index_probe(spark, idx, probe, min_shared=1).collect()
+    )
+    stats = compact_winnow_index(spark, idx)
+    assert stats["fps"]["files_after"] <= stats["fps"]["files_before"]
+    after = sorted(
+        tuple(r) for r in winnow_index_probe(spark, idx, probe, min_shared=1).collect()
+    )
+    assert before == after
