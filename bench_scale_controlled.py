@@ -65,14 +65,18 @@ def _replica_controlled(df, name: str, r: int):
             ),
         ).withColumn("n_chars", F.length("text").cast("long"))
     if name == "embeddings" and r:
-        # large per-replica translation (deterministic, varies by
-        # dimension): replicas separate in hyperplane/IVF space while
-        # each replica keeps its internal neighbor density
+        # per-replica diagonal +-1 orthogonal transform (murmur sign
+        # per dimension): preserves every replica's INTERNAL geometry
+        # exactly (norms, pairwise cosines) while rotating replicas
+        # into independent orthants — cross-replica neighbors break,
+        # family size stays constant, and hyperplane buckets stay
+        # BALANCED (a translation control pushed whole replicas to one
+        # side of most hyperplanes and manufactured bucket skew)
         out = out.withColumn(
             "embedding",
             F.expr(
-                f"transform(embedding, (x, i) -> CAST(x + {r} * 3.0 * "
-                f"cos((i + 1) * {r} * 0.73) AS FLOAT))"
+                f"transform(embedding, (x, i) -> CAST(CASE WHEN "
+                f"pmod(hash(i, {r}), 2) = 0 THEN x ELSE -x END AS FLOAT))"
             ),
         )
     return out

@@ -130,6 +130,56 @@ def trailing_volumes(
     )
 
 
+def signer_minute_partials(trades: DataFrame) -> DataFrame:
+    """Per (signer, minute): decomposed leaderboard partials (VERDICT
+    r8 #9 — the 60 s leaderboard tick re-aggregated the trailing
+    window from raw trades exactly like pool_matrix did). Sums
+    accumulate the uzig-leg BASE amounts in DECIMAL (exact, order
+    independent, replay-mergeable); the /1e6 display division happens
+    once at the trailing merge. Empty signers are excluded (F5), as in
+    the direct leaderboard."""
+    from .. import schemas as S
+
+    t = trades.filter((F.col("action") == "swap") & (F.col("signer") != ""))
+    minute = F.date_trunc("minute", F.col("created_at")).alias("minute")
+    zero = F.lit(0).cast("decimal(38,0)")
+    offer = F.when(
+        F.col("offer_asset_denom") == S.UZIG, F.col("offer_amount_base")
+    ).otherwise(zero)
+    ret = F.when(
+        F.col("ask_asset_denom") == S.UZIG, F.col("return_amount_base")
+    ).otherwise(zero)
+    return t.groupBy("signer", minute).agg(
+        F.count(F.lit(1)).alias("trades"),
+        F.sum(offer).alias("offer_zig_base"),
+        F.sum(ret).alias("return_zig_base"),
+    )
+
+
+def leaderboard_from_partials(
+    partials: DataFrame, now: Column, window_minutes: int
+) -> DataFrame:
+    """Merge signer partials over the trailing window into the
+    leaderboard schema (signer, trades, volume_zig, gross_pnl_zig).
+    Matches plans/leaderboards.leaderboard to double rounding: the
+    direct path sums per-row doubles, this path divides ONE exact
+    decimal sum — equality is asserted at 9 decimals in
+    tests/test_incremental.py (the same tolerance the matrix equality
+    test uses; the direct double sum is itself shuffle-order
+    nondeterministic at the ulp level)."""
+    lo = F.date_trunc("minute", now - F.expr(f"INTERVAL {window_minutes} MINUTES"))
+    if "__day" in partials.columns:
+        partials = partials.filter(F.col("__day") >= F.to_date(lo)).drop("__day")
+    w = partials.filter((F.col("minute") >= lo) & (F.col("minute") <= now))
+    o = F.sum("offer_zig_base").cast("double")
+    r = F.sum("return_zig_base").cast("double")
+    return w.groupBy("signer").agg(
+        F.sum("trades").cast("long").alias("trades"),
+        ((o + r) / F.lit(1e6)).alias("volume_zig"),
+        ((r - o) / F.lit(1e6)).alias("gross_pnl_zig"),
+    )
+
+
 def refresh_partials_from_changes(
     spark,
     trades_table: str,
@@ -137,6 +187,8 @@ def refresh_partials_from_changes(
     from_version: int,
     to_version: int | None = None,
     hot_signer_threshold: int | None = None,
+    group_col: str = "pool_id",
+    partials_fn=None,
 ) -> int:
     """CDC-driven partial maintenance: bring the stored per-(pool,
     minute) partials up to date with a versioned trades table
@@ -180,7 +232,7 @@ def refresh_partials_from_changes(
     minute = F.date_trunc("minute", F.col("created_at")).alias("minute")
     touched = (
         ch.filter(F.col("action") == "swap")
-        .select("pool_id", minute)
+        .select(group_col, minute)
         .distinct()
         .cache()
     )
@@ -190,25 +242,30 @@ def refresh_partials_from_changes(
             return 0
         current = vt_read(spark, trades_table, to_v)
         scoped = current.withColumn("minute", minute).join(
-            dim_broadcast(touched), ["pool_id", "minute"], "left_semi"
+            dim_broadcast(touched), [group_col, "minute"], "left_semi"
         )
         # recomputed groups must land in the STORE's signer
         # representation — a refresh writing exact-only rows into a
         # hot-threshold (dual-column) store would silently corrupt the
         # trailing merge's all-exact detection
         stored = spark.read.parquet(partials_path)
-        dual = "signers_sk" in stored.columns and "signers" in stored.columns
-        if dual and hot_signer_threshold is None:
-            raise ValueError(
-                "partials store at %s uses the hot-signer dual layout; "
-                "pass hot_signer_threshold= (the value the store was "
-                "built with)" % partials_path
-            )
-        fresh = minute_partials(
-            scoped.drop("minute"),
-            sketch_signers=("signers_sk" in stored.columns and not dual),
-            hot_signer_threshold=hot_signer_threshold if dual else None,
-        ).cache()
+        if partials_fn is not None:
+            # generalized partials (e.g. signer_minute_partials): the
+            # caller owns the representation; groups key on group_col
+            fresh = partials_fn(scoped.drop("minute")).cache()
+        else:
+            dual = "signers_sk" in stored.columns and "signers" in stored.columns
+            if dual and hot_signer_threshold is None:
+                raise ValueError(
+                    "partials store at %s uses the hot-signer dual layout; "
+                    "pass hot_signer_threshold= (the value the store was "
+                    "built with)" % partials_path
+                )
+            fresh = minute_partials(
+                scoped.drop("minute"),
+                sketch_signers=("signers_sk" in stored.columns and not dual),
+                hot_signer_threshold=hot_signer_threshold if dual else None,
+            ).cache()
         try:
             if "__day" in stored.columns:
                 # touched days: dimension-sized (delta's day span)
@@ -222,7 +279,7 @@ def refresh_partials_from_changes(
                     stored.where(F.col("__day").isin(days))
                     .drop("__day")
                     .join(
-                        dim_broadcast(touched), ["pool_id", "minute"], "left_anti"
+                        dim_broadcast(touched), [group_col, "minute"], "left_anti"
                     )
                 )
                 # vacated groups are simply absent from survivors+fresh
@@ -259,18 +316,18 @@ def refresh_partials_from_changes(
                         )
             else:  # legacy flat store: full-rewrite upsert + delete
                 upsert_write(
-                    spark, fresh, partials_path, keys=["pool_id", "minute"]
+                    spark, fresh, partials_path, keys=[group_col, "minute"]
                 )
                 vacated = touched.join(
-                    fresh.select("pool_id", "minute"),
-                    ["pool_id", "minute"],
+                    fresh.select(group_col, "minute"),
+                    [group_col, "minute"],
                     "left_anti",
                 )
                 if not vacated.isEmpty():
                     delete_keys(
                         spark,
                         partials_path,
-                        keys=["pool_id", "minute"],
+                        keys=[group_col, "minute"],
                         matching=vacated,
                     )
         finally:
