@@ -196,6 +196,19 @@ def main(argv: list[str] | None = None) -> int:
     se.add_argument("--query", required=True, help="space-separated terms")
     se.add_argument("-k", type=int, default=10)
 
+    iw = sub.add_parser(
+        "index-winnow",
+        help="persisted winnowing (MOSS) fingerprint index: build once, "
+        "probe shards for substring overlap, append effectively-once",
+    )
+    iw.add_argument("action", choices=["build", "probe", "append", "compact"])
+    iw.add_argument("--index", required=True, help="index root path")
+    iw.add_argument("--input", help="documents parquet (build/probe/append)")
+    iw.add_argument("--k", type=int, default=4, help="k-gram length (words)")
+    iw.add_argument("--w", type=int, default=5, help="winnowing window")
+    iw.add_argument("--min-shared", type=int, default=2)
+    iw.add_argument("--limit", type=int, default=20, help="probe rows to print")
+
     sh = sub.add_parser(
         "shard",
         help="write deterministic training shards + manifest",
@@ -688,6 +701,31 @@ def main(argv: list[str] | None = None) -> int:
                 quantize=args.quantize,
             )
             print("indexed:", vecs.count())
+        return 0
+    if args.cmd == "index-winnow":
+        from pyspark.sql import functions as F
+
+        from .llm import winnow as W
+
+        if args.action == "compact":
+            print(W.compact_winnow_index(spark, args.index))
+            return 0
+        docs = spark.read.parquet(args.input).select("doc_id", "text")
+        if args.action == "build":
+            W.build_winnow_index(docs, args.index, k=args.k, w=args.w)
+            print("indexed:", docs.count())
+        elif args.action == "append":
+            print(
+                "new docs indexed:",
+                W.winnow_index_append(spark, docs, args.index, k=args.k, w=args.w),
+            )
+        else:  # probe
+            W.winnow_index_probe(
+                spark, args.index, docs, k=args.k, w=args.w,
+                min_shared=args.min_shared,
+            ).orderBy(F.col("overlap_1e9").desc(), "d1", "d2").show(
+                args.limit, truncate=False
+            )
         return 0
     if args.cmd == "index-pq":
         from .llm.pq import build_pq_index, pq_search

@@ -299,7 +299,13 @@ def winnow_index_probe(
         .join(q_fps.select("fp").distinct(), "fp", "left_semi")
         .distinct()  # dedup-at-read: converged replays may hold dup rows
     )
-    all_fps = stored.unionByName(q_fps.select(id_col, "fp"))
+    # distinct AFTER the union: a probe doc that is already IN the
+    # index contributes its (id, fp) rows twice — once from the pruned
+    # stored read, once freshly fingerprinted — which would double its
+    # df contributions and multiply every `shared` count it touches
+    # (caught by the CLI lifecycle test probing a corpus against its
+    # own index: overlap_1e9 read 4e9)
+    all_fps = stored.unionByName(q_fps.select(id_col, "fp")).distinct()
     rare = (
         all_fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -283,3 +283,22 @@ def test_cli_profile_and_graph_triangles(spark, tmp_path, capsys):
                      capsys.readouterr().out.strip().splitlines())
     }
     assert set(labels) == {1, 2, 3, 4}
+
+
+def test_cli_index_winnow_lifecycle(spark, tmp_path, capsys):
+    idx = str(tmp_path / "widx")
+    assert main(["index-winnow", "build", "--input", DOCS, "--index", idx]) == 0
+    assert "indexed: 500" in capsys.readouterr().out
+    # append the same corpus: effectively-once no-op
+    assert main(["index-winnow", "append", "--input", DOCS, "--index", idx]) == 0
+    assert "new docs indexed: 0" in capsys.readouterr().out
+    # probing the corpus against its own index surfaces the planted
+    # near-dup families at full containment
+    assert main([
+        "index-winnow", "probe", "--input", DOCS, "--index", idx,
+        "--min-shared", "1", "--limit", "5",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "overlap_1e9" in out and "1000000000" in out
+    assert main(["index-winnow", "compact", "--index", idx]) == 0
+    assert "files_after" in capsys.readouterr().out

@@ -488,3 +488,22 @@ def test_runner_incremental_leaderboard_equals_direct(spark, dom, tmp_path):  # 
     assert lb_rows(inc_out) == lb_rows(full_out)
     half.unpersist()
     trades.unpersist()
+
+
+def test_leaderboard_partials_reads_prune_days(spark, dom, tmp_path):  # noqa: F811
+    """The signer partials store is day-partitioned like the pool
+    store: a trailing leaderboard read must prune whole days' files at
+    planning (PartitionFilters on __day)."""
+    import re
+
+    parts = str(tmp_path / "signer_partials")
+    INC.write_partials(INC.signer_minute_partials(dom["trades_clean"]), parts)
+    assert "__day" in spark.read.parquet(parts).columns
+    plan = (
+        INC.leaderboard_from_partials(spark.read.parquet(parts), _now(), 60)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "__day" in m.group(1), plan[:2000]
