@@ -171,6 +171,23 @@ class JobsRunner:
             )
         return self.engine.pool_matrix(bucket, now)
 
+    def _token_matrix_bucket(self, bucket: str, now):
+        if self.trades_vt is not None and bucket in self.incremental_buckets:
+            from .plans import incremental as INC
+
+            partials = self.engine.spark.read.parquet(self.partials_path)
+            return INC.token_rollup_from_partials(
+                partials,
+                self.engine.table("pools"),
+                self.engine.table("tokens"),
+                self.engine.table("prices"),
+                self.engine.table("holders"),
+                self.engine.table("ohlcv_1m"),
+                now,
+                bucket,
+            )
+        return self.engine.token_matrix(bucket, now)
+
     def _leaderboard_bucket(self, bucket: str, now):
         if self.trades_vt is not None and bucket in self.incremental_buckets:
             from .plans import incremental as INC
@@ -257,7 +274,7 @@ class JobsRunner:
             self._write(pm, "pool_matrix")
             tm = None
             for bucket in PM.BUCKETS:
-                df = self.engine.token_matrix(bucket, now)
+                df = self._token_matrix_bucket(bucket, now)
                 tm = df if tm is None else tm.unionByName(df)
             self._write(tm, "token_matrix")
             ran.append("matrix")

@@ -69,9 +69,17 @@ def rollup(
     ohlcv_1m: DataFrame,
     now: Column,
     bucket: str,
+    vols: DataFrame | None = None,
+    traders: DataFrame | None = None,
 ) -> DataFrame:
+    """``vols``/``traders`` override the trades-derived legs so the
+    CDC partials path (plans/incremental.token_rollup_from_partials)
+    reuses THIS price/supply/holders logic unchanged — the same
+    single-sourcing pool_matrix.rollup uses. With overrides set,
+    ``trades`` may be None."""
     minutes = PM.BUCKETS[bucket]
-    vols = PM.trade_volumes(trades, pools, tokens, now, minutes, prices=prices)
+    if vols is None:
+        vols = PM.trade_volumes(trades, pools, tokens, now, minutes, prices=prices)
     per_token_vols = (
         vols.filter(F.col("is_uzig_quote"))
         .groupBy(F.col("base_token_id").alias("token_id"))
@@ -84,23 +92,27 @@ def rollup(
     )
     # traders must be uniqExact per TOKEN over its native pools — a
     # sum of per-pool uniques would double-count multi-pool traders
-    native = pools.filter(F.col("is_uzig_quote")).select(
-        "pool_id", F.col("base_token_id").alias("token_id")
-    )
-    per_token_traders = (
-        trades.filter(
-            (F.col("action") == "swap")
-            & (F.col("created_at") >= now - F.expr(f"INTERVAL {minutes} MINUTES"))
+    if traders is None:
+        native = pools.filter(F.col("is_uzig_quote")).select(
+            "pool_id", F.col("base_token_id").alias("token_id")
         )
-        .join(dim_broadcast(native), "pool_id")
-        .groupBy("token_id")
-        .agg(
-            F.countDistinct(
-                F.when(F.col("signer") != "", F.col("signer"))
-            ).alias("traders")
+        traders = (
+            trades.filter(
+                (F.col("action") == "swap")
+                & (
+                    F.col("created_at")
+                    >= now - F.expr(f"INTERVAL {minutes} MINUTES")
+                )
+            )
+            .join(dim_broadcast(native), "pool_id")
+            .groupBy("token_id")
+            .agg(
+                F.countDistinct(
+                    F.when(F.col("signer") != "", F.col("signer"))
+                ).alias("traders")
+            )
         )
-    )
-    per_token = per_token_vols.join(per_token_traders, "token_id", "left")
+    per_token = per_token_vols.join(traders, "token_id", "left")
     px = token_price_guarded(pools, prices, ohlcv_1m, tokens)
     hc = views.holders_counts(holders)
     t = tokens.select(

@@ -185,13 +185,21 @@ def test_runner_incremental_matrix_equals_direct(spark, dom, tmp_path):  # noqa:
                 "compact": 10**9}
 
     def matrix_rows(out_dir):
-        return sorted(
+        pool = sorted(
             (r.pool_id, r.bucket, round(r.vol_buy_zig, 9),
              round(r.vol_sell_zig, 9), r.tx_buy, r.tx_sell, r.traders,
              None if r.price_in_zig is None else round(r.price_in_zig, 9),
              round(r.tvl_zig, 9))
             for r in spark.read.parquet(f"{out_dir}/pool_matrix").collect()
         )
+        token = sorted(
+            (r.token_id, r.bucket, round(r.vol_buy_zig, 9),
+             round(r.vol_sell_zig, 9), r.tx_buy, r.tx_sell, r.traders,
+             None if r.price_in_zig is None else round(r.price_in_zig, 9),
+             r.holders)
+            for r in spark.read.parquet(f"{out_dir}/token_matrix").collect()
+        )
+        return pool, token
 
     inc_out, full_out = str(tmp_path / "inc"), str(tmp_path / "full")
     r_inc = JobsRunner(mk_engine(V.vt_read(spark, table)), inc_out,
@@ -507,3 +515,90 @@ def test_leaderboard_partials_reads_prune_days(spark, dom, tmp_path):  # noqa: F
     )
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "__day" in m.group(1), plan[:2000]
+
+
+def test_token_rollup_from_partials_equals_direct(spark, dom):  # noqa: F811
+    """token_matrix fed from pool-minute partials equals the direct
+    recompute for all four buckets, for BOTH the exact and the
+    hot-threshold dual partials layouts (fixture sets stay under the
+    threshold, so the dual path must stay bit-exact on traders)."""
+    from degenter_clickhouse_spark.plans import token_matrix as TM
+
+    def rows(df):
+        return sorted(
+            (r.token_id, r.bucket, round(r.vol_buy_zig, 9),
+             round(r.vol_sell_zig, 9), r.tx_buy, r.tx_sell, r.traders,
+             None if r.price_in_zig is None else round(r.price_in_zig, 9),
+             r.holders,
+             None if r.mcap_zig is None else round(r.mcap_zig, 6))
+            for r in df.collect()
+        )
+
+    for kwargs in ({}, {"hot_signer_threshold": 4096}):
+        partials = INC.minute_partials(dom["trades_clean"], **kwargs).cache()
+        for bucket in ("30m", "1h", "4h", "24h"):
+            want = rows(TM.rollup(
+                dom["trades_clean"], dom["pools"], dom["tokens"],
+                dom["prices"], dom["holders"], dom["ohlcv_1m"], _now(), bucket,
+            ))
+            got = rows(INC.token_rollup_from_partials(
+                partials, dom["pools"], dom["tokens"], dom["prices"],
+                dom["holders"], dom["ohlcv_1m"], _now(), bucket,
+            ))
+            assert got == want, (bucket, kwargs)
+        partials.unpersist()
+
+
+def test_token_traders_hot_minute_excludes_empty_signer(spark):  # noqa: F811
+    """A hot minute (threshold=0 forces every multi-signer set to the
+    sketch) containing the empty signer must subtract its recorded
+    membership from the HLL estimate — the token-level count excludes
+    '' while the pool level keeps it."""
+    rows = [
+        ("h1", 0, "swap", "2024-03-01 10:00:30", "p1", "buy", 1.0, 0.0, "s1"),
+        ("h2", 1, "swap", "2024-03-01 10:00:40", "p1", "buy", 1.0, 0.0, ""),
+        ("h3", 2, "swap", "2024-03-01 10:00:50", "p1", "sell", 0.0, 1.0, "s2"),
+    ]
+    trades = spark.createDataFrame(
+        rows,
+        "tx_hash string, msg_index int, action string, created_at string,"
+        " pool_id string, direction string, offer_amount_base double,"
+        " ask_amount_base double, signer string",
+    ).withColumn("created_at", F.to_timestamp("created_at"))
+    partials = INC.minute_partials(trades, hot_signer_threshold=0)
+    assert partials.filter(F.col("signers").isNull()).count() == 1  # hot
+    pools = spark.createDataFrame(
+        [("p1", 7, True)], "pool_id string, base_token_id long, is_uzig_quote boolean"
+    )
+    now = F.to_timestamp(F.lit("2024-03-01 10:05:00"))
+    got = {r.token_id: r.traders
+           for r in INC.token_trailing_traders(partials, pools, now, 60).collect()}
+    # 3 signers incl. '' -> HLL estimate 3 minus the '' membership = 2
+    assert got == {7: 2}
+
+
+def test_pool_traders_hot_minute_keeps_empty_signer(spark):  # noqa: F811
+    """The POOL-level contract keeps '' (uniqExact per the reference),
+    but hll_sketch_agg silently skips empty strings — a hot window's
+    estimate must add the recorded '' membership back."""
+    rows = [
+        ("h1", 0, "swap", "2024-03-01 10:00:30", "p1", "buy", 1.0, 0.0, "s1"),
+        ("h2", 1, "swap", "2024-03-01 10:00:40", "p1", "buy", 1.0, 0.0, ""),
+        ("h3", 2, "swap", "2024-03-01 10:00:50", "p1", "sell", 0.0, 1.0, "s2"),
+    ]
+    trades = spark.createDataFrame(
+        rows,
+        "tx_hash string, msg_index int, action string, created_at string,"
+        " pool_id string, direction string, offer_amount_base double,"
+        " ask_amount_base double, signer string",
+    ).withColumn("created_at", F.to_timestamp("created_at"))
+    now = F.to_timestamp(F.lit("2024-03-01 10:05:00"))
+    hot = INC.minute_partials(trades, hot_signer_threshold=0)
+    got = {r.pool_id: r.traders
+           for r in INC.trailing_volumes(hot, now, 60).collect()}
+    want = {r.pool_id: r.traders
+            for r in INC.trailing_volumes(
+                INC.minute_partials(trades), now, 60
+            ).collect()}
+    assert want == {"p1": 3}  # exact path keeps ''
+    assert got == want
