@@ -4,9 +4,10 @@ plans.
 
 Each job is a recompute written to storage (the reference's
 semantics: SURVEY.md ST4), with the reference's cadences as defaults.
-With ``trades_vt`` set, the pool-matrix 30m/1h volume legs instead
-ride CDC-maintained per-minute partials (plans/incremental.py) — see
-the JobsRunner docstring. ``tick()`` runs one cycle of every due job
+With ``trades_vt`` set, EVERY pool-matrix, token-matrix, and
+leaderboard bucket instead rides CDC-maintained per-minute partials
+(plans/incremental.py) — no tick re-aggregates raw trades; see the
+JobsRunner docstring. ``tick()`` runs one cycle of every due job
 and is what tests exercise; ``run_forever`` is the process entry
 point.
 """
