@@ -34,6 +34,11 @@ def main(argv: list[str] | None = None) -> int:
     ix.add_argument("--checkpoint", required=True)
     ix.add_argument("--router-addr", default=None)
     ix.add_argument("--once", action="store_true", help="drain and exit (availableNow)")
+    ix.add_argument(
+        "--maintain-partials", action="store_true",
+        help="append matrix/leaderboard minute partials per micro-batch "
+             "(the ingest-side alternative to the jobs runner's CDC path)",
+    )
 
     jb = sub.add_parser("jobs", help="periodic rollup/alert jobs")
     jb.add_argument("--storage", required=True)
@@ -409,6 +414,7 @@ def main(argv: list[str] | None = None) -> int:
             args.checkpoint,
             router_addr=args.router_addr,
             available_now=args.once,
+            maintain_partials=args.maintain_partials,
         )
         if not args.once:
             q.awaitTermination()

@@ -13,8 +13,11 @@ analogue:
    minutes, independent of trade volume.
 
 Partials append alongside ohlcv_1m in the ingest micro-batch (they
-ARE the same shape of write), so maintenance is one extra map-side
-aggregation per batch. ``trailing_volumes`` returns exactly the
+ARE the same shape of write —
+``streaming/pipeline.stream_ingest(maintain_partials=True)``), so
+maintenance is one extra map-side aggregation per batch; the
+CDC-versioned path (``refresh_partials_from_changes``) covers
+batch-corrected tables. ``trailing_volumes`` returns exactly the
 schema of ``pool_matrix.trade_volumes``'s per-pool aggregate, and the
 equivalence is asserted in tests/test_incremental.py.
 

@@ -49,10 +49,26 @@ def stream_ingest(
     router_addr: str | None = None,
     on_pair_created: Callable[[list], None] | None = None,
     available_now: bool = True,
+    maintain_partials: bool = False,
+    hot_signer_threshold: int | None = None,
 ):
     """File-source streaming ingest; ``available_now`` drains the
     landing zone and stops (the batch-test mode); otherwise runs
-    continuously with a processing-time trigger."""
+    continuously with a processing-time trigger.
+
+    ``maintain_partials=True`` additionally appends the matrix /
+    leaderboard PARTIALS per micro-batch — per-(pool, minute) and
+    per-(signer, minute) decomposed aggregates (plans/incremental.py),
+    day-partitioned at ``output_dir/minute_partials`` and
+    ``output_dir/signer_minute_partials``. This is the ingest-side
+    alternative to the JobsRunner's CDC advancement: partials are one
+    extra map-side aggregation over the batch's deduped trades (the
+    ohlcv_1m write shape), rows for the same (key, minute) across
+    batches MERGE AT READ (ST6 — trailing_volumes sums add, signer
+    sets union), and effectively-once flows from the trades dedup
+    itself (a replayed block contributes no new trades, hence no
+    partial rows). ``hot_signer_threshold`` selects the dual signer
+    layout (see minute_partials)."""
     raw = spark.readStream.schema(blocks.RAW_SCHEMA).json(input_path)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -70,8 +86,11 @@ def stream_ingest(
         new_pool_rows = new_pools.collect()  # dimension-sized
         if new_pool_rows:
             new_pools.write.mode("append").parquet(pools_path)
+        trades_df = out["trades"]
+        if maintain_partials:
+            trades_df = trades_df.cache()  # feeds the fact write + 2 partials
         for name in ("trades", "prices", "pool_state", "ohlcv_1m"):
-            df = out[name]
+            df = trades_df if name == "trades" else out[name]
             if name == "trades":
                 df = df.withColumn("dt", F.to_date("created_at"))
                 df.write.mode("append").partitionBy("dt").parquet(
@@ -79,6 +98,32 @@ def stream_ingest(
                 )
             else:
                 df.write.mode("append").parquet(os.path.join(output_dir, name))
+        if maintain_partials:
+            # guard the empty batch (a replay dedupes to zero trades):
+            # an all-empty day-partitioned append writes only _SUCCESS
+            # and breaks later reads of a fresh store
+            if not trades_df.isEmpty():
+                from ..plans import incremental as INC
+
+                def _append(partials: DataFrame, name: str) -> None:
+                    (
+                        partials.withColumn("__day", F.to_date("minute"))
+                        .repartition(F.col("__day"))
+                        .write.mode("append")
+                        .partitionBy("__day")
+                        .parquet(os.path.join(output_dir, name))
+                    )
+
+                _append(
+                    INC.minute_partials(
+                        trades_df, hot_signer_threshold=hot_signer_threshold
+                    ),
+                    "minute_partials",
+                )
+                _append(
+                    INC.signer_minute_partials(trades_df), "signer_minute_partials"
+                )
+            trades_df.unpersist()
         if on_pair_created and new_pool_rows:
             on_pair_created(new_pool_rows)  # ST7 fast-track trigger
         new_pools.unpersist()

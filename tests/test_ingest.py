@@ -565,3 +565,65 @@ def test_cli_corpus_ingest_with_validation(spark, tmp_path, capsys):
     rep = spark.read.parquet(os.path.join(out, "quality_reports"))
     rows = {r["constraint"]: r["passed"] for r in rep.collect()}
     assert rows == {"not_null(doc_id)": True, "unique(doc_id)": True}
+
+
+def test_streaming_maintained_partials(spark, tmp_path, raw_df):
+    """maintain_partials=True appends per-batch matrix + leaderboard
+    partials that MERGE AT READ across micro-batches: trailing merges
+    over the stream-grown stores equal the from-scratch partials over
+    everything ingested, and a lost-checkpoint replay appends nothing
+    (effectively-once flows from the trades dedup)."""
+    from degenter_clickhouse_spark.plans import incremental as INC
+    from degenter_clickhouse_spark.streaming import pipeline as SP
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out_dir = str(tmp_path / "out")
+    rows = [json.dumps(b) for b in raw_blocks()]
+    (landing / "batch1.json").write_text("\n".join(rows[:2]))
+    SP.stream_ingest(spark, str(landing), out_dir, str(tmp_path / "ck1"),
+                     router_addr=ROUTER, maintain_partials=True,
+                     hot_signer_threshold=4096)
+    (landing / "batch2.json").write_text("\n".join(rows[2:]))
+    SP.stream_ingest(spark, str(landing), out_dir, str(tmp_path / "ck1"),
+                     router_addr=ROUTER, maintain_partials=True,
+                     hot_signer_threshold=4096)
+
+    trades = SP.read_output(spark, out_dir, "trades")
+    now = F.to_timestamp(F.lit("2024-05-01 13:00:00"))
+    pm_stream = spark.read.parquet(f"{out_dir}/minute_partials")
+    assert {"__day", "signers", "signers_sk"} <= set(pm_stream.columns)
+    got = {
+        r.pool_id: (r.tx_buy, r.tx_sell, r.traders, float(r.vol_buy_base),
+                    float(r.vol_sell_base))
+        for r in INC.trailing_volumes(pm_stream, now, 1440).collect()
+    }
+    want = {
+        r.pool_id: (r.tx_buy, r.tx_sell, r.traders, float(r.vol_buy_base),
+                    float(r.vol_sell_base))
+        for r in INC.trailing_volumes(
+            INC.minute_partials(trades, hot_signer_threshold=4096), now, 1440
+        ).collect()
+    }
+    assert got == want and got
+    lb_stream = spark.read.parquet(f"{out_dir}/signer_minute_partials")
+    got_lb = {
+        r.signer: (r.trades, round(r.volume_zig, 9))
+        for r in INC.leaderboard_from_partials(lb_stream, now, 1440).collect()
+    }
+    want_lb = {
+        r.signer: (r.trades, round(r.volume_zig, 9))
+        for r in INC.leaderboard_from_partials(
+            INC.signer_minute_partials(trades), now, 1440
+        ).collect()
+    }
+    assert got_lb == want_lb and got_lb
+    # lost-checkpoint full replay: trades dedupe -> zero partial rows
+    n_before = pm_stream.count()
+    SP.stream_ingest(spark, str(landing), out_dir, str(tmp_path / "ck2"),
+                     router_addr=ROUTER, maintain_partials=True,
+                     hot_signer_threshold=4096)
+    assert spark.read.parquet(f"{out_dir}/minute_partials").count() == n_before
+    assert INC.trailing_volumes(
+        spark.read.parquet(f"{out_dir}/minute_partials"), now, 1440
+    ).count() == len(got)
