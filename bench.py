@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "text_analysis",  # lang-id + quality + token counts + fingerprint
     "web_url_suite",  # URL canonicalization/domains/quota/url-dedup
     "winnow_overlap",  # MOSS winnowing fingerprint overlap pairs
+    "winnow_index_probe",  # shard vs persisted winnow index, bucket-pruned (EXTENDED)
     "multimodal_features",
     "sequence_packing",  # per-shard greedy token-budget packing
     "corpus_sampling",  # stratified hash sample + domain quota

@@ -75,3 +75,67 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_fps",
         "overlap_1e9",
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted-index probe (VERDICT r8 #8 follow-through): even doc_ids
+# form the stored corpus, odd doc_ids the incoming shard. The probe's
+# frequency cap counts document frequency over (pruned index + shard)
+# rows — identical to the full-frame count for every fingerprint the
+# shard holds, because a fingerprint's index rows all live in its own
+# __fpb bucket. The oracle is therefore the full-frame pair SQL
+# restricted to pairs touching a shard doc.
+# ---------------------------------------------------------------------------
+
+_WIDX_CACHE: dict[str, str] = {}
+
+
+def _winnow_index_root(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..llm.winnow import build_winnow_index
+
+    root = _WIDX_CACHE.get(sf_dir)
+    if root and os.path.isdir(os.path.join(root, "fps")):
+        return root
+    root = tempfile.mkdtemp(prefix="winnow_idx_")
+    corpus = (
+        _docs(spark, sf_dir, parallel=True)
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "text")
+    )
+    build_winnow_index(corpus, root)
+    _WIDX_CACHE[sf_dir] = root
+    return root
+
+
+WINNOW_PROBE_ORACLE = f"""
+WITH base AS ({WINNOW_ORACLE})
+SELECT * FROM base WHERE d1 % 2 = 1 OR d2 % 2 = 1
+"""
+
+
+@register_extended("winnow_index_probe", WINNOW_PROBE_ORACLE)
+def q_winnow_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..llm.winnow import winnow_index_probe
+
+    root = _winnow_index_root(spark, sf_dir)
+    shard = (
+        _docs(spark, sf_dir, parallel=True)
+        .filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+    )
+    return winnow_index_probe(
+        spark, root, shard, min_shared=_MIN_SHARED, max_fp_freq=_MAX_FP_FREQ
+    ).select(
+        F.col("d1").cast("long").alias("d1"),
+        F.col("d2").cast("long").alias("d2"),
+        "shared",
+        "min_fps",
+        "overlap_1e9",
+    )
