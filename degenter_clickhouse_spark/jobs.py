@@ -110,6 +110,19 @@ class JobsRunner:
 
         os.makedirs(output_dir, exist_ok=True)
         self._cursor = FileCheckpoint(os.path.join(output_dir, "_partials_cursor"))
+        # a previous runner's meta refresher persisted its merged tokens
+        # to output_dir/tokens (the reference's UPDATE tokens); a
+        # restarted runner must resume from that merge, not the pristine
+        # storage snapshot, or every LCD-merged field silently reverts
+        # (ADVICE r9)
+        tokens_path = os.path.join(output_dir, "tokens")
+        if os.path.exists(tokens_path):
+            try:
+                self.engine.set_table(
+                    "tokens", self.engine.spark.read.parquet(tokens_path)
+                )
+            except Exception:
+                pass  # torn/empty dir from a crashed merge: keep storage tokens
 
     def _advance_partials(self) -> None:
         from .operators.versioned import vt_read, vt_version
@@ -234,10 +247,32 @@ class JobsRunner:
                 self.engine.table("tokens"), stats
             ).collect()
             for row in queue:
-                R.refresh_holders_once(
-                    self.engine.spark, self.lcd, row.token_id, row.denom,
-                    holders_path, stats_path, at,
-                )
+                try:
+                    R.refresh_holders_once(
+                        self.engine.spark, self.lcd, row.token_id, row.denom,
+                        holders_path, stats_path, at,
+                    )
+                except Exception as e:  # noqa: BLE001 — per-token isolation
+                    # one LCD failure must not kill the sweep (the
+                    # reference's Promise.allSettled warn-and-continue,
+                    # jobs/holders-refresher.js:169-186): keep the old
+                    # count, bump updated_at so the token rotates out
+                    # of the stalest-K queue (ADVICE r9)
+                    import warnings
+
+                    warnings.warn(
+                        f"holders refresh failed for token {row.token_id}: {e}",
+                        stacklevel=2,
+                    )
+                    old = (
+                        stats.filter(F.col("token_id") == row.token_id)
+                        .select("holders_count")
+                        .collect()
+                    )
+                    R.bump_holders_stats(
+                        self.engine.spark, stats_path, row.token_id, at,
+                        old[0].holders_count if old else None,
+                    )
             if queue and os.path.exists(holders_path):
                 self.engine.set_table(
                     "holders", self.engine.spark.read.parquet(holders_path)

@@ -167,9 +167,40 @@ def refresh_holders_once(
         snapshot_overwrite(snap, holders_path, partition_col="token_id")
         count = snap.filter(F.col("balance_base") > 0).count()
     else:
+        # zero owners: the reference DELETEs the token's holder rows
+        # before inserting (jobs/holders-refresher.js delete+insert), so
+        # an emptied denom must CLEAR its old snapshot partition — a
+        # dynamic overwrite with zero rows writes nothing and would
+        # leave stale holders feeding holder_stats()/security forever
+        # (ADVICE r9)
+        import os
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(holders_path, f"token_id={int(token_id)}"),
+            ignore_errors=True,
+        )
         count = 0
     write_stats(count)
     return count
+
+
+def bump_holders_stats(
+    spark, stats_path: str, token_id: int, at: float, count: int | None
+) -> None:
+    """Failure-path stats bump (ADVICE r9): a token whose LCD sweep
+    errored keeps its previous holders_count but gets a fresh
+    updated_at, so it rotates OUT of the stalest-K queue instead of
+    wedging the sweep on every cycle — the reference's
+    Promise.allSettled warn-and-continue / 501-bump semantics
+    (jobs/holders-refresher.js:169-186)."""
+    from ..operators.merge import snapshot_overwrite
+
+    row = spark.createDataFrame(
+        [(int(token_id), count, _ts(at))],
+        "token_id long, holders_count long, updated_at timestamp",
+    )
+    snapshot_overwrite(row, stats_path, partition_col="token_id")
 
 
 def holders_refresh_queue(tokens, stats, k: int = HOLDERS_BATCH_SIZE):

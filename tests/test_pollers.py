@@ -546,3 +546,105 @@ def test_jobs_runner_holders_and_meta_jobs(spark, server, tmp_path):
     assert runner.tick(at=1030.0) == []
     assert runner.tick(at=1061.0) == ["meta"]
     assert "holders" in runner.tick(at=1181.0)
+
+
+def test_refresh_holders_empty_owners_clears_snapshot(spark, server, tmp_path):
+    """ADVICE r9: a sweep that returns ZERO owners must clear the
+    token's old snapshot partition (the reference's delete+insert), not
+    leave stale holders under a count-0 stats row."""
+    from degenter_clickhouse_spark.sources.refreshers import refresh_holders_once
+
+    lcd = LcdClient(_http(server)[0])
+    hp, sp = str(tmp_path / "holders"), str(tmp_path / "stats")
+    assert refresh_holders_once(spark, lcd, 7, "coin.zig1f.utok", hp, sp, at=1000.0) == 2
+
+    class _Emptied:
+        def denom_owners(self, denom, next_key=None):
+            return {"denom_owners": [], "pagination": {"next_key": None}}
+
+    n = refresh_holders_once(spark, _Emptied(), 7, "coin.zig1f.utok", hp, sp, at=1200.0)
+    assert n == 0
+    import os
+
+    assert not os.path.exists(os.path.join(hp, "token_id=7"))
+    stats = spark.read.parquet(sp).collect()
+    assert len(stats) == 1 and stats[0].holders_count == 0
+
+
+def test_jobs_runner_holders_sweep_isolates_token_failure(spark, server, tmp_path):
+    """ADVICE r9: one token's LCD failure must not kill the sweep — the
+    healthy token still refreshes, and the failed token's stats
+    timestamp bumps (old count kept) so it rotates out of the
+    stalest-K queue instead of wedging every cycle."""
+    from degenter_clickhouse_spark import schemas
+    from degenter_clickhouse_spark.engine import DegenterEngine
+    from degenter_clickhouse_spark.jobs import JobsRunner
+
+    real = LcdClient(_http(server)[0])
+
+    class _Flaky:
+        def denom_owners(self, denom, next_key=None):
+            if denom == "coin.bad":
+                raise RuntimeError("lcd exploded")
+            return real.denom_owners(denom, next_key)
+
+        def denoms_metadata(self, denom):
+            return real.denoms_metadata(denom)
+
+        def ibc_denom_trace(self, denom):
+            return real.ibc_denom_trace(denom)
+
+    tokens = spark.createDataFrame(
+        [(6, "coin.bad") + (None,) * (len(schemas.TOKENS.fields) - 2),
+         (7, "coin.zig1f.utok") + (None,) * (len(schemas.TOKENS.fields) - 2)],
+        schemas.TOKENS,
+    )
+    eng = DegenterEngine(spark, tables={
+        "tokens": tokens,
+        "holders": spark.createDataFrame([], schemas.HOLDERS),
+    })
+    out = str(tmp_path / "out")
+    cadences = {j: 10**9 for j in
+                ("matrix", "leaderboard", "alerts", "compact", "meta", "security")}
+    runner = JobsRunner(eng, out, cadences=cadences, lcd=_Flaky())
+    runner.last_run = {j: 1000.0 for j in cadences}
+    with pytest.warns(UserWarning, match="token 6"):
+        assert runner.tick(at=1000.0) == ["holders"]
+    stats = {r.token_id: r for r in
+             spark.read.parquet(f"{out}/holders_refresh_stats").collect()}
+    assert stats[7].holders_count == 2          # healthy token swept
+    assert stats[6].holders_count is None       # failed: no count yet...
+    assert stats[6].updated_at is not None      # ...but timestamp bumped
+    # the failed token rotated out: both have stats rows now, so a
+    # second sweep queues BOTH again only by staleness order
+    from degenter_clickhouse_spark.sources.refreshers import holders_refresh_queue
+
+    q = [r.token_id for r in holders_refresh_queue(
+        eng.table("tokens"), spark.read.parquet(f"{out}/holders_refresh_stats")
+    ).collect()]
+    assert set(q) == {6, 7}
+
+
+def test_jobs_runner_reloads_persisted_tokens(spark, tmp_path):
+    """ADVICE r9: a restarted runner must resume from the meta
+    refresher's persisted tokens merge (output_dir/tokens), not the
+    pristine storage snapshot."""
+    from degenter_clickhouse_spark import schemas
+    from degenter_clickhouse_spark.engine import DegenterEngine
+    from degenter_clickhouse_spark.jobs import JobsRunner
+
+    pristine = spark.createDataFrame(
+        [(7, "coin.zig1f.utok") + (None,) * (len(schemas.TOKENS.fields) - 2)],
+        schemas.TOKENS,
+    )
+    from pyspark.sql import functions as F
+
+    merged = pristine.withColumn("symbol", F.lit("TOK"))
+    out = str(tmp_path / "out")
+    import os
+
+    os.makedirs(out, exist_ok=True)
+    merged.write.parquet(os.path.join(out, "tokens"))
+    eng = DegenterEngine(spark, tables={"tokens": pristine})
+    JobsRunner(eng, out)
+    assert eng.table("tokens").collect()[0].symbol == "TOK"
