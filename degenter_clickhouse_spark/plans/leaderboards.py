@@ -48,21 +48,40 @@ def leaderboard(trades: DataFrame, now: Column, minutes: int) -> DataFrame:
     )
 
 
-def large_trades(
-    trades: DataFrame, now: Column, minutes: int, min_zig: float = 1000.0
-) -> DataFrame:
-    t = _zig_legs(
-        trades.filter(
-            (F.col("action") == "swap")
-            & (F.col("created_at") >= now - F.expr(f"INTERVAL {minutes} MINUTES"))
-        )
-    )
+def large_trades_all(trades: DataFrame, min_zig: float = 1000.0) -> DataFrame:
+    """Un-windowed, un-deduped large-trade extraction: every swap row
+    whose ZIG notional >= threshold, keeping (created_at, msg_index)
+    so the W1 keep-latest dedupe can run AT READ. This is the
+    store-maintenance form (the reference APPENDS to its large_trades
+    table per bucket, jobs/leaderboards.js:129-142, and dedupes with
+    ReplacingMergeTree semantics at query time); ``large_trades`` is
+    the windowed read over it."""
+    t = _zig_legs(trades.filter(F.col("action") == "swap"))
     t = t.withColumn("value_zig", F.greatest("offer_zig", "return_zig"))
-    big = t.filter(F.col("value_zig") >= min_zig)
+    return t.filter(F.col("value_zig") >= min_zig).select(
+        "pool_id", "tx_hash", "direction", "signer", "value_zig",
+        "created_at", "msg_index",
+    )
+
+
+def large_trades_read(big: DataFrame, now: Column, minutes: int) -> DataFrame:
+    """Windowed keep-latest read over ``large_trades_all`` rows — the
+    window filter runs BEFORE the dedupe, exactly like the direct path
+    (a key whose latest row falls outside the window still surfaces
+    its latest IN-window row)."""
+    w = big.filter(
+        F.col("created_at") >= now - F.expr(f"INTERVAL {minutes} MINUTES")
+    )
     return dedupe.keep_latest(
-        big,
+        w,
         keys=["tx_hash", "pool_id", "direction"],
         order=["created_at", "msg_index"],
     ).select(
         "pool_id", "tx_hash", "direction", "signer", "value_zig", "created_at"
     )
+
+
+def large_trades(
+    trades: DataFrame, now: Column, minutes: int, min_zig: float = 1000.0
+) -> DataFrame:
+    return large_trades_read(large_trades_all(trades, min_zig), now, minutes)

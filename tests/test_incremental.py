@@ -602,3 +602,111 @@ def test_pool_traders_hot_minute_keeps_empty_signer(spark):  # noqa: F811
             ).collect()}
     assert want == {"p1": 3}  # exact path keeps ''
     assert got == want
+
+
+def test_large_trades_from_store_equals_direct(spark, dom, tmp_path):  # noqa: F811
+    """VERDICT r9 #1 (plan level): a CDC-maintained large-trades store
+    read back through the windowed keep-latest tail equals the direct
+    trailing-scan extraction — across the bootstrap build, a pure
+    append delta, and a delete that retracts a stored key."""
+    from degenter_clickhouse_spark.operators import versioned as V
+    from degenter_clickhouse_spark.plans import leaderboards as LB
+
+    trades = dom["trades_clean"].cache()
+    half = trades.limit(trades.count() // 2).cache()
+    table = str(tmp_path / "trades_vt")
+    store = str(tmp_path / "lt_store")
+    V.vt_write(spark, half, table)
+    INC.write_large_trades_store(LB.large_trades_all(half, 1000.0), store)
+
+    def rows(df):
+        return sorted(
+            (r.pool_id, r.tx_hash, r.direction, r.signer,
+             round(r.value_zig, 9), r.created_at)
+            for r in df.collect()
+        )
+
+    def check(tr):
+        got = rows(INC.large_trades_from_store(
+            spark.read.parquet(store), _now(), 1440))
+        want = rows(LB.large_trades(tr, _now(), 1440, min_zig=1000.0))
+        assert got == want and got
+
+    check(half)
+    # append delta
+    V.vt_upsert(spark, trades, table, keys=["tx_hash", "msg_index"])
+    n = INC.refresh_large_trades_from_changes(
+        spark, table, store, from_version=1, min_zig=1000.0)
+    assert n > 0
+    check(trades)
+    # delete delta: retract one stored large trade entirely
+    victim = LB.large_trades_all(trades, 1000.0).limit(1).collect()[0]
+    doomed = trades.filter(
+        (F.col("tx_hash") == victim.tx_hash)
+        & (F.col("pool_id") == victim.pool_id)
+        & (F.col("direction") == victim.direction)
+    )
+    V.vt_delete(spark, table, ["tx_hash", "msg_index"], doomed)
+    cur = V.vt_version(table)
+    assert INC.refresh_large_trades_from_changes(
+        spark, table, store, from_version=cur - 1, min_zig=1000.0) >= 1
+    check(V.vt_read(spark, table))
+    half.unpersist()
+    trades.unpersist()
+
+
+def test_runner_large_trades_rides_store_no_fact_scan(spark, dom, tmp_path):  # noqa: F811
+    """VERDICT r9 #1 (runner level): with trades_vt wired, the
+    leaderboard tick's large_trades output equals the direct runner's,
+    and its plan reads the day-partitioned store — NOT the trades fact
+    table."""
+    from degenter_clickhouse_spark.engine import DegenterEngine
+    from degenter_clickhouse_spark.jobs import JobsRunner
+    from degenter_clickhouse_spark.operators import versioned as V
+
+    trades = dom["trades_clean"].cache()
+    half = trades.limit(trades.count() // 2).cache()
+    table = str(tmp_path / "trades_vt")
+    V.vt_write(spark, half, table)
+
+    def mk_engine(tr):
+        return DegenterEngine(spark, tables={
+            "tokens": dom["tokens"], "pools": dom["pools"], "trades": tr,
+            "prices": dom["prices"], "pool_state": dom["pool_state"],
+            "ohlcv_1m": dom["ohlcv_1m"],
+            "exchange_rates": dom["exchange_rates"],
+            "holders": dom["holders"],
+        })
+
+    cadences = {"matrix": 10**9, "security": 10**9, "alerts": 10**9,
+                "compact": 10**9}
+
+    def lt_rows(out_dir):
+        return sorted(
+            (r.pool_id, r.tx_hash, r.direction, r.signer,
+             round(r.value_zig, 9), r.created_at)
+            for r in spark.read.parquet(f"{out_dir}/large_trades").collect()
+        )
+
+    inc_out, full_out = str(tmp_path / "inc"), str(tmp_path / "full")
+    r_inc = JobsRunner(mk_engine(V.vt_read(spark, table)), inc_out,
+                       cadences=cadences, trades_vt=table)
+    r_full = JobsRunner(mk_engine(half), full_out, cadences=cadences)
+    r_inc.tick(at=1000.0, now_col=_now())
+    r_full.tick(at=1000.0, now_col=_now())
+    assert lt_rows(inc_out) == lt_rows(full_out)
+
+    V.vt_upsert(spark, trades, table, keys=["tx_hash", "msg_index"])
+    r_inc.engine = mk_engine(V.vt_read(spark, table))
+    r_full.engine = mk_engine(trades)
+    r_inc.tick(at=2000.0, now_col=_now())
+    r_full.tick(at=2000.0, now_col=_now())
+    assert lt_rows(inc_out) == lt_rows(full_out)
+
+    # plan audit: the store-fed output must scan large_trades_store
+    # files only — never the raw fact table
+    files = r_inc._large_trades_output(_now()).inputFiles()
+    assert files and all("large_trades_store" in f for f in files), files
+    assert not any("trades_vt" in f for f in files), files
+    half.unpersist()
+    trades.unpersist()
