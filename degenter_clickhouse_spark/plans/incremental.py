@@ -96,13 +96,39 @@ def minute_partials(
     )
 
 
+def dedupe_replayed_partials(w: DataFrame, group_col: str) -> DataFrame:
+    """Stream-grown partials stores tag every row with its micro-batch
+    (streaming/pipeline._batch_tag, ADVICE r9): a crashed ingest can
+    append the same batch's rows twice (crash between the partials
+    append and the done marker), and the merge's SUMS cannot absorb
+    duplicates — collapse to one row per (group, minute, batch) before
+    merging. Replayed rows are recomputed from the identical deduped
+    batch, so any survivor is the right one. Runner-CDC stores carry no
+    tag (their day-overwrite refresh cannot duplicate) and pass
+    through; compacted rows carry a NULL tag and are unique per
+    (group, minute) by construction (compact_partials_store)."""
+    if "__batch" not in w.columns:
+        return w
+    return w.dropDuplicates([group_col, "minute", "__batch"]).drop("__batch")
+
+
 def trailing_volumes(
     partials: DataFrame, now: Column, window_minutes: int
 ) -> DataFrame:
     """Merge partials over the trailing window: sums/counts add;
     distinct traders = |union of per-minute signer sets|. Output
     matches pool_matrix.trade_volumes' per-pool aggregate (base units;
-    display scaling joins happen downstream as usual)."""
+    display scaling joins happen downstream as usual).
+
+    WINDOW CONTRACT (ADVICE r9): partials are minute-bucketed, so the
+    window's lower bound is the MINUTE containing (now − N) — with a
+    non-minute-aligned ``now`` this includes up to 59 s more trades
+    than the direct ``created_at >= now − N`` scan. Equality with the
+    direct path therefore holds exactly when the direct scan uses the
+    same minute-floored bound (tests assert both the aligned case and
+    the floored-direct non-aligned case); the reference's own
+    materialized-view rollups are toStartOfMinute-bucketed the same
+    way."""
     # minute-granular windows (the reference's buckets are whole
     # minutes): lower bound is the minute containing (now - N)
     lo = F.date_trunc("minute", now - F.expr(f"INTERVAL {window_minutes} MINUTES"))
@@ -110,7 +136,10 @@ def trailing_volumes(
         # day-partitioned store (write_partials): prune whole days'
         # files at planning before the minute filter runs
         partials = partials.filter(F.col("__day") >= F.to_date(lo)).drop("__day")
-    w = partials.filter((F.col("minute") >= lo) & (F.col("minute") <= now))
+    w = dedupe_replayed_partials(
+        partials.filter((F.col("minute") >= lo) & (F.col("minute") <= now)),
+        "pool_id",
+    )
     has_sk = "signers_sk" in partials.columns
     has_exact = "signers" in partials.columns
     exact_count = F.size(
@@ -163,7 +192,10 @@ def token_trailing_traders(
     lo = F.date_trunc("minute", now - F.expr(f"INTERVAL {window_minutes} MINUTES"))
     if "__day" in partials.columns:
         partials = partials.filter(F.col("__day") >= F.to_date(lo)).drop("__day")
-    w = partials.filter((F.col("minute") >= lo) & (F.col("minute") <= now))
+    w = dedupe_replayed_partials(
+        partials.filter((F.col("minute") >= lo) & (F.col("minute") <= now)),
+        "pool_id",
+    )
     native = pools.filter(F.col("is_uzig_quote")).select(
         "pool_id", F.col("base_token_id").alias("token_id")
     )
@@ -214,6 +246,12 @@ def signer_minute_partials(trades: DataFrame) -> DataFrame:
     ).otherwise(zero)
     return t.groupBy("signer", minute).agg(
         F.count(F.lit(1)).alias("trades"),
+        # per-direction counts so wallet_trade alerts with a direction
+        # filter (jobs/alerts.js:60-70 params.direction) can ride this
+        # store instead of re-scanning raw trades every 10 s tick
+        # (VERDICT r9 #2)
+        F.count(F.when(F.col("direction") == "buy", 1)).alias("trades_buy"),
+        F.count(F.when(F.col("direction") == "sell", 1)).alias("trades_sell"),
         F.sum(offer).alias("offer_zig_base"),
         F.sum(ret).alias("return_zig_base"),
     )
@@ -233,7 +271,10 @@ def leaderboard_from_partials(
     lo = F.date_trunc("minute", now - F.expr(f"INTERVAL {window_minutes} MINUTES"))
     if "__day" in partials.columns:
         partials = partials.filter(F.col("__day") >= F.to_date(lo)).drop("__day")
-    w = partials.filter((F.col("minute") >= lo) & (F.col("minute") <= now))
+    w = dedupe_replayed_partials(
+        partials.filter((F.col("minute") >= lo) & (F.col("minute") <= now)),
+        "signer",
+    )
     o = F.sum("offer_zig_base").cast("double")
     r = F.sum("return_zig_base").cast("double")
     return w.groupBy("signer").agg(
@@ -312,6 +353,15 @@ def refresh_partials_from_changes(
         # hot-threshold (dual-column) store would silently corrupt the
         # trailing merge's all-exact detection
         stored = spark.read.parquet(partials_path)
+        if "__batch" in stored.columns:
+            raise ValueError(
+                "partials store at %s is stream-grown (rows carry the "
+                "__batch replay tag) — a CDC refresh would write "
+                "untagged rows into it and corrupt the replay dedupe; "
+                "run the JobsRunner with partials_source='store' over "
+                "streaming-maintained stores, or rebuild the store "
+                "from the versioned table" % partials_path
+            )
         if partials_fn is not None:
             # generalized partials (e.g. signer_minute_partials): the
             # caller owns the representation; groups key on group_col

@@ -41,6 +41,118 @@ def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
     return None
 
 
+def _batch_tag(checkpoint_dir: str, batch_id: int) -> str:
+    """Deterministic per-(stream, batch) identity for partials rows.
+    Stable across a replay of the same batch under the same checkpoint
+    (Structured Streaming pins the batch's file set in the offset log,
+    so the recomputed rows are identical), and distinct across
+    checkpoint lifetimes: a fresh checkpoint restarts batch ids at 0,
+    and without the checkpoint component batch 0 of the new stream
+    would collide with batch 0 of the old one — the read-side replay
+    dedupe would then collapse genuinely distinct rows."""
+    import zlib
+
+    norm = os.path.abspath(checkpoint_dir).rstrip("/")
+    return f"{zlib.crc32(norm.encode()) & 0xFFFFFFFF:08x}:{batch_id}"
+
+
+def _marker_paths(output_dir: str) -> tuple[str, str]:
+    return (
+        os.path.join(output_dir, "_partials_batch.started"),
+        os.path.join(output_dir, "_partials_batch.done"),
+    )
+
+
+def read_marker(path: str) -> str | None:
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return fh.read().strip() or None
+
+
+def _write_marker(path: str, value: str) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(value)
+    os.replace(tmp, path)
+
+
+def unsafe_partials_tag(output_dir: str) -> str | None:
+    """The one batch tag whose partials rows may still be RE-APPENDED
+    by a crash replay: a batch whose appends ran but whose ``done``
+    marker was never written (the started/done pair differs). Everything
+    at or below ``done`` is settled — a replay of the done batch skips
+    its appends entirely — so compaction may merge those rows; rows
+    under the returned tag must be left untouched."""
+    started_p, done_p = _marker_paths(output_dir)
+    started, done = read_marker(started_p), read_marker(done_p)
+    return started if started is not None and started != done else None
+
+
+def maintain_partials_for_batch(
+    trades_df: DataFrame,
+    output_dir: str,
+    tag: str,
+    hot_signer_threshold: int | None = None,
+    large_trade_min_zig: float = 1000.0,
+) -> None:
+    """Append one micro-batch's matrix/leaderboard partials and
+    large-trade rows, tagged ``__batch = tag``, day-partitioned.
+
+    Effectively-once protocol (ADVICE r9 — the old order appended
+    partials AFTER the fact table, so a crash in between dropped them
+    forever: the replay dedupes trades to empty and skips the append):
+
+    1. these appends run BEFORE the trades append — a replay of a
+       crashed batch recomputes the identical deduped trades and
+       re-runs them;
+    2. ``started``/``done`` markers bracket the appends: a replay of a
+       batch whose ``done`` marker exists skips them (its rows are
+       already durable even though the trades append may not be);
+    3. a crash between the appends and the ``done`` marker re-appends
+       the same rows under the SAME tag — the trailing merges collapse
+       duplicates per (group, minute, __batch)
+       (plans/incremental.dedupe_replayed_partials), and the
+       large-trades read's keep-latest dedupe (W1) absorbs its
+       duplicates keylessly.
+
+    Each store append holds the table's advisory writer lock so the
+    JobsRunner's compaction pass (a read-rewrite-swap) can never drop
+    an in-flight append; on an object store the lock becomes the
+    manifest commit (operators/merge._table_lock)."""
+    from ..operators.merge import _table_lock
+    from ..plans import incremental as INC
+    from ..plans import leaderboards as LB
+
+    def _append_day_partitioned(df: DataFrame, name: str, day_of: str) -> None:
+        path = os.path.join(output_dir, name)
+        out = (
+            df.withColumn("__day", F.to_date(day_of))
+            .repartition(F.col("__day"))
+        )
+        with _table_lock(path, timeout_s=300.0):
+            out.write.mode("append").partitionBy("__day").parquet(path)
+
+    _append_day_partitioned(
+        INC.minute_partials(
+            trades_df, hot_signer_threshold=hot_signer_threshold
+        ).withColumn("__batch", F.lit(tag)),
+        "minute_partials",
+        "minute",
+    )
+    _append_day_partitioned(
+        INC.signer_minute_partials(trades_df).withColumn("__batch", F.lit(tag)),
+        "signer_minute_partials",
+        "minute",
+    )
+    big = LB.large_trades_all(trades_df, large_trade_min_zig)
+    # an all-empty day-partitioned append writes only _SUCCESS and
+    # breaks later reads of a fresh store — and most batches carry no
+    # large trades at all
+    if not big.isEmpty():
+        _append_day_partitioned(big, "large_trades_store", "created_at")
+
+
 def stream_ingest(
     spark: SparkSession,
     input_path: str,
@@ -51,24 +163,32 @@ def stream_ingest(
     available_now: bool = True,
     maintain_partials: bool = False,
     hot_signer_threshold: int | None = None,
+    large_trade_min_zig: float = 1000.0,
 ):
     """File-source streaming ingest; ``available_now`` drains the
     landing zone and stops (the batch-test mode); otherwise runs
     continuously with a processing-time trigger.
 
     ``maintain_partials=True`` additionally appends the matrix /
-    leaderboard PARTIALS per micro-batch — per-(pool, minute) and
-    per-(signer, minute) decomposed aggregates (plans/incremental.py),
-    day-partitioned at ``output_dir/minute_partials`` and
-    ``output_dir/signer_minute_partials``. This is the ingest-side
-    alternative to the JobsRunner's CDC advancement: partials are one
-    extra map-side aggregation over the batch's deduped trades (the
-    ohlcv_1m write shape), rows for the same (key, minute) across
-    batches MERGE AT READ (ST6 — trailing_volumes sums add, signer
-    sets union), and effectively-once flows from the trades dedup
-    itself (a replayed block contributes no new trades, hence no
-    partial rows). ``hot_signer_threshold`` selects the dual signer
-    layout (see minute_partials)."""
+    leaderboard PARTIALS and the large-trades store per micro-batch —
+    per-(pool, minute) and per-(signer, minute) decomposed aggregates
+    (plans/incremental.py) plus qualifying large-trade rows,
+    day-partitioned at ``output_dir/minute_partials``,
+    ``output_dir/signer_minute_partials`` and
+    ``output_dir/large_trades_store``. This is the ingest-side
+    alternative to the JobsRunner's CDC advancement
+    (``JobsRunner(partials_source="store")`` consumes these directly):
+    partials are one extra map-side aggregation over the batch's
+    deduped trades (the ohlcv_1m write shape), rows for the same
+    (key, minute) across batches MERGE AT READ (ST6 —
+    trailing_volumes sums add, signer sets union). Effectively-once is
+    the ``maintain_partials_for_batch`` protocol (ADVICE r9): partials
+    append BEFORE the fact table under started/done markers with a
+    per-batch ``__batch`` tag, so neither crash side loses or
+    double-counts rows. ``hot_signer_threshold`` selects the dual
+    signer layout (see minute_partials);
+    ``large_trade_min_zig`` is the store threshold
+    (jobs/leaderboards.js:6)."""
     raw = spark.readStream.schema(blocks.RAW_SCHEMA).json(input_path)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -81,14 +201,31 @@ def stream_ingest(
             existing_trades=existing_trades,
             router_addr=router_addr,
         )
-        # three-phase order (§3.1): dims first, then facts, then derived
+        # three-phase order (§3.1): dims first, then derived partials
+        # (replay-recoverable — they precede the fact append so a
+        # crashed batch can always recompute them), then facts
         new_pools = out["pools"].cache()
         new_pool_rows = new_pools.collect()  # dimension-sized
         if new_pool_rows:
             new_pools.write.mode("append").parquet(pools_path)
         trades_df = out["trades"]
         if maintain_partials:
-            trades_df = trades_df.cache()  # feeds the fact write + 2 partials
+            trades_df = trades_df.cache()  # feeds the fact write + partials
+            # a replay dedupes an already-committed batch to zero
+            # trades; its partials are already durable (they were
+            # appended before the trades), so skipping is correct —
+            # the pre-fix order lost exactly these rows (ADVICE r9)
+            if not trades_df.isEmpty():
+                tag = _batch_tag(checkpoint_dir, batch_id)
+                started_p, done_p = _marker_paths(output_dir)
+                if read_marker(done_p) != tag:
+                    _write_marker(started_p, tag)
+                    maintain_partials_for_batch(
+                        trades_df, output_dir, tag,
+                        hot_signer_threshold=hot_signer_threshold,
+                        large_trade_min_zig=large_trade_min_zig,
+                    )
+                    _write_marker(done_p, tag)
         for name in ("trades", "prices", "pool_state", "ohlcv_1m"):
             df = trades_df if name == "trades" else out[name]
             if name == "trades":
@@ -99,30 +236,6 @@ def stream_ingest(
             else:
                 df.write.mode("append").parquet(os.path.join(output_dir, name))
         if maintain_partials:
-            # guard the empty batch (a replay dedupes to zero trades):
-            # an all-empty day-partitioned append writes only _SUCCESS
-            # and breaks later reads of a fresh store
-            if not trades_df.isEmpty():
-                from ..plans import incremental as INC
-
-                def _append(partials: DataFrame, name: str) -> None:
-                    (
-                        partials.withColumn("__day", F.to_date("minute"))
-                        .repartition(F.col("__day"))
-                        .write.mode("append")
-                        .partitionBy("__day")
-                        .parquet(os.path.join(output_dir, name))
-                    )
-
-                _append(
-                    INC.minute_partials(
-                        trades_df, hot_signer_threshold=hot_signer_threshold
-                    ),
-                    "minute_partials",
-                )
-                _append(
-                    INC.signer_minute_partials(trades_df), "signer_minute_partials"
-                )
             trades_df.unpersist()
         if on_pair_created and new_pool_rows:
             on_pair_created(new_pool_rows)  # ST7 fast-track trigger

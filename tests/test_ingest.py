@@ -627,3 +627,133 @@ def test_streaming_maintained_partials(spark, tmp_path, raw_df):
     assert INC.trailing_volumes(
         spark.read.parquet(f"{out_dir}/minute_partials"), now, 1440
     ).count() == len(got)
+
+
+def test_partials_survive_crash_before_fact_append(spark, tmp_path):
+    """ADVICE r9 (medium): the old order appended partials AFTER the
+    fact table, so a crash in between dropped them permanently (the
+    replay dedupes trades to empty and skips the append). With the
+    partials-first protocol, a crashed batch that completed its
+    partials appends (done marker written) but never appended trades is
+    replayed correctly: partials are skipped (already durable), trades
+    land, and the merged reads equal a from-scratch recompute."""
+    from degenter_clickhouse_spark.plans import incremental as INC
+    from degenter_clickhouse_spark.sources import blocks as B
+    from degenter_clickhouse_spark.streaming import pipeline as SP
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [json.dumps(b) for b in raw_blocks()]
+    (landing / "batch1.json").write_text("\n".join(rows[:2]))
+    SP.stream_ingest(spark, str(landing), out_dir, ckpt,
+                     router_addr=ROUTER, maintain_partials=True,
+                     hot_signer_threshold=4096)
+
+    # simulate batch 1 crashing between the done marker and the trades
+    # append: run the partials half by hand with the tag the replay
+    # will use, then leave the fact table untouched
+    (landing / "batch2.json").write_text("\n".join(rows[2:]))
+    raw2 = spark.read.schema(B.RAW_SCHEMA).json(str(landing / "batch2.json"))
+    crashed = B.ingest(
+        raw2,
+        existing_pools=SP.read_output(spark, out_dir, "pools"),
+        existing_trades=SP.read_output(spark, out_dir, "trades"),
+        router_addr=ROUTER,
+    )["trades"].localCheckpoint(eager=True)
+    assert crashed.count() > 0
+    tag = SP._batch_tag(ckpt, 1)
+    SP._write_marker(SP._marker_paths(out_dir)[0], tag)
+    SP.maintain_partials_for_batch(crashed, out_dir, tag,
+                                   hot_signer_threshold=4096)
+    SP._write_marker(SP._marker_paths(out_dir)[1], tag)
+    n_partials_after_crash = spark.read.parquet(
+        f"{out_dir}/minute_partials"
+    ).count()
+
+    # restart: the replay must append the TRADES but not the partials
+    SP.stream_ingest(spark, str(landing), out_dir, ckpt,
+                     router_addr=ROUTER, maintain_partials=True,
+                     hot_signer_threshold=4096)
+    store = spark.read.parquet(f"{out_dir}/minute_partials")
+    assert store.count() == n_partials_after_crash  # no re-append
+    trades = SP.read_output(spark, out_dir, "trades")
+    assert trades.count() == 7  # the replay landed the crashed facts
+    now = F.to_timestamp(F.lit("2024-05-01 13:00:00"))
+    got = {
+        r.pool_id: (r.tx_buy, r.tx_sell, r.traders)
+        for r in INC.trailing_volumes(store, now, 1440).collect()
+    }
+    want = {
+        r.pool_id: (r.tx_buy, r.tx_sell, r.traders)
+        for r in INC.trailing_volumes(
+            INC.minute_partials(trades, hot_signer_threshold=4096), now, 1440
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_partials_replay_duplicates_collapse_at_read(spark, tmp_path):
+    """A crash between the partials appends and the done marker makes
+    the replay re-append the SAME rows under the SAME __batch tag:
+    the store holds duplicates, but every trailing merge collapses
+    them per (group, minute, batch) — sums and signer unions match the
+    single-copy store exactly. Until the marker settles, the batch's
+    tag is reported unsafe so compaction leaves its rows unmerged."""
+    from degenter_clickhouse_spark.plans import incremental as INC
+    from degenter_clickhouse_spark.streaming import pipeline as SP
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [json.dumps(b) for b in raw_blocks()]
+    (landing / "batch1.json").write_text("\n".join(rows))
+    SP.stream_ingest(spark, str(landing), out_dir, ckpt,
+                     router_addr=ROUTER, maintain_partials=True,
+                     hot_signer_threshold=4096, large_trade_min_zig=0.0)
+    now = F.to_timestamp(F.lit("2024-05-01 13:00:00"))
+    trades = SP.read_output(spark, out_dir, "trades")
+    single_pm = {
+        r.pool_id: (r.tx_buy, r.tx_sell, r.traders, float(r.vol_buy_base))
+        for r in INC.trailing_volumes(
+            spark.read.parquet(f"{out_dir}/minute_partials"), now, 1440
+        ).collect()
+    }
+    single_lb = {
+        r.signer: (r.trades, round(r.volume_zig, 9))
+        for r in INC.leaderboard_from_partials(
+            spark.read.parquet(f"{out_dir}/signer_minute_partials"), now, 1440
+        ).collect()
+    }
+    n_pm = spark.read.parquet(f"{out_dir}/minute_partials").count()
+
+    # replay re-append: identical rows, identical tag (simulates the
+    # crash window between the appends and the done marker)
+    tag = SP._batch_tag(ckpt, 0)
+    SP._write_marker(SP._marker_paths(out_dir)[0], tag)  # started != done
+    SP._write_marker(SP._marker_paths(out_dir)[1], "some-older-tag")
+    assert SP.unsafe_partials_tag(out_dir) == tag
+    SP.maintain_partials_for_batch(trades, out_dir, tag,
+                                   hot_signer_threshold=4096,
+                                   large_trade_min_zig=0.0)
+    store = spark.read.parquet(f"{out_dir}/minute_partials")
+    assert store.count() == 2 * n_pm  # duplicates really are on disk
+    got_pm = {
+        r.pool_id: (r.tx_buy, r.tx_sell, r.traders, float(r.vol_buy_base))
+        for r in INC.trailing_volumes(store, now, 1440).collect()
+    }
+    got_lb = {
+        r.signer: (r.trades, round(r.volume_zig, 9))
+        for r in INC.leaderboard_from_partials(
+            spark.read.parquet(f"{out_dir}/signer_minute_partials"), now, 1440
+        ).collect()
+    }
+    assert got_pm == single_pm and got_lb == single_lb
+    # the large-trades store dedupes keylessly through keep-latest (W1)
+    lt = INC.large_trades_from_store(
+        spark.read.parquet(f"{out_dir}/large_trades_store"), now, 1440
+    ).collect()
+    keys = {(r.tx_hash, r.pool_id, r.direction) for r in lt}
+    assert len(keys) == len(lt)
