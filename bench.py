@@ -123,6 +123,23 @@ BENCH_QUERIES = [
 ]
 
 
+# DECLARED ingest/streaming throughput floors (VERDICT r9 #5/#7): the
+# committed artifact carries these under "floors" and bench_diff.py
+# enforces them over the floor artifact's own measured numbers, so
+# re-basing a floor is an explicit, committed, diffable EDIT of this
+# constant — never prose. Current values: events/s re-based in r9
+# (~5,280 is this host's clean-load streaming ceiling, measured twice
+# within 0.6% at loadavg 0.05 and 11.45; the 6,223 r5 number is not
+# reproducible on this host and the code path is unchanged); docs/s
+# floors are the r5 originals, still held.
+FLOORS = {
+    "ingest": {
+        "ingest_events_per_sec": 5280.0,
+        "corpus_docs_per_sec": 1428.0,
+        "corpus_docs_per_sec_neardup": 461.0,
+    }
+}
+
 try:
     LOAD_START = round(os.getloadavg()[0], 2)
 except OSError:  # pragma: no cover
@@ -179,6 +196,23 @@ def main() -> None:
     names = [n for n in BENCH_QUERIES if n in reg]
     # warm up the JVM + file listing once so timings measure the queries
     reg[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # pre-build the persisted retrieval/winnow indexes UNTIMED (VERDICT
+    # r9 #6): the probe rows then measure the steady-state probe; the
+    # one-time build cost is reported separately under "setup" instead
+    # of being conflated into the probe's min-of-N (the r9 artifact's
+    # 7.09 s winnow_index_probe was mostly its build)
+    setup: dict[str, float] = {}
+    from degenter_clickhouse_spark.queries.clean_ext import _hybrid_index_root
+    from degenter_clickhouse_spark.queries.winnow_ext import _winnow_index_root
+
+    for key, builder in (
+        ("hybrid_index_build_sec", _hybrid_index_root),
+        ("winnow_index_build_sec", _winnow_index_root),
+    ):
+        t0 = time.perf_counter()
+        builder(spark, sf_dir)
+        setup[key] = round(time.perf_counter() - t0, 3)
+    spark.catalog.clearCache()
     # min of RUNS executions per query: steady-state plan+cache timing,
     # robust to background-load noise (single-shot local[32] timings
     # swing far more than +/-20% with hypervisor-neighbor load — r4
@@ -326,6 +360,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "ingest": ingest,
+        "floors": FLOORS,
+        "setup": setup,
         "sf1": sf1,
         "runs_per_query": runs,
         "runs": runs_done,

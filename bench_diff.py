@@ -101,9 +101,23 @@ def main() -> int:
         if ratio > args.factor:
             bad.append(name)
     # ingest/streaming THROUGHPUT floors (higher is better): regressed
-    # when current rate drops below floor / factor
-    for name, f_rate in sorted((floor.get("ingest") or {}).items()):
-        c_rate = (cur.get("ingest") or {}).get(name)
+    # when current rate drops below floor / factor. DECLARED floors
+    # (the floor doc's "floors.ingest" section, committed via bench.py
+    # FLOORS — VERDICT r9 #7) take precedence over the floor artifact's
+    # own measured rates; a current artifact whose ingest section was
+    # budget-skipped is exempt (explicit marker, not a regression).
+    floor_ingest = (floor.get("floors") or {}).get("ingest") or (
+        floor.get("ingest") or {}
+    )
+    cur_ingest = cur.get("ingest") or {}
+    skipped = "skipped_budget_exhausted" in cur_ingest
+    for name, f_rate in sorted(floor_ingest.items()):
+        if name == "skipped_budget_exhausted":
+            continue
+        if skipped:
+            print(f"  SKIPPED  {name} (current ingest section budget-skipped)")
+            continue
+        c_rate = cur_ingest.get(name)
         if c_rate is None:
             print(f"  MISSING  {name} (floor {f_rate:.0f}/s)")
             bad.append(name)

@@ -490,12 +490,41 @@ class DegenterEngine:
             out[name] = tbl
         return out
 
-    def evaluate_alerts(self, alerts: DataFrame, now: Column | None = None) -> DataFrame:
+    def evaluate_alerts(
+        self,
+        alerts: DataFrame,
+        now: Column | None = None,
+        large_trades: DataFrame | None = None,
+        signer_partials: DataFrame | None = None,
+        max_wallet_window_min: int | None = None,
+    ) -> DataFrame:
+        """ST8 composite evaluation. ``large_trades`` /
+        ``signer_partials`` substitute pre-aggregated inputs for the
+        raw-trades legs (VERDICT r9 #2: the JobsRunner passes its CDC-
+        or stream-maintained stores so the 10 s tick never scans the
+        fact table): large_trade alerts then see only STORED rows —
+        an alert min_zig below the store threshold sees store rows
+        only, exactly like the reference's alerts querying its
+        large_trades TABLE (jobs/alerts.js:71-81) — and wallet_trade
+        counts ride the per-(signer, minute) partials at minute
+        granularity."""
         now = now if now is not None else F.current_timestamp()
-        lt = LB.large_trades(self.table("trades"), now, 1440, min_zig=0.0)
+        lt = (
+            large_trades
+            if large_trades is not None
+            else LB.large_trades(self.table("trades"), now, 1440, min_zig=0.0)
+        )
+        wallet = (
+            AL.eval_wallet_trade_from_partials(
+                alerts, signer_partials, now,
+                max_since_min=max_wallet_window_min,
+            )
+            if signer_partials is not None
+            else AL.eval_wallet_trade(alerts, self.table("trades"), now)
+        )
         outs = [
             AL.eval_price_cross(alerts, self.table("prices"), now),
-            AL.eval_wallet_trade(alerts, self.table("trades"), now),
+            wallet,
             AL.eval_large_trade(alerts, lt, now),
             AL.eval_tvl_change(alerts, self.table("pool_state"), None, now),
         ]

@@ -57,9 +57,12 @@ def _batch_tag(checkpoint_dir: str, batch_id: int) -> str:
 
 
 def _marker_paths(output_dir: str) -> tuple[str, str]:
+    # brackets ALL derived appends of one micro-batch: prices,
+    # pool_state, ohlcv_1m, and (when maintained) the partials +
+    # large-trades stores
     return (
-        os.path.join(output_dir, "_partials_batch.started"),
-        os.path.join(output_dir, "_partials_batch.done"),
+        os.path.join(output_dir, "_derived_batch.started"),
+        os.path.join(output_dir, "_derived_batch.done"),
     )
 
 
@@ -78,15 +81,43 @@ def _write_marker(path: str, value: str) -> None:
 
 
 def unsafe_partials_tag(output_dir: str) -> str | None:
-    """The one batch tag whose partials rows may still be RE-APPENDED
+    """The one batch tag whose derived rows may still be RE-APPENDED
     by a crash replay: a batch whose appends ran but whose ``done``
     marker was never written (the started/done pair differs). Everything
     at or below ``done`` is settled — a replay of the done batch skips
     its appends entirely — so compaction may merge those rows; rows
-    under the returned tag must be left untouched."""
+    under the returned tag must be left untouched (and ohlcv_1m, whose
+    replay identity lives in file NAMES, must not be rewritten at all
+    while a tag is unsettled)."""
     started_p, done_p = _marker_paths(output_dir)
     started, done = read_marker(started_p), read_marker(done_p)
     return started if started is not None and started != done else None
+
+
+def _tagged_file_append(df: DataFrame, path: str, tag: str) -> None:
+    """Exactly-once append for a table whose reads SUM duplicate rows
+    (ohlcv_1m: resample adds volume/trade_count — a replay duplicate
+    double-counts, a lost append under-counts forever). The batch
+    identity lives in the FILE NAMES (``part-<tag>-<i>``), so a
+    crashed attempt's files are unlinked before the rewrite and the
+    reader schema never changes. Holds the table writer lock like
+    every other streaming append."""
+    import glob
+    import shutil
+
+    from ..operators.merge import _table_lock
+
+    safe = tag.replace(":", "-")
+    os.makedirs(path, exist_ok=True)
+    with _table_lock(path, timeout_s=300.0):
+        for f in glob.glob(os.path.join(path, f"part-{safe}-*")):
+            os.remove(f)  # crashed prior attempt of this same batch
+        tmp = os.path.join(path, f"._batch_{safe}")  # dot-dir: invisible
+        df.write.mode("overwrite").parquet(tmp)
+        files = sorted(glob.glob(os.path.join(tmp, "*.parquet")))
+        for i, f in enumerate(files):
+            os.replace(f, os.path.join(path, f"part-{safe}-{i}.snappy.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def maintain_partials_for_batch(
@@ -201,42 +232,60 @@ def stream_ingest(
             existing_trades=existing_trades,
             router_addr=router_addr,
         )
-        # three-phase order (§3.1): dims first, then derived partials
-        # (replay-recoverable — they precede the fact append so a
-        # crashed batch can always recompute them), then facts
+        # three-phase order (§3.1): dims first, then EVERY derived
+        # output (prices, pool_state, ohlcv_1m, partials, large
+        # trades), then the fact table LAST. Derived rows are only
+        # recomputable while the batch's trades are still un-appended
+        # (a replay dedupes committed trades to empty), so the old
+        # facts-then-derived order permanently lost any derived append
+        # a crash preempted (ADVICE r9) — ohlcv_1m under-counting
+        # volume forever, the same class as the partials finding.
+        # Derived-first + the started/done marker bracket makes each
+        # crash side recoverable: a replay of a done batch skips the
+        # derived appends (already durable) and lands only the facts;
+        # a replay of an un-done batch recomputes identical rows whose
+        # duplicates every reader absorbs (keep-latest for prices/
+        # pool_state, file-tag idempotence for ohlcv_1m, per-(group,
+        # minute, __batch) dedupe for the partials).
+        from ..operators.merge import _table_lock
+
         new_pools = out["pools"].cache()
         new_pool_rows = new_pools.collect()  # dimension-sized
         if new_pool_rows:
-            new_pools.write.mode("append").parquet(pools_path)
-        trades_df = out["trades"]
-        if maintain_partials:
-            trades_df = trades_df.cache()  # feeds the fact write + partials
-            # a replay dedupes an already-committed batch to zero
-            # trades; its partials are already durable (they were
-            # appended before the trades), so skipping is correct —
-            # the pre-fix order lost exactly these rows (ADVICE r9)
-            if not trades_df.isEmpty():
-                tag = _batch_tag(checkpoint_dir, batch_id)
-                started_p, done_p = _marker_paths(output_dir)
-                if read_marker(done_p) != tag:
-                    _write_marker(started_p, tag)
+            # every output-table append holds the table writer lock so
+            # the JobsRunner's compaction rewrite (read -> temp ->
+            # swap under the same lock) can never drop it
+            with _table_lock(pools_path, timeout_s=300.0):
+                new_pools.write.mode("append").parquet(pools_path)
+        trades_df = out["trades"].cache()  # feeds derived + fact writes
+        if not trades_df.isEmpty():
+            tag = _batch_tag(checkpoint_dir, batch_id)
+            started_p, done_p = _marker_paths(output_dir)
+            if read_marker(done_p) != tag:
+                _write_marker(started_p, tag)
+                for name in ("prices", "pool_state"):
+                    path = os.path.join(output_dir, name)
+                    with _table_lock(path, timeout_s=300.0):
+                        out[name].write.mode("append").parquet(path)
+                _tagged_file_append(
+                    out["ohlcv_1m"], os.path.join(output_dir, "ohlcv_1m"), tag
+                )
+                if maintain_partials:
                     maintain_partials_for_batch(
                         trades_df, output_dir, tag,
                         hot_signer_threshold=hot_signer_threshold,
                         large_trade_min_zig=large_trade_min_zig,
                     )
-                    _write_marker(done_p, tag)
-        for name in ("trades", "prices", "pool_state", "ohlcv_1m"):
-            df = trades_df if name == "trades" else out[name]
-            if name == "trades":
-                df = df.withColumn("dt", F.to_date("created_at"))
-                df.write.mode("append").partitionBy("dt").parquet(
-                    os.path.join(output_dir, name)
+                _write_marker(done_p, tag)
+            trades_path = os.path.join(output_dir, "trades")
+            with _table_lock(trades_path, timeout_s=300.0):
+                (
+                    trades_df.withColumn("dt", F.to_date("created_at"))
+                    .write.mode("append")
+                    .partitionBy("dt")
+                    .parquet(trades_path)
                 )
-            else:
-                df.write.mode("append").parquet(os.path.join(output_dir, name))
-        if maintain_partials:
-            trades_df.unpersist()
+        trades_df.unpersist()
         if on_pair_created and new_pool_rows:
             on_pair_created(new_pool_rows)  # ST7 fast-track trigger
         new_pools.unpersist()

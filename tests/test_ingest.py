@@ -656,28 +656,34 @@ def test_partials_survive_crash_before_fact_append(spark, tmp_path):
     # will use, then leave the fact table untouched
     (landing / "batch2.json").write_text("\n".join(rows[2:]))
     raw2 = spark.read.schema(B.RAW_SCHEMA).json(str(landing / "batch2.json"))
-    crashed = B.ingest(
+    crashed_out = B.ingest(
         raw2,
         existing_pools=SP.read_output(spark, out_dir, "pools"),
         existing_trades=SP.read_output(spark, out_dir, "trades"),
         router_addr=ROUTER,
-    )["trades"].localCheckpoint(eager=True)
+    )
+    crashed = crashed_out["trades"].localCheckpoint(eager=True)
     assert crashed.count() > 0
     tag = SP._batch_tag(ckpt, 1)
     SP._write_marker(SP._marker_paths(out_dir)[0], tag)
+    for name in ("prices", "pool_state"):
+        crashed_out[name].write.mode("append").parquet(f"{out_dir}/{name}")
+    SP._tagged_file_append(crashed_out["ohlcv_1m"], f"{out_dir}/ohlcv_1m", tag)
     SP.maintain_partials_for_batch(crashed, out_dir, tag,
                                    hot_signer_threshold=4096)
     SP._write_marker(SP._marker_paths(out_dir)[1], tag)
     n_partials_after_crash = spark.read.parquet(
         f"{out_dir}/minute_partials"
     ).count()
+    n_ohlcv_after_crash = spark.read.parquet(f"{out_dir}/ohlcv_1m").count()
 
-    # restart: the replay must append the TRADES but not the partials
+    # restart: the replay must append the TRADES but no derived rows
     SP.stream_ingest(spark, str(landing), out_dir, ckpt,
                      router_addr=ROUTER, maintain_partials=True,
                      hot_signer_threshold=4096)
     store = spark.read.parquet(f"{out_dir}/minute_partials")
     assert store.count() == n_partials_after_crash  # no re-append
+    assert spark.read.parquet(f"{out_dir}/ohlcv_1m").count() == n_ohlcv_after_crash
     trades = SP.read_output(spark, out_dir, "trades")
     assert trades.count() == 7  # the replay landed the crashed facts
     now = F.to_timestamp(F.lit("2024-05-01 13:00:00"))
@@ -757,3 +763,15 @@ def test_partials_replay_duplicates_collapse_at_read(spark, tmp_path):
     ).collect()
     keys = {(r.tx_hash, r.pool_id, r.direction) for r in lt}
     assert len(keys) == len(lt)
+    # ohlcv_1m replays are FILE-tag idempotent: re-appending the same
+    # batch under the same tag unlinks the crashed attempt's files
+    # first, so candle volumes never double-count
+    from degenter_clickhouse_spark.sources import blocks as B
+
+    n_ohlcv = spark.read.parquet(f"{out_dir}/ohlcv_1m").count()
+    replay_ohlcv = B.ingest(
+        spark.read.schema(B.RAW_SCHEMA).json(str(landing / "batch1.json")),
+        router_addr=ROUTER,
+    )["ohlcv_1m"]
+    SP._tagged_file_append(replay_ohlcv, f"{out_dir}/ohlcv_1m", tag)
+    assert spark.read.parquet(f"{out_dir}/ohlcv_1m").count() == n_ohlcv
