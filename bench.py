@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "column_profile",  # one-pass per-column stats profile (EXTENDED)
     "seasonal_anomalies",  # per-(type,dow,hour) median/MAD deviation flags (EXTENDED)
     "weighted_median",  # exact cumulative-weight median walk (EXTENDED)
+    "wallet_alert_partials",  # alert eval off signer-minute partials (EXTENDED)
 ]
 
 

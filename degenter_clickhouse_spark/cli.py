@@ -50,6 +50,13 @@ def main(argv: list[str] | None = None) -> int:
         help="LCD endpoint(s); enables the holders (180s) and token-"
              "metadata (60s) refresher jobs (repeat for failover)",
     )
+    jb.add_argument(
+        "--partials-source", choices=["store"], default=None,
+        help="'store': serve the matrix/leaderboard/alert ticks from "
+             "the partials + large-trades stores the indexer maintains "
+             "under --storage (indexer --maintain-partials) instead of "
+             "re-aggregating raw trades every tick",
+    )
 
     qr = sub.add_parser("query", help="run SQL over the engine views")
     qr.add_argument("--storage", required=True)
@@ -814,7 +821,11 @@ def main(argv: list[str] | None = None) -> int:
             from .sources.pollers import HttpJson, LcdClient
 
             lcd = LcdClient(HttpJson(args.lcd))
-        runner = JobsRunner(engine, args.output, lcd=lcd)
+        runner = JobsRunner(
+            engine, args.output, lcd=lcd,
+            partials_source=args.partials_source,
+            store_dir=args.storage if args.partials_source == "store" else None,
+        )
         if args.once:
             print("ran:", runner.tick())
             return 0

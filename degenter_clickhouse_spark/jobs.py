@@ -114,6 +114,7 @@ class JobsRunner:
                  incremental_buckets: tuple[str, ...] = ("30m", "1h", "4h", "24h"),
                  hot_signer_threshold: int = HOT_SIGNER_THRESHOLD,
                  partials_source: str | None = None,
+                 store_dir: str | None = None,
                  fx=None, lcd=None):
         self.engine = engine
         self.output_dir = output_dir
@@ -141,6 +142,14 @@ class JobsRunner:
                 "versioned table is wired"
             )
         self.partials_source = partials_source
+        # where the maintained stores (and the streamed fact tables +
+        # derived-batch markers) live. In CDC mode the runner owns them
+        # under its own output_dir; in store mode they live wherever
+        # the INDEXER writes (the reference deployment passes the
+        # indexer's --storage dir here, jobs CLI --partials-source)
+        if store_dir is not None and partials_source != "store":
+            raise ValueError("store_dir requires partials_source='store'")
+        self.store_dir = store_dir or output_dir
         # sources/pollers.FxPoller (or anything with fetch_price());
         # wired here the FX job runs at the reference's 36s cadence and
         # appends minute-truncated rows to output_dir/exchange_rates,
@@ -153,18 +162,20 @@ class JobsRunner:
         self.lcd = lcd
         self.incremental_buckets = tuple(incremental_buckets)
         self.hot_signer_threshold = int(hot_signer_threshold)
-        self.partials_path = os.path.join(output_dir, "minute_partials")
+        self.partials_path = os.path.join(self.store_dir, "minute_partials")
         # leaderboard partials ride the same trades_vt flag/cursor
         # (VERDICT r8 #9): per-(signer, minute) decimal sums replace
         # the 60 s trailing re-aggregation of raw trades
         self.signer_partials_path = os.path.join(
-            output_dir, "signer_minute_partials"
+            self.store_dir, "signer_minute_partials"
         )
         # large-trades store rides the same trades_vt flag/cursor
         # (VERDICT r9 #1): row-level large trades are append-monotone,
         # so the 60 s tick reads the day-partitioned store instead of
         # filter+deduping the trailing 24 h of raw trades every minute
-        self.large_trades_path = os.path.join(output_dir, "large_trades_store")
+        self.large_trades_path = os.path.join(
+            self.store_dir, "large_trades_store"
+        )
         self.large_trades_min_zig = LARGE_TRADE_MIN_ZIG
         from .sources.pollers import FileCheckpoint
 
@@ -562,7 +573,7 @@ class JobsRunner:
                     )
                 )
 
-            unsafe = unsafe_partials_tag(self.output_dir)
+            unsafe = unsafe_partials_tag(self.store_dir)
             for name, pcol in COMPACT_TABLES:
                 if name == "ohlcv_1m" and unsafe is not None:
                     # ohlcv replay identity lives in FILE NAMES
@@ -571,11 +582,19 @@ class JobsRunner:
                     # would strip the tag files its replay unlinks —
                     # defer one compact slot instead
                     continue
-                path = os.path.join(self.output_dir, name)
+                # runner-written tables live under output_dir; the
+                # streamed facts + stores live under store_dir (the
+                # indexer's storage in the split deployment)
+                base = (
+                    self.output_dir
+                    if name in ("alert_events", "exchange_rates")
+                    else self.store_dir
+                )
+                path = os.path.join(base, name)
                 if _n_files(path) >= COMPACT_MIN_FILES:
                     compact_table(self.engine.spark, path, partition_col=pcol)
             for name in COMPACT_PARTIALS_TABLES:
-                path = os.path.join(self.output_dir, name)
+                path = os.path.join(self.store_dir, name)
                 if _n_files(path) >= COMPACT_MIN_FILES:
                     INC.compact_partials_store(
                         self.engine.spark, path, unsafe_tag=unsafe

@@ -463,3 +463,92 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tx_sell").cast("long").alias("tx_sell"),
         F.col("traders").cast("long").alias("traders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# wallet-alert evaluation off the per-(signer, minute) partials
+# (VERDICT r10: plans/alerts.eval_wallet_trade_from_partials — the 10 s
+# alert tick's wallet leg reads minutes x active signers instead of the
+# trailing day of raw trades). lineitem plays the swap stream: signer =
+# l_suppkey % 50, direction from l_returnflag, day-aligned shipdates so
+# the minute-floored window bound coincides with the direct filter. The
+# oracle counts the qualifying rows per alert DIRECTLY — a hash match
+# proves the partials merge + per-direction counts + throttle gate +
+# window floor are exact. Alert 4's bogus direction must fire nothing;
+# alert 5's shorter window exercises a different minute floor.
+# ---------------------------------------------------------------------------
+
+_WA_NOW = "1998-08-01 00:00:00"
+_WA_ALERTS = [
+    (1, "1", 525600, None),
+    (2, "2", 525600, "buy"),
+    (3, "3", 525600, "sell"),
+    (4, "4", 525600, "bogus"),
+    (5, "7", 43200, None),
+]
+
+WALLET_ALERT_ORACLE = f"""
+WITH legs AS (
+  SELECT CAST(l_suppkey % 50 AS VARCHAR) AS address,
+         CASE WHEN l_returnflag = 'R' THEN 'sell' ELSE 'buy' END AS dir,
+         CAST(l_shipdate AS TIMESTAMP) AS created_at
+  FROM lineitem
+),
+alerts(alert_id, address, since_min, want_dir) AS (
+  VALUES {", ".join(f"({i}, '{a}', {m}, {repr(d) if d else 'NULL'})" for i, a, m, d in _WA_ALERTS)}
+)
+SELECT CAST(a.alert_id AS BIGINT) AS alert_id,
+       a.address,
+       CAST(COUNT(*) AS BIGINT) AS n_trades
+FROM alerts a JOIN legs l ON l.address = a.address
+WHERE l.created_at >= date_trunc('minute',
+        TIMESTAMP '{_WA_NOW}' - to_minutes(a.since_min))
+  AND (a.want_dir IS NULL OR l.dir = a.want_dir)
+GROUP BY 1, 2
+HAVING COUNT(*) > 0
+"""
+
+from . import register_extended  # noqa: E402
+
+
+@register_extended("wallet_alert_partials", WALLET_ALERT_ORACLE)
+def q_wallet_alert_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    from .. import schemas as S
+    from ..plans import alerts as AL
+    from ..plans import incremental as INC
+
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    direction = F.when(F.col("l_returnflag") == "R", "sell").otherwise("buy")
+    trades = li.select(
+        F.lit("swap").alias("action"),
+        (F.col("l_suppkey") % 50).cast("string").alias("signer"),
+        direction.alias("direction"),
+        F.col("l_shipdate").cast("timestamp").alias("created_at"),
+        # route the uzig leg by direction so the decimal sums exercise
+        # both partial columns (their values are not compared here —
+        # the alert predicate needs only the counts)
+        F.when(direction == "buy", F.lit("uzig")).otherwise(F.lit("x"))
+         .alias("offer_asset_denom"),
+        F.col("l_quantity").cast("decimal(38,0)").alias("offer_amount_base"),
+        F.when(direction == "sell", F.lit("uzig")).otherwise(F.lit("x"))
+         .alias("ask_asset_denom"),
+        F.floor(F.col("l_extendedprice")).cast("decimal(38,0)")
+         .alias("return_amount_base"),
+    )
+    alerts = spark.createDataFrame(
+        [
+            (i, None, "wallet_trade",
+             _json.dumps({"address": a, "since_min": m,
+                          **({"direction": d} if d else {})}),
+             300, None, True)
+            for i, a, m, d in _WA_ALERTS
+        ],
+        S.ALERTS,
+    )
+    now = F.lit(_WA_NOW).cast("timestamp")
+    out = AL.eval_wallet_trade_from_partials(
+        alerts, INC.signer_minute_partials(trades), now, max_since_min=525600
+    )
+    return out.select("alert_id", "address", "n_trades")

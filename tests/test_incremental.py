@@ -1153,3 +1153,53 @@ def test_runner_compacts_streamed_stores(spark, dom, tmp_path, monkeypatch):  # 
     )
     assert after == before
     trades.unpersist()
+
+
+def test_runner_store_mode_split_dirs(spark, dom, tmp_path):  # noqa: F811
+    """The CLI deployment shape: the indexer maintains the stores
+    under --storage while the jobs runner writes its outputs to
+    --output. store_dir points the runner's reads (and compaction /
+    retention) at the indexer's directory."""
+    import os
+
+    from degenter_clickhouse_spark.engine import DegenterEngine
+    from degenter_clickhouse_spark.jobs import JobsRunner
+    from degenter_clickhouse_spark.streaming import pipeline as SP
+
+    trades = dom["trades_clean"]
+    storage = str(tmp_path / "storage")
+    os.makedirs(storage, exist_ok=True)
+    SP.maintain_partials_for_batch(
+        trades.localCheckpoint(eager=True), storage,
+        SP._batch_tag(str(tmp_path / "ck"), 0), hot_signer_threshold=4096,
+    )
+
+    def mk_engine():
+        return DegenterEngine(spark, tables={
+            "tokens": dom["tokens"], "pools": dom["pools"], "trades": trades,
+            "prices": dom["prices"], "pool_state": dom["pool_state"],
+            "ohlcv_1m": dom["ohlcv_1m"],
+            "exchange_rates": dom["exchange_rates"],
+            "holders": dom["holders"],
+        })
+
+    cadences = {"security": 10**9, "alerts": 10**9, "compact": 10**9}
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    r_store = JobsRunner(mk_engine(), out_a, cadences=cadences,
+                         partials_source="store", store_dir=storage)
+    r_full = JobsRunner(mk_engine(), out_b, cadences=cadences)
+    r_store.tick(at=1000.0, now_col=_now())
+    r_full.tick(at=1000.0, now_col=_now())
+    got = sorted(
+        (r.pool_id, r.bucket, r.tx_buy, r.tx_sell, r.traders)
+        for r in spark.read.parquet(f"{out_a}/pool_matrix").collect()
+    )
+    want = sorted(
+        (r.pool_id, r.bucket, r.tx_buy, r.tx_sell, r.traders)
+        for r in spark.read.parquet(f"{out_b}/pool_matrix").collect()
+    )
+    assert got == want and got
+    files = r_store._pool_matrix_bucket("24h", _now()).inputFiles()
+    assert files and all("storage" in f for f in files), files
+    with pytest.raises(ValueError, match="store_dir requires"):
+        JobsRunner(mk_engine(), out_a, store_dir=storage)
