@@ -42,14 +42,46 @@ def unthrottled(alerts: DataFrame, now: Column) -> DataFrame:
     )
 
 
-def eval_price_cross(alerts: DataFrame, prices: DataFrame, now: Column) -> DataFrame:
+def eval_price_cross(
+    alerts: DataFrame,
+    prices: DataFrame,
+    now: Column,
+    lookback_min: int | None = 7 * 1440,
+) -> DataFrame:
+    """Latest-price threshold crossings. Like ``eval_tvl_change``, the
+    latest-price lookup is TWO-PHASE over the ever-growing prices
+    stream: phase 1 takes the per-pool argMax inside a trailing
+    ``lookback_min`` slab (literal bound — parquet footer pruning),
+    restricted to the alert pools by a broadcast semi-join; only
+    alerts whose pool printed NO price in the slab (long-idle pools)
+    fall through to an unbounded straggler scan that AQE collapses to
+    empty when unused. ``lookback_min=None`` restores the single
+    unbounded view; both fire identical rows."""
     a = _params(
         unthrottled(alerts, now).filter(F.col("kind") == "price_cross"),
         ("pool_id", "long"),
         ("direction", "string"),
         ("threshold", "double"),
     )
-    lp = views.latest_prices(prices).select("pool_id", "latest_price_zig")
+
+    def latest_for(src: DataFrame, keys: DataFrame) -> DataFrame:
+        scoped = src.join(
+            dim_broadcast(keys.select("pool_id").distinct()),
+            "pool_id",
+            "left_semi",
+        )
+        return views.latest_prices(scoped).select("pool_id", "latest_price_zig")
+
+    if lookback_min is None:
+        lp = latest_for(prices, a)
+    else:
+        bounded = prices.filter(
+            F.col("updated_at")
+            >= now - F.expr(f"INTERVAL {int(lookback_min)} MINUTES")
+        )
+        p1 = latest_for(bounded, a)
+        stragglers = a.join(p1.select("pool_id"), "pool_id", "left_anti")
+        lp = p1.unionByName(latest_for(prices, stragglers))
     j = a.join(dim_broadcast(lp), "pool_id", "left")
     fired = F.when(
         F.col("direction") == "above", F.col("latest_price_zig") > F.col("threshold")

@@ -706,3 +706,64 @@ def test_tvl_change_two_phase_lookback(spark, dom):
     }
     assert bounded == unbounded
     assert {k for k, _ in bounded} == {21, 22}  # straggler 22 fired too
+
+
+def test_price_cross_two_phase_lookback(spark, dom):
+    """The bounded latest-price phase must agree with the unbounded
+    view, including an idle pool whose last print is older than the
+    slab (straggler phase) — and the throttle/active gates still
+    apply."""
+    rows = [
+        (31, None, "price_cross", json.dumps({"pool_id": 101, "direction": "above", "threshold": 0.0001}), 300, None, True),
+        (32, None, "price_cross", json.dumps({"pool_id": 888, "direction": "above", "threshold": 0.5}), 300, None, True),
+    ]
+    a = spark.createDataFrame(rows, S.ALERTS)
+    now = _now()
+    # pool 888: only one, month-old price print — phase 2 territory
+    extra = spark.createDataFrame(
+        [(888, 7, 0.75, True, NOW - timedelta(days=30))],
+        "pool_id long, token_id long, price_in_zig double,"
+        " is_pair_native boolean, updated_at timestamp",
+    )
+    prices = dom["prices"].select(
+        "pool_id", "token_id", "price_in_zig", "is_pair_native", "updated_at"
+    ).unionByName(extra)
+    unbounded = {
+        (r.alert_id, round(r.observed, 9))
+        for r in AL.eval_price_cross(a, prices, now, lookback_min=None).collect()
+    }
+    bounded = {
+        (r.alert_id, round(r.observed, 9))
+        for r in AL.eval_price_cross(a, prices, now, lookback_min=1440).collect()
+    }
+    assert bounded == unbounded
+    assert {k for k, _ in bounded} == {31, 32}
+
+
+def test_wallet_alert_partials_day_prune_is_planning_time(spark, tmp_path):
+    """The widest-window bound must reach the store scan as a
+    PARTITION filter (whole days' files pruned at planning), not a
+    post-join residual."""
+    from degenter_clickhouse_spark.plans import incremental as INC
+
+    trades = spark.createDataFrame(
+        [("h1", 0, "swap", "2024-03-01 10:00:30", "p1", "buy",
+          100.0, 0.0, "s1", "uzig", "x", 5.0)],
+        "tx_hash string, msg_index int, action string, created_at string,"
+        " pool_id string, direction string, offer_amount_base double,"
+        " ask_amount_base double, signer string, offer_asset_denom string,"
+        " ask_asset_denom string, return_amount_base double",
+    ).withColumn("created_at", F.to_timestamp("created_at"))
+    store = str(tmp_path / "signer_partials")
+    INC.write_partials(INC.signer_minute_partials(trades), store)
+    a = spark.createDataFrame(
+        [(1, None, "wallet_trade",
+          json.dumps({"address": "s1", "since_min": 1440}), 300, None, True)],
+        S.ALERTS,
+    )
+    now = F.to_timestamp(F.lit("2024-03-01 12:00:00"))
+    plan = AL.eval_wallet_trade_from_partials(
+        a, spark.read.parquet(store), now, max_since_min=1440
+    )._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "__day" in m.group(1), plan[:2000]
