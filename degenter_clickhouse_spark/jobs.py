@@ -45,17 +45,24 @@ DEFAULT_CADENCES = {
 # the compaction pass; the streamed fact tables (trades, prices,
 # pool_state, ohlcv_1m, pools, large_trades_store) append one file per
 # micro-batch (VERDICT r9 missing #2 — thousands of files/day at a
-# 1-block cadence). (table, partition column or None); tables absent
-# from output_dir are skipped by the file-count gate.
+# 1-block cadence). (table, partition column or None, target files per
+# partition); tables absent from output_dir are skipped by the gate.
+# The gate counts EXCESS files — beyond the per-leaf-dir target — not
+# totals (ADVICE r10: a compacted partitioned table keeps one file per
+# day forever, so a total-count gate re-triggers a full-table rewrite
+# every slot once the table is >= threshold days old, holding the
+# writer lock streaming appends block on); partitioned tables rewrite
+# only their dirty partitions. Larger unpartitioned streamed tables
+# keep several files so a compacted table still scans in parallel.
 COMPACT_TABLES = (
-    ("alert_events", None),
-    ("exchange_rates", None),
-    ("trades", "dt"),
-    ("prices", None),
-    ("pool_state", None),
-    ("ohlcv_1m", None),
-    ("pools", None),
-    ("large_trades_store", "__day"),
+    ("alert_events", None, 1),
+    ("exchange_rates", None, 1),
+    ("trades", "dt", 1),
+    ("prices", None, 8),
+    ("pool_state", None, 8),
+    ("ohlcv_1m", None, 8),
+    ("pools", None, 1),
+    ("large_trades_store", "__day", 1),
 )
 # partials stores pre-merge duplicate (group, minute) rows with the
 # read-side representation rules (incremental.compact_partials_store)
@@ -560,28 +567,23 @@ class JobsRunner:
             # table is retried by the stream restart) — on an object
             # store the swap becomes a manifest commit and readers are
             # snapshot-isolated (operators/merge.compact_table seam)
-            import glob as _glob
-
-            from .operators.merge import compact_table
+            from .operators.merge import compact_table, excess_file_count
             from .plans import incremental as INC
             from .streaming.pipeline import unsafe_partials_tag
 
-            def _n_files(path: str) -> int:
-                return len(
-                    _glob.glob(
-                        os.path.join(path, "**", "*.parquet"), recursive=True
-                    )
-                )
+            # re-read INSIDE each table's writer lock (ADVICE r10
+            # TOCTOU: a tick-start read goes stale across the earlier
+            # rewrites — an indexer batch starting in between would
+            # get its unsettled __batch rows merged / its ohlcv tag
+            # files stripped, and its crash replay would then
+            # double-count forever). `started` is written before any
+            # of a batch's appends and every append takes the table
+            # lock, so an under-lock read is current for every row the
+            # rewrite can see.
+            def _unsafe() -> str | None:
+                return unsafe_partials_tag(self.store_dir)
 
-            unsafe = unsafe_partials_tag(self.store_dir)
-            for name, pcol in COMPACT_TABLES:
-                if name == "ohlcv_1m" and unsafe is not None:
-                    # ohlcv replay identity lives in FILE NAMES
-                    # (streaming/pipeline._tagged_file_append): a
-                    # rewrite while a batch's done marker is unsettled
-                    # would strip the tag files its replay unlinks —
-                    # defer one compact slot instead
-                    continue
+            for name, pcol, fpp in COMPACT_TABLES:
                 # runner-written tables live under output_dir; the
                 # streamed facts + stores live under store_dir (the
                 # indexer's storage in the split deployment)
@@ -591,13 +593,26 @@ class JobsRunner:
                     else self.store_dir
                 )
                 path = os.path.join(base, name)
-                if _n_files(path) >= COMPACT_MIN_FILES:
-                    compact_table(self.engine.spark, path, partition_col=pcol)
+                if excess_file_count(path, fpp) < COMPACT_MIN_FILES:
+                    continue
+                compact_table(
+                    self.engine.spark, path, partition_col=pcol,
+                    files_per_partition=fpp,
+                    # ohlcv replay identity lives in FILE NAMES
+                    # (streaming/pipeline._tagged_file_append): a
+                    # rewrite while a batch's done marker is unsettled
+                    # would strip the tag files its replay unlinks —
+                    # defer to a later compact slot instead
+                    guard=(lambda: _unsafe() is None)
+                    if name == "ohlcv_1m"
+                    else None,
+                    dirty_only=pcol is not None,
+                )
             for name in COMPACT_PARTIALS_TABLES:
                 path = os.path.join(self.store_dir, name)
-                if _n_files(path) >= COMPACT_MIN_FILES:
+                if excess_file_count(path, 1) >= COMPACT_MIN_FILES:
                     INC.compact_partials_store(
-                        self.engine.spark, path, unsafe_tag=unsafe
+                        self.engine.spark, path, unsafe_tag=_unsafe
                     )
             ran.append("compact")
         for job in ran:

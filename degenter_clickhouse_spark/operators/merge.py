@@ -261,12 +261,51 @@ def snapshot_overwrite(
     )
 
 
+def leaf_parquet_dirs(path: str) -> dict[str, int]:
+    """Map of directory -> direct ``*.parquet`` file count for every
+    non-hidden directory under ``path`` that holds data files directly.
+    A hive-partitioned table yields its leaf partition dirs; an
+    unpartitioned table yields ``path`` itself. Hidden entries
+    (``.``/``_`` prefixes: in-flight ``._compacting`` temps,
+    ``_SUCCESS`` markers) are skipped UNLESS the name contains ``=`` —
+    Spark's own file index keeps such paths, so ``__day=...`` partition
+    dirs are data, not metadata."""
+    out: dict[str, int] = {}
+    for dirpath, dirnames, filenames in os.walk(path):
+        dirnames[:] = [
+            d
+            for d in dirnames
+            if "=" in d or not d.startswith((".", "_"))
+        ]
+        n = sum(1 for f in filenames if f.endswith(".parquet"))
+        if n:
+            out[dirpath] = n
+    return out
+
+
+def excess_file_count(path: str, files_per_partition: int = 1) -> int:
+    """How many data files a compaction pass could actually remove:
+    per-leaf-directory count beyond the ``files_per_partition`` target,
+    summed. This is the compaction GATE (ADVICE r10): gating on the
+    TOTAL file count re-triggers a full rewrite every slot once a
+    partitioned table simply has more partitions than the threshold —
+    e.g. compacted trades keep one file per day forever, and a
+    year-retention partials store holds 365 single-file days that no
+    rewrite can shrink."""
+    return sum(
+        max(0, n - files_per_partition)
+        for n in leaf_parquet_dirs(path).values()
+    )
+
+
 def compact_table(
     spark: SparkSession,
     path: str,
     partition_col: str | Sequence[str] | None = "dt",
     files_per_partition: int = 1,
     zorder_by: Sequence[str] | None = None,
+    guard=None,
+    dirty_only: bool = False,
 ) -> dict[str, int]:
     """Small-file compaction for append-heavy tables (every streaming
     micro-batch appends a file per task; a 60s-cadence ingest makes
@@ -278,20 +317,50 @@ def compact_table(
     the path it is reading; on an object store the swap becomes a
     manifest/metadata commit — this local form documents the seam).
     Returns {"files_before": n, "files_after": m}.
+
+    ``guard`` — optional callable evaluated AFTER the writer lock is
+    acquired; a falsy return skips the rewrite (``{"skipped": 1}`` in
+    the result). This closes the ADVICE r10 TOCTOU for tables whose
+    replay identity a rewrite could destroy (ohlcv_1m's tag-named
+    files): the caller's precondition (no unsettled streaming batch) is
+    re-checked at the moment it matters, under the same lock the
+    streaming appends take — a batch that writes its ``started`` marker
+    after the check blocks on this lock until the swap completes, so
+    its files land in the new directory untouched.
+
+    ``dirty_only`` — for a hive-partitioned table, rewrite ONLY leaf
+    partition dirs holding more than ``files_per_partition`` files
+    (each swapped independently under the table lock). Keeps the
+    hourly compact slot O(new data): a year-old day-partitioned fact
+    table has one dirty partition (today), not 365.
     """
-    import glob
 
     def count_files(p: str) -> int:
-        return len(
-            [
-                f
-                for f in glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
-                if os.path.isfile(f)
-            ]
-        )
+        return sum(leaf_parquet_dirs(p).values())
 
     with _table_lock(path):
+        if guard is not None and not guard():
+            n = count_files(path)
+            return {"files_before": n, "files_after": n, "skipped": 1}
         before = count_files(path)
+        if dirty_only:
+            leaves = leaf_parquet_dirs(path)
+            if path not in leaves:  # partitioned on disk
+                for leaf, n in leaves.items():
+                    if n <= files_per_partition:
+                        continue
+                    # the write-to-temp executes the scan while the
+                    # leaf's files are still in place; the swap follows
+                    tmp = leaf.rstrip("/") + "._compacting"
+                    (
+                        spark.read.parquet(leaf)
+                        .coalesce(files_per_partition)
+                        .write.mode("overwrite")
+                        .parquet(tmp)
+                    )
+                    _swap_dirs(leaf, tmp)
+                return {"files_before": before, "files_after": count_files(path)}
+            # unpartitioned: a full rewrite is the only form — fall through
         df = spark.read.parquet(path)
         tmp = path.rstrip("/") + "._compacting"
         part_cols = (

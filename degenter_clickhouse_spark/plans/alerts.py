@@ -96,18 +96,31 @@ def eval_price_cross(
 
 
 def eval_wallet_trade(alerts: DataFrame, trades: DataFrame, now: Column) -> DataFrame:
+    """Direct (raw-trades) wallet_trade evaluation. Two contracts keep
+    it row-identical to ``eval_wallet_trade_from_partials`` for ANY
+    ``now`` (ADVICE r10 — the two paths previously diverged):
+
+    - the window's lower bound is MINUTE-FLOORED, matching the
+      partials' minute buckets (the reference's MV granularity,
+      mvs.sql) — a non-aligned ``now`` counts the same trades on both
+      paths instead of the store path seeing up to 59 s more;
+    - the empty signer is excluded (it is the reference's "no signer
+      parsed" sentinel, not a wallet — the partials store never
+      contains it, F5 semantics)."""
     a = _params(
         unthrottled(alerts, now).filter(F.col("kind") == "wallet_trade"),
         ("address", "string"),
         ("since_min", "long"),
     ).withColumn("want_direction", F.get_json_object("params", "$.direction"))
-    t = trades.filter(F.col("action") == "swap").select(
+    t = trades.filter(
+        (F.col("action") == "swap") & (F.col("signer") != "")
+    ).select(
         F.col("signer").alias("address"),
         F.col("direction").alias("t_direction"),
         "created_at",
     )
-    in_window = F.col("created_at") >= now - (
-        F.col("since_min") * F.expr("INTERVAL 1 MINUTE")
+    in_window = F.col("created_at") >= F.date_trunc(
+        "minute", now - (F.col("since_min") * F.expr("INTERVAL 1 MINUTE"))
     )
     dir_ok = F.col("want_direction").isNull() | (
         F.col("t_direction") == F.col("want_direction")
@@ -136,17 +149,17 @@ def eval_wallet_trade_from_partials(
     (plans/incremental.py). The 10 s alert tick then reads
     minutes x active signers instead of scanning the trailing day of
     raw trades 8,640x/day; fired rows are identical to
-    ``eval_wallet_trade`` for minute-aligned ``now`` (partials are
-    minute-bucketed — the same window contract as every trailing
-    merge).
+    ``eval_wallet_trade`` for ANY ``now`` — both paths floor the
+    window's lower bound to the minute (ADVICE r10), the partials'
+    native granularity.
 
     ``max_since_min`` — the widest wallet-alert window (dimension-
     sized; the runner collects it once per tick) — turns the __day
     prune into a PLANNING-time partition filter; per-alert minute
     bounds still apply after the join. Alerts on the empty address
-    never fire on either path (partials exclude '', the direct path's
-    F5 semantics keep it out of leaderboards but wallet alerts are
-    per-address — '' is not a wallet)."""
+    never fire on either path (partials exclude ''; the direct path
+    filters it too, ADVICE r10 — '' is the "no signer parsed"
+    sentinel, not a wallet)."""
     from .incremental import dedupe_replayed_partials
 
     a = _params(

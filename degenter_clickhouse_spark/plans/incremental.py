@@ -631,7 +631,7 @@ def trim_store_days(path: str, keep_from) -> int:
 
 
 def compact_partials_store(
-    spark, path: str, unsafe_tag: str | None = None
+    spark, path: str, unsafe_tag=None
 ) -> dict[str, int]:
     """OPTIMIZE pass for a partials store (VERDICT r9 missing #2):
     streaming appends one file per micro-batch per day — thousands of
@@ -640,19 +640,30 @@ def compact_partials_store(
     PRE-MERGED to one row per (group, minute) using the SAME
     representation rules the reads apply (sums add; exact signer sets
     union, or NULL when any constituent minute was hot; HLL states
-    union; the '' membership bit maxes), then rewritten one file per
-    day via write-to-temp + swap under the table writer lock — the
+    union; the '' membership bit maxes), rewritten one file per day
+    via write-to-temp + swap under the table writer lock — the
     streaming appends take the same lock, so no in-flight append can
     be dropped. Untagged stores (runner-CDC layout: day-overwritten,
     never duplicated) only need the file-count rewrite and delegate to
     ``compact_table``.
 
-    Replay safety: rows whose tag equals ``unsafe_tag``
+    Only DIRTY day partitions (more than one file) are touched
+    (ADVICE r10): a (group, minute) key never spans days, so merging
+    day-by-day is exactly the global merge, and a single-file day was
+    written by one append — nothing in it can merge. A year-retention
+    signer store therefore costs one day's rewrite per slot, not 365.
+
+    Replay safety: rows whose tag equals the unsafe tag
     (streaming/pipeline.unsafe_partials_tag — the one batch whose
     appends ran but whose done marker never settled, i.e. the only
-    batch a crash replay may RE-APPEND) are carried through unmerged;
-    every other tagged batch has its done marker, so its replay skips
-    the appends and merging it is safe. Merged rows carry a NULL tag.
+    batch a crash replay may RE-APPEND) are carried through unmerged.
+    ``unsafe_tag`` may be the tag itself or a CALLABLE re-evaluated
+    after the lock is acquired (ADVICE r10 TOCTOU: the marker read at
+    tick start can predate an indexer batch that starts during the
+    preceding rewrites; ``started`` is written before any of a batch's
+    appends and appends block on this same lock, so the under-lock
+    read is current for every row this pass can see). Merged rows
+    carry a NULL tag.
 
     Window-budget note: the guard in ``trailing_volumes`` sums STORED
     exact-set sizes; merging replaces per-batch duplicates with their
@@ -661,67 +672,72 @@ def compact_partials_store(
 
     Returns {"files_before": n, "files_after": m}.
     """
-    import glob
-    import os
-
-    from ..operators.merge import _swap_dirs, _table_lock, compact_table
+    from ..operators.merge import (
+        _swap_dirs,
+        _table_lock,
+        compact_table,
+        leaf_parquet_dirs,
+    )
 
     probe = spark.read.parquet(path)
     if "__batch" not in probe.columns:
-        return compact_table(spark, path, partition_col="__day")
+        return compact_table(
+            spark, path, partition_col="__day", dirty_only=True
+        )
 
     group_col = "signer" if "signer" in probe.columns else "pool_id"
 
     def count_files(p: str) -> int:
-        return len(glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True))
+        return sum(leaf_parquet_dirs(p).values())
 
     with _table_lock(path, timeout_s=300.0):
+        unsafe = unsafe_tag() if callable(unsafe_tag) else unsafe_tag
         before = count_files(path)
-        df = spark.read.parquet(path).drop("__day")
-        data_cols = [
-            c for c in df.columns if c not in (group_col, "minute", "__batch")
-        ]
-        aggs = []
-        for c in data_cols:
-            if c == "signers":
-                aggs.append(
-                    F.when(
-                        F.count(F.lit(1)) == F.count(F.col("signers")),
-                        F.array_distinct(F.flatten(F.collect_list("signers"))),
-                    ).alias(c)
+        leaves = leaf_parquet_dirs(path)
+        for leaf, n_files in leaves.items():
+            if leaf == path or n_files <= 1:
+                continue
+            df = spark.read.parquet(leaf)  # one day: no __day column
+            data_cols = [
+                c for c in df.columns if c not in (group_col, "minute", "__batch")
+            ]
+            aggs = []
+            for c in data_cols:
+                if c == "signers":
+                    aggs.append(
+                        F.when(
+                            F.count(F.lit(1)) == F.count(F.col("signers")),
+                            F.array_distinct(F.flatten(F.collect_list("signers"))),
+                        ).alias(c)
+                    )
+                elif c == "signers_sk":
+                    aggs.append(F.hll_union_agg(F.col(c)).alias(c))
+                elif c == "has_empty_signer":
+                    aggs.append(F.max(F.col(c)).alias(c))
+                else:  # decomposed sums/counts: exactly mergeable
+                    aggs.append(F.sum(F.col(c)).alias(c))
+            if unsafe is not None:
+                safe = df.filter(
+                    F.col("__batch").isNull() | (F.col("__batch") != unsafe)
                 )
-            elif c == "signers_sk":
-                aggs.append(F.hll_union_agg(F.col(c)).alias(c))
-            elif c == "has_empty_signer":
-                aggs.append(F.max(F.col(c)).alias(c))
-            else:  # decomposed sums/counts: exactly mergeable
-                aggs.append(F.sum(F.col(c)).alias(c))
-        if unsafe_tag is not None:
-            safe = df.filter(
-                F.col("__batch").isNull() | (F.col("__batch") != unsafe_tag)
+                carried = df.filter(F.col("__batch") == unsafe)
+            else:
+                safe, carried = df, None
+            # collapse replay duplicates first (identical rows, same
+            # tag), then merge across batches; merged rows lose batch
+            # identity
+            merged = (
+                safe.dropDuplicates([group_col, "minute", "__batch"])
+                .groupBy(group_col, "minute")
+                .agg(*aggs)
+                .withColumn("__batch", F.lit(None).cast("string"))
             )
-            carried = df.filter(F.col("__batch") == unsafe_tag)
-        else:
-            safe, carried = df, None
-        # collapse replay duplicates first (identical rows, same tag),
-        # then merge across batches; merged rows lose batch identity
-        merged = (
-            safe.dropDuplicates([group_col, "minute", "__batch"])
-            .groupBy(group_col, "minute")
-            .agg(*aggs)
-            .withColumn("__batch", F.lit(None).cast("string"))
-        )
-        out = merged if carried is None else merged.unionByName(carried)
-        out = out.localCheckpoint(eager=True)  # sever from the files we swap
-        tmp = path.rstrip("/") + "._compacting"
-        (
-            out.withColumn("__day", F.to_date("minute"))
-            .repartition(F.col("__day"))
-            .write.mode("overwrite")
-            .partitionBy("__day")
-            .parquet(tmp)
-        )
-        _swap_dirs(path, tmp)
+            out = merged if carried is None else merged.unionByName(carried)
+            tmp = leaf.rstrip("/") + "._compacting"
+            # the write executes the read while the leaf's files are
+            # still in place; the swap follows
+            out.coalesce(1).write.mode("overwrite").parquet(tmp)
+            _swap_dirs(leaf, tmp)
         return {"files_before": before, "files_after": count_files(path)}
 
 

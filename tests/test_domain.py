@@ -624,8 +624,10 @@ def test_alert_price_anomaly(spark):
 def test_wallet_alerts_from_partials_equal_direct(spark, dom):
     """VERDICT r9 #2: wallet_trade evaluation off the signer-minute
     partials fires exactly the direct raw-trades evaluation's rows —
-    including per-direction filters, short windows, and a bogus
-    direction that matches nothing — at minute-aligned now."""
+    including per-direction filters, short windows, a bogus direction
+    that matches nothing, and an empty-address alert that neither path
+    may fire — at a NON-minute-aligned now (ADVICE r10: both paths
+    floor the window bound to the minute)."""
     from degenter_clickhouse_spark.plans import incremental as INC
 
     wallet = (
@@ -640,9 +642,14 @@ def test_wallet_alerts_from_partials_equal_direct(spark, dom):
         (14, None, "wallet_trade", json.dumps({"address": wallet, "since_min": 1440, "direction": "bogus"}), 300, None, True),
         (15, None, "wallet_trade", json.dumps({"address": wallet, "since_min": 1}), 300, None, True),
         (16, None, "wallet_trade", json.dumps({"address": "zignobody", "since_min": 1440}), 300, None, True),
+        (17, None, "wallet_trade", json.dumps({"address": "", "since_min": 1440}), 300, None, True),
     ]
     a = spark.createDataFrame(rows, S.ALERTS)
-    now = _now()
+    # 37 s past the minute: the direct path must not count the extra
+    # sub-minute slice the partials cannot see
+    now = F.lit(
+        (NOW + timedelta(seconds=37)).strftime("%Y-%m-%d %H:%M:%S")
+    ).cast("timestamp")
     direct = {
         (r.alert_id, r.address): r.n_trades
         for r in AL.eval_wallet_trade(a, dom["trades_clean"], now).collect()
@@ -657,6 +664,7 @@ def test_wallet_alerts_from_partials_equal_direct(spark, dom):
     assert got == direct
     assert 11 in {k[0] for k in got}  # non-trivial
     assert 14 not in {k[0] for k in got}  # bogus direction never fires
+    assert 17 not in {k[0] for k in got}  # '' is not a wallet (ADVICE r10)
     # day-partitioned store variant: the prune + merge path
     import tempfile
 

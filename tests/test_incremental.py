@@ -1124,7 +1124,9 @@ def test_runner_compacts_streamed_stores(spark, dom, tmp_path, monkeypatch):  # 
             b.localCheckpoint(eager=True), out,
             SP._batch_tag(str(tmp_path / "ck"), i), hot_signer_threshold=4096,
         )
-    monkeypatch.setattr(J, "COMPACT_MIN_FILES", 2)
+    # the gate counts EXCESS files beyond one per day partition
+    # (ADVICE r10): two appends into the fixture's single day = 1
+    monkeypatch.setattr(J, "COMPACT_MIN_FILES", 1)
 
     eng = DegenterEngine(spark, tables={
         "tokens": dom["tokens"], "pools": dom["pools"], "trades": trades,
@@ -1203,3 +1205,114 @@ def test_runner_store_mode_split_dirs(spark, dom, tmp_path):  # noqa: F811
     assert files and all("storage" in f for f in files), files
     with pytest.raises(ValueError, match="store_dir requires"):
         JobsRunner(mk_engine(), out_a, store_dir=storage)
+
+
+def test_compact_partials_callable_unsafe_tag_resolved_under_lock(
+    spark, dom, tmp_path
+):
+    """ADVICE r10 TOCTOU: the unsafe tag is re-read INSIDE the table
+    lock, so a marker written after the compaction pass was scheduled
+    (but before this table's rewrite) still protects its batch — the
+    pass carries those rows unmerged instead of collapsing them to a
+    NULL tag a crash replay could then double."""
+    import os
+
+    from degenter_clickhouse_spark.streaming import pipeline as SP
+
+    trades = dom["trades_clean"].cache()
+    n = trades.count()
+    out = str(tmp_path / "out")
+    os.makedirs(out, exist_ok=True)
+    halves = [trades.limit(n // 2), trades.subtract(trades.limit(n // 2))]
+    tags = [SP._batch_tag(str(tmp_path / "ck"), i) for i in range(2)]
+    for b, tag in zip(halves, tags):
+        SP.maintain_partials_for_batch(
+            b.localCheckpoint(eager=True), out, tag, hot_signer_threshold=4096
+        )
+    calls = []
+
+    def late_marker():
+        # simulates the indexer writing `started` between tick start
+        # and this table's lock acquisition
+        calls.append(1)
+        SP._write_marker(SP._marker_paths(out)[0], tags[1])
+        SP._write_marker(SP._marker_paths(out)[1], tags[0])
+        return SP.unsafe_partials_tag(out)
+
+    INC.compact_partials_store(
+        spark, f"{out}/minute_partials", unsafe_tag=late_marker
+    )
+    assert calls  # resolved lazily, not at schedule time
+    pm = spark.read.parquet(f"{out}/minute_partials")
+    assert pm.filter(F.col("__batch") == tags[1]).count() > 0  # carried
+    assert pm.filter(F.col("__batch") == tags[0]).count() == 0  # merged
+    trades.unpersist()
+
+
+def test_compact_table_guard_checked_under_lock(spark, tmp_path):
+    """compact_table(guard=...) skips the rewrite when the under-lock
+    re-check fails (the ohlcv_1m tag-file protection), and proceeds
+    when it passes."""
+    import glob
+
+    from degenter_clickhouse_spark.operators import merge as M
+
+    path = str(tmp_path / "t")
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    for _ in range(3):
+        df.coalesce(1).write.mode("append").parquet(path)
+    before = sorted(glob.glob(f"{path}/*.parquet"))
+    got = M.compact_table(
+        spark, path, partition_col=None, guard=lambda: False
+    )
+    assert got.get("skipped") == 1
+    assert sorted(glob.glob(f"{path}/*.parquet")) == before  # untouched
+    got = M.compact_table(
+        spark, path, partition_col=None, guard=lambda: True
+    )
+    assert "skipped" not in got and got["files_after"] < got["files_before"]
+    assert spark.read.parquet(path).count() == 300
+
+
+def test_compact_dirty_only_touches_only_dirty_partitions(spark, tmp_path):
+    """ADVICE r10 (medium): the hourly compact slot must be O(new
+    data) — a partitioned table rewrites ONLY partitions holding more
+    than the per-partition target, and the excess-file gate stops
+    re-triggering once every partition is compacted (a total-count
+    gate rewrote the whole table every slot forever once it had more
+    partitions than the threshold)."""
+    import glob
+
+    from degenter_clickhouse_spark.operators import merge as M
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(d, i) for d in ("2024-03-01", "2024-03-02") for i in range(10)],
+        "dt string, v long",
+    )
+    # day 1: one clean file; day 2: three fragment files
+    df.filter(F.col("dt") == "2024-03-01").coalesce(1).write.mode(
+        "append"
+    ).partitionBy("dt").parquet(path)
+    for _ in range(3):
+        df.filter(F.col("dt") == "2024-03-02").coalesce(1).write.mode(
+            "append"
+        ).partitionBy("dt").parquet(path)
+    clean = glob.glob(f"{path}/dt=2024-03-01/*.parquet")
+    assert len(clean) == 1
+    clean_stat = (clean[0], __import__("os").stat(clean[0]).st_mtime_ns)
+    assert M.excess_file_count(path, 1) == 2
+    before = sorted(
+        (r.dt, r.v) for r in spark.read.parquet(path).collect()
+    )
+    M.compact_table(spark, path, partition_col="dt", dirty_only=True)
+    # dirty day collapsed, clean day's file is the SAME file on disk
+    assert len(glob.glob(f"{path}/dt=2024-03-02/*.parquet")) == 1
+    got = glob.glob(f"{path}/dt=2024-03-01/*.parquet")
+    assert len(got) == 1
+    assert (got[0], __import__("os").stat(got[0]).st_mtime_ns) == clean_stat
+    assert sorted(
+        (r.dt, r.v) for r in spark.read.parquet(path).collect()
+    ) == before
+    # steady state: nothing left for the gate to trigger on
+    assert M.excess_file_count(path, 1) == 0
