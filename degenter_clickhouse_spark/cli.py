@@ -57,6 +57,13 @@ def main(argv: list[str] | None = None) -> int:
              "under --storage (indexer --maintain-partials) instead of "
              "re-aggregating raw trades every tick",
     )
+    jb.add_argument(
+        "--partials-retention-days", type=int, default=None,
+        help="drop partials-store day partitions older than this many "
+             "days in the hourly compact slot (default: keep forever); "
+             "the keep window auto-extends to cover the widest live "
+             "wallet-trade alert and the 24h buckets",
+    )
 
     qr = sub.add_parser("query", help="run SQL over the engine views")
     qr.add_argument("--storage", required=True)
@@ -825,6 +832,7 @@ def main(argv: list[str] | None = None) -> int:
             engine, args.output, lcd=lcd,
             partials_source=args.partials_source,
             store_dir=args.storage if args.partials_source == "store" else None,
+            partials_retention_days=args.partials_retention_days,
         )
         if args.once:
             print("ran:", runner.tick())

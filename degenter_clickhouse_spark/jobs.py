@@ -122,6 +122,7 @@ class JobsRunner:
                  hot_signer_threshold: int = HOT_SIGNER_THRESHOLD,
                  partials_source: str | None = None,
                  store_dir: str | None = None,
+                 partials_retention_days: int | None = None,
                  fx=None, lcd=None):
         self.engine = engine
         self.output_dir = output_dir
@@ -184,6 +185,23 @@ class JobsRunner:
             self.store_dir, "large_trades_store"
         )
         self.large_trades_min_zig = LARGE_TRADE_MIN_ZIG
+        # retention for the partials stores (ADVICE r10 noted the
+        # tension: signer_minute_partials must outlive the WIDEST
+        # wallet-alert window, yet an untrimmed store grows one day
+        # dir per day forever). None (default) keeps everything — the
+        # reference keeps full history too; when set, the compact slot
+        # drops whole __day partition dirs older than the keep window,
+        # which is always extended to cover the widest live wallet
+        # alert plus the 24h matrix/leaderboard buckets (+2 days of
+        # minute-floor/timezone slack) so a trim can never starve a
+        # serving read. Days a trim removed can be rebuilt from the
+        # fact table / versioned history if an even wider alert is
+        # registered later.
+        self.partials_retention_days = (
+            int(partials_retention_days)
+            if partials_retention_days is not None
+            else None
+        )
         from .sources.pollers import FileCheckpoint
 
         os.makedirs(output_dir, exist_ok=True)
@@ -355,6 +373,25 @@ class JobsRunner:
             "24h", min_zig=self.large_trades_min_zig, now=now
         )
 
+    def _widest_wallet_window_min(self) -> int | None:
+        """Max ``since_min`` over live wallet_trade alerts (the alerts
+        dim is dimension-sized — one scalar collect), or None when no
+        alerts table / no wallet alerts exist."""
+        if "alerts" not in self.engine.tables:
+            return None
+        mx = (
+            self.engine.table("alerts")
+            .filter(F.col("kind") == "wallet_trade")
+            .agg(
+                F.max(
+                    F.get_json_object("params", "$.since_min").cast("long")
+                ).alias("m")
+            )
+            .collect()[0]
+            .m
+        )
+        return int(mx) if mx is not None else None
+
     def _alert_kwargs(self, now) -> dict:
         """Pre-aggregated inputs for the 10 s alert tick (VERDICT r9
         #2 / stretch #8): at 100 TB the tick cannot re-scan the
@@ -372,19 +409,9 @@ class JobsRunner:
             # widest wallet window: the alerts dim is tiny — one
             # scalar collect turns the store's __day prune into a
             # planning-time partition filter
-            mx = (
-                self.engine.table("alerts")
-                .filter(F.col("kind") == "wallet_trade")
-                .agg(
-                    F.max(
-                        F.get_json_object("params", "$.since_min").cast("long")
-                    ).alias("m")
-                )
-                .collect()[0]
-                .m
-            )
+            mx = self._widest_wallet_window_min()
             if mx is not None:
-                kwargs["max_wallet_window_min"] = int(mx)
+                kwargs["max_wallet_window_min"] = mx
         lt_store = self._partials_frame(self.large_trades_path)
         if lt_store is not None:
             from .plans import incremental as INC
@@ -613,6 +640,34 @@ class JobsRunner:
                 if excess_file_count(path, 1) >= COMPACT_MIN_FILES:
                     INC.compact_partials_store(
                         self.engine.spark, path, unsafe_tag=_unsafe
+                    )
+            if self.partials_retention_days is not None:
+                # retention trim: whole __day partition dirs, no data
+                # rewrite. The keep window can only be WIDENED by live
+                # readers: the 24h matrix/leaderboard buckets and the
+                # widest wallet-trade alert window (+2 days of
+                # minute-floor slack) always survive regardless of how
+                # aggressive the configured retention is.
+                import math
+                from datetime import datetime, timedelta, timezone
+
+                need_min = PM.BUCKETS["24h"]
+                widest = self._widest_wallet_window_min()
+                signer_need_min = max(need_min, widest or 0)
+                for name, need in (
+                    ("minute_partials", need_min),
+                    ("signer_minute_partials", signer_need_min),
+                ):
+                    keep_days = max(
+                        self.partials_retention_days,
+                        math.ceil(need / 1440) + 2,
+                    )
+                    keep_from = (
+                        datetime.fromtimestamp(at, tz=timezone.utc)
+                        - timedelta(days=keep_days)
+                    ).date()
+                    INC.trim_store_days(
+                        os.path.join(self.store_dir, name), keep_from
                     )
             ran.append("compact")
         for job in ran:

@@ -679,7 +679,12 @@ def compact_partials_store(
         leaf_parquet_dirs,
     )
 
-    probe = spark.read.parquet(path)
+    try:
+        probe = spark.read.parquet(path)
+    except Exception:
+        # store dir exists but holds no committed files yet (racing
+        # with the indexer's very first append): nothing to compact
+        return {"files_before": 0, "files_after": 0}
     if "__batch" not in probe.columns:
         return compact_table(
             spark, path, partition_col="__day", dirty_only=True

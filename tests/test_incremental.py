@@ -1316,3 +1316,191 @@ def test_compact_dirty_only_touches_only_dirty_partitions(spark, tmp_path):
     ) == before
     # steady state: nothing left for the gate to trigger on
     assert M.excess_file_count(path, 1) == 0
+
+
+def test_runner_partials_retention_trim(spark, dom, tmp_path):
+    """Opt-in retention for the partials stores (ADVICE r10 noted the
+    year-retention signer store): the compact slot drops day partition
+    dirs past the configured window, but the keep window auto-extends
+    to cover the widest live wallet-trade alert — a trim can never
+    starve the 10 s alert tick's store reads."""
+    import json as _json
+    import os
+
+    from degenter_clickhouse_spark import jobs as J
+    from degenter_clickhouse_spark import schemas as S
+    from degenter_clickhouse_spark.engine import DegenterEngine
+    from degenter_clickhouse_spark.streaming import pipeline as SP
+
+    from .test_domain import NOW
+
+    trades = dom["trades_clean"].cache()
+    old = trades.withColumn(
+        "created_at", F.col("created_at") - F.expr("INTERVAL 400 DAYS")
+    )
+    out = str(tmp_path / "out")
+    os.makedirs(out, exist_ok=True)
+    tags = [SP._batch_tag(str(tmp_path / "ck"), i) for i in range(2)]
+    SP.maintain_partials_for_batch(
+        trades.localCheckpoint(eager=True), out, tags[0],
+        hot_signer_threshold=4096,
+    )
+    SP.maintain_partials_for_batch(
+        old.localCheckpoint(eager=True), out, tags[1],
+        hot_signer_threshold=4096,
+    )
+
+    def days(name):
+        return sorted(
+            d for d in os.listdir(os.path.join(out, name))
+            if d.startswith("__day=")
+        )
+
+    assert len(days("minute_partials")) >= 2
+    old_day, recent_day = days("minute_partials")[0], days("minute_partials")[-1]
+
+    def mk_engine(alert_rows):
+        return DegenterEngine(spark, tables={
+            "tokens": dom["tokens"], "pools": dom["pools"], "trades": trades,
+            "prices": dom["prices"], "pool_state": dom["pool_state"],
+            "ohlcv_1m": dom["ohlcv_1m"],
+            "exchange_rates": dom["exchange_rates"],
+            "holders": dom["holders"],
+            "alerts": spark.createDataFrame(alert_rows, S.ALERTS),
+        })
+
+    cadences = {"security": 10**9, "alerts": 10**9}
+    at = NOW.timestamp()
+
+    # narrow alert (1 day): both stores trim the 400-day-old day
+    narrow = [(1, None, "wallet_trade",
+               _json.dumps({"address": "zigwallet001", "since_min": 1440}),
+               300, None, True)]
+    runner = J.JobsRunner(mk_engine(narrow), out, cadences=cadences,
+                          partials_source="store",
+                          partials_retention_days=30)
+    runner.tick(at=at, now_col=_now())
+    assert old_day not in days("minute_partials")
+    assert old_day not in days("signer_minute_partials")
+    assert recent_day in days("minute_partials")
+    assert recent_day in days("signer_minute_partials")
+
+    # wide alert (500 days): the signer store keeps the old day, the
+    # minute store (matrices: 24h window) still trims it
+    SP.maintain_partials_for_batch(
+        old.localCheckpoint(eager=True), out, tags[1],
+        hot_signer_threshold=4096,
+    )
+    assert old_day in days("signer_minute_partials")
+    wide = [(2, None, "wallet_trade",
+             _json.dumps({"address": "zigwallet001",
+                          "since_min": 500 * 1440}),
+             300, None, True)]
+    runner2 = J.JobsRunner(mk_engine(wide), str(tmp_path / "out2"),
+                           cadences=cadences, partials_source="store",
+                           store_dir=out, partials_retention_days=30)
+    runner2.tick(at=at, now_col=_now())
+    assert old_day in days("signer_minute_partials")
+    assert old_day not in days("minute_partials")
+    # default: no retention configured -> nothing is ever trimmed
+    SP.maintain_partials_for_batch(
+        old.localCheckpoint(eager=True), out, tags[1],
+        hot_signer_threshold=4096,
+    )
+    runner3 = J.JobsRunner(mk_engine(narrow), str(tmp_path / "out3"),
+                           cadences=cadences, partials_source="store",
+                           store_dir=out)
+    runner3.tick(at=at, now_col=_now())
+    assert old_day in days("minute_partials")
+    trades.unpersist()
+
+
+def test_concurrent_appends_vs_compaction_race(spark, dom, tmp_path):
+    """Real-concurrency exercise of the ADVICE r10 TOCTOU fix: an
+    indexer thread appends batches under the started/done marker
+    protocol while a maintenance thread compacts the store in a loop
+    with the CALLABLE unsafe tag. Whatever interleaving the scheduler
+    picks, the final trailing merge must equal a single-writer build —
+    no row lost to a rewrite, none double-counted by a merge of an
+    unsettled batch."""
+    import os
+    import threading
+
+    from degenter_clickhouse_spark.streaming import pipeline as SP
+
+    trades = dom["trades_clean"].cache()
+    n = trades.count()
+    out = str(tmp_path / "out")
+    os.makedirs(out, exist_ok=True)
+    cuts = [0, n // 4, n // 2, 3 * n // 4, n]
+    batches = [
+        trades.limit(cuts[i + 1]).subtract(trades.limit(cuts[i]))
+        .localCheckpoint(eager=True)
+        for i in range(4)
+    ]
+    tags = [SP._batch_tag(str(tmp_path / "ck"), i) for i in range(4)]
+    errors: list[BaseException] = []
+    done = threading.Event()
+
+    def indexer():
+        try:
+            started_p, done_p = SP._marker_paths(out)
+            for b, tag in zip(batches, tags):
+                SP._write_marker(started_p, tag)
+                SP.maintain_partials_for_batch(
+                    b, out, tag, hot_signer_threshold=4096
+                )
+                SP._write_marker(done_p, tag)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+        finally:
+            done.set()
+
+    def compactor():
+        try:
+            while not done.is_set():
+                for name in ("minute_partials", "signer_minute_partials"):
+                    path = os.path.join(out, name)
+                    if os.path.isdir(path):
+                        INC.compact_partials_store(
+                            spark, path,
+                            unsafe_tag=lambda: SP.unsafe_partials_tag(out),
+                        )
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    t1 = threading.Thread(target=indexer)
+    t2 = threading.Thread(target=compactor)
+    t1.start(); t2.start()
+    t1.join(timeout=600); t2.join(timeout=600)
+    assert not errors, errors
+    assert not t1.is_alive() and not t2.is_alive()
+
+    want_pm = sorted(
+        (r.pool_id, r.tx_buy, r.tx_sell, r.traders, float(r.vol_buy_base))
+        for r in INC.trailing_volumes(
+            INC.minute_partials(trades, hot_signer_threshold=4096),
+            _now(), 1440,
+        ).collect()
+    )
+    got_pm = sorted(
+        (r.pool_id, r.tx_buy, r.tx_sell, r.traders, float(r.vol_buy_base))
+        for r in INC.trailing_volumes(
+            spark.read.parquet(f"{out}/minute_partials"), _now(), 1440
+        ).collect()
+    )
+    assert got_pm == want_pm
+    want_lb = sorted(
+        (r.signer, r.trades, round(r.volume_zig, 9))
+        for r in INC.leaderboard_from_partials(
+            INC.signer_minute_partials(trades), _now(), 1440
+        ).collect()
+    )
+    got_lb = sorted(
+        (r.signer, r.trades, round(r.volume_zig, 9))
+        for r in INC.leaderboard_from_partials(
+            spark.read.parquet(f"{out}/signer_minute_partials"), _now(), 1440
+        ).collect()
+    )
+    assert got_lb == want_lb
+    trades.unpersist()
