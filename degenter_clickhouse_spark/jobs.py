@@ -60,7 +60,7 @@ COMPACT_TABLES = (
     ("trades", "dt", 1),
     ("prices", None, 8),
     ("pool_state", None, 8),
-    ("ohlcv_1m", None, 8),
+    ("ohlcv_1m", "__day", 1),
     ("pools", None, 1),
     ("large_trades_store", "__day", 1),
 )

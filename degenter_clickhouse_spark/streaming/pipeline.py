@@ -94,14 +94,25 @@ def unsafe_partials_tag(output_dir: str) -> str | None:
     return started if started is not None and started != done else None
 
 
-def _tagged_file_append(df: DataFrame, path: str, tag: str) -> None:
+def _tagged_file_append(
+    df: DataFrame, path: str, tag: str, day_of: str = "bucket_start"
+) -> None:
     """Exactly-once append for a table whose reads SUM duplicate rows
     (ohlcv_1m: resample adds volume/trade_count — a replay duplicate
     double-counts, a lost append under-counts forever). The batch
     identity lives in the FILE NAMES (``part-<tag>-<i>``), so a
     crashed attempt's files are unlinked before the rewrite and the
     reader schema never changes. Holds the table writer lock like
-    every other streaming append."""
+    every other streaming append.
+
+    Files land in ``__day=`` partition dirs (from ``day_of``) like
+    every other streamed store, so the hourly compact slot rewrites
+    only dirty days instead of the whole table (ADVICE r10 — the
+    unpartitioned layout made ohlcv compaction O(table age) forever)
+    and day-bounded reads prune at planning time. The replay unlink
+    globs recursively: it removes a crashed attempt's files in
+    whichever days that batch touched (and root-level files from a
+    pre-partitioned store)."""
     import glob
     import shutil
 
@@ -110,13 +121,40 @@ def _tagged_file_append(df: DataFrame, path: str, tag: str) -> None:
     safe = tag.replace(":", "-")
     os.makedirs(path, exist_ok=True)
     with _table_lock(path, timeout_s=300.0):
-        for f in glob.glob(os.path.join(path, f"part-{safe}-*")):
+        for f in glob.glob(
+            os.path.join(path, "**", f"part-{safe}-*"), recursive=True
+        ):
             os.remove(f)  # crashed prior attempt of this same batch
         tmp = os.path.join(path, f"._batch_{safe}")  # dot-dir: invisible
-        df.write.mode("overwrite").parquet(tmp)
-        files = sorted(glob.glob(os.path.join(tmp, "*.parquet")))
-        for i, f in enumerate(files):
-            os.replace(f, os.path.join(path, f"part-{safe}-{i}.snappy.parquet"))
+        if glob.glob(os.path.join(path, "*.parquet")):
+            # pre-partitioned store (root-level data files): keep the
+            # legacy flat layout — Spark cannot read a table mixing
+            # root files with partition dirs; migrate by draining +
+            # rebuilding the store
+            df.write.mode("overwrite").parquet(tmp)
+            files = sorted(glob.glob(os.path.join(tmp, "*.parquet")))
+            for i, f in enumerate(files):
+                os.replace(
+                    f, os.path.join(path, f"part-{safe}-{i}.snappy.parquet")
+                )
+            shutil.rmtree(tmp, ignore_errors=True)
+            return
+        (
+            df.withColumn("__day", F.to_date(day_of))
+            .repartition(F.col("__day"))
+            .write.mode("overwrite")
+            .partitionBy("__day")
+            .parquet(tmp)
+        )
+        i = 0
+        for day_dir in sorted(glob.glob(os.path.join(tmp, "__day=*"))):
+            dest = os.path.join(path, os.path.basename(day_dir))
+            os.makedirs(dest, exist_ok=True)
+            for f in sorted(glob.glob(os.path.join(day_dir, "*.parquet"))):
+                os.replace(
+                    f, os.path.join(dest, f"part-{safe}-{i}.snappy.parquet")
+                )
+                i += 1
         shutil.rmtree(tmp, ignore_errors=True)
 
 

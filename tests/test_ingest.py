@@ -775,3 +775,87 @@ def test_partials_replay_duplicates_collapse_at_read(spark, tmp_path):
     )["ohlcv_1m"]
     SP._tagged_file_append(replay_ohlcv, f"{out_dir}/ohlcv_1m", tag)
     assert spark.read.parquet(f"{out_dir}/ohlcv_1m").count() == n_ohlcv
+
+
+def test_ohlcv_day_layout_compacts_dirty_days_and_defers_unsettled(
+    spark, tmp_path
+):
+    """ADVICE r10: the streamed ohlcv_1m store is __day-partitioned so
+    the compact slot rewrites only dirty days (the flat layout forced a
+    full-table rewrite forever). The tag-file replay identity survives
+    the layout: an unlink covers whichever days the batch touched, the
+    under-lock guard defers compaction while a batch is unsettled, and
+    resampled reads are identical before/after the rewrite."""
+    import glob
+    import os
+
+    from degenter_clickhouse_spark.operators import merge as M
+    from degenter_clickhouse_spark.operators import ohlcv as OH
+    from degenter_clickhouse_spark.sources import blocks as B
+    from degenter_clickhouse_spark.streaming import pipeline as SP
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [json.dumps(b) for b in raw_blocks()]
+    (landing / "batch1.json").write_text("\n".join(rows))
+    SP.stream_ingest(spark, str(landing), out_dir, ckpt,
+                     router_addr=ROUTER, maintain_partials=True,
+                     hot_signer_threshold=4096)
+    path = f"{out_dir}/ohlcv_1m"
+    day_dirs = glob.glob(f"{path}/__day=*")
+    assert day_dirs  # partitioned layout
+    assert not glob.glob(f"{path}/*.parquet")  # no root-level files
+
+    # a second tagged append (same candles, new tag) fragments the days
+    replay = B.ingest(
+        spark.read.schema(B.RAW_SCHEMA).json(str(landing / "batch1.json")),
+        router_addr=ROUTER,
+    )["ohlcv_1m"].localCheckpoint(eager=True)
+    tag2 = SP._batch_tag(ckpt, 77)
+    SP._tagged_file_append(replay, path, tag2)
+    files_before = glob.glob(f"{path}/**/*.parquet", recursive=True)
+    assert len(files_before) > len(day_dirs)
+
+    def resampled():
+        return sorted(
+            (r.pool_id, str(r.bucket_start), float(r.volume), r.trade_count)
+            for r in OH.resample(
+                spark.read.parquet(path)
+                .drop("__day")
+                .withColumnRenamed("volume_zig", "volume"),
+                900,
+            ).collect()
+        )
+
+    want = resampled()
+
+    # unsettled marker: the guard defers the rewrite (tag files intact)
+    SP._write_marker(SP._marker_paths(out_dir)[0], tag2)
+    SP._write_marker(SP._marker_paths(out_dir)[1], "older")
+    got = M.compact_table(
+        spark, path, partition_col="__day", dirty_only=True,
+        guard=lambda: SP.unsafe_partials_tag(out_dir) is None,
+    )
+    assert got.get("skipped") == 1
+    assert sorted(glob.glob(f"{path}/**/*.parquet", recursive=True)) == sorted(
+        files_before
+    )
+    # the unsettled batch's replay unlinks its files across day dirs
+    safe2 = tag2.replace(":", "-")
+    assert glob.glob(f"{path}/**/part-{safe2}-*", recursive=True)
+    SP._tagged_file_append(replay, path, tag2)
+    assert resampled() == want  # idempotent under the day layout
+
+    # settled: dirty-only rewrite collapses each day to one file
+    SP._write_marker(SP._marker_paths(out_dir)[1], tag2)
+    got = M.compact_table(
+        spark, path, partition_col="__day", dirty_only=True,
+        guard=lambda: SP.unsafe_partials_tag(out_dir) is None,
+    )
+    assert "skipped" not in got
+    assert got["files_after"] == len(day_dirs)
+    assert resampled() == want
+    # steady state: nothing left for the excess gate
+    assert M.excess_file_count(path, 1) == 0
