@@ -52,14 +52,16 @@ DEFAULT_CADENCES = {
 # day forever, so a total-count gate re-triggers a full-table rewrite
 # every slot once the table is >= threshold days old, holding the
 # writer lock streaming appends block on); partitioned tables rewrite
-# only their dirty partitions. Larger unpartitioned streamed tables
-# keep several files so a compacted table still scans in parallel.
+# only their dirty partitions. Every streamed fact/derived store is
+# day-partitioned (prices/pool_state/ohlcv_1m via the streaming
+# appends, trades via dt) so compaction stays O(new data); a legacy
+# flat store keeps its layout and compacts as one unit.
 COMPACT_TABLES = (
     ("alert_events", None, 1),
     ("exchange_rates", None, 1),
     ("trades", "dt", 1),
-    ("prices", None, 8),
-    ("pool_state", None, 8),
+    ("prices", "__day", 1),
+    ("pool_state", "__day", 1),
     ("ohlcv_1m", "__day", 1),
     ("pools", None, 1),
     ("large_trades_store", "__day", 1),

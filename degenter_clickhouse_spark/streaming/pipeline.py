@@ -94,6 +94,32 @@ def unsafe_partials_tag(output_dir: str) -> str | None:
     return started if started is not None and started != done else None
 
 
+def _day_partitioned_append(df: DataFrame, path: str, day_of: str) -> None:
+    """Streaming append into ``__day=`` partition dirs (ADVICE r10:
+    flat append-only stores force full-table compaction rewrites and
+    collapse to single files — day partitioning makes the compact slot
+    dirty-only and O(new data)). A pre-partitioned store (root-level
+    data files) keeps its legacy flat layout: Spark cannot read a
+    table mixing both. Replay duplicates remain read-absorbed
+    (keep-latest views), exactly as with the flat layout. Holds the
+    table writer lock like every streaming append."""
+    import glob as _glob
+
+    from ..operators.merge import _table_lock
+
+    with _table_lock(path, timeout_s=300.0):
+        if _glob.glob(os.path.join(path, "*.parquet")):
+            df.write.mode("append").parquet(path)
+            return
+        (
+            df.withColumn("__day", F.to_date(day_of))
+            .repartition(F.col("__day"))
+            .write.mode("append")
+            .partitionBy("__day")
+            .parquet(path)
+        )
+
+
 def _tagged_file_append(
     df: DataFrame, path: str, tag: str, day_of: str = "bucket_start"
 ) -> None:
@@ -302,9 +328,9 @@ def stream_ingest(
             if read_marker(done_p) != tag:
                 _write_marker(started_p, tag)
                 for name in ("prices", "pool_state"):
-                    path = os.path.join(output_dir, name)
-                    with _table_lock(path, timeout_s=300.0):
-                        out[name].write.mode("append").parquet(path)
+                    _day_partitioned_append(
+                        out[name], os.path.join(output_dir, name), "updated_at"
+                    )
                 _tagged_file_append(
                     out["ohlcv_1m"], os.path.join(output_dir, "ohlcv_1m"), tag
                 )
