@@ -128,6 +128,13 @@ def main(argv: list[str] | None = None) -> int:
         help="comma-separated columns: rewrite clustered on the Z-curve "
         "(OPTIMIZE ZORDER analogue; overrides --partition-col)",
     )
+    cp.add_argument(
+        "--dirty-only",
+        action="store_true",
+        help="rewrite only partition dirs holding more than "
+        "--files-per-partition files (O(new data) instead of a full "
+        "table rewrite; no-op clean partitions keep their files)",
+    )
 
     cc = sub.add_parser(
         "corpus-clean",
@@ -477,6 +484,7 @@ def main(argv: list[str] | None = None) -> int:
                 partition_col=None if zb else pc,
                 files_per_partition=args.files_per_partition,
                 zorder_by=zb,
+                dirty_only=args.dirty_only and not zb,
             )
         )
         return 0

@@ -57,8 +57,8 @@ DEFAULT_CADENCES = {
 # appends, trades via dt) so compaction stays O(new data); a legacy
 # flat store keeps its layout and compacts as one unit.
 COMPACT_TABLES = (
-    ("alert_events", None, 1),
-    ("exchange_rates", None, 1),
+    ("alert_events", "__day", 1),
+    ("exchange_rates", "__day", 1),
     ("trades", "dt", 1),
     ("prices", "__day", 1),
     ("pool_state", "__day", 1),
@@ -430,7 +430,23 @@ class JobsRunner:
         return last is None or at - last >= self.cadences[job]
 
     def _write(self, df, name: str) -> None:
-        df.write.mode("overwrite").parquet(os.path.join(self.output_dir, name))
+        """Atomic publish of a serving table (pool_matrix, token_matrix,
+        leaderboard_traders, ...): a plain in-place overwrite first
+        TRUNCATES the live dir, so an API reader racing the 60 s tick
+        sees an empty/torn table (the reference's ClickHouse
+        INSERT...SELECT swaps atomically). Write-to-temp + dir swap
+        leaves either the old or the new table visible at every
+        instant; on an object store the swap becomes a manifest
+        commit (operators/merge._swap_dirs)."""
+        from .operators.merge import _swap_dirs
+
+        path = os.path.join(self.output_dir, name)
+        if not os.path.isdir(path):
+            df.write.mode("overwrite").parquet(path)
+            return
+        tmp = path.rstrip("/") + "._publishing"
+        df.write.mode("overwrite").parquet(tmp)
+        _swap_dirs(path, tmp)
 
     def tick(self, at: float | None = None, now_col=None) -> list[str]:
         """Run every due job once; returns the job names executed."""
@@ -559,8 +575,11 @@ class JobsRunner:
             fired = self.engine.evaluate_alerts(
                 self.engine.table("alerts"), now, **self._alert_kwargs(now)
             )
-            fired.write.mode("append").parquet(
-                os.path.join(self.output_dir, "alert_events")
+            from .streaming.pipeline import _day_partitioned_append
+
+            _day_partitioned_append(
+                fired, os.path.join(self.output_dir, "alert_events"),
+                "fired_at",
             )
             from .plans import alerts as AL
 
@@ -581,10 +600,16 @@ class JobsRunner:
             ts = datetime.fromtimestamp(at, tz=timezone.utc).replace(
                 second=0, microsecond=0, tzinfo=None
             )
+            from .streaming.pipeline import _day_partitioned_append
+
             rates_path = os.path.join(self.output_dir, "exchange_rates")
-            self.engine.spark.createDataFrame(
-                [(ts, float(px))], "ts timestamp, zig_usd double"
-            ).write.mode("append").parquet(rates_path)
+            _day_partitioned_append(
+                self.engine.spark.createDataFrame(
+                    [(ts, float(px))], "ts timestamp, zig_usd double"
+                ),
+                rates_path,
+                "ts",
+            )
             self.engine.set_table(
                 "exchange_rates", self.engine.spark.read.parquet(rates_path)
             )
