@@ -135,6 +135,14 @@ def main(argv: list[str] | None = None) -> int:
         "--files-per-partition files (O(new data) instead of a full "
         "table rewrite; no-op clean partitions keep their files)",
     )
+    cp.add_argument(
+        "--to-day-layout",
+        default=None,
+        metavar="TS_COLUMN",
+        help="one-shot migration of a legacy flat streamed store to "
+        "the __day= partitioned layout (partition by to_date(COLUMN)); "
+        "no-op if the store is already partitioned",
+    )
 
     cc = sub.add_parser(
         "corpus-clean",
@@ -475,6 +483,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "compact":
         from .operators.merge import compact_table
 
+        if args.to_day_layout:
+            from .operators.merge import migrate_to_day_layout
+
+            print(migrate_to_day_layout(spark, args.path, args.to_day_layout))
+            return 0
         pc = args.partition_col if args.partition_col != "none" else None
         zb = args.zorder_by.split(",") if args.zorder_by else None
         print(

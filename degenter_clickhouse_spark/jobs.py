@@ -572,9 +572,16 @@ class JobsRunner:
             self._write(self.engine.holder_stats(), "token_holders_stats")
             ran.append("security")
         if self._due("alerts", at) and "alerts" in self.engine.tables:
+            # fired is dimension-sized: materialize it ONCE before the
+            # append and the throttle write-back — the lazy frame is a
+            # 5-leg union of broadcast/two-phase plans, and reusing it
+            # unmaterialized both recomputes every leg and (via
+            # record_fired feeding the alerts table) compounds the
+            # alerts plan tick over tick until Catalyst/AQE tree
+            # rewrites dominate the 10 s cadence
             fired = self.engine.evaluate_alerts(
                 self.engine.table("alerts"), now, **self._alert_kwargs(now)
-            )
+            ).localCheckpoint(eager=True)
             from .streaming.pipeline import _day_partitioned_append
 
             _day_partitioned_append(
@@ -584,7 +591,10 @@ class JobsRunner:
             from .plans import alerts as AL
 
             self.engine.set_table(
-                "alerts", AL.record_fired(self.engine.table("alerts"), fired, now)
+                "alerts",
+                AL.record_fired(
+                    self.engine.table("alerts"), fired, now
+                ).localCheckpoint(eager=True),
             )
             ran.append("alerts")
         if self.fx is not None and self._due("fx", at):

@@ -391,3 +391,46 @@ def compact_table(
             df.coalesce(files_per_partition).write.mode("overwrite").parquet(tmp)
         _swap_dirs(path, tmp)
         return {"files_before": before, "files_after": count_files(path)}
+
+
+def migrate_to_day_layout(
+    spark: SparkSession,
+    path: str,
+    day_of: str,
+    guard=None,
+) -> dict[str, int]:
+    """One-shot upgrade of a LEGACY flat streamed store (root-level
+    data files) to the ``__day=`` partitioned layout the streaming
+    appends now produce: read, rewrite day-partitioned to a temp dir,
+    swap under the table writer lock. After the swap, appends
+    partition and compaction goes dirty-only; a store that already has
+    no root-level files is left untouched (no-op).
+
+    ``guard`` is re-checked under the lock (same contract as
+    ``compact_table``) — for ohlcv_1m pass a no-unsettled-batch check,
+    since the rewrite strips the tag-named replay identity exactly
+    like a compaction does."""
+    import glob
+
+    with _table_lock(path, timeout_s=300.0):
+        if not glob.glob(os.path.join(path, "*.parquet")):
+            n = sum(leaf_parquet_dirs(path).values())
+            return {"files_before": n, "files_after": n, "skipped": 1}
+        if guard is not None and not guard():
+            n = sum(leaf_parquet_dirs(path).values())
+            return {"files_before": n, "files_after": n, "skipped": 1}
+        before = sum(leaf_parquet_dirs(path).values())
+        df = spark.read.parquet(path)
+        tmp = path.rstrip("/") + "._migrating"
+        (
+            df.withColumn("__day", F.to_date(day_of))
+            .repartition(F.col("__day"))
+            .write.mode("overwrite")
+            .partitionBy("__day")
+            .parquet(tmp)
+        )
+        _swap_dirs(path, tmp)
+        return {
+            "files_before": before,
+            "files_after": sum(leaf_parquet_dirs(path).values()),
+        }

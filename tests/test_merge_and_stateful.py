@@ -1201,3 +1201,51 @@ def test_streaming_maintained_winnow_index(spark, tmp_path):
         tuple(r)
         for r in winnow_index_probe(spark, idx, probe, min_shared=1).collect()
     ) == want
+
+
+def test_migrate_to_day_layout(spark, tmp_path):
+    """One-shot legacy-flat -> __day layout migration: rows preserved,
+    subsequent appends/compaction see a partitioned store, a second
+    run is a no-op, and the guard (ohlcv's no-unsettled-batch check)
+    defers the rewrite."""
+    import glob
+
+    from degenter_clickhouse_spark.operators import merge as M
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("2024-03-01 10:00:00", i) for i in range(10)]
+        + [("2024-03-02 11:00:00", i) for i in range(10)],
+        "ts string, v long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    for _ in range(2):
+        df.coalesce(1).write.mode("append").parquet(path)
+    before = sorted((str(r.ts), r.v) for r in spark.read.parquet(path).collect())
+
+    got = M.migrate_to_day_layout(spark, path, "ts", guard=lambda: False)
+    assert got.get("skipped") == 1  # guard defers, store untouched
+    assert glob.glob(f"{path}/*.parquet")
+
+    got = M.migrate_to_day_layout(spark, path, "ts")
+    assert "skipped" not in got
+    days = sorted(glob.glob(f"{path}/__day=*"))
+    assert [d.split("=")[-1] for d in days] == ["2024-03-01", "2024-03-02"]
+    assert not glob.glob(f"{path}/*.parquet")
+    after = sorted(
+        (str(r.ts), r.v)
+        for r in spark.read.parquet(path).drop("__day").collect()
+    )
+    assert after == before
+    # idempotent: already-partitioned store is a no-op
+    got = M.migrate_to_day_layout(spark, path, "ts")
+    assert got.get("skipped") == 1
+    # migration consolidates to one file per day; fresh partitioned
+    # appends then fragment and dirty-only compaction applies
+    assert M.excess_file_count(path, 1) == 0
+    df.withColumn("__day", F.to_date("ts")).coalesce(1).write.mode(
+        "append"
+    ).partitionBy("__day").parquet(path)
+    assert M.excess_file_count(path, 1) >= 2
+    M.compact_table(spark, path, partition_col="__day", dirty_only=True)
+    assert M.excess_file_count(path, 1) == 0
+    assert spark.read.parquet(path).count() == 60
