@@ -40,6 +40,19 @@ def main(argv: list[str] | None = None) -> int:
              "(the ingest-side alternative to the jobs runner's CDC path)",
     )
 
+    bf = sub.add_parser(
+        "backfill-partials",
+        help="rebuild the minute/signer/large-trades stores from the "
+             "trades table for a day range (canonical per-day "
+             "overwrite; fills gaps when --maintain-partials was "
+             "enabled after history ingested, or repairs trimmed days)",
+    )
+    bf.add_argument("--storage", required=True)
+    bf.add_argument("--from-day", default=None, metavar="YYYY-MM-DD")
+    bf.add_argument("--to-day", default=None, metavar="YYYY-MM-DD")
+    bf.add_argument("--hot-signer-threshold", type=int, default=None)
+    bf.add_argument("--large-trade-min-zig", type=float, default=1000.0)
+
     jb = sub.add_parser("jobs", help="periodic rollup/alert jobs")
     jb.add_argument("--storage", required=True)
     jb.add_argument("--output", required=True)
@@ -837,6 +850,21 @@ def main(argv: list[str] | None = None) -> int:
         rows = rows.localCheckpoint(eager=True)
         rows.write.mode("append").parquet(pools_path)
         print("inserted:", rows.count())
+        return 0
+    if args.cmd == "backfill-partials":
+        import os as _os
+
+        from .plans.incremental import backfill_partials_stores
+
+        trades = spark.read.parquet(_os.path.join(args.storage, "trades"))
+        print(
+            backfill_partials_stores(
+                spark, trades, args.storage,
+                from_day=args.from_day, to_day=args.to_day,
+                hot_signer_threshold=args.hot_signer_threshold,
+                large_trade_min_zig=args.large_trade_min_zig,
+            )
+        )
         return 0
     from .engine import DegenterEngine
 

@@ -822,3 +822,122 @@ def token_rollup_from_partials(
         None, pools, tokens, prices, holders, ohlcv_1m, now, bucket,
         vols=vols, traders=traders,
     )
+
+
+def backfill_partials_stores(
+    spark,
+    trades: DataFrame,
+    store_dir: str,
+    from_day=None,
+    to_day=None,
+    hot_signer_threshold: int | None = None,
+    large_trade_min_zig: float = 1000.0,
+) -> dict[str, int]:
+    """Rebuild the three stream-maintained stores (minute_partials,
+    signer_minute_partials, large_trades_store) from the fact table
+    for a day range — the operational gap the streaming deployment
+    hits when ``maintain_partials`` is enabled AFTER history was
+    already ingested (the runner then falls back to direct trailing
+    scans until the stores cover the window), or when retention
+    trimmed days a newly-widened wallet alert needs back.
+
+    Semantics: canonical recompute per day via DYNAMIC partition
+    overwrite — each touched ``__day`` partition is REPLACED wholesale,
+    so the backfill both fills gaps and repairs a day regardless of
+    what stream-grown rows it held. Days outside [from_day, to_day]
+    are untouched. The partials rows carry a constant
+    ``__batch = 'backfill:<from>:<to>'`` tag so the store stays
+    append-compatible with the streaming writer's tagged schema (the
+    read-side (group, minute, __batch) dedupe treats the backfill as
+    one more settled batch; a re-run of the same backfill overwrites
+    its own partitions — idempotent). large_trades_store rows are
+    untagged like the streaming appends; the W1 keep-latest read
+    absorbs any duplication.
+
+    Writes hold each store's writer lock, so a concurrent indexer
+    append or compact slot cannot interleave with the overwrite.
+
+    Returns per-store row counts written.
+    """
+    import os
+
+    from ..operators.merge import _table_lock
+    from . import leaderboards as LB
+
+    t = trades
+    if from_day is not None:
+        t = t.filter(F.to_date("created_at") >= F.lit(str(from_day)))
+    if to_day is not None:
+        t = t.filter(F.to_date("created_at") <= F.lit(str(to_day)))
+    tag = f"backfill:{from_day or ''}:{to_day or ''}"
+
+    # representation contract (same as refresh_partials_from_changes):
+    # a dual-layout store (hot threshold -> signers_sk column) must be
+    # backfilled with a threshold and a plain store without one, or the
+    # mixed file schemas silently corrupt the all-exact detection
+    try:
+        existing_cols = spark.read.parquet(
+            os.path.join(store_dir, "minute_partials")
+        ).columns
+    except Exception:
+        existing_cols = None
+    if existing_cols is not None:
+        if "signers_sk" in existing_cols and hot_signer_threshold is None:
+            raise ValueError(
+                "store uses the dual signer layout: pass the "
+                "hot_signer_threshold it was built with"
+            )
+        if "signers_sk" not in existing_cols and hot_signer_threshold is not None:
+            raise ValueError(
+                "store uses the plain exact-set layout: backfill "
+                "without hot_signer_threshold"
+            )
+
+    def overwrite_days(df: DataFrame, name: str, day_of: str) -> int:
+        path = os.path.join(store_dir, name)
+        if "__batch" in df.columns:
+            # match the existing store's layout: a runner-CDC store
+            # (day-overwritten, untagged) must not gain a __batch
+            # column mid-table — parquet readers take one file's schema
+            try:
+                if "__batch" not in spark.read.parquet(path).columns:
+                    df = df.drop("__batch")
+            except Exception:
+                pass  # no store yet: keep the streaming-compatible tag
+        out = (
+            df.withColumn("__day", F.to_date(day_of))
+            .repartition(F.col("__day"))
+            .localCheckpoint(eager=True)  # count + write, one compute
+        )
+        n = out.count()
+        if n == 0:
+            return 0  # an all-empty dynamic overwrite writes nothing
+        with _table_lock(path, timeout_s=300.0):
+            (
+                out.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__day")
+                .parquet(path)
+            )
+        return n
+
+    counts = {
+        "minute_partials": overwrite_days(
+            minute_partials(
+                t, hot_signer_threshold=hot_signer_threshold
+            ).withColumn("__batch", F.lit(tag)),
+            "minute_partials",
+            "minute",
+        ),
+        "signer_minute_partials": overwrite_days(
+            signer_minute_partials(t).withColumn("__batch", F.lit(tag)),
+            "signer_minute_partials",
+            "minute",
+        ),
+        "large_trades_store": overwrite_days(
+            LB.large_trades_all(t, large_trade_min_zig),
+            "large_trades_store",
+            "created_at",
+        ),
+    }
+    return counts

@@ -302,3 +302,54 @@ def test_cli_index_winnow_lifecycle(spark, tmp_path, capsys):
     assert "overlap_1e9" in out and "1000000000" in out
     assert main(["index-winnow", "compact", "--index", idx]) == 0
     assert "files_after" in capsys.readouterr().out
+
+
+def test_cli_backfill_partials(spark, tmp_path, capsys):
+    """backfill-partials rebuilds the three stores from a storage
+    dir's trades table and prints per-store counts; the stores then
+    serve a JobsRunner store-mode tick."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from degenter_clickhouse_spark.operators import dedupe
+    from degenter_clickhouse_spark.plans import incremental as INC
+
+    from .fixtures import build
+
+    d = build(spark)
+    clean = dedupe.ingest_dedupe(
+        d["trades"], ["pool_id", "tx_hash", "msg_index"]
+    )
+    storage = str(tmp_path / "storage")
+    os.makedirs(storage, exist_ok=True)
+    clean.write.parquet(f"{storage}/trades")
+    assert (
+        main(
+            [
+                "backfill-partials", "--storage", storage,
+                "--hot-signer-threshold", "4096",
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "minute_partials" in out
+    got = {
+        r.pool_id: (r.tx_buy, r.tx_sell, r.traders)
+        for r in INC.trailing_volumes(
+            spark.read.parquet(f"{storage}/minute_partials"),
+            F.lit("2024-03-01 08:00:00").cast("timestamp"), 1440,
+        ).collect()
+    }
+    want = {
+        r.pool_id: (r.tx_buy, r.tx_sell, r.traders)
+        for r in INC.trailing_volumes(
+            INC.minute_partials(
+                spark.read.parquet(f"{storage}/trades"),
+                hot_signer_threshold=4096,
+            ),
+            F.lit("2024-03-01 08:00:00").cast("timestamp"), 1440,
+        ).collect()
+    }
+    assert got == want and got

@@ -1504,3 +1504,117 @@ def test_concurrent_appends_vs_compaction_race(spark, dom, tmp_path):
     )
     assert got_lb == want_lb
     trades.unpersist()
+
+
+def test_backfill_partials_stores_fresh_repair_and_guards(spark, dom, tmp_path):
+    """backfill_partials_stores rebuilds the three stream-maintained
+    stores from the fact table: a fresh dir serves trailing reads
+    identical to the direct recompute; a stream-grown store with
+    replay duplicates is REPAIRED (touched days replaced wholesale,
+    tagged schema kept append-compatible); a day range writes only its
+    days; and the dual-layout representation guards refuse a
+    mismatched threshold."""
+    import os
+
+    from degenter_clickhouse_spark.streaming import pipeline as SP
+
+    trades = dom["trades_clean"].cache()
+    now = _now()
+
+    def pm_read(store):
+        return sorted(
+            (r.pool_id, r.tx_buy, r.tx_sell, r.traders, float(r.vol_buy_base))
+            for r in INC.trailing_volumes(
+                spark.read.parquet(f"{store}/minute_partials"), now, 1440
+            ).collect()
+        )
+
+    def lb_read(store):
+        return sorted(
+            (r.signer, r.trades, round(r.volume_zig, 9))
+            for r in INC.leaderboard_from_partials(
+                spark.read.parquet(f"{store}/signer_minute_partials"), now, 1440
+            ).collect()
+        )
+
+    def lt_read(store):
+        return sorted(
+            (r.tx_hash, r.pool_id, r.direction, round(r.value_zig, 9))
+            for r in INC.large_trades_from_store(
+                spark.read.parquet(f"{store}/large_trades_store"), now, 1440
+            ).collect()
+        )
+
+    want_pm = sorted(
+        (r.pool_id, r.tx_buy, r.tx_sell, r.traders, float(r.vol_buy_base))
+        for r in INC.trailing_volumes(
+            INC.minute_partials(trades, hot_signer_threshold=4096), now, 1440
+        ).collect()
+    )
+    want_lb = sorted(
+        (r.signer, r.trades, round(r.volume_zig, 9))
+        for r in INC.leaderboard_from_partials(
+            INC.signer_minute_partials(trades), now, 1440
+        ).collect()
+    )
+
+    # fresh dir: full backfill
+    fresh = str(tmp_path / "fresh")
+    counts = INC.backfill_partials_stores(
+        spark, trades, fresh, hot_signer_threshold=4096
+    )
+    assert all(v > 0 for v in counts.values()), counts
+    assert pm_read(fresh) == want_pm
+    assert lb_read(fresh) == want_lb
+
+    # repair: stream-grown store with a replay duplicate of batch 0
+    grown = str(tmp_path / "grown")
+    os.makedirs(grown, exist_ok=True)
+    n = trades.count()
+    halves = [trades.limit(n // 2), trades.subtract(trades.limit(n // 2))]
+    tags = [SP._batch_tag(str(tmp_path / "ck"), i) for i in range(2)]
+    for b, tag in zip(halves, tags):
+        SP.maintain_partials_for_batch(
+            b.localCheckpoint(eager=True), grown, tag,
+            hot_signer_threshold=4096, large_trade_min_zig=1000.0,
+        )
+    SP.maintain_partials_for_batch(  # crash replay duplicate
+        halves[0].localCheckpoint(eager=True), grown, tags[0],
+        hot_signer_threshold=4096, large_trade_min_zig=1000.0,
+    )
+    INC.backfill_partials_stores(
+        spark, trades, grown, hot_signer_threshold=4096
+    )
+    assert pm_read(grown) == want_pm
+    assert lb_read(grown) == want_lb
+    assert lt_read(grown) == lt_read(fresh) and lt_read(fresh)
+    # append-compatible: the tagged schema survives the repair
+    assert "__batch" in spark.read.parquet(f"{grown}/minute_partials").columns
+
+    # day-range: only the requested day's partition is written
+    two_days = trades.unionByName(
+        trades.withColumn(
+            "created_at", F.col("created_at") - F.expr("INTERVAL 1 DAY")
+        )
+    )
+    ranged = str(tmp_path / "ranged")
+    INC.backfill_partials_stores(
+        spark, two_days, ranged, from_day="2024-03-01",
+        to_day="2024-03-01", hot_signer_threshold=4096,
+    )
+    days = sorted(
+        d for d in os.listdir(f"{ranged}/minute_partials")
+        if d.startswith("__day=")
+    )
+    assert days == ["__day=2024-03-01"]
+
+    # representation guards
+    with pytest.raises(ValueError, match="dual signer layout"):
+        INC.backfill_partials_stores(spark, trades, grown)
+    plain = str(tmp_path / "plain")
+    INC.write_partials(INC.minute_partials(trades), f"{plain}/minute_partials")
+    with pytest.raises(ValueError, match="plain exact-set layout"):
+        INC.backfill_partials_stores(
+            spark, trades, plain, hot_signer_threshold=4096
+        )
+    trades.unpersist()
