@@ -75,9 +75,9 @@ def eval_price_cross(
     if lookback_min is None:
         lp = latest_for(prices, a)
     else:
-        bounded = prices.filter(
-            F.col("updated_at")
-            >= now - F.expr(f"INTERVAL {int(lookback_min)} MINUTES")
+        slab_lo = now - F.expr(f"INTERVAL {int(lookback_min)} MINUTES")
+        bounded = views.prune_day_partition(prices, lo=slab_lo).filter(
+            F.col("updated_at") >= slab_lo
         )
         p1 = latest_for(bounded, a)
         stragglers = a.join(p1.select("pool_id"), "pool_id", "left_anti")
@@ -305,10 +305,12 @@ def eval_tvl_change(
     if lookback_min is None:
         j2 = past_agg(past_all, sel)
     else:
-        bounded = past_all.filter(
-            F.col("updated_at")
-            >= now - F.expr(f"INTERVAL {int(lookback_min)} MINUTES")
-        )
+        slab_lo = now - F.expr(f"INTERVAL {int(lookback_min)} MINUTES")
+        bounded = views.prune_day_partition(pool_state, lo=slab_lo).select(
+            "pool_id",
+            F.col("reserve_quote_base").cast("double").alias("rq"),
+            "updated_at",
+        ).filter(F.col("updated_at") >= slab_lo)
         p1 = past_agg(bounded, sel)
         stragglers = sel.join(p1.select("alert_id"), "alert_id", "left_anti")
         j2 = p1.unionByName(past_agg(past_all, stragglers))

@@ -46,6 +46,8 @@ def ohlcv_series(
     ``pool_id`` column — the relational form keeps pool selection
     (e.g. best-pool-by-simulation) inside the plan as a broadcast
     semi join instead of a driver-side collect + isin."""
+    from .views import prune_day_partition
+
     if isinstance(pool_ids, DataFrame):
         src = ohlcv_1m.join(
             dim_broadcast(pool_ids.select("pool_id").distinct()),
@@ -54,7 +56,10 @@ def ohlcv_series(
         )
     else:
         src = ohlcv_1m.filter(F.col("pool_id").isin(pool_ids))
-    in_window = src.filter(
+    # the explicit-range leg prunes whole day partitions at planning
+    # time on a __day-partitioned store; the W5 seed below keeps the
+    # unpruned src (it looks arbitrarily far back for the last close)
+    in_window = prune_day_partition(src, lo=ts_from, hi=ts_to).filter(
         (F.col("bucket_start") >= ts_from) & (F.col("bucket_start") < ts_to)
     )
     ordc = F.struct(F.col("bucket_start"), F.col("pool_id"))
@@ -158,8 +163,10 @@ def forming_bar(
     """ST9 (api/ws.js:118-169): the still-open candle for tf > 1m,
     synthesized by aggregating 1m bars since the current bucket start.
     One row (or zero if the bucket has no trades yet)."""
+    from .views import prune_day_partition
+
     bucket_start = _bucket(now, step_sec)
-    src = ohlcv_1m.filter(
+    src = prune_day_partition(ohlcv_1m, lo=bucket_start, hi=now).filter(
         F.col("pool_id").isin(pool_ids)
         & (F.col("bucket_start") >= bucket_start)
         & (F.col("bucket_start") <= now)

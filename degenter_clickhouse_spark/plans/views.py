@@ -15,6 +15,30 @@ from pyspark.sql import functions as F
 from ..operators import latest
 
 
+def prune_day_partition(
+    df: DataFrame,
+    lo=None,
+    hi=None,
+    day_col: str = "__day",
+) -> DataFrame:
+    """Planning-time partition prune for a ``__day=``-partitioned
+    streamed store: the serving filters bound a TIMESTAMP column
+    (bucket_start / updated_at), which Catalyst cannot translate into
+    partition pruning on ``__day = to_date(ts)`` by itself — derive
+    the day bounds explicitly (the exact timestamp filter still
+    applies after). No-op for frames without the day column
+    (in-memory tables, legacy flat stores), so every plan stays valid
+    on both layouts. ``lo``/``hi`` are timestamp Columns or literals;
+    whole days containing them are kept."""
+    if day_col not in df.columns:
+        return df
+    if lo is not None:
+        df = df.filter(F.col(day_col) >= F.to_date(lo))
+    if hi is not None:
+        df = df.filter(F.col(day_col) <= F.to_date(hi))
+    return df
+
+
 def latest_prices(prices: DataFrame) -> DataFrame:
     """argMax(price_in_zig, updated_at) per pool
     (jobs/matrix-rollups.js:45-51)."""

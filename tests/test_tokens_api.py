@@ -110,3 +110,46 @@ def test_gainers_losers(spark, dom):  # noqa: F811
     assert min(g.change_pct for g in gainers) >= max(
         lo.change_pct for lo in losers
     ) - 1e-9
+
+
+def test_day_partitioned_ohlcv_reads_prune_partitions(spark, dom, tmp_path):
+    """Serving reads over a __day-partitioned streamed ohlcv store
+    plan static day PartitionFilters (the bucket_start bound alone
+    cannot prune partitions — prune_day_partition derives it), and
+    candle output is identical to the flat read; the W5 seed leg
+    still sees pre-window history."""
+    import re
+
+    from degenter_clickhouse_spark.plans import tokens_api as TA
+    from degenter_clickhouse_spark.plans.views import prune_day_partition
+
+    path = str(tmp_path / "ohlcv_1m")
+    (
+        dom["ohlcv_1m"]
+        .withColumn("__day", F.to_date("bucket_start"))
+        .repartition(F.col("__day"))
+        .write.partitionBy("__day")
+        .parquet(path)
+    )
+    store = spark.read.parquet(path)
+
+    ts_from = F.lit("2024-03-01 04:00:00").cast("timestamp")
+    ts_to = F.lit("2024-03-01 08:00:00").cast("timestamp")
+    pruned = prune_day_partition(store, lo=ts_from, hi=ts_to)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "__day" in m.group(1), plan[:1500]
+
+    def run(src):
+        return sorted(
+            (str(r.bucket), round(r.close, 9),
+             round(r.volume, 6) if r.volume is not None else None,
+             r.trade_count)
+            for r in TA.ohlcv_series(
+                src, [101], 3600, ts_from, ts_to, fill="prev"
+            ).collect()
+        )
+
+    assert run(store) == run(dom["ohlcv_1m"]) and run(store)
+    # no-op contract: a flat frame passes through untouched
+    assert prune_day_partition(dom["ohlcv_1m"], lo=ts_from) is dom["ohlcv_1m"]
