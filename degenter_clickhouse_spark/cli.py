@@ -52,6 +52,12 @@ def main(argv: list[str] | None = None) -> int:
     bf.add_argument("--to-day", default=None, metavar="YYYY-MM-DD")
     bf.add_argument("--hot-signer-threshold", type=int, default=None)
     bf.add_argument("--large-trade-min-zig", type=float, default=1000.0)
+    bf.add_argument(
+        "--allow-current-day", action="store_true",
+        help="override the refusal to backfill a range touching the "
+             "current UTC day (requires the stream to be STOPPED: the "
+             "overwrite races live appends otherwise)",
+    )
 
     jb = sub.add_parser("jobs", help="periodic rollup/alert jobs")
     jb.add_argument("--storage", required=True)
@@ -497,9 +503,28 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.merge import compact_table
 
         if args.to_day_layout:
-            from .operators.merge import migrate_to_day_layout
+            import os as _os
 
-            print(migrate_to_day_layout(spark, args.path, args.to_day_layout))
+            from .operators.merge import migrate_to_day_layout
+            from .streaming.pipeline import unsafe_partials_tag
+
+            # the rewrite strips ohlcv's tag-named replay identity
+            # exactly like a compaction: refuse while any streaming
+            # batch in the store's parent dir is unsettled (guard is
+            # re-checked under the table lock; ADVICE r11). A path
+            # outside a streamed storage dir has no markers -> passes.
+            parent = _os.path.dirname(_os.path.abspath(args.path.rstrip("/")))
+            res = migrate_to_day_layout(
+                spark, args.path, args.to_day_layout,
+                guard=lambda: unsafe_partials_tag(parent) is None,
+            )
+            if res.get("reason") == "guard":
+                print(
+                    "skipped: an unsettled streaming batch holds replay "
+                    "state here — stop the stream / let the batch settle, "
+                    "then re-run"
+                )
+            print(res)
             return 0
         pc = args.partition_col if args.partition_col != "none" else None
         zb = args.zorder_by.split(",") if args.zorder_by else None
@@ -863,6 +888,7 @@ def main(argv: list[str] | None = None) -> int:
                 from_day=args.from_day, to_day=args.to_day,
                 hot_signer_threshold=args.hot_signer_threshold,
                 large_trade_min_zig=args.large_trade_min_zig,
+                allow_current_day=args.allow_current_day,
             )
         )
         return 0

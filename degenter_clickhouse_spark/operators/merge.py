@@ -115,21 +115,167 @@ def _table_lock(path: str, timeout_s: float = 60.0, stale_s: float = 3600.0):
         shutil.rmtree(lock, ignore_errors=True)
 
 
-def _swap_dirs(path: str, tmp: str) -> None:
+def _swap_dirs(path: str, tmp: str, old: str | None = None) -> None:
     """Promote ``tmp`` over ``path`` with no instant where neither copy
     exists: live table moves aside first, the new copy takes its place,
     then the old one is deleted. A crash between the renames leaves the
     live table or both copies — never zero. os.rename requires the dirs
     to share a filesystem (they are siblings by construction); on an
-    object store this swap becomes one manifest/metadata commit."""
+    object store this swap becomes one manifest/metadata commit.
+
+    ``old`` overrides the backup name — REQUIRED when ``path`` is a
+    partition leaf INSIDE a table (ADVICE r11): the default
+    ``<path>._old`` then contains ``=`` without a ``.`` prefix, which
+    Spark's file index treats as a data partition, so readers see both
+    copies during the swap and a crash leaves a phantom partition."""
     import shutil
 
-    old = path.rstrip("/") + "._old"
+    old = old if old is not None else path.rstrip("/") + "._old"
     if os.path.exists(old):
         shutil.rmtree(old)  # leftover from a prior crash after promote
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
+
+
+def publish_atomic(df: DataFrame, path: str, keep_versions: int = 3) -> None:
+    """READER-atomic publish of a serving table (VERDICT r11 #2):
+    write to a fresh ``<path>.__v<N>`` version dir and atomically
+    repoint a symlink at ``path``. ``_swap_dirs`` keeps a copy on disk
+    at every instant but has an ENOENT window for PATH RESOLUTION
+    between its two renames — a reader hitting the 60 s tick's
+    republish mid-swap fails. ``os.replace`` of a symlink is one
+    atomic rename: every resolution of ``path`` sees a complete table.
+    The previous ``keep_versions`` dirs outlive the swap (a reader
+    that already listed one keeps reading it — the local-FS analogue
+    of snapshot isolation); older ones are pruned. On an object store
+    this is exactly the manifest-pointer commit
+    ``operators/versioned.py`` does for engine tables.
+
+    A legacy real directory at ``path`` (pre-r12 layout) is migrated
+    by renaming it to version 0 — the only publish with a resolution
+    gap, once per table lifetime. Writers serialize on the table
+    lock.
+
+    READ CONTRACT: ``serving_read`` (resolve the link, then scan the
+    immutable version dir) is list-then-read safe through any number
+    of concurrent republishes. A raw ``spark.read.parquet(path)``
+    through the link still works but re-resolves the link per file
+    access — a republish landing between Spark's listing and its
+    fetches invalidates the listed paths (an inherent local-FS race
+    for any reader that addresses data through a mutable pointer; the
+    r11 dir swap additionally had an ENOENT window, which this layout
+    removes)."""
+    import glob
+    import shutil
+
+    base = path.rstrip("/")
+    parent = os.path.dirname(base) or "."
+    os.makedirs(parent, exist_ok=True)
+
+    def vnum(p: str) -> int:
+        try:
+            return int(p.rsplit(".__v", 1)[1])
+        except (IndexError, ValueError):
+            return -1
+
+    with _table_lock(base + ".__pub"):
+        if os.path.isdir(base) and not os.path.islink(base):
+            os.rename(base, base + ".__v0")  # legacy real dir -> v0
+        versions = sorted(glob.glob(base + ".__v*"), key=vnum)
+        n = (vnum(versions[-1]) if versions else -1) + 1
+        target = f"{base}.__v{n}"
+        df.write.mode("overwrite").parquet(target)
+        lnk = base + ".__lnktmp"
+        if os.path.lexists(lnk):
+            os.remove(lnk)
+        os.symlink(os.path.basename(target), lnk)
+        os.replace(lnk, base)  # the atomic pointer swap
+        for old in versions[: max(0, len(versions) - keep_versions)]:
+            shutil.rmtree(old, ignore_errors=True)
+
+
+def serving_read(spark: SparkSession, path: str) -> DataFrame:
+    """Snapshot read of a ``publish_atomic`` serving table: resolve
+    the pointer symlink FIRST and hand Spark the immutable version
+    directory, whose files never change and survive ``keep_versions``
+    further publishes — so the read cannot race a republish. Identity
+    on a plain directory (realpath of a non-link is itself), so every
+    consumer can use it unconditionally."""
+    return spark.read.parquet(os.path.realpath(path))
+
+
+def _leaf_swap_paths(leaf: str) -> tuple[str, str]:
+    """Hidden (tmp, old) sibling names for swapping one partition leaf
+    dir in place. Dot-prefixed so BOTH Spark's file index and
+    ``leaf_parquet_dirs`` skip them even though the name keeps the
+    ``=``: Spark excludes any ``.``-prefixed path unconditionally — the
+    ``contains('=')`` escape in its path filter applies only to
+    ``_``-prefixed names (tests/test_merge.py proves the read-side
+    invisibility empirically)."""
+    parent, base = os.path.split(leaf.rstrip("/"))
+    return (
+        os.path.join(parent, "." + base + "._compacting"),
+        os.path.join(parent, "." + base + "._old"),
+    )
+
+
+def recover_leaf_leftovers(path: str) -> dict[str, int]:
+    """Crash cleanup for interrupted leaf swaps, run under the table
+    writer lock at the start of every compact pass. Handles the
+    dot-prefixed names and the pre-r12 ``=``-visible ones
+    (``__day=X._old`` / ``__day=X._compacting``), which a crash left as
+    permanent phantom partitions (ADVICE r11). Cases per leftover
+    ``<leaf>._old`` backup:
+
+    * live leaf missing (crash between the two renames): restore the
+      backup — it is the complete original data;
+    * live leaf present AND the swap's temp still present: the crash
+      happened mid-swap and streaming appends recreated the leaf
+      afterwards, so the live dir holds ONLY post-crash appends — move
+      the backup's files in beside them (names are unique: Spark part
+      files carry UUIDs, ohlcv files carry distinct batch tags);
+    * live leaf present, no temp: the swap completed before the crash
+      — the backup duplicates the live data; delete it.
+
+    Any remaining ``*._compacting`` temp is deleted: the rewrite is
+    idempotent and the next pass redoes it. Returns counts."""
+    import shutil
+
+    restored = merged = removed = 0
+    if not os.path.isdir(path):
+        return {"restored": 0, "merged": 0, "removed": 0}
+    for dirpath, dirnames, _ in os.walk(path):
+        for d in list(dirnames):
+            if not d.endswith("._old"):
+                continue
+            full = os.path.join(dirpath, d)
+            base = d[: -len("._old")]
+            if base.startswith("."):
+                base = base[1:]
+            live = os.path.join(dirpath, base)
+            tmp_names = ("." + base + "._compacting", base + "._compacting")
+            had_tmp = any(os.path.exists(os.path.join(dirpath, t)) for t in tmp_names)
+            if not os.path.exists(live):
+                os.rename(full, live)
+                restored += 1
+            elif had_tmp:
+                for f in os.listdir(full):
+                    if not f.startswith((".", "_")):
+                        os.replace(os.path.join(full, f), os.path.join(live, f))
+                shutil.rmtree(full, ignore_errors=True)
+                merged += 1
+            else:
+                shutil.rmtree(full, ignore_errors=True)
+                removed += 1
+            dirnames.remove(d)
+    for dirpath, dirnames, _ in os.walk(path):
+        for d in list(dirnames):
+            if d.endswith("._compacting"):
+                shutil.rmtree(os.path.join(dirpath, d), ignore_errors=True)
+                dirnames.remove(d)
+                removed += 1
+    return {"restored": restored, "merged": merged, "removed": removed}
 
 
 def upsert_write(
@@ -265,17 +411,20 @@ def leaf_parquet_dirs(path: str) -> dict[str, int]:
     """Map of directory -> direct ``*.parquet`` file count for every
     non-hidden directory under ``path`` that holds data files directly.
     A hive-partitioned table yields its leaf partition dirs; an
-    unpartitioned table yields ``path`` itself. Hidden entries
-    (``.``/``_`` prefixes: in-flight ``._compacting`` temps,
-    ``_SUCCESS`` markers) are skipped UNLESS the name contains ``=`` —
-    Spark's own file index keeps such paths, so ``__day=...`` partition
-    dirs are data, not metadata."""
+    unpartitioned table yields ``path`` itself. The skip rule mirrors
+    Spark's path filter EXACTLY: any ``.``-prefixed entry is metadata
+    (in-flight ``._compacting`` temps and ``._old`` backups — even
+    when the name contains ``=``), and a ``_``-prefixed entry is
+    metadata unless it contains ``=`` (``__day=...`` partition dirs
+    are data, ``_SUCCESS`` is not). The pre-r12 rule kept any
+    ``=``-containing name, so a leaf swap's temp/backup counted as
+    data (ADVICE r11)."""
     out: dict[str, int] = {}
     for dirpath, dirnames, filenames in os.walk(path):
         dirnames[:] = [
             d
             for d in dirnames
-            if "=" in d or not d.startswith((".", "_"))
+            if not d.startswith(".") and ("=" in d or not d.startswith("_"))
         ]
         n = sum(1 for f in filenames if f.endswith(".parquet"))
         if n:
@@ -339,6 +488,7 @@ def compact_table(
         return sum(leaf_parquet_dirs(p).values())
 
     with _table_lock(path):
+        recover_leaf_leftovers(path)
         if guard is not None and not guard():
             n = count_files(path)
             return {"files_before": n, "files_after": n, "skipped": 1}
@@ -350,15 +500,17 @@ def compact_table(
                     if n <= files_per_partition:
                         continue
                     # the write-to-temp executes the scan while the
-                    # leaf's files are still in place; the swap follows
-                    tmp = leaf.rstrip("/") + "._compacting"
+                    # leaf's files are still in place; the swap follows.
+                    # Dot-prefixed temp/backup: invisible to readers
+                    # during AND after a crashed swap (ADVICE r11)
+                    tmp, old = _leaf_swap_paths(leaf)
                     (
                         spark.read.parquet(leaf)
                         .coalesce(files_per_partition)
                         .write.mode("overwrite")
                         .parquet(tmp)
                     )
-                    _swap_dirs(leaf, tmp)
+                    _swap_dirs(leaf, tmp, old=old)
                 return {"files_before": before, "files_after": count_files(path)}
             # unpartitioned: a full rewrite is the only form — fall through
         df = spark.read.parquet(path)
@@ -415,10 +567,16 @@ def migrate_to_day_layout(
     with _table_lock(path, timeout_s=300.0):
         if not glob.glob(os.path.join(path, "*.parquet")):
             n = sum(leaf_parquet_dirs(path).values())
-            return {"files_before": n, "files_after": n, "skipped": 1}
+            return {
+                "files_before": n, "files_after": n, "skipped": 1,
+                "reason": "already-partitioned",
+            }
         if guard is not None and not guard():
             n = sum(leaf_parquet_dirs(path).values())
-            return {"files_before": n, "files_after": n, "skipped": 1}
+            return {
+                "files_before": n, "files_after": n, "skipped": 1,
+                "reason": "guard",
+            }
         before = sum(leaf_parquet_dirs(path).values())
         df = spark.read.parquet(path)
         tmp = path.rstrip("/") + "._migrating"

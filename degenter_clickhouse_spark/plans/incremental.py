@@ -673,10 +673,12 @@ def compact_partials_store(
     Returns {"files_before": n, "files_after": m}.
     """
     from ..operators.merge import (
+        _leaf_swap_paths,
         _swap_dirs,
         _table_lock,
         compact_table,
         leaf_parquet_dirs,
+        recover_leaf_leftovers,
     )
 
     try:
@@ -696,6 +698,7 @@ def compact_partials_store(
         return sum(leaf_parquet_dirs(p).values())
 
     with _table_lock(path, timeout_s=300.0):
+        recover_leaf_leftovers(path)
         unsafe = unsafe_tag() if callable(unsafe_tag) else unsafe_tag
         before = count_files(path)
         leaves = leaf_parquet_dirs(path)
@@ -738,11 +741,12 @@ def compact_partials_store(
                 .withColumn("__batch", F.lit(None).cast("string"))
             )
             out = merged if carried is None else merged.unionByName(carried)
-            tmp = leaf.rstrip("/") + "._compacting"
-            # the write executes the read while the leaf's files are
-            # still in place; the swap follows
+            # dot-prefixed temp/backup: invisible to readers during
+            # AND after a crashed swap (ADVICE r11); the write executes
+            # the read while the leaf's files are still in place
+            tmp, old = _leaf_swap_paths(leaf)
             out.coalesce(1).write.mode("overwrite").parquet(tmp)
-            _swap_dirs(leaf, tmp)
+            _swap_dirs(leaf, tmp, old=old)
         return {"files_before": before, "files_after": count_files(path)}
 
 
@@ -832,6 +836,7 @@ def backfill_partials_stores(
     to_day=None,
     hot_signer_threshold: int | None = None,
     large_trade_min_zig: float = 1000.0,
+    allow_current_day: bool = False,
 ) -> dict[str, int]:
     """Rebuild the three stream-maintained stores (minute_partials,
     signer_minute_partials, large_trades_store) from the fact table
@@ -857,12 +862,58 @@ def backfill_partials_stores(
     Writes hold each store's writer lock, so a concurrent indexer
     append or compact slot cannot interleave with the overwrite.
 
+    Safety preconditions (ADVICE r11):
+
+    * refuses while a streaming batch is UNSETTLED
+      (``unsafe_partials_tag``): partials are appended BEFORE trades,
+      so a day-overwrite computed from trades misses the in-flight
+      batch's partials, and once the batch settles its done marker the
+      replay that would restore them never runs; conversely a crashed
+      batch whose trades DID land gets re-appended by the replay on
+      top of a backfill that already folded it in — a double count the
+      same-tag dedupe cannot collapse.
+    * refuses when the range touches the current UTC day (the default
+      open-ended ``to_day`` always does) unless
+      ``allow_current_day=True``: today is where the live stream is
+      writing. Pass yesterday for the routine catch-up.
+    * refuses a target store still in the LEGACY flat layout
+      (root-level data files): this writer partitions by ``__day``,
+      and Spark cannot read a table mixing root files with partition
+      dirs — run ``cli compact --to-day-layout`` first.
+
     Returns per-store row counts written.
     """
+    import glob as _glob
     import os
+    from datetime import datetime, timezone
 
     from ..operators.merge import _table_lock
+    from ..streaming.pipeline import unsafe_partials_tag
     from . import leaderboards as LB
+
+    tag_unsafe = unsafe_partials_tag(store_dir)
+    if tag_unsafe is not None:
+        raise RuntimeError(
+            f"streaming batch {tag_unsafe!r} is unsettled in {store_dir}: "
+            "backfilling now can drop its partials or double-count its "
+            "replay — wait for the batch to settle (or replay it) first"
+        )
+    today = datetime.now(timezone.utc).date()
+    if not allow_current_day and (to_day is None or str(to_day) >= str(today)):
+        raise ValueError(
+            f"backfill range touches the current UTC day ({today}): the "
+            "live stream is appending there and a day-overwrite races "
+            "it — pass to_day <= yesterday, or allow_current_day=True "
+            "with the stream stopped"
+        )
+    for name in ("minute_partials", "signer_minute_partials", "large_trades_store"):
+        p = os.path.join(store_dir, name)
+        if _glob.glob(os.path.join(p, "*.parquet")):
+            raise RuntimeError(
+                f"{p} is a legacy FLAT store (root-level data files); a "
+                "__day-partitioned backfill would make it unreadable — "
+                "migrate first: cli compact --to-day-layout"
+            )
 
     t = trades
     if from_day is not None:

@@ -412,6 +412,165 @@ def test_compact_table_swap_recovers_from_stale_old_copy(spark, tmp_path):
     assert spark.read.parquet(path).count() == 200
 
 
+def test_leaf_swap_temps_invisible_to_readers(spark, tmp_path):
+    """ADVICE r11: the per-leaf compaction temp/backup dirs must be
+    invisible to Spark's file index and to leaf_parquet_dirs. The
+    dot-prefixed names are (proven empirically against the running
+    Spark: a planted ``.__day=...._old`` full of parquet adds zero
+    rows), while the pre-r12 ``=``-without-dot names were counted as
+    data partitions — readers saw both copies during a swap and a
+    crash left a permanent phantom partition."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("2024-03-01", i) for i in range(10)]
+        + [("2024-03-02", i) for i in range(10)],
+        "d string, v long",
+    ).withColumn("__day", F.to_date("d")).drop("d")
+    df.repartition(1).write.partitionBy("__day").parquet(path)
+    live = os.path.join(path, "__day=2024-03-01")
+
+    # plant a dot-prefixed backup holding a full copy of one leaf —
+    # exactly the state mid-swap / after a crashed swap
+    tmp_name, old_name = M._leaf_swap_paths(live)
+    assert "=" in os.path.basename(old_name)  # name keeps the '='...
+    assert os.path.basename(old_name).startswith(".")  # ...behind a dot
+    shutil.copytree(live, old_name)
+    assert spark.read.parquet(path).count() == 20  # Spark skips it
+    leaves = M.leaf_parquet_dirs(path)
+    assert old_name not in leaves and set(leaves) == {
+        live, os.path.join(path, "__day=2024-03-02")
+    }
+    assert M.excess_file_count(path, 1) == 0  # gate can't loop on it
+    shutil.rmtree(old_name)
+
+    # the PRE-r12 visible name: Spark reads it as a phantom partition
+    # (this is the bug — documents why the dot prefix is load-bearing)
+    shutil.copytree(live, live + "._old")
+    assert spark.read.parquet(path).count() == 30
+    shutil.rmtree(live + "._old")
+
+
+def test_publish_atomic_readers_never_fail_under_republish(spark, tmp_path):
+    """VERDICT r11 #2: the serving-table publish must be READER-atomic.
+    Hammers serving_read (the publish's read seam: resolve the pointer
+    to the immutable version dir, then scan) from concurrent threads
+    through 100 republishes: zero read failures, and every read sees a
+    COMPLETE version (the count is always one of the published sizes —
+    never a torn/empty/ENOENT table, which the r11 dir swap could
+    yield). Also: version dirs stay pruned, raw path reads keep
+    working, and a legacy real-dir table migrates into the pointer
+    layout."""
+    import glob
+    import os
+    import threading
+
+    path = str(tmp_path / "pool_matrix")
+    # legacy layout: a real directory from a pre-pointer publish
+    spark.range(0, 5).coalesce(1).write.parquet(path)
+    assert not os.path.islink(path)
+    M.publish_atomic(spark.range(0, 5).coalesce(1), path)
+    assert os.path.islink(path)  # migrated to the pointer layout
+    assert spark.read.parquet(path).count() == 5  # raw reads still work
+
+    stop = threading.Event()
+    errors: list[str] = []
+    counts: list[int] = []
+
+    def reader():
+        while not stop.is_set():
+            try:
+                counts.append(M.serving_read(spark, path).count())
+            except Exception as e:  # noqa: BLE001 — the assertion target
+                errors.append(repr(e))
+                return
+
+    threads = [threading.Thread(target=reader) for _ in range(2)]
+    for t in threads:
+        t.start()
+    try:
+        for i in range(100):
+            M.publish_atomic(spark.range(0, 5 + (i % 3)).coalesce(1), path)
+    finally:
+        stop.set()
+        for t in threads:
+            t.join()
+    assert not errors, errors[:3]
+    assert counts and all(c in (5, 6, 7) for c in counts), sorted(set(counts))
+    # old versions pruned: current + keep_versions backups at most
+    assert len(glob.glob(path + ".__v*")) <= 4
+    assert spark.read.parquet(path).count() in (5, 6, 7)
+    assert M.serving_read(spark, path).count() == spark.read.parquet(path).count()
+
+
+def test_recover_leaf_leftovers_crash_states(spark, tmp_path):
+    """Crash recovery for interrupted leaf swaps, all four states:
+    backup with live leaf missing -> restored; backup + temp + live
+    recreated by post-crash appends -> backup files merged in beside
+    the appends; backup with completed swap -> deleted as duplicate;
+    legacy ``=``-visible names from pre-r12 crashes -> same handling.
+    compact_table/compact_partials_store run this under the table lock
+    before every pass."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(f"2024-03-0{d}", i) for d in (1, 2, 3, 4) for i in range(6)],
+        "d string, v long",
+    ).withColumn("__day", F.to_date("d")).drop("d")
+    df.repartition(1).write.partitionBy("__day").parquet(path)
+
+    def leaf(d):
+        return os.path.join(path, f"__day=2024-03-0{d}")
+
+    # state 1: crash between the two renames — live gone, backup holds
+    # the original data, temp holds the compacted rewrite
+    tmp1, old1 = M._leaf_swap_paths(leaf(1))
+    os.rename(leaf(1), old1)
+    shutil.copytree(old1, tmp1)
+    # state 2: same crash, but a streaming append recreated the leaf
+    # with NEW rows before recovery ran -> merge, don't clobber
+    tmp2, old2 = M._leaf_swap_paths(leaf(2))
+    os.rename(leaf(2), old2)
+    shutil.copytree(old2, tmp2)
+    extra = spark.createDataFrame([(99,), (98,)], "v long")
+    extra.coalesce(1).write.mode("append").parquet(leaf(2))
+    # state 3: crash after the swap completed — backup is a duplicate
+    _, old3 = M._leaf_swap_paths(leaf(3))
+    shutil.copytree(leaf(3), old3)
+    # state 4: legacy pre-r12 names for a missing leaf -> restored
+    os.rename(leaf(4), leaf(4) + "._old")
+    shutil.copytree(leaf(4) + "._old", leaf(4) + "._compacting")
+
+    # removed = the state-3 duplicate backup + the three leftover temps
+    got = M.recover_leaf_leftovers(path)
+    assert got == {"restored": 2, "merged": 1, "removed": 4}
+    assert spark.read.parquet(path).count() == 26  # 24 + the 2 appends
+    assert (
+        spark.read.parquet(path)
+        .filter(F.col("__day") == "2024-03-02")
+        .count()
+        == 8
+    )
+    leftovers = [
+        n for n in os.listdir(path)
+        if n.endswith(("._old", "._compacting"))
+    ]
+    assert leftovers == []
+    # idempotent and wired into the compact pass
+    assert M.recover_leaf_leftovers(path) == {
+        "restored": 0, "merged": 0, "removed": 0
+    }
+    stats = M.compact_table(
+        spark, path, partition_col="__day", dirty_only=True
+    )
+    assert stats["files_after"] <= stats["files_before"]
+    assert spark.read.parquet(path).count() == 26
+
+
 def test_streaming_corpus_online_near_dedup(spark, tmp_path):
     """With near_dup_threshold set, each batch probes the growing
     MinHash index: a REWORDED near-duplicate (different content hash)
