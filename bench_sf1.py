@@ -61,6 +61,14 @@ SF1_QUERIES = [
     # the blocked/bucketed plans whose cliffs the probe exists to catch
     # (and the newest additions) come first
     "knn_label_vote_blocked",
+    # VERDICT r11 #8: the headline-expensive clean/retrieval stack
+    # (>1.5 s at sf0.1) joins the rotation so its 10x scaling is
+    # measured, not inferred — bm25 probes the term-bucket-pruned
+    # inverted index, span/keep-best the gaps-and-islands + cluster
+    # argmax shuffles
+    "bm25_search",
+    "span_dedup_clean",
+    "dedup_keep_best",
     "embedding_ann_batch",
     # VERDICT r8 #6: the constant-64-query twin of embedding_ann_batch
     # — its ratio isolates PLAN scaling (expect ~flat modulo the

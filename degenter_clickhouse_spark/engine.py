@@ -308,9 +308,24 @@ class DegenterEngine:
         self,
         zig_usd: Column,
         combine_router: bool = True,
+        ts_from: Column | None = None,
+        ts_to: Column | None = None,
         **filters,
     ) -> DataFrame:
+        """F2/F3 trades feed. ``ts_from``/``ts_to`` are the reference's
+        from/to page bounds (api/routes/trades.js:62-69); they bound
+        created_at AND statically prune the dt partition layout —
+        without them a feed page plans and footer-reads every day
+        partition of history (VERDICT r11 #1)."""
         t = self.table("trades").filter(F.col("action") == "swap")
+        if ts_from is not None:
+            t = views.prune_day_partition(t, lo=ts_from, day_col="dt").filter(
+                F.col("created_at") >= ts_from
+            )
+        if ts_to is not None:
+            t = views.prune_day_partition(t, hi=ts_to, day_col="dt").filter(
+                F.col("created_at") <= ts_to
+            )
         if "pool_id" in filters:
             t = t.filter(F.col("pool_id") == filters["pool_id"])
         if "signer" in filters:

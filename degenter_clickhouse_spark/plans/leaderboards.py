@@ -34,11 +34,18 @@ def _zig_legs(trades: DataFrame) -> DataFrame:
 
 
 def leaderboard(trades: DataFrame, now: Column, minutes: int) -> DataFrame:
+    # static dt prune first (VERDICT r11 #1): dt = to_date(created_at)
+    # on the persisted fact layout, so the day bound is implied by the
+    # created_at bound — it only turns the scan into a partition-pruned
+    # one (wallet_summary inherits this through its delegation here)
+    from . import views
+
+    lo = now - F.expr(f"INTERVAL {minutes} MINUTES")
     t = _zig_legs(
-        trades.filter(
+        views.prune_day_partition(trades, lo=lo, day_col="dt").filter(
             (F.col("action") == "swap")
             & (F.col("signer") != "")
-            & (F.col("created_at") >= now - F.expr(f"INTERVAL {minutes} MINUTES"))
+            & (F.col("created_at") >= lo)
         )
     )
     return t.groupBy("signer").agg(
@@ -69,9 +76,17 @@ def large_trades_read(big: DataFrame, now: Column, minutes: int) -> DataFrame:
     window filter runs BEFORE the dedupe, exactly like the direct path
     (a key whose latest row falls outside the window still surfaces
     its latest IN-window row)."""
-    w = big.filter(
-        F.col("created_at") >= now - F.expr(f"INTERVAL {minutes} MINUTES")
-    )
+    # prune whichever day layout the source carries: the streamed
+    # large-trades store is __day-partitioned, the raw fact table dt-
+    # partitioned; both helpers no-op when the column is absent
+    from . import views
+
+    lo = now - F.expr(f"INTERVAL {minutes} MINUTES")
+    w = views.prune_day_partition(
+        views.prune_day_partition(big, lo=lo, day_col="__day"),
+        lo=lo,
+        day_col="dt",
+    ).filter(F.col("created_at") >= lo)
     return dedupe.keep_latest(
         w,
         keys=["tx_hash", "pool_id", "direction"],
@@ -84,4 +99,14 @@ def large_trades_read(big: DataFrame, now: Column, minutes: int) -> DataFrame:
 def large_trades(
     trades: DataFrame, now: Column, minutes: int, min_zig: float = 1000.0
 ) -> DataFrame:
-    return large_trades_read(large_trades_all(trades, min_zig), now, minutes)
+    # dt prune BEFORE the extraction: large_trades_all's projection
+    # drops the partition column, so the windowed read downstream
+    # could no longer prune the raw fact layout
+    from . import views
+
+    t = views.prune_day_partition(
+        trades,
+        lo=now - F.expr(f"INTERVAL {minutes} MINUTES"),
+        day_col="dt",
+    )
+    return large_trades_read(large_trades_all(t, min_zig), now, minutes)

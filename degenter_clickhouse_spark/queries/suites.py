@@ -38,6 +38,7 @@ from .llm import (
 )
 from .parity2 import (
     ASSETS_ORACLE,
+    DIRECT_QUOTE_ORACLE,
     FEE_ORACLE,
     MCAP_ORACLE,
     TVL_ORACLE,
@@ -65,6 +66,7 @@ from .parity2 import (
     q_parse_assets,
     q_priority,
     q_resolve,
+    q_direct_pool_quote,
     q_scalar_change,
     q_sha256,
     q_union,
@@ -595,7 +597,8 @@ def q_parsing_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# swap_math_suite = fee_parse (B1) + xyk_swap_sim (B2)
+# swap_math_suite = fee_parse (B1) + xyk_swap_sim (B2) + direct_quote
+# (B4 + F10: TVL-floored same-pool quote with default sell-side amount)
 # schema: (part, k BIGINT, s STRING, v1, v2, v3 DOUBLE)
 # ---------------------------------------------------------------------------
 
@@ -607,6 +610,10 @@ UNION ALL
 SELECT 'sim', CAST(p_partkey AS BIGINT), CAST(NULL AS VARCHAR),
        "out", exec_price, mid_price
 FROM ({XYK_ORACLE})
+UNION ALL
+SELECT 'quote', CAST(p_partkey AS BIGINT), CAST(NULL AS VARCHAR),
+       amount_in, "out", exec_price
+FROM ({DIRECT_QUOTE_ORACLE})
 """
 
 
@@ -628,7 +635,15 @@ def q_swap_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exec_price").alias("v2"),
         F.col("mid_price").alias("v3"),
     )
-    return fee.unionByName(sim)
+    quote = q_direct_pool_quote(spark, sf_dir).select(
+        F.lit("quote").alias("part"),
+        F.col("p_partkey").cast("long").alias("k"),
+        _NO_S().alias("s"),
+        F.col("amount_in").alias("v1"),
+        F.col("out").alias("v2"),
+        F.col("exec_price").alias("v3"),
+    )
+    return fee.unionByName(sim).unionByName(quote)
 
 
 # ---------------------------------------------------------------------------

@@ -284,6 +284,288 @@ def test_day_partitioned_partials_refresh_and_pruned_reads(spark, dom, tmp_path)
     trades.unpersist()
 
 
+def test_late_trade_after_minute_compaction_merges_exact(spark, dom, tmp_path):  # noqa: F811
+    """VERDICT r11 #6 (ST6 under the day layout): a late/out-of-order
+    trade whose minute was ALREADY COMPACTED (its partials merged to a
+    NULL-tag row) must still merge exactly — the late batch appends a
+    tagged row beside the compacted one and the read's
+    (group, minute, batch) dedupe + sum equals the full batch
+    recompute, including a crash REPLAY of the late batch and the
+    retention trim running afterwards."""
+    import os
+
+    from degenter_clickhouse_spark.streaming import pipeline as SP
+
+    trades = dom["trades_clean"].localCheckpoint(eager=True)
+    late = trades.filter(F.pmod(F.hash("tx_hash"), F.lit(10)) == 0)
+    early = trades.subtract(late)
+    assert late.count() > 0 and early.count() > 0
+    # the late rows genuinely revisit minutes the early batches covered
+    revisited = (
+        late.select(F.date_trunc("minute", "created_at").alias("m"))
+        .join(
+            early.select(F.date_trunc("minute", "created_at").alias("m")),
+            "m",
+            "left_semi",
+        )
+        .count()
+    )
+    assert revisited > 0
+
+    store_dir = str(tmp_path)
+    n = early.count()
+    halves = [early.limit(n // 2), early.subtract(early.limit(n // 2))]
+    for i, b in enumerate(halves):
+        SP.maintain_partials_for_batch(
+            b.localCheckpoint(eager=True), store_dir,
+            SP._batch_tag(str(tmp_path / "ck"), i), hot_signer_threshold=4096,
+        )
+    # compact: the two batches' rows merge into NULL-tag rows
+    for name in ("minute_partials", "signer_minute_partials"):
+        INC.compact_partials_store(spark, os.path.join(store_dir, name))
+    # the late batch lands AFTER compaction — twice (crash replay)
+    for _ in range(2):
+        SP.maintain_partials_for_batch(
+            late.localCheckpoint(eager=True), store_dir,
+            SP._batch_tag(str(tmp_path / "ck"), 2), hot_signer_threshold=4096,
+        )
+    # retention trim far in the past: keeps everything, breaks nothing
+    assert INC.trim_store_days(
+        os.path.join(store_dir, "minute_partials"), __import__("datetime").date(2000, 1, 1)
+    ) == 0
+
+    now = _now()
+    got_pm = sorted(
+        (r.pool_id, r.tx_buy, r.tx_sell, r.traders, float(r.vol_buy_base))
+        for r in INC.trailing_volumes(
+            spark.read.parquet(f"{store_dir}/minute_partials"), now, 1440
+        ).collect()
+    )
+    want_pm = sorted(
+        (r.pool_id, r.tx_buy, r.tx_sell, r.traders, float(r.vol_buy_base))
+        for r in INC.trailing_volumes(
+            INC.minute_partials(trades, hot_signer_threshold=4096), now, 1440
+        ).collect()
+    )
+    assert got_pm == want_pm and got_pm
+
+    got_lb = sorted(
+        (r.signer, r.trades, round(r.volume_zig, 9))
+        for r in INC.leaderboard_from_partials(
+            spark.read.parquet(f"{store_dir}/signer_minute_partials"), now, 1440
+        ).collect()
+    )
+    want_lb = sorted(
+        (r.signer, r.trades, round(r.volume_zig, 9))
+        for r in INC.leaderboard_from_partials(
+            INC.signer_minute_partials(trades), now, 1440
+        ).collect()
+    )
+    assert got_lb == want_lb and got_lb
+
+
+def test_window_signer_budget_engages_at_adversarial_margin(spark, tmp_path):
+    """VERDICT r11 #5 (prove the r9 #3 close): a pool holding exactly
+    the hot threshold of distinct signers EVERY minute of a 24 h
+    window keeps per-minute exact sets (each is <= threshold, so the
+    hot cap never trips), but the window's summed set sizes exceed the
+    budget — the read must take the HLL branch instead of
+    materializing the giant exact union. Branch choice is proven
+    deterministically: the fixture's sketches deliberately contain one
+    sentinel signer per minute that the exact sets lack, so the two
+    branches give clearly different counts. Compaction then merges the
+    replay-duplicated store: rows stay bounded by the threshold (the
+    merged exact set is per-MINUTE, never a window union) and both
+    branch results are unchanged."""
+    import os
+
+    thr, minutes = 32, 1440
+    n = thr * minutes
+    epoch = F.unix_timestamp(F.lit("2024-03-01 00:00:00"))
+
+    def mk_trades(extra_per_minute: bool):
+        t = spark.range(n).select(
+            F.lit(1).cast("long").alias("pool_id"),
+            F.lit("swap").alias("action"),
+            F.timestamp_seconds(
+                epoch + (F.col("id") / thr).cast("long") * 60
+            ).alias("created_at"),
+            F.concat(F.lit("s"), F.col("id")).alias("signer"),
+            F.when(F.col("id") % 2 == 0, "buy").otherwise("sell").alias(
+                "direction"
+            ),
+            F.lit(1000000).cast("long").alias("offer_amount_base"),
+            F.lit(2000000).cast("long").alias("ask_amount_base"),
+        )
+        if extra_per_minute:
+            sent = spark.range(minutes).select(
+                F.lit(1).cast("long").alias("pool_id"),
+                F.lit("swap").alias("action"),
+                F.timestamp_seconds(epoch + F.col("id") * 60).alias(
+                    "created_at"
+                ),
+                F.concat(F.lit("x"), F.col("id")).alias("signer"),
+                F.lit("buy").alias("direction"),
+                F.lit(0).cast("long").alias("offer_amount_base"),
+                F.lit(0).cast("long").alias("ask_amount_base"),
+            )
+            t = t.unionByName(sent)
+        return t
+
+    p_exact = INC.minute_partials(mk_trades(False), hot_signer_threshold=thr)
+    # sketches from a sentinel-augmented stream: every minute's HLL
+    # state holds one signer the exact set lacks (33 > thr also makes
+    # that frame's own exact sets NULL — only its sketch is taken)
+    p_sk = INC.minute_partials(
+        mk_trades(True), hot_signer_threshold=thr
+    ).select("pool_id", "minute", F.col("signers_sk").alias("__sk2"))
+    partials = (
+        p_exact.drop("signers_sk")
+        .join(p_sk, ["pool_id", "minute"])
+        .withColumn("signers_sk", F.col("__sk2"))
+        .drop("__sk2")
+        .localCheckpoint(eager=True)
+    )
+    assert partials.count() == minutes
+    # every minute kept its exact set, each exactly at the threshold
+    sizes = partials.agg(
+        F.min(F.size("signers")).alias("lo"), F.max(F.size("signers")).alias("hi")
+    ).collect()[0]
+    assert (sizes.lo, sizes.hi) == (thr, thr)
+
+    now = F.lit("2024-03-02 00:00:00").cast("timestamp")
+
+    def traders(src, budget):
+        return (
+            INC.trailing_volumes(src, now, minutes, window_signer_budget=budget)
+            .collect()[0]
+            .traders
+        )
+
+    exact = thr * minutes  # 46080 all-distinct signers
+    assert traders(partials, None) == exact
+    # summed stored sizes == exact here; budget at the margin keeps
+    # the exact branch, one below flips to the sketch
+    assert traders(partials, exact) == exact
+    est = traders(partials, exact - 1)
+    # sentinel-inflated -> sketch branch (true sketch cardinality is
+    # exact+1440; the lgK=12 estimate carries ~1.5% error, so the
+    # sentinel lift shows through at >500 while never reaching +1440)
+    assert est >= exact + 500
+    assert est == pytest.approx(exact + minutes, rel=0.03)
+    # the shipped default is comfortably above this 24 h x 32 margin
+    assert traders(partials, INC.WINDOW_SIGNER_BUDGET) == exact
+
+    # bounded merged rows: replay-duplicate the day-partitioned store,
+    # compact, re-assert both branches and the per-row bounds
+    store = str(tmp_path / "minute_partials")
+    tagged = partials.withColumn("__batch", F.lit("b0")).withColumn(
+        "__day", F.to_date("minute")
+    )
+    for _ in range(2):  # same tag twice = crash replay duplicate
+        tagged.write.mode("append").partitionBy("__day").parquet(store)
+    INC.compact_partials_store(spark, store)
+    merged = spark.read.parquet(store)
+    assert merged.count() == minutes  # one row per minute again
+    stats = merged.agg(
+        F.max(F.size("signers")).alias("max_set"),
+        F.max(F.octet_length("signers_sk")).alias("max_sk"),
+    ).collect()[0]
+    assert stats.max_set == thr  # merged exact set is per-minute
+    assert stats.max_sk < 6000  # lgK=12 HLL state, constant-bounded
+    assert traders(merged, exact) == exact
+    # the compacted rows hold UNION states (hll_union_agg re-targets
+    # the register encoding), so the estimate drifts a few counts from
+    # the raw-sketch union — same branch, same ~1.5% accuracy
+    assert traders(merged, exact - 1) == pytest.approx(est, rel=0.01)
+    # one leaf file after compaction
+    day_dir = os.path.join(store, "__day=2024-03-01")
+    assert len([f for f in os.listdir(day_dir) if f.endswith(".parquet")]) == 1
+
+
+def test_fact_table_trailing_reads_prune_dt_partitions(spark, dom, tmp_path):  # noqa: F811
+    """VERDICT r11 #1: the dt-partitioned fact layout (engine.save,
+    dt = to_date(created_at)) must be pruned STATICALLY by every
+    trailing-window fact read — the created_at bound alone cannot
+    prune partitions, so without this each fallback tick and feed page
+    footer-reads every day of history. Asserts dt PartitionFilters in
+    the fallback-rollup, leaderboard, large-trades and bounded
+    trades-feed plans, plus flat/partitioned result equality."""
+    import re
+
+    from degenter_clickhouse_spark.engine import DegenterEngine
+    from degenter_clickhouse_spark.plans import leaderboards as LB
+
+    trades = dom["trades_clean"]
+    path = str(tmp_path / "trades")
+    trades.withColumn("dt", F.to_date("created_at")).write.partitionBy(
+        "dt"
+    ).parquet(path)
+    store = spark.read.parquet(path)
+    now = _now()
+
+    def assert_dt_pruned(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "dt" in m.group(1) and m.group(1).strip(), plan[:2000]
+
+    vols = PM.trade_volumes(store, dom["pools"], dom["tokens"], now, 240)
+    assert_dt_pruned(vols)
+    flat_vols = PM.trade_volumes(trades, dom["pools"], dom["tokens"], now, 240)
+    key = lambda rs: sorted(  # noqa: E731
+        (r.pool_id, r.tx_buy, r.tx_sell, r.traders, round(r.vol_buy_zig, 9))
+        for r in rs.collect()
+    )
+    assert key(vols) == key(flat_vols) and key(vols)
+
+    lb = LB.leaderboard(store, now, 240)
+    assert_dt_pruned(lb)
+    lkey = lambda rs: sorted(  # noqa: E731
+        (r.signer, r.trades, round(r.volume_zig, 9)) for r in rs.collect()
+    )
+    assert lkey(lb) == lkey(LB.leaderboard(trades, now, 240)) and lkey(lb)
+
+    lt = LB.large_trades(store, now, 1440, min_zig=100.0)
+    assert_dt_pruned(lt)
+    tkey = lambda rs: sorted(  # noqa: E731
+        (r.tx_hash, r.pool_id, r.direction, round(r.value_zig, 9))
+        for r in rs.collect()
+    )
+    assert tkey(lt) == tkey(LB.large_trades(trades, now, 1440, min_zig=100.0))
+
+    # trades feed: from/to bounds (reference F2, api/routes/trades.js:
+    # 62-69) bound created_at AND statically prune dt
+    eng = DegenterEngine(
+        spark,
+        tables={
+            "tokens": dom["tokens"],
+            "pools": dom["pools"],
+            "trades": store,
+            "prices": dom["prices"],
+        },
+    )
+    frm = now - F.expr("INTERVAL 240 MINUTES")
+    feed = eng.trades_feed(F.lit(0.02), ts_from=frm, ts_to=now)
+    assert_dt_pruned(feed)
+    eng_flat = DegenterEngine(
+        spark,
+        tables={
+            "tokens": dom["tokens"],
+            "pools": dom["pools"],
+            "trades": trades,
+            "prices": dom["prices"],
+        },
+    )
+    fkey = lambda rs: sorted(  # noqa: E731
+        (r.tx_hash, str(r.created_at), r.n_legs) for r in rs.collect()
+    )
+    assert fkey(feed) == fkey(
+        eng_flat.trades_feed(F.lit(0.02), ts_from=frm, ts_to=now)
+    ) and fkey(feed)
+    # bounds actually bound: the window excludes some fixture rows
+    assert len(fkey(feed)) < len(fkey(eng_flat.trades_feed(F.lit(0.02))))
+
+
 def test_refresh_removes_fully_vacated_day_partition(spark, tmp_path):
     """ADVICE r8 (medium): a touched day whose groups are ALL vacated
     produces zero output rows for that __day, so dynamic partition
@@ -1558,10 +1840,11 @@ def test_backfill_partials_stores_fresh_repair_and_guards(spark, dom, tmp_path):
         ).collect()
     )
 
-    # fresh dir: full backfill
+    # fresh dir: full backfill (historic data -> bound to_day; the
+    # open-ended default refuses, asserted below)
     fresh = str(tmp_path / "fresh")
     counts = INC.backfill_partials_stores(
-        spark, trades, fresh, hot_signer_threshold=4096
+        spark, trades, fresh, to_day="2024-03-05", hot_signer_threshold=4096
     )
     assert all(v > 0 for v in counts.values()), counts
     assert pm_read(fresh) == want_pm
@@ -1583,7 +1866,7 @@ def test_backfill_partials_stores_fresh_repair_and_guards(spark, dom, tmp_path):
         hot_signer_threshold=4096, large_trade_min_zig=1000.0,
     )
     INC.backfill_partials_stores(
-        spark, trades, grown, hot_signer_threshold=4096
+        spark, trades, grown, to_day="2024-03-05", hot_signer_threshold=4096
     )
     assert pm_read(grown) == want_pm
     assert lb_read(grown) == want_lb
@@ -1610,11 +1893,51 @@ def test_backfill_partials_stores_fresh_repair_and_guards(spark, dom, tmp_path):
 
     # representation guards
     with pytest.raises(ValueError, match="dual signer layout"):
-        INC.backfill_partials_stores(spark, trades, grown)
+        INC.backfill_partials_stores(spark, trades, grown, to_day="2024-03-05")
     plain = str(tmp_path / "plain")
     INC.write_partials(INC.minute_partials(trades), f"{plain}/minute_partials")
     with pytest.raises(ValueError, match="plain exact-set layout"):
         INC.backfill_partials_stores(
-            spark, trades, plain, hot_signer_threshold=4096
+            spark, trades, plain, to_day="2024-03-05",
+            hot_signer_threshold=4096,
+        )
+
+    # safety guards (ADVICE r11): open-ended / current-day ranges
+    # refuse (the live stream is appending to today)...
+    from datetime import datetime, timezone
+
+    with pytest.raises(ValueError, match="current UTC day"):
+        INC.backfill_partials_stores(
+            spark, trades, fresh, hot_signer_threshold=4096
+        )
+    with pytest.raises(ValueError, match="current UTC day"):
+        INC.backfill_partials_stores(
+            spark, trades, fresh,
+            to_day=str(datetime.now(timezone.utc).date()),
+            hot_signer_threshold=4096,
+        )
+    # ...an unsettled streaming batch refuses (its partials landed but
+    # its done marker didn't: the overwrite would race the replay)...
+    started_p, done_p = SP._marker_paths(grown)
+    SP._write_marker(started_p, "crashed-batch")
+    with pytest.raises(RuntimeError, match="unsettled"):
+        INC.backfill_partials_stores(
+            spark, trades, grown, to_day="2024-03-05",
+            hot_signer_threshold=4096,
+        )
+    SP._write_marker(done_p, "crashed-batch")  # settle it
+    INC.backfill_partials_stores(
+        spark, trades, grown, to_day="2024-03-05", hot_signer_threshold=4096
+    )
+    # ...and a legacy FLAT store refuses (a __day write would mix
+    # layouts and make the table unreadable)
+    flat = str(tmp_path / "flat")
+    INC.minute_partials(trades).withColumn(
+        "__batch", F.lit("legacy")
+    ).coalesce(1).write.parquet(f"{flat}/minute_partials")
+    with pytest.raises(RuntimeError, match="to-day-layout"):
+        INC.backfill_partials_stores(
+            spark, trades, flat, to_day="2024-03-05",
+            hot_signer_threshold=4096,
         )
     trades.unpersist()
