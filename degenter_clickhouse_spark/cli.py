@@ -89,6 +89,20 @@ def main(argv: list[str] | None = None) -> int:
     qr.add_argument("--sql", required=True)
     qr.add_argument("--limit", type=int, default=50)
 
+    sp = sub.add_parser(
+        "serve-push",
+        help="client push streams over SSE (api/ws.js protocol: "
+             "snapshot.ohlcv + ~1s ohlcv.delta with the forming bar, "
+             "snapshot.trades + 2s trades.append); subscribe with "
+             "GET /stream?kind=ohlcv|trades&token_id=T[&tf=5m]",
+    )
+    sp.add_argument("--storage", required=True)
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8765)
+    sp.add_argument("--zig-usd", type=float, default=None)
+    sp.add_argument("--ohlcv-tick-sec", type=float, default=1.0)
+    sp.add_argument("--trades-tick-sec", type=float, default=2.0)
+
     ci = sub.add_parser(
         "corpus-ingest",
         help="stream documents: exact-dedup, quality gate, online near-dedup",
@@ -916,6 +930,30 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.cmd == "query":
         engine.sql(args.sql).show(args.limit, truncate=False)
+        return 0
+    if args.cmd == "serve-push":
+        import time as _time
+
+        from pyspark.sql import functions as F
+
+        from .streaming.push import PushServer, engine_provider
+
+        zig = F.lit(args.zig_usd) if args.zig_usd is not None else None
+        bars_fn, trades_fn = engine_provider(engine, zig)
+        srv = PushServer(
+            bars_fn, trades_fn, host=args.host, port=args.port,
+            ohlcv_tick_sec=args.ohlcv_tick_sec,
+            trades_tick_sec=args.trades_tick_sec,
+        ).start()
+        print(
+            f"push server on http://{args.host}:{srv.port}/stream"
+            "?kind=ohlcv|trades&token_id=T[&tf=5m]"
+        )
+        try:
+            while True:
+                _time.sleep(3600)
+        except KeyboardInterrupt:
+            srv.stop()
         return 0
     return 2
 

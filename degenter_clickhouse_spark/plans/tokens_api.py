@@ -139,19 +139,20 @@ def spark_range_spine(
     series: DataFrame, ts_from: Column, ts_to: Column, step_sec: int
 ) -> DataFrame:
     """[from, to) step grid as one-column DataFrame (distributed
-    sequence+explode — no driver loop)."""
-    return (
-        series.sparkSession.range(1)
-        .select(
-            F.explode(
-                F.sequence(
-                    ts_from,
-                    ts_to - F.expr("INTERVAL 1 SECONDS"),
-                    F.expr(f"INTERVAL {step_sec} SECONDS"),
-                )
-            ).alias("bucket")
-        )
-    )
+    sequence+explode — no driver loop). An EMPTY window (from >= to)
+    yields zero rows: Spark's sequence() counts DOWN for inverted
+    bounds and aborts on an inverted step, so a degenerate range (e.g.
+    the push server's forming fetch one second into a fresh bucket)
+    must short-circuit explicitly."""
+    spine = F.when(
+        ts_from < ts_to,
+        F.sequence(
+            ts_from,
+            ts_to - F.expr("INTERVAL 1 SECONDS"),
+            F.expr(f"INTERVAL {step_sec} SECONDS"),
+        ),
+    ).otherwise(F.array().cast("array<timestamp>"))
+    return series.sparkSession.range(1).select(F.explode(spine).alias("bucket"))
 
 
 def forming_bar(

@@ -328,6 +328,7 @@ def test_cli_backfill_partials(spark, tmp_path, capsys):
         main(
             [
                 "backfill-partials", "--storage", storage,
+                "--to-day", "2024-03-05",  # historic fixture data
                 "--hot-signer-threshold", "4096",
             ]
         )
