@@ -76,17 +76,15 @@ def large_trades_read(big: DataFrame, now: Column, minutes: int) -> DataFrame:
     window filter runs BEFORE the dedupe, exactly like the direct path
     (a key whose latest row falls outside the window still surfaces
     its latest IN-window row)."""
-    # prune whichever day layout the source carries: the streamed
-    # large-trades store is __day-partitioned, the raw fact table dt-
-    # partitioned; both helpers no-op when the column is absent
+    # prune whichever day layout the source carries (the streamed
+    # large-trades store is __day-partitioned, the raw fact table
+    # dt-partitioned; the default handles both, no-op otherwise)
     from . import views
 
     lo = now - F.expr(f"INTERVAL {minutes} MINUTES")
-    w = views.prune_day_partition(
-        views.prune_day_partition(big, lo=lo, day_col="__day"),
-        lo=lo,
-        day_col="dt",
-    ).filter(F.col("created_at") >= lo)
+    w = views.prune_day_partition(big, lo=lo).filter(
+        F.col("created_at") >= lo
+    )
     return dedupe.keep_latest(
         w,
         keys=["tx_hash", "pool_id", "direction"],

@@ -153,3 +153,52 @@ def test_day_partitioned_ohlcv_reads_prune_partitions(spark, dom, tmp_path):
     assert run(store) == run(dom["ohlcv_1m"]) and run(store)
     # no-op contract: a flat frame passes through untouched
     assert prune_day_partition(dom["ohlcv_1m"], lo=ts_from) is dom["ohlcv_1m"]
+
+
+def test_dt_partitioned_ohlcv_reads_prune_partitions(spark, dom, tmp_path):
+    """The SAME reads over the engine.save fact layout (dt =
+    to_date(bucket_start)) must also prune statically — VERDICT r11 #1
+    called out the trades sites; the ohlcv serving reads had the same
+    gap until prune_day_partition learned to try both layouts. Covers
+    ohlcv_series AND forming_bar, with flat/partitioned equality."""
+    import re
+
+    from degenter_clickhouse_spark.plans import tokens_api as TA
+
+    path = str(tmp_path / "ohlcv_1m_dt")
+    (
+        dom["ohlcv_1m"]
+        .withColumn("dt", F.to_date("bucket_start"))
+        .repartition(F.col("dt"))
+        .write.partitionBy("dt")
+        .parquet(path)
+    )
+    store = spark.read.parquet(path)
+    ts_from = F.lit("2024-03-01 04:00:00").cast("timestamp")
+    ts_to = F.lit("2024-03-01 08:00:00").cast("timestamp")
+
+    def assert_dt_pruned(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "dt" in m.group(1) and m.group(1).strip(), plan[:2000]
+
+    series = TA.ohlcv_series(store, [101], 3600, ts_from, ts_to, fill="prev")
+    assert_dt_pruned(series)
+
+    def run(src):
+        return sorted(
+            (str(r.bucket), round(r.close, 9), r.trade_count)
+            for r in TA.ohlcv_series(
+                src, [101], 3600, ts_from, ts_to, fill="prev"
+            ).collect()
+        )
+
+    assert run(store) == run(dom["ohlcv_1m"]) and run(store)
+
+    fb = TA.forming_bar(store, [101, 102], 900, ts_to)
+    assert_dt_pruned(fb)
+    want = [
+        tuple(r)
+        for r in TA.forming_bar(dom["ohlcv_1m"], [101, 102], 900, ts_to).collect()
+    ]
+    assert [tuple(r) for r in fb.collect()] == want
