@@ -178,6 +178,65 @@ class TradesStream:
         }
 
 
+class _Hub:
+    """One SHARED stream per (kind, token, tf), fanned out to every
+    subscriber. The reference ticks per CONNECTION (each OhlcvStream
+    owns a timer, api/ws.js:166) — fine for a node process proxying a
+    REST cache, fatal here where every tick is a Spark job: 1000
+    subscribers to the same candle stream must cost ONE ~1 s serving
+    plan per tick, not 1000. Deltas compute once under the hub lock
+    and replicate into per-subscriber queues; a hub with no
+    subscribers left exits its ticker thread and deregisters."""
+
+    def __init__(self, stream, interval: float, stopping: threading.Event):
+        self.stream = stream
+        self.interval = interval
+        self.stopping = stopping
+        self.lock = threading.Lock()
+        self.subs: dict[int, "queue.SimpleQueue"] = {}
+        self._next = 0
+        self._thread: threading.Thread | None = None
+
+    def subscribe(self):
+        import queue
+
+        with self.lock:
+            self._next += 1
+            q = queue.SimpleQueue()
+            self.subs[self._next] = q
+            # the ticker clears _thread (under this lock) when it exits
+            # on empty subs, so this check can't race a dying ticker
+            if self._thread is None:
+                self._thread = threading.Thread(target=self._run, daemon=True)
+                self._thread.start()
+            return self._next, q
+
+    def unsubscribe(self, sub_id: int) -> bool:
+        """Remove one subscriber; True when the hub is now empty."""
+        with self.lock:
+            self.subs.pop(sub_id, None)
+            return not self.subs
+
+    def snapshot(self) -> dict:
+        with self.lock:
+            return self.stream.snapshot()
+
+    def _run(self):
+        while not self.stopping.is_set():
+            self.stopping.wait(self.interval)
+            if self.stopping.is_set():
+                return
+            with self.lock:
+                if not self.subs:
+                    self._thread = None  # last subscriber left
+                    return
+                msg = self.stream.delta()  # ONE computation per tick
+                if msg is None:
+                    continue
+                for q in self.subs.values():
+                    q.put(msg)
+
+
 def _make_handler(server):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -189,6 +248,8 @@ def _make_handler(server):
             return ("data: " + json.dumps(payload) + "\n\n").encode()
 
         def do_GET(self):  # noqa: N802 — BaseHTTPRequestHandler API
+            import queue
+
             u = urlparse(self.path)
             if u.path != "/stream":
                 self.send_error(404)
@@ -199,18 +260,29 @@ def _make_handler(server):
             if not token_id:
                 self.send_error(400, "missing token_id")  # ws.js:288
                 return
-            sid = server.next_stream_id()
             if kind == "ohlcv":
-                stream = OhlcvStream(
-                    sid, token_id, q.get("tf"), server.bars_fn, server.now_fn
-                )
+                tf = valid_tf(q.get("tf"))
+
+                def factory(sid):
+                    return OhlcvStream(
+                        sid, token_id, tf, server.bars_fn, server.now_fn
+                    )
+
+                interval = server.ohlcv_tick_sec
             elif kind == "trades":
-                stream = TradesStream(
-                    sid, token_id, server.trades_fn, server.now_fn
-                )
+                tf = ""
+
+                def factory(sid):
+                    return TradesStream(
+                        sid, token_id, server.trades_fn, server.now_fn
+                    )
+
+                interval = server.trades_tick_sec
             else:
                 self.send_error(400, f"unknown stream kind: {kind}")  # ws.js:313
                 return
+            hub = server.hub((kind, token_id, tf), factory, interval)
+            sub_id, inbox = hub.subscribe()
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-store")
@@ -219,22 +291,20 @@ def _make_handler(server):
             try:
                 # hello + snapshot-then-deltas, exactly the ws.js order
                 self.wfile.write(self._event({"type": "hello"}))
-                self.wfile.write(self._event(stream.snapshot()))
+                self.wfile.write(self._event(hub.snapshot()))
                 self.wfile.flush()
-                interval = (
-                    server.trades_tick_sec if kind == "trades"
-                    else server.ohlcv_tick_sec
-                )
                 while not server.stopping.is_set():
-                    server.stopping.wait(interval)
-                    if server.stopping.is_set():
-                        break
-                    msg = stream.delta()
-                    if msg is not None:
-                        self.wfile.write(self._event(msg))
-                        self.wfile.flush()
+                    try:
+                        msg = inbox.get(timeout=0.5)
+                    except queue.Empty:
+                        continue
+                    self.wfile.write(self._event(msg))
+                    self.wfile.flush()
             except (BrokenPipeError, ConnectionResetError):
                 pass  # client went away — ws.js 'close' teardown
+            finally:
+                if hub.unsubscribe(sub_id):
+                    server.drop_hub((kind, token_id, tf), hub)
 
     return Handler
 
@@ -264,6 +334,8 @@ class PushServer:
         self.stopping = threading.Event()
         self._sid = 0
         self._sid_lock = threading.Lock()
+        self._hubs: dict = {}
+        self._hubs_lock = threading.Lock()
         self._httpd = ThreadingHTTPServer((host, port), _make_handler(self))
         self._httpd.daemon_threads = True
         self._thread: threading.Thread | None = None
@@ -276,6 +348,33 @@ class PushServer:
         with self._sid_lock:
             self._sid += 1
             return f"s{self._sid}"  # ws.js newStreamId
+
+    def hub(self, key, factory, interval: float) -> _Hub:
+        """Get-or-create the shared stream hub for (kind, token, tf)."""
+        with self._hubs_lock:
+            h = self._hubs.get(key)
+            if h is None:
+                h = _Hub(factory(self.next_stream_id()), interval, self.stopping)
+                self._hubs[key] = h
+            return h
+
+    def drop_hub(self, key, hub: _Hub) -> None:
+        """Deregister an emptied hub. Identity-checked (a NEW hub under
+        the same key must survive) and re-checked for subscribers under
+        the hub lock — a client that grabbed this hub from the registry
+        between the last unsubscribe and this call keeps it live."""
+        with self._hubs_lock:
+            if self._hubs.get(key) is not hub:
+                return
+            with hub.lock:
+                if hub.subs:
+                    return
+            del self._hubs[key]
+
+    @property
+    def active_hubs(self) -> int:
+        with self._hubs_lock:
+            return len(self._hubs)
 
     def start(self) -> "PushServer":
         self._thread = threading.Thread(

@@ -138,6 +138,83 @@ def test_push_trades_cursor_no_duplicates():
         srv.stop()
 
 
+def test_push_shared_hub_computes_once_per_tick():
+    """Scale invariant: N subscribers to the same (kind, token, tf)
+    cost ONE provider computation per tick, not N — every delta tick
+    is a Spark job at the serving edge, so per-connection ticking (the
+    reference's per-WebSocket timers) would melt the driver at 1000
+    clients. Both subscribers receive identical delta sequences, and
+    the hub deregisters once the last one disconnects."""
+    import threading
+    import time as _t
+
+    now = {"t": 1_000_000_020}
+    tick_calls = {"n": 0}
+    closed = {
+        "tsSec": P._floor(1_000_000_020, 300) - 300,
+        "open": 1.0, "high": 2.0, "low": 0.5, "close": 1.5,
+        "volume": 10.0, "trades": 3,
+    }
+
+    def bars_fn(token_id, step, lo, hi):
+        if step == 300 and hi - lo != 200 * 300:  # delta tail, not snapshot
+            tick_calls["n"] += 1
+        return [dict(closed)]
+
+    srv = P.PushServer(
+        bars_fn, lambda *a: [], ohlcv_tick_sec=0.05,
+        now_fn=lambda: now["t"],
+    ).start()
+    try:
+        results = {}
+
+        def client(name):
+            conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=10)
+            conn.request("GET", "/stream?kind=ohlcv&token_id=7&tf=5m")
+            resp = conn.getresponse()
+            results[name] = _read_events(resp, 4)  # hello+snap+2 deltas
+            conn.close()
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(2)]
+        for t in threads:
+            t.start()
+        hub = None
+        for _ in range(200):  # grab the live hub while clients stream
+            hubs = list(srv._hubs.values())
+            if hubs:
+                hub = hubs[0]
+                break
+            _t.sleep(0.01)
+        for t in threads:
+            t.join(timeout=30)
+        assert hub is not None and len(srv._hubs) <= 1
+        a, b = results[0], results[1]
+        assert [e["type"] for e in a][:2] == ["hello", "snapshot.ohlcv"]
+        # SHARED stream state: the two snapshots drew consecutive seqs
+        # from one stream (per-connection streams would both say seq=1)
+        snap_seqs = sorted(
+            e["seq"] for e in a + b if e["type"] == "snapshot.ohlcv"
+        )
+        assert snap_seqs == [1, 2]
+        # identical shared delta stream (same seq numbers, same upserts)
+        da = [e for e in a if e["type"] == "ohlcv.delta"]
+        db = [e for e in b if e["type"] == "ohlcv.delta"]
+        assert da and db
+        # last unsubscribe deregisters the hub (bounded ticker wait)
+        for _ in range(200):
+            if srv.active_hubs == 0:
+                break
+            _t.sleep(0.05)
+        assert srv.active_hubs == 0
+        # one computation per tick: every hub tick made exactly one
+        # tail call and bumped seq once; the 2 snapshots are excluded
+        # by the window-width check. Per-connection ticking would have
+        # made ~2x the calls for the same final seq.
+        assert tick_calls["n"] == hub.stream.seq - 2
+    finally:
+        srv.stop()
+
+
 def test_push_rejects_bad_requests():
     srv = P.PushServer(lambda *a: [], lambda *a: []).start()
     try:
