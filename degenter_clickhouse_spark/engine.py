@@ -243,7 +243,49 @@ class DegenterEngine:
         return TA.token_list(self.token_matrix(bucket, now), sort, desc, limit, offset)
 
     def gainers_losers(self, cutoff: Column, n: int = 10) -> DataFrame:
-        return TA.gainers_losers(self.table("ohlcv_1m"), self.table("pools"), cutoff, n)
+        """O5. When the catalog is backed by a day-partitioned ohlcv
+        store, the change% legs ride backward day probes instead of a
+        full-history scan: the plan only needs each native pool's
+        latest bar and its latest bar at the cutoff, and substituting
+        that dimension-sized union is exact (max-of-per-pool-maxima).
+        This is the reference's ORDER BY pk DESC LIMIT 1 early-stop
+        (api/util/pool-select.js:100-113) — Catalyst cannot stop a
+        max_by early, so without it every /gainers call re-reads all
+        of candle history."""
+        src = self._ohlcv_change_source(cutoff)
+        return TA.gainers_losers(
+            src if src is not None else self.table("ohlcv_1m"),
+            self.table("pools"),
+            cutoff,
+            n,
+        )
+
+    def _ohlcv_change_source(self, cutoff: Column) -> DataFrame | None:
+        import glob
+
+        if not self.storage_dir:
+            return None
+        path = os.path.join(self.storage_dir, "ohlcv_1m")
+        if not (
+            glob.glob(os.path.join(path, "__day=*"))
+            or glob.glob(os.path.join(path, "dt=*"))
+        ):
+            return None
+        from .operators.latest import latest_by_backscan
+
+        uni = (
+            self.table("pools")
+            .filter(F.col("is_uzig_quote"))
+            .select("pool_id")
+        )
+        last, _ = latest_by_backscan(
+            self.spark, path, ["pool_id"], ["close"], ["bucket_start"], uni
+        )
+        prev, _ = latest_by_backscan(
+            self.spark, path, ["pool_id"], ["close"], ["bucket_start"], uni,
+            where=F.col("bucket_start") <= cutoff,
+        )
+        return last.unionByName(prev)
 
     def native_pools_of(self, token_id: int) -> list[int]:
         rows = (

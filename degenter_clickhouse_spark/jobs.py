@@ -308,7 +308,42 @@ class JobsRunner:
             return None
         return df
 
-    def _pool_matrix_bucket(self, bucket: str, now):
+    def _ohlcv_latest_frame(self):
+        """Per-pool latest 1m bar for the pool-matrix price fallback
+        chain. The rollup needs only each pool's LAST close
+        (price_with_fallback), but Catalyst cannot stop a max_by
+        aggregation early — a full-frame latest_by re-scans the entire
+        ohlcv history every 60 s tick. On a day-partitioned store this
+        probes day partitions newest-first and stops once every pool
+        is covered (operators/latest.latest_by_backscan — the
+        ClickHouse ORDER BY pk DESC LIMIT 1 early-stop the reference
+        leans on, api/util/pool-select.js:100); steady state costs one
+        day's scan. Substituting the dimension-sized result for the
+        full frame is exact: latest-of-latest is the same row. Flat /
+        in-memory ohlcv falls back to the full frame. Cached per tick
+        (one probe serves all four buckets x both matrices)."""
+        import glob
+
+        path = os.path.join(self.store_dir, "ohlcv_1m")
+        full = self.engine.table("ohlcv_1m")
+        if not (
+            glob.glob(os.path.join(path, "__day=*"))
+            or glob.glob(os.path.join(path, "dt=*"))
+        ):
+            return full
+        from .operators.latest import latest_by_backscan
+
+        bars, _ = latest_by_backscan(
+            self.engine.spark,
+            path,
+            keys=["pool_id"],
+            values=["close"],
+            order=["bucket_start"],
+            universe=self.engine.table("pools").select("pool_id"),
+        )
+        return bars
+
+    def _pool_matrix_bucket(self, bucket: str, now, ohlcv=None):
         if bucket in self.incremental_buckets:
             partials = self._partials_frame(self.partials_path)
         else:
@@ -322,7 +357,7 @@ class JobsRunner:
                 self.engine.table("tokens"),
                 self.engine.table("prices"),
                 self.engine.table("pool_state"),
-                self.engine.table("ohlcv_1m"),
+                ohlcv if ohlcv is not None else self.engine.table("ohlcv_1m"),
                 now,
                 bucket,
             )
@@ -526,9 +561,15 @@ class JobsRunner:
         if self._due("matrix", at):
             if self.trades_vt is not None:
                 self._advance_partials()
+            # one backscan probe serves every bucket's price fallback
+            bars = (
+                self._ohlcv_latest_frame()
+                if self.trades_vt is not None or self.partials_source == "store"
+                else None
+            )
             pm = None
             for bucket in PM.BUCKETS:
-                df = self._pool_matrix_bucket(bucket, now)
+                df = self._pool_matrix_bucket(bucket, now, ohlcv=bars)
                 pm = df if pm is None else pm.unionByName(df)
             self._write(pm, "pool_matrix")
             tm = None

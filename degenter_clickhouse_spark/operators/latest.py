@@ -52,6 +52,93 @@ def earliest_by(
     return df.groupBy(*keys).agg(*aggs)
 
 
+def latest_by_backscan(
+    spark,
+    store_path: str,
+    keys: Sequence[str],
+    values: Sequence[str],
+    order: Sequence[str],
+    universe: DataFrame,
+    max_days: int | None = None,
+    where: Column | None = None,
+) -> tuple[DataFrame, int]:
+    """``latest_by`` over a day-partitioned store WITHOUT scanning all
+    of history: probe day partitions newest-first and stop as soon as
+    every key in ``universe`` (a dimension-sized frame of the key
+    columns) has a row, or the days run out.
+
+    This is the Spark analogue of ClickHouse's ``ORDER BY pk DESC
+    LIMIT 1`` early-stop (api/util/pool-select.js:100-106 runs exactly
+    that shape): Catalyst cannot stop a ``max_by`` aggregation early,
+    so a 60 s tick that only needs each pool's LAST close would
+    otherwise re-scan the entire fact table every time. Steady state
+    — every live key traded today — costs one day partition's scan;
+    a key idle for N days costs the N newest days. Each per-day probe
+    is one small job; the accumulated result is dimension-sized
+    (one row per key).
+
+    Keys in ``universe`` with no row in any scanned day are simply
+    absent from the result, exactly like ``latest_by`` over a frame
+    that lacks them. The ``order`` columns ride along in the output
+    (callers re-deriving latest-of-latest need them). A store that is
+    not day-partitioned on disk falls back to one full ``latest_by``
+    (days_scanned = -1). Returns (frame, days_scanned).
+
+    ``where`` pre-filters every probed day (and the flat fallback) —
+    e.g. ``bucket_start <= cutoff`` turns this into "latest row AT a
+    past instant" (the reference's prev-close leg,
+    api/util/pool-select.js:107-113): days newer than the cutoff
+    contribute nothing and the scan keeps descending until each key's
+    newest qualifying row is found."""
+    import os
+
+    day_dirs = sorted(
+        (
+            d
+            for d in os.listdir(store_path)
+            if (d.startswith("__day=") or d.startswith("dt="))
+            and not d.startswith(".")
+        ),
+        key=lambda d: d.split("=", 1)[1],
+        reverse=True,
+    )
+    vals = list(dict.fromkeys([*values, *order]))  # order cols ride along
+    if not day_dirs:
+        df = spark.read.parquet(store_path)
+        if where is not None:
+            df = df.filter(where)
+        return latest_by(df, keys, vals, order), -1
+    want = {tuple(r) for r in universe.select(*keys).distinct().collect()}
+    acc: DataFrame | None = None
+    found: set[tuple] = set()
+    scanned = 0
+    for d in day_dirs:
+        if max_days is not None and scanned >= max_days:
+            break
+        if found >= want:
+            break
+        day = spark.read.parquet(os.path.join(store_path, d))
+        if where is not None:
+            day = day.filter(where)
+        fresh = latest_by(day, keys, vals, order)
+        if found:
+            missing = [t for t in want - found]
+            miss_df = spark.createDataFrame(
+                missing, schema=universe.select(*keys).schema
+            )
+            fresh = fresh.join(F.broadcast(miss_df), list(keys), "left_semi")
+        # dimension-sized: pin each day's contribution so the loop's
+        # key-collect and the final union don't re-run prior days' scans
+        fresh = fresh.localCheckpoint(eager=True)
+        found |= {tuple(r) for r in fresh.select(*keys).collect()}
+        acc = fresh if acc is None else acc.unionByName(fresh)
+        scanned += 1
+    if acc is None:  # store has day dirs but none matched (empty)
+        df = spark.read.parquet(store_path)
+        return latest_by(df, keys, vals, order).limit(0), 0
+    return acc, scanned
+
+
 def latest_row(
     df: DataFrame,
     keys: Sequence[str],

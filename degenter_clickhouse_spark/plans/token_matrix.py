@@ -22,20 +22,34 @@ from ..operators.joins import dim_broadcast
 
 
 def token_price_guarded(
-    pools: DataFrame, prices: DataFrame, ohlcv_1m: DataFrame, tokens: DataFrame
+    pools: DataFrame,
+    prices: DataFrame,
+    ohlcv_1m: DataFrame,
+    tokens: DataFrame,
+    now: Column | None = None,
 ) -> DataFrame:
     """Latest native-pool price per token, with the rebasing sanity
-    check against the 60-minute average OHLCV close."""
+    check against the 60-minute average OHLCV close
+    (jobs/matrix-rollups.js:256-264: ``bucket_start >= now() -
+    toIntervalMinute(60)``). With ``now`` the avg is bounded to that
+    trailing hour — at 100 TB the unbounded form re-averages all of
+    candle history every 60 s tick; the bound also day-prunes a
+    partitioned store at planning. ``now=None`` keeps the unbounded
+    average (whole-frame semantics for ad-hoc use)."""
     tok_px = views.latest_token_prices(prices).select(
         "token_id", F.col("latest_price_zig").alias("feed_px")
     )
-    # avg close over each token's native pools (the reference's 60-min
-    # avg; fixtures carry the whole window so the mean is over it)
     native_pools = pools.filter(F.col("is_uzig_quote")).select(
         "pool_id", F.col("base_token_id").alias("token_id")
     )
+    bars = ohlcv_1m
+    if now is not None:
+        lo = now - F.expr("INTERVAL 60 MINUTES")
+        bars = views.prune_day_partition(bars, lo=lo).filter(
+            F.col("bucket_start") >= lo
+        )
     bar_px = (
-        ohlcv_1m.join(dim_broadcast(native_pools), "pool_id")
+        bars.join(dim_broadcast(native_pools), "pool_id")
         .groupBy("token_id")
         .agg(F.avg("close").alias("bar_px"))
     )
@@ -96,14 +110,10 @@ def rollup(
         native = pools.filter(F.col("is_uzig_quote")).select(
             "pool_id", F.col("base_token_id").alias("token_id")
         )
+        lo = now - F.expr(f"INTERVAL {minutes} MINUTES")
         traders = (
-            trades.filter(
-                (F.col("action") == "swap")
-                & (
-                    F.col("created_at")
-                    >= now - F.expr(f"INTERVAL {minutes} MINUTES")
-                )
-            )
+            views.prune_day_partition(trades, lo=lo)
+            .filter((F.col("action") == "swap") & (F.col("created_at") >= lo))
             .join(dim_broadcast(native), "pool_id")
             .groupBy("token_id")
             .agg(
@@ -113,7 +123,7 @@ def rollup(
             )
         )
     per_token = per_token_vols.join(traders, "token_id", "left")
-    px = token_price_guarded(pools, prices, ohlcv_1m, tokens)
+    px = token_price_guarded(pools, prices, ohlcv_1m, tokens, now=now)
     hc = views.holders_counts(holders)
     t = tokens.select(
         "token_id",

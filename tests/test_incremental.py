@@ -284,6 +284,143 @@ def test_day_partitioned_partials_refresh_and_pruned_reads(spark, dom, tmp_path)
     trades.unpersist()
 
 
+def test_latest_by_backscan_early_stop_and_equality(spark, dom, tmp_path):  # noqa: F811
+    """ClickHouse's ORDER BY pk DESC LIMIT 1 early-stop, in Spark: the
+    per-pool latest bar comes from probing day partitions newest-first,
+    stopping once every universe key is covered — NOT from a full-table
+    max_by. Exactness: equal to latest_by over the whole store for
+    every covered key; keys with no rows anywhere are absent, exactly
+    like latest_by. Early stop: the scan depth equals how far back the
+    stalest universe key's last row is."""
+    import os
+
+    from degenter_clickhouse_spark.operators import latest as L
+
+    rows = []
+    # pool 1 trades every day; pool 2 stops after 03-02; pool 3 never
+    for day in (1, 2, 3, 4):
+        rows.append((1, f"2024-03-0{day} 10:00:00", float(day)))
+        if day <= 2:
+            rows.append((2, f"2024-03-0{day} 11:00:00", 10.0 + day))
+    df = spark.createDataFrame(
+        rows, "pool_id long, bucket_start string, close double"
+    ).withColumn("bucket_start", F.col("bucket_start").cast("timestamp"))
+    path = str(tmp_path / "ohlcv_1m")
+    df.withColumn("__day", F.to_date("bucket_start")).repartition(
+        F.col("__day")
+    ).write.partitionBy("__day").parquet(path)
+
+    def uni(*ids):
+        return spark.createDataFrame([(i,) for i in ids], "pool_id long")
+
+    want_full = {
+        (r.pool_id, r.close, str(r.bucket_start))
+        for r in L.latest_by(
+            spark.read.parquet(path), ["pool_id"], ["close", "bucket_start"],
+            ["bucket_start"],
+        ).collect()
+    }
+
+    got, days = L.latest_by_backscan(
+        spark, path, ["pool_id"], ["close"], ["bucket_start"], uni(1)
+    )
+    assert days == 1  # pool 1's latest is in the newest day
+    assert {(r.pool_id, r.close, str(r.bucket_start)) for r in got.collect()} == {
+        t for t in want_full if t[0] == 1
+    }
+
+    got, days = L.latest_by_backscan(
+        spark, path, ["pool_id"], ["close"], ["bucket_start"], uni(1, 2)
+    )
+    assert days == 3  # pool 2's last row sits 3 days back
+    assert {(r.pool_id, r.close, str(r.bucket_start)) for r in got.collect()} == want_full
+
+    # a key with no rows anywhere: scans all days, returns the others
+    got, days = L.latest_by_backscan(
+        spark, path, ["pool_id"], ["close"], ["bucket_start"], uni(1, 2, 3)
+    )
+    assert days == 4
+    assert {(r.pool_id, r.close, str(r.bucket_start)) for r in got.collect()} == want_full
+
+    # flat store: one full latest_by, flagged -1
+    flat = str(tmp_path / "flat")
+    df.write.parquet(flat)
+    got, days = L.latest_by_backscan(
+        spark, flat, ["pool_id"], ["close"], ["bucket_start"], uni(1, 2)
+    )
+    assert days == -1
+    assert {(r.pool_id, r.close, str(r.bucket_start)) for r in got.collect()} == want_full
+
+    # the substitution the JobsRunner makes is EXACT: the pool-matrix
+    # price fallback over the backscan frame equals the full frame
+    from degenter_clickhouse_spark.plans import pool_matrix as PMX
+
+    sub, _ = L.latest_by_backscan(
+        spark, path, ["pool_id"], ["close"], ["bucket_start"], uni(1, 2)
+    )
+    test_pools = spark.createDataFrame(
+        [(1, 100), (2, 101), (3, 102)], "pool_id long, base_token_id long"
+    )
+
+    def px(ohlcv):
+        return sorted(
+            (r.pool_id, r.price_in_zig)
+            for r in PMX.price_with_fallback(
+                test_pools, dom["prices"].limit(0), ohlcv
+            ).collect()
+        )
+
+    assert px(sub) == px(spark.read.parquet(path).drop("__day")) and px(sub)
+
+    # where= turns the probe into latest-at-a-past-instant (prev-close
+    # leg): days newer than the cutoff contribute nothing and the scan
+    # descends until each key's newest QUALIFYING row is found
+    cut = F.lit("2024-03-02 23:59:59").cast("timestamp")
+    got, days = L.latest_by_backscan(
+        spark, path, ["pool_id"], ["close"], ["bucket_start"], uni(1, 2),
+        where=F.col("bucket_start") <= cut,
+    )
+    assert days == 3  # two empty newer days + 03-02
+    assert {(r.pool_id, r.close) for r in got.collect()} == {(1, 2.0), (2, 12.0)}
+
+
+def test_engine_gainers_backscan_source_is_exact(spark, dom, tmp_path):  # noqa: F811
+    """engine.gainers_losers over a day-partitioned storage catalog
+    substitutes the backscan union (per-pool latest + latest-at-cutoff)
+    for the full ohlcv frame — output identical to the in-memory
+    engine's full-scan plan."""
+    import os
+
+    from degenter_clickhouse_spark.engine import DegenterEngine
+
+    storage = str(tmp_path / "storage")
+    os.makedirs(storage, exist_ok=True)
+    dom["ohlcv_1m"].withColumn("__day", F.to_date("bucket_start")).repartition(
+        F.col("__day")
+    ).write.partitionBy("__day").parquet(os.path.join(storage, "ohlcv_1m"))
+    tables = {
+        "pools": dom["pools"],
+        "tokens": dom["tokens"],
+        "prices": dom["prices"],
+        "trades": dom["trades_clean"],
+    }
+    eng_store = DegenterEngine(spark, tables=dict(tables), storage_dir=storage)
+    eng_flat = DegenterEngine(
+        spark, tables={**tables, "ohlcv_1m": dom["ohlcv_1m"]}
+    )
+    cutoff = _now() - F.expr("INTERVAL 240 MINUTES")
+
+    def key(df):
+        return sorted(
+            (r.token_id, r.side, round(r.change_pct, 9)) for r in df.collect()
+        )
+
+    assert eng_store._ohlcv_change_source(cutoff) is not None  # fast path on
+    assert eng_flat._ohlcv_change_source(cutoff) is None
+    got = key(eng_store.gainers_losers(cutoff, n=3))
+    assert got == key(eng_flat.gainers_losers(cutoff, n=3)) and got
+
+
 def test_late_trade_after_minute_compaction_merges_exact(spark, dom, tmp_path):  # noqa: F811
     """VERDICT r11 #6 (ST6 under the day layout): a late/out-of-order
     trade whose minute was ALREADY COMPACTED (its partials merged to a
