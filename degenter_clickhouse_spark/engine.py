@@ -281,9 +281,23 @@ class DegenterEngine:
         last, _ = latest_by_backscan(
             self.spark, path, ["pool_id"], ["close"], ["bucket_start"], uni
         )
+        # the prev-at-cutoff leg never finds anything in day partitions
+        # newer than the cutoff's date — evaluate the cutoff once (a
+        # one-row local job; it is an input-free expression) and hand
+        # the backscan a hi_day so those probes are skipped outright
+        # instead of each costing an empty scan + collect
+        try:
+            hi_day = (
+                self.spark.range(1)
+                .select(F.date_format(cutoff, "yyyy-MM-dd"))
+                .first()[0]
+            )
+        except Exception:
+            hi_day = None  # cutoff not evaluable standalone: probe all
         prev, _ = latest_by_backscan(
             self.spark, path, ["pool_id"], ["close"], ["bucket_start"], uni,
             where=F.col("bucket_start") <= cutoff,
+            hi_day=hi_day,
         )
         return last.unionByName(prev)
 
@@ -370,6 +384,19 @@ class DegenterEngine:
             )
         if "pool_id" in filters:
             t = t.filter(F.col("pool_id") == filters["pool_id"])
+        if "token_id" in filters:
+            # the reference's tokenId scope is the pool's BASE token
+            # (api/routes/trades.js:740-742 `b.token_id = $n` through
+            # tradesFromJoin's pools->base-token join): a token's feed
+            # is every trade in a pool whose base is that token. A
+            # dimension-sized broadcast semi-join keeps the fact scan
+            # one-pass and prunes BEFORE shaping/combining.
+            tok_pools = (
+                self.table("pools")
+                .filter(F.col("base_token_id") == filters["token_id"])
+                .select("pool_id")
+            )
+            t = t.join(F.broadcast(tok_pools), "pool_id", "left_semi")
         if "signer" in filters:
             t = t.filter(F.col("signer") == filters["signer"])
         if "direction" in filters:

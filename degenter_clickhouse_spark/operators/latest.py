@@ -61,6 +61,7 @@ def latest_by_backscan(
     universe: DataFrame,
     max_days: int | None = None,
     where: Column | None = None,
+    hi_day: str | None = None,
 ) -> tuple[DataFrame, int]:
     """``latest_by`` over a day-partitioned store WITHOUT scanning all
     of history: probe day partitions newest-first and stop as soon as
@@ -89,9 +90,23 @@ def latest_by_backscan(
     past instant" (the reference's prev-close leg,
     api/util/pool-select.js:107-113): days newer than the cutoff
     contribute nothing and the scan keeps descending until each key's
-    newest qualifying row is found."""
+    newest qualifying row is found — pass ``hi_day`` (the cutoff's
+    ``YYYY-MM-DD``) to skip those no-op probes entirely: day dirs whose
+    partition value sorts strictly above it are never opened.
+
+    ``max_days=None`` reads ``spark.degenter.backscan.maxDays``
+    (default 90): without a bound, ONE key with no row at all — a new
+    pool that never traded, common in the full pools universe — forces
+    a sequential probe (collect + localCheckpoint each) of EVERY day
+    partition of history on EVERY 60 s tick (ADVICE r12 #3). A key
+    idle longer than the bound is simply absent from the result, the
+    same contract as a key missing from the store; set the conf to 0
+    to restore unbounded scans."""
     import os
 
+    if max_days is None:
+        raw = spark.conf.get("spark.degenter.backscan.maxDays", "90")
+        max_days = int(raw) if raw and int(raw) > 0 else None
     day_dirs = sorted(
         (
             d
@@ -102,8 +117,16 @@ def latest_by_backscan(
         key=lambda d: d.split("=", 1)[1],
         reverse=True,
     )
+    had_day_layout = bool(day_dirs)
+    if hi_day is not None:
+        day_dirs = [d for d in day_dirs if d.split("=", 1)[1] <= hi_day]
     vals = list(dict.fromkeys([*values, *order]))  # order cols ride along
     if not day_dirs:
+        if had_day_layout:
+            # day-partitioned store but every day sorts above hi_day:
+            # the where-bound would empty every probe — answer is empty
+            df = spark.read.parquet(store_path)
+            return latest_by(df, keys, vals, order).limit(0), 0
         df = spark.read.parquet(store_path)
         if where is not None:
             df = df.filter(where)

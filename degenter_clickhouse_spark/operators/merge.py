@@ -182,6 +182,16 @@ def publish_atomic(df: DataFrame, path: str, keep_versions: int = 3) -> None:
     with _table_lock(base + ".__pub"):
         if os.path.isdir(base) and not os.path.islink(base):
             os.rename(base, base + ".__v0")  # legacy real dir -> v0
+            # bridge the pointer IMMEDIATELY: without this, ``path``
+            # resolves to nothing for the whole duration of the new
+            # version's parquet write (seconds), not just a rename
+            # window (ADVICE r12 #4) — readers must keep resolving to
+            # the migrated v0 until the real swap below
+            _bridge = base + ".__lnktmp"
+            if os.path.lexists(_bridge):
+                os.remove(_bridge)
+            os.symlink(os.path.basename(base + ".__v0"), _bridge)
+            os.replace(_bridge, base)
         versions = sorted(glob.glob(base + ".__v*"), key=vnum)
         n = (vnum(versions[-1]) if versions else -1) + 1
         target = f"{base}.__v{n}"

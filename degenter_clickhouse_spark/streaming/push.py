@@ -148,7 +148,17 @@ class TradesStream:
     def snapshot(self) -> dict:
         now = self.now_fn()
         items = self.trades_fn(self.token_id, now - 24 * 3600, now, 200)
-        self.last_time = items[-1]["time"] if items else None
+        # The stream is SHARED across subscribers (one hub per token):
+        # only the FIRST snapshot may establish the cursor, and it is
+        # never reset — a later subscriber's snapshot jumping last_time
+        # forward would permanently skip, for every EXISTING subscriber,
+        # any trade between their cursor and that snapshot's newest row,
+        # and an empty 24 h snapshot resetting it to None would re-send
+        # up to 200 historical rows to everyone (ADVICE r12 #2). A late
+        # joiner may see its snapshot's newest rows again in the next
+        # delta; ws.js clients append idempotently by design.
+        if self.last_time is None and items:
+            self.last_time = items[-1]["time"]
         self.seq += 1
         return {
             "type": "snapshot.trades",
@@ -428,20 +438,19 @@ def engine_provider(engine, zig_usd=None):
         ]
 
     def trades_fn(token_id, start_sec, end_sec, limit):
+        # token scoping happens INSIDE the feed plan (trades_feed's
+        # token_id filter: broadcast semi-join on the token's base
+        # pools, the reference's `b.token_id = $n` scope) — the
+        # combined router output carries no token column, so any
+        # post-hoc column filter here would silently no-op and leak
+        # the GLOBAL feed to every subscriber (ADVICE r12 #1).
         feed = engine.trades_feed(
             zig_usd if zig_usd is not None else F.lit(0.0),
             ts_from=_ts(start_sec),
             ts_to=_ts(end_sec),
+            token_id=int(token_id),
         )
-        rows = (
-            feed.filter(
-                (F.col("token_in") == int(token_id))
-                | (F.col("token_out") == int(token_id))
-            )
-            if "token_in" in feed.columns
-            else feed
-        )
-        out = rows.orderBy(F.col("created_at").desc()).limit(limit).collect()
+        out = feed.orderBy(F.col("created_at").desc()).limit(limit).collect()
         out.reverse()  # ascending, like ws.js fetchRecent's sort
         return [
             {

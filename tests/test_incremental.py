@@ -2078,3 +2078,67 @@ def test_backfill_partials_stores_fresh_repair_and_guards(spark, dom, tmp_path):
             hot_signer_threshold=4096,
         )
     trades.unpersist()
+
+
+def test_latest_by_backscan_max_days_and_hi_day_bounds(spark, tmp_path):
+    """ADVICE r12 #3: a universe key with no row anywhere must not
+    force a probe of EVERY day partition of history on every tick —
+    the conf-backed max_days default bounds the descent; hi_day skips
+    probing days the where-cutoff makes provably empty."""
+    from degenter_clickhouse_spark.operators import latest as L
+
+    rows = []
+    for day in (1, 2, 3, 4):  # pool 1 daily; pool 2 stops at 03-02
+        rows.append((1, f"2024-03-0{day} 10:00:00", float(day)))
+        if day <= 2:
+            rows.append((2, f"2024-03-0{day} 11:00:00", 10.0 + day))
+    df = spark.createDataFrame(
+        rows, "pool_id long, bucket_start string, close double"
+    ).withColumn("bucket_start", F.col("bucket_start").cast("timestamp"))
+    path = str(tmp_path / "ohlcv_1m")
+    df.withColumn("__day", F.to_date("bucket_start")).repartition(
+        F.col("__day")
+    ).write.partitionBy("__day").parquet(path)
+
+    def uni(*ids):
+        return spark.createDataFrame([(i,) for i in ids], "pool_id long")
+
+    # conf default bounds the scan a never-traded key would force
+    spark.conf.set("spark.degenter.backscan.maxDays", "2")
+    try:
+        got, days = L.latest_by_backscan(
+            spark, path, ["pool_id"], ["close"], ["bucket_start"], uni(1, 2, 3)
+        )
+        assert days == 2  # stopped at the bound, not all 4 days
+        assert {(r.pool_id, r.close) for r in got.collect()} == {(1, 4.0)}
+        # an explicit max_days arg overrides the conf
+        got, days = L.latest_by_backscan(
+            spark, path, ["pool_id"], ["close"], ["bucket_start"], uni(1, 2, 3),
+            max_days=3,
+        )
+        assert days == 3
+        assert {(r.pool_id, r.close) for r in got.collect()} == {
+            (1, 4.0), (2, 12.0),
+        }
+    finally:
+        spark.conf.unset("spark.degenter.backscan.maxDays")
+
+    # hi_day: the prev-close probe skips days above the cutoff's date
+    # outright — same answer as the where-only scan, in ONE probe
+    # instead of three (two of which scanned provably-empty days)
+    cut = F.lit("2024-03-02 23:59:59").cast("timestamp")
+    got, days = L.latest_by_backscan(
+        spark, path, ["pool_id"], ["close"], ["bucket_start"], uni(1, 2),
+        where=F.col("bucket_start") <= cut, hi_day="2024-03-02",
+    )
+    assert days == 1
+    assert {(r.pool_id, r.close) for r in got.collect()} == {(1, 2.0), (2, 12.0)}
+
+    # hi_day below every partition: empty answer, zero probes — NOT a
+    # fall-through to the flat full-store scan
+    got, days = L.latest_by_backscan(
+        spark, path, ["pool_id"], ["close"], ["bucket_start"], uni(1, 2),
+        where=F.col("bucket_start") <= F.lit("2020-01-01").cast("timestamp"),
+        hi_day="2020-01-01",
+    )
+    assert days == 0 and got.count() == 0

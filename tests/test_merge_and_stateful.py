@@ -1408,3 +1408,31 @@ def test_migrate_to_day_layout(spark, tmp_path):
     M.compact_table(spark, path, partition_col="__day", dirty_only=True)
     assert M.excess_file_count(path, 1) == 0
     assert spark.read.parquet(path).count() == 60
+
+
+def test_publish_atomic_legacy_migration_resolvable_during_write(spark, tmp_path):
+    """ADVICE r12 #4: migrating a legacy real-dir table into the
+    pointer layout must not leave ``path`` unresolvable for the whole
+    duration of the new version's parquet write — the bridge symlink to
+    the migrated v0 goes in place BEFORE the write starts, so a reader
+    hitting the table mid-migration sees the complete old data."""
+    import os
+
+    path = str(tmp_path / "legacy")
+    spark.range(0, 7).coalesce(1).write.parquet(path)
+    assert not os.path.islink(path)
+    real = spark.range(0, 9).coalesce(1)
+    seen = {}
+
+    class Probe:  # publish_atomic touches only .write — probe there
+        @property
+        def write(self):
+            seen["resolvable"] = os.path.isdir(os.path.realpath(path))
+            seen["count"] = spark.read.parquet(os.path.realpath(path)).count()
+            return real.write
+
+    M.publish_atomic(Probe(), path)
+    # at write time the pointer already resolved to the migrated v0
+    assert seen == {"resolvable": True, "count": 7}
+    assert os.path.islink(path)
+    assert M.serving_read(spark, path).count() == 9

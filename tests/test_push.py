@@ -288,3 +288,90 @@ def test_engine_provider_bars_and_stream(spark, dom):  # noqa: F811
     # trades provider: bounded ascending rows
     rows = trades_fn("2", now_sec - 24 * 3600, now_sec, 50)
     assert rows == sorted(rows, key=lambda r: r["time"])
+
+
+def test_push_trades_shared_cursor_survives_late_and_empty_snapshots():
+    """ADVICE r12 #2: TradesStream state is hub-SHARED — a late
+    subscriber's snapshot must not advance the cursor (existing
+    subscribers would permanently miss trades between their cursor and
+    the snapshot's newest row), and an empty 24 h snapshot must not
+    reset it to None (the next delta would re-send historical rows to
+    everyone)."""
+    now = {"t": 1_000_000}
+    store = [{"time": 999_900.0, "tx_hash": "a"}]
+
+    def trades_fn(token_id, start, end, limit):
+        return [r for r in store if start <= r["time"] <= end][-limit:]
+
+    s = P.TradesStream("s1", "9", trades_fn, now_fn=lambda: now["t"])
+    s.snapshot()  # first subscriber establishes the cursor at 'a'
+    store.append({"time": 999_910.0, "tx_hash": "b"})
+    snap2 = s.snapshot()  # late joiner sees a+b, cursor must NOT move
+    assert [r["tx_hash"] for r in snap2["items"]] == ["a", "b"]
+    d = s.delta()
+    assert d is not None
+    assert [r["tx_hash"] for r in d["items"]] == ["b"]  # b not skipped
+    # quiet token: an empty snapshot (nothing inside 24 h) keeps the
+    # established cursor; the next delta carries only genuinely new rows
+    now["t"] = int(999_910 + 24 * 3600 + 100)
+    snap3 = s.snapshot()
+    assert snap3["items"] == []
+    store.append({"time": now["t"] - 10.0, "tx_hash": "c"})
+    d2 = s.delta()
+    assert [r["tx_hash"] for r in d2["items"]] == ["c"]  # not a/b again
+
+
+def test_engine_provider_trades_scoped_to_token(spark, dom):  # noqa: F811
+    """ADVICE r12 #1: every kind=trades subscriber must receive ONLY
+    its token's trades. The scope is the reference's tokenId filter
+    (api/routes/trades.js:740-742 — trades of pools whose BASE token is
+    the subscribed token), applied inside the feed plan; the router-
+    combined output carries no token column, so the old post-hoc column
+    guard silently leaked the global feed."""
+    import calendar
+
+    from pyspark.sql import functions as F
+
+    from degenter_clickhouse_spark.engine import DegenterEngine
+
+    from .test_domain import NOW
+
+    eng = DegenterEngine(
+        spark,
+        tables={
+            "tokens": dom["tokens"],
+            "pools": dom["pools"],
+            "trades": dom["trades_clean"],
+            "prices": dom["prices"],
+        },
+    )
+    _, trades_fn = P.engine_provider(eng)
+    now_sec = calendar.timegm(NOW.timetuple())
+
+    def tx_of_token(tok):
+        pool_ids = [
+            r.pool_id
+            for r in dom["pools"]
+            .filter(F.col("base_token_id") == tok)
+            .select("pool_id")
+            .collect()
+        ]
+        return {
+            r.tx_hash
+            for r in dom["trades_clean"]
+            .filter(
+                (F.col("action") == "swap") & F.col("pool_id").isin(pool_ids)
+            )
+            .select("tx_hash")
+            .collect()
+        }
+
+    tx2, tx3 = tx_of_token(2), tx_of_token(3)
+    assert tx2 and tx3 and (tx3 - tx2)  # trades exist the filter MUST drop
+    got2 = {r["tx_hash"] for r in trades_fn("2", now_sec - 24 * 3600, now_sec, 200)}
+    got3 = {r["tx_hash"] for r in trades_fn("3", now_sec - 24 * 3600, now_sec, 200)}
+    assert got2 and got2 <= tx2  # only token 2's pools' trades
+    assert got3 and got3 <= tx3
+    # the leak the old column guard allowed: token-3-only txs showing
+    # up in token 2's stream
+    assert not (got2 & (tx3 - tx2))
