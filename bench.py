@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "sequence_count",  # greedy chain automaton, per-key array fold (EXTENDED)
     "interval_overlap_orders",  # interval-interval bucketized overlap join (EXTENDED)
     "quantile_state_merge",  # mergeable histogram quantile states (EXTENDED)
+    "cms_freq_estimate",  # mergeable count-min frequency states (EXTENDED)
     "hard_negative_mining",  # blocked contrastive negatives (EXTENDED)
     "cube_totals",  # four grouping sets, one aggregation (EXTENDED)
     "sequence_count_windowed",  # time-gated chain automaton (EXTENDED)

@@ -217,3 +217,117 @@ def quantile_merge(
         F.col("n_total").alias("n"),
         est.alias("quantile_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch: mergeable FREQUENCY state (Cormode & Muthukrishnan
+# 2005). Completes the engine's mergeable-sketch family — distinct
+# (HLL, `distinct_state`), quantiles (`quantile_state`), heavy hitters
+# (`topk.frequent_items`) — with point-frequency estimation:
+# "how often does this n-gram / word / key occur in any date range?"
+# answered from persisted per-partition states by integer ADDITION,
+# never rescanning raw data. Estimates only OVER-count (min over rows
+# bounds the collision error by ~2N/width at 1-1/2^depth confidence).
+#
+# The row-hash family is ((h * a_j + b_j) % CMS_MOD) % width over an
+# input already hashed into [0, CMS_MOD) — llm/text.py's polynomial
+# word hash is the canonical feed, so h < 2^31 and h * a_j < 2^62
+# stays inside BIGINT in Spark (ANSI mode aborts on overflow) AND in
+# any SQL oracle. Plain-integer rows, no sketch blobs: exact-oracle
+# checkable and engine-portable, like `quantile_state`.
+# ---------------------------------------------------------------------------
+
+CMS_MOD = 2147483647  # 2^31 - 1, same prime as llm/text.POLY_MOD
+CMS_A = (1000003, 1000033, 1000037, 1000039, 1000081, 1000099)
+CMS_B = (12345, 67891, 24681, 13579, 86421, 97531)
+
+
+def cms_position(hashed: Column, row: int, width: int) -> Column:
+    """Counter position of a pre-hashed value in sketch row ``row``."""
+    a, b = CMS_A[row], CMS_B[row]
+    return (
+        (hashed.cast("long") * F.lit(a) + F.lit(b)) % F.lit(CMS_MOD)
+    ) % F.lit(int(width))
+
+
+def _cms_rowpos(hashed: Column, depth: int, width: int) -> Column:
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("cms_row"),
+                cms_position(hashed, j, width).cast("int").alias("cms_pos"),
+            )
+            for j in range(int(depth))
+        ]
+    )
+
+
+def cms_state(
+    df: DataFrame,
+    keys: Sequence[str],
+    hashed: str | Column,
+    depth: int = 4,
+    width: int = 1024,
+    weight: Column | None = None,
+) -> DataFrame:
+    """Mergeable count-min STATE per key: (keys..., cms_row, cms_pos,
+    cnt) summable rows — at most depth x width counters per key group
+    regardless of input size.
+
+    Scale shape: the depth-way explode is map-side and the partial
+    aggregation collapses it before the shuffle, so the exchange
+    carries <= |keys| x depth x width rows — sketch-sized, never
+    input-sized. ``weight`` counts a column's sum instead of rows
+    (e.g. token counts per n-gram)."""
+    if int(depth) > len(CMS_A):
+        raise ValueError(f"cms_state: depth must be <= {len(CMS_A)}")
+    h = F.col(hashed) if isinstance(hashed, str) else hashed
+    w = F.lit(1).cast("long") if weight is None else weight.cast("long")
+    exploded = df.select(
+        *keys, F.explode(_cms_rowpos(h, depth, width)).alias("__rp"), w.alias("__w")
+    )
+    return exploded.groupBy(
+        *keys, F.col("__rp.cms_row").alias("cms_row"),
+        F.col("__rp.cms_pos").alias("cms_pos"),
+    ).agg(F.sum("__w").cast("long").alias("cnt"))
+
+
+def cms_merge(states: DataFrame, keys: Sequence[str] = ()) -> DataFrame:
+    """Merge persisted count-min states by integer addition — partials
+    from different days/shards/streams combine losslessly as long as
+    they share (depth, width)."""
+    return states.groupBy(*keys, "cms_row", "cms_pos").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def cms_estimate(
+    states: DataFrame,
+    probes: DataFrame,
+    hashed: str | Column,
+    depth: int = 4,
+    width: int = 1024,
+    keys: Sequence[str] = (),
+    out_col: str = "cms_est",
+) -> DataFrame:
+    """Point-frequency estimates for every probe row: min over the
+    sketch rows of the counter at the probe's position (0 when the
+    position was never touched). ``probes`` keeps all its columns;
+    the sketch side is dimension-sized (<= depth x width per key
+    group) and broadcasts — the probe frame, which may be huge,
+    never shuffles."""
+    from .joins import dim_broadcast
+
+    h = F.col(hashed) if isinstance(hashed, str) else hashed
+    cols = list(probes.columns)
+    p = probes.select(
+        *cols, F.explode(_cms_rowpos(h, depth, width)).alias("__rp")
+    ).select(
+        *cols,
+        F.col("__rp.cms_row").alias("cms_row"),
+        F.col("__rp.cms_pos").alias("cms_pos"),
+    )
+    j = p.join(dim_broadcast(states), [*keys, "cms_row", "cms_pos"], "left")
+    return j.groupBy(*cols).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias(out_col)
+    )

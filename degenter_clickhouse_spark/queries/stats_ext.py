@@ -1579,3 +1579,105 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rk") == 1)
         .select("event_type", F.col("value").alias("wmedian"))
     )
+
+
+# ---------------------------------------------------------------------------
+# cms_freq_estimate — Count-Min Sketch lifecycle (operators/skew.py
+# cms_state/cms_merge/cms_estimate): per-source frequency states merged
+# by integer addition into one global sketch, then point-estimates for
+# the corpus's top words checked against their exact counts. The sketch
+# is deterministic (fixed row-hash constants over the shared polynomial
+# word hash), so DuckDB reproduces every counter and estimate bit-
+# exactly — including the overcounts the width forces.
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+CMS_TOP = 20
+
+
+def _cms_oracle() -> str:
+    from ..llm.text import POLY_BASE, POLY_MOD
+    from ..operators.skew import CMS_A, CMS_B, CMS_MOD
+
+    def pos(h: str, j: int) -> str:
+        return f"(({h} * {CMS_A[j]} + {CMS_B[j]}) % {CMS_MOD}) % {CMS_WIDTH}"
+
+    counters = "\n  UNION ALL ".join(
+        f"SELECT {j} AS cms_row, {pos('h', j)} AS cms_pos, COUNT(*) AS cnt "
+        f"FROM words GROUP BY 1, 2"
+        for j in range(CMS_DEPTH)
+    )
+    probe = "\n  UNION ALL ".join(
+        f"SELECT w, exact_cnt, {j} AS cms_row, {pos('h', j)} AS cms_pos FROM top"
+        for j in range(CMS_DEPTH)
+    )
+    word_hash = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(generate_series(1, length(w)), "
+        "i -> CAST(ord(substring(w, i, 1)) AS BIGINT))), "
+        f"(acc, x) -> (acc * {POLY_BASE} + x) % {POLY_MOD})"
+    )
+    return f"""
+WITH words AS (
+  SELECT w, {word_hash} AS h
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) > 0
+),
+counters AS (
+  {counters}
+),
+exact AS (SELECT w, h, COUNT(*) AS exact_cnt FROM words GROUP BY w, h),
+top AS (SELECT * FROM exact ORDER BY exact_cnt DESC, w ASC LIMIT {CMS_TOP}),
+probe AS (
+  {probe}
+)
+SELECT p.w AS word,
+       CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(MIN(c.cnt) AS BIGINT) AS cms_est,
+       CAST(MIN(c.cnt) - p.exact_cnt AS BIGINT) AS overcount
+FROM probe p JOIN counters c USING (cms_row, cms_pos)
+GROUP BY p.w, p.exact_cnt
+"""
+
+
+@register_extended("cms_freq_estimate", _cms_oracle())
+def q_cms_freq_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency estimates for the corpus's top words,
+    via the full persisted-state lifecycle: per-source states
+    (``cms_state``) summed into one sketch (``cms_merge`` — the any-
+    range/any-shard merge path), probed by ``cms_estimate``. Shuffles:
+    one sketch-sized aggregation (<= sources x depth x width rows), one
+    exact word count for the probe set, one broadcast estimate join —
+    the corpus is scanned twice and never re-shuffled by word."""
+    from ..llm.text import POLY_BASE, POLY_MOD
+    from ..operators.skew import cms_estimate, cms_merge, cms_state
+
+    docs = _docs(spark, sf_dir)
+    words = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .withColumn(
+            "h",
+            F.expr(
+                "aggregate(transform(sequence(1, length(w)), "
+                "i -> CAST(ascii(substring(w, i, 1)) AS BIGINT)), "
+                f"CAST(0 AS BIGINT), (acc, x) -> (acc * {POLY_BASE} + x) % {POLY_MOD})"
+            ),
+        )
+    )
+    states = cms_state(words, ["source"], "h", depth=CMS_DEPTH, width=CMS_WIDTH)
+    sketch = cms_merge(states)  # drop the source grain: one global sketch
+    exact = words.groupBy("w", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    )
+    top = exact.orderBy(F.col("exact_cnt").desc(), F.col("w").asc()).limit(CMS_TOP)
+    est = cms_estimate(sketch, top, "h", depth=CMS_DEPTH, width=CMS_WIDTH)
+    return est.select(
+        F.col("w").alias("word"),
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
+    )

@@ -580,3 +580,64 @@ def test_distinct_up_to_exact_and_mergeable(spark):
         for r in distinct_up_to_merge(partial, ["event_type"], n).collect()
     }
     assert merged == direct
+
+
+def test_cms_state_merge_equals_direct_and_bounds(spark):
+    """Count-Min pattern (the frequency member of the mergeable-sketch
+    family): per-shard states summed by cms_merge must equal one
+    direct global state row-for-row; estimates NEVER undercount; with
+    a deliberately tiny width the forced collisions stay within the
+    classic depth/width overcount bound; a weighted state counts the
+    weight column's sum."""
+    from pyspark.sql import functions as F
+
+    from degenter_clickhouse_spark.operators.skew import (
+        cms_estimate,
+        cms_merge,
+        cms_state,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    # zipf-ish multiset over 200 distinct keys, pre-hashed into
+    # [0, CMS_MOD) the way llm/text.py word hashes arrive
+    rows = [
+        ("s%d" % (i % 3), (i * i * 2654435761) % 2147483647)
+        for n in range(200)
+        for i in [n] * (1 + (200 - n) // 20)
+        for _ in range(rng.randint(1, 2))
+    ]
+    df = spark.createDataFrame(rows, ["source", "h"])
+    depth, width = 4, 32  # tiny width: collisions guaranteed
+
+    shards = cms_state(df, ["source"], "h", depth=depth, width=width)
+    merged = cms_merge(shards)
+    direct = cms_state(df.select("h"), [], "h", depth=depth, width=width)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )  # addition-merge is lossless, row for row
+
+    exact = df.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("exact"))
+    est = cms_estimate(merged, exact, "h", depth=depth, width=width)
+    got = est.collect()
+    n_total = df.count()
+    assert got and all(r["cms_est"] >= r["exact"] for r in got)  # one-sided
+    # deterministic data + fixed hash family: the standard e*N/width
+    # bound holds with slack here (assert 2N/width to stay robust)
+    assert all(r["cms_est"] - r["exact"] <= 2 * n_total / width for r in got)
+    # a probe key never inserted estimates only collision mass (and 0
+    # at generous width)
+    missing = spark.createDataFrame([(999_999_937,)], ["h"])
+    z = cms_estimate(
+        cms_state(df.select("h"), [], "h", depth=depth, width=4096),
+        missing, "h", depth=depth, width=4096,
+    ).collect()[0]
+    assert z["cms_est"] == 0
+
+    # weighted state: counters carry sum(weight), not row counts
+    wdf = df.withColumn("wt", (F.col("h") % 5 + 1).cast("long"))
+    wstate = cms_state(wdf, [], "h", depth=depth, width=4096, weight=F.col("wt"))
+    wexact = wdf.groupBy("h").agg(F.sum("wt").cast("long").alias("exact"))
+    west = cms_estimate(wstate, wexact, "h", depth=depth, width=4096)
+    assert all(r["cms_est"] >= r["exact"] for r in west.collect())
