@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "interval_overlap_orders",  # interval-interval bucketized overlap join (EXTENDED)
     "quantile_state_merge",  # mergeable histogram quantile states (EXTENDED)
     "cms_freq_estimate",  # mergeable count-min frequency states (EXTENDED)
+    "bloom_membership",  # mergeable Bloom membership states (EXTENDED)
     "hard_negative_mining",  # blocked contrastive negatives (EXTENDED)
     "cube_totals",  # four grouping sets, one aggregation (EXTENDED)
     "sequence_count_windowed",  # time-gated chain automaton (EXTENDED)

@@ -331,3 +331,85 @@ def cms_estimate(
     return j.groupBy(*cols).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias(out_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: mergeable MEMBERSHIP state — the set-membership member
+# of the sketch family (distinct/quantile/heavy-hitter/frequency
+# above). Same deterministic row-hash family as the count-min sketch,
+# but the state keeps only the distinct touched positions (set bits),
+# so shards merge by DISTINCT UNION and a probe is "all depth
+# positions set". No false negatives ever; false-positive rate ~
+# (1 - e^(-depth*n/width))^depth, tuned by width. The at-scale use:
+# decontamination/dedup probes against a reference set whose sketch is
+# a few KB of rows — the reference set itself never broadcasts or
+# shuffles, only its bit positions do.
+# ---------------------------------------------------------------------------
+
+
+def bloom_state(
+    df: DataFrame,
+    keys: Sequence[str],
+    hashed: str | Column,
+    depth: int = 4,
+    width: int = 8192,
+) -> DataFrame:
+    """Mergeable Bloom membership state per key: distinct (keys...,
+    cms_row, cms_pos) rows — at most depth x width rows per key group
+    regardless of input size (the explode collapses to set bits via
+    the distinct's partial aggregation, map-side)."""
+    if int(depth) > len(CMS_A):
+        raise ValueError(f"bloom_state: depth must be <= {len(CMS_A)}")
+    h = F.col(hashed) if isinstance(hashed, str) else hashed
+    return (
+        df.select(*keys, F.explode(_cms_rowpos(h, depth, width)).alias("__rp"))
+        .select(
+            *keys,
+            F.col("__rp.cms_row").alias("cms_row"),
+            F.col("__rp.cms_pos").alias("cms_pos"),
+        )
+        .distinct()
+    )
+
+
+def bloom_merge(states: DataFrame, keys: Sequence[str] = ()) -> DataFrame:
+    """Merge persisted Bloom states: bit-OR == distinct union of the
+    set positions. Partials from different days/shards combine
+    losslessly as long as they share (depth, width)."""
+    return states.select(*keys, "cms_row", "cms_pos").distinct()
+
+
+def bloom_contains(
+    states: DataFrame,
+    probes: DataFrame,
+    hashed: str | Column,
+    depth: int = 4,
+    width: int = 8192,
+    keys: Sequence[str] = (),
+    out_col: str = "maybe_member",
+) -> DataFrame:
+    """Membership probe: true iff EVERY one of the probe's depth
+    positions is set (possibly-member — false positives only, never
+    false negatives). The sketch side broadcasts (<= depth x width
+    rows per key group); the probe frame never shuffles beyond its
+    own per-row aggregation."""
+    from .joins import dim_broadcast
+
+    h = F.col(hashed) if isinstance(hashed, str) else hashed
+    cols = list(probes.columns)
+    p = probes.select(
+        *cols, F.explode(_cms_rowpos(h, depth, width)).alias("__rp")
+    ).select(
+        *cols,
+        F.col("__rp.cms_row").alias("cms_row"),
+        F.col("__rp.cms_pos").alias("cms_pos"),
+    )
+    marked = p.join(
+        dim_broadcast(states.withColumn("__set", F.lit(1))),
+        [*keys, "cms_row", "cms_pos"],
+        "left",
+    )
+    return marked.groupBy(*cols).agg(
+        (F.count(F.lit(1)) == F.sum(F.coalesce(F.col("__set"), F.lit(0))))
+        .alias(out_col)
+    )

@@ -1681,3 +1681,91 @@ def q_cms_freq_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bloom_membership — Bloom membership state (operators/skew.py
+# bloom_state/bloom_merge/bloom_contains): a held-out "benchmark" set's
+# document fingerprints become a few hundred set-bit rows; every corpus
+# document probes the sketch. No false negatives by construction
+# (checked against exact membership in-row); the deliberately small
+# width forces deterministic false positives both engines reproduce.
+# ---------------------------------------------------------------------------
+
+BLOOM_DEPTH = 4
+BLOOM_WIDTH = 256
+
+
+def _bloom_oracle() -> str:
+    from ..llm.text import POLY_BASE, POLY_MOD
+    from ..operators.skew import CMS_A, CMS_B, CMS_MOD
+
+    def pos(h: str, j: int) -> str:
+        return f"(({h} * {CMS_A[j]} + {CMS_B[j]}) % {CMS_MOD}) % {BLOOM_WIDTH}"
+
+    text_hash = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(generate_series(1, length(text)), "
+        "i -> CAST(ord(substring(text, i, 1)) AS BIGINT))), "
+        f"(acc, x) -> (acc * {POLY_BASE} + x) % {POLY_MOD})"
+    )
+    bits = "\n  UNION ".join(
+        f"SELECT {j} AS cms_row, {pos('h', j)} AS cms_pos FROM bench"
+        for j in range(BLOOM_DEPTH)
+    )
+    probe = "\n  UNION ALL ".join(
+        f"SELECT doc_id, h, {j} AS cms_row, {pos('h', j)} AS cms_pos FROM corpus"
+        for j in range(BLOOM_DEPTH)
+    )
+    return f"""
+WITH corpus AS (SELECT doc_id, {text_hash} AS h FROM documents),
+bench AS (SELECT h FROM corpus WHERE doc_id % 7 = 0),
+bits AS (
+  {bits}
+),
+probe AS (
+  {probe}
+),
+hits AS (
+  SELECT p.doc_id, COUNT(*) = {BLOOM_DEPTH} AS maybe_member
+  FROM probe p JOIN bits b USING (cms_row, cms_pos)
+  GROUP BY p.doc_id
+)
+SELECT c.doc_id,
+       COALESCE(h2.maybe_member, FALSE) AS maybe_member,
+       c.h IN (SELECT h FROM bench) AS exact_member
+FROM corpus c LEFT JOIN hits h2 USING (doc_id)
+"""
+
+
+@register_extended("bloom_membership", _bloom_oracle())
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe every document against the benchmark subset's Bloom state.
+    Scale shape: the benchmark set never broadcasts or shuffles — only
+    its <= depth x width set-bit rows do; the corpus side explodes
+    map-side and re-aggregates per doc, one broadcast join."""
+    from ..llm.text import poly_hash
+    from ..operators.joins import dim_broadcast
+    from ..operators.skew import bloom_contains, bloom_merge, bloom_state
+
+    docs = _docs(spark, sf_dir).select("doc_id", poly_hash("text").alias("h"))
+    bench = docs.filter(F.col("doc_id") % 7 == 0).select("h")
+    # state built per half-shard, then merged — exercises the bit-OR
+    # union path the persisted-partials lifecycle relies on
+    shards = bloom_state(
+        docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "half", (F.col("doc_id") % 2).cast("int")
+        ),
+        ["half"], "h", depth=BLOOM_DEPTH, width=BLOOM_WIDTH,
+    )
+    sketch = bloom_merge(shards)
+    got = bloom_contains(
+        sketch, docs, "h", depth=BLOOM_DEPTH, width=BLOOM_WIDTH
+    )
+    exact = docs.join(
+        dim_broadcast(bench.distinct().withColumn("__m", F.lit(True))), "h", "left"
+    ).select("doc_id", F.coalesce(F.col("__m"), F.lit(False)).alias("exact_member"))
+    return (
+        got.join(exact, "doc_id")
+        .select("doc_id", "maybe_member", "exact_member")
+    )

@@ -452,10 +452,22 @@ def engine_provider(engine, zig_usd=None):
         )
         out = feed.orderBy(F.col("created_at").desc()).limit(limit).collect()
         out.reverse()  # ascending, like ws.js fetchRecent's sort
+        # full shaped rows, like /trades/recent's payload the reference
+        # streams verbatim (api/ws.js:213-219 items are shapeRow +
+        # combineRouterTradesShallow output, not bare cursors)
         return [
             {
                 "time": r.created_at.replace(tzinfo=timezone.utc).timestamp(),
                 "tx_hash": r.tx_hash,
+                "is_router": r.is_router,
+                "n_legs": r.n_legs,
+                "direction": r.direction,
+                "signer": r.signer,
+                "path": list(r.path or []),
+                "amount_in": r.amount_in_disp,
+                "amount_out": r.amount_out_disp,
+                "worth_zig": r.worth_zig,
+                "trade_class": r.trade_class,
             }
             for r in out
         ]

@@ -368,7 +368,11 @@ def test_engine_provider_trades_scoped_to_token(spark, dom):  # noqa: F811
 
     tx2, tx3 = tx_of_token(2), tx_of_token(3)
     assert tx2 and tx3 and (tx3 - tx2)  # trades exist the filter MUST drop
-    got2 = {r["tx_hash"] for r in trades_fn("2", now_sec - 24 * 3600, now_sec, 200)}
+    rows2 = trades_fn("2", now_sec - 24 * 3600, now_sec, 200)
+    # items are full shaped rows, like /trades/recent's payload
+    assert rows2 and {"direction", "signer", "path", "worth_zig",
+                      "trade_class"} <= set(rows2[0])
+    got2 = {r["tx_hash"] for r in rows2}
     got3 = {r["tx_hash"] for r in trades_fn("3", now_sec - 24 * 3600, now_sec, 200)}
     assert got2 and got2 <= tx2  # only token 2's pools' trades
     assert got3 and got3 <= tx3

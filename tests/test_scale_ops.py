@@ -641,3 +641,43 @@ def test_cms_state_merge_equals_direct_and_bounds(spark):
     wexact = wdf.groupBy("h").agg(F.sum("wt").cast("long").alias("exact"))
     west = cms_estimate(wstate, wexact, "h", depth=depth, width=4096)
     assert all(r["cms_est"] >= r["exact"] for r in west.collect())
+
+
+def test_bloom_state_merge_contains_no_false_negatives(spark):
+    """Bloom membership pattern: shard states distinct-union into the
+    same bits as one direct state; every inserted key probes TRUE (no
+    false negatives, the sketch's hard guarantee); uninserted keys'
+    false-positive rate stays near the (1 - e^(-dn/w))^d design point."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from degenter_clickhouse_spark.operators.skew import (
+        bloom_contains,
+        bloom_merge,
+        bloom_state,
+    )
+
+    n, depth, width = 300, 4, 4096
+    df = spark.range(n).select(
+        (F.col("id") % 3).cast("int").alias("shard"),
+        ((F.col("id") * 2654435761) % 2147483647).alias("h"),
+    )
+    shards = bloom_state(df, ["shard"], "h", depth=depth, width=width)
+    merged = bloom_merge(shards)
+    direct = bloom_state(df.select("h"), [], "h", depth=depth, width=width)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )  # bit-OR merge == direct bits
+
+    members = bloom_contains(merged, df.select("h").distinct(), "h",
+                             depth=depth, width=width).collect()
+    assert members and all(r["maybe_member"] for r in members)  # no FNs
+
+    probe = spark.range(10_000, 12_000).select(
+        ((F.col("id") * 2654435761) % 2147483647).alias("h")
+    )
+    got = bloom_contains(merged, probe, "h", depth=depth, width=width).collect()
+    fpr = sum(r["maybe_member"] for r in got) / len(got)
+    design = (1.0 - math.exp(-depth * n / width)) ** depth
+    assert fpr <= max(0.02, 3 * design)  # near the design point
