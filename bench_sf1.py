@@ -81,6 +81,11 @@ SF1_QUERIES = [
     # probe (module-level cache), so the row measures probe scaling,
     # not the one-time build
     "winnow_index_probe",
+    # round-13 sketch rows: both scan the corpus and shuffle only
+    # sketch-sized states (<= depth x width counters / set bits), so
+    # expect ~linear in corpus size with a flat sketch/broadcast side
+    "cms_freq_estimate",
+    "bloom_membership",
     "dedup_minhash_lsh",
     "leakage_free_split",
     "dedup_resolution",

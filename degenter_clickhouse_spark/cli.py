@@ -149,6 +149,19 @@ def main(argv: list[str] | None = None) -> int:
         help="write mergeable length-quantile histogram states to "
         "OUTPUT/length_profile per batch (quantile_merge to read)",
     )
+    ci.add_argument(
+        "--maintain-winnow-index",
+        action="store_true",
+        help="grow the winnowed-fingerprint (MOSS) overlap index at "
+        "OUTPUT/winnow_idx (winnow_index_probe to query)",
+    )
+    ci.add_argument(
+        "--maintain-freq-sketch",
+        action="store_true",
+        help="write mergeable count-min word-frequency states to "
+        "OUTPUT/freq_sketch per batch (read_freq_sketch + cms_estimate "
+        "to query)",
+    )
     ci.add_argument("--once", action="store_true", help="drain and exit (availableNow)")
 
     cp = sub.add_parser("compact", help="small-file compaction (lakehouse OPTIMIZE)")
@@ -506,7 +519,9 @@ def main(argv: list[str] | None = None) -> int:
             maintain_text_index=args.maintain_text_index,
             maintain_ivf_index=args.maintain_ivf_index,
             maintain_pq_index=args.maintain_pq_index,
+            maintain_winnow_index=args.maintain_winnow_index,
             maintain_profile=args.maintain_profile,
+            maintain_freq_sketch=args.maintain_freq_sketch,
             validate_constraints=_vc,
             available_now=args.once,
         )

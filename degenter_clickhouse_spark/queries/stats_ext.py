@@ -1653,7 +1653,7 @@ def q_cms_freq_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.text import POLY_BASE, POLY_MOD
     from ..operators.skew import cms_estimate, cms_merge, cms_state
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, parallel=True)
     words = (
         docs.select(
             "source", F.explode(F.split("text", " ")).alias("w")
@@ -1748,7 +1748,9 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.joins import dim_broadcast
     from ..operators.skew import bloom_contains, bloom_merge, bloom_state
 
-    docs = _docs(spark, sf_dir).select("doc_id", poly_hash("text").alias("h"))
+    docs = _docs(spark, sf_dir, parallel=True).select(
+        "doc_id", poly_hash("text").alias("h")
+    )
     bench = docs.filter(F.col("doc_id") % 7 == 0).select("h")
     # state built per half-shard, then merged — exercises the bit-OR
     # union path the persisted-partials lifecycle relies on

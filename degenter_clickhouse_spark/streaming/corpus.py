@@ -88,6 +88,28 @@ def quality_columns(df: DataFrame) -> DataFrame:
 PROFILE_LO, PROFILE_HI, PROFILE_BINS = 0.0, 4096.0, 256
 
 
+# Mergeable word-frequency sketch config (maintain_freq_sketch=True):
+# count-min states over the accepted docs' word hashes. 4 x 8192
+# counters bound the overcount at ~2N/8192 while the per-batch state
+# stays sketch-sized (<= touched positions, never vocabulary-sized).
+FREQ_DEPTH, FREQ_WIDTH = 4, 8192
+
+
+def read_freq_sketch(
+    spark: SparkSession, output_dir: str, keys: tuple[str, ...] = ("source",)
+) -> DataFrame:
+    """Merged count-min counters from the stream-maintained frequency
+    state — integer addition over batch rows, never a corpus rescan.
+    Probe with ``operators.skew.cms_estimate(sketch, probes, hashed,
+    FREQ_DEPTH, FREQ_WIDTH, keys=...)``; pass ``keys=()`` for one
+    corpus-global sketch. Equals (row-for-row) a direct ``cms_state``
+    over all accepted docs' words."""
+    from ..operators.skew import cms_merge
+
+    states = spark.read.parquet(os.path.join(output_dir, "freq_sketch"))
+    return cms_merge(states.drop("__batch_id"), list(keys))
+
+
 def read_length_profile(spark: SparkSession, output_dir: str, q: float = 0.5) -> DataFrame:
     """Per-source token-length quantile estimates from the
     stream-maintained mergeable profile — sums histogram rows, never
@@ -172,6 +194,7 @@ def process_corpus_batch(
     maintain_pq_index: bool = False,
     maintain_winnow_index: bool = False,
     maintain_profile: bool = False,
+    maintain_freq_sketch: bool = False,
     validate_constraints: list | None = None,
 ) -> None:
     """One micro-batch of the corpus sink (module-level so replay
@@ -399,6 +422,30 @@ def process_corpus_batch(
             _idempotent_write(
                 state, os.path.join(output_dir, "length_profile"), batch_id
             )
+        if maintain_freq_sketch and has_accepted:
+            # mergeable word-frequency sketch (operators/skew.cms_state):
+            # one summable counter-row set per batch over the accepted
+            # docs' word hashes — any-range/any-source point-frequency
+            # estimates come from cms_merge over these rows (addition),
+            # never a corpus rescan. Batch-scoped overwrite => replays
+            # rewrite their own rows, and because merge is ADDITION the
+            # overwrite (not append) is what keeps replays exactly-once.
+            from ..llm.text import poly_hash
+            from ..operators.skew import cms_state
+
+            wrds = (
+                accepted.select(
+                    "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+                )
+                .filter(F.length("w") > 0)
+                .withColumn("h", poly_hash("w"))
+            )
+            fstate = cms_state(
+                wrds, ["source"], "h", depth=FREQ_DEPTH, width=FREQ_WIDTH
+            )
+            _idempotent_write(
+                fstate, os.path.join(output_dir, "freq_sketch"), batch_id
+            )
         if validate_constraints and batch_df.limit(1).count():
             # per-batch admission report (operators/validate.py): one
             # row per constraint per micro-batch, batch-scoped
@@ -448,6 +495,7 @@ def stream_corpus_ingest(
     maintain_pq_index: bool = False,
     maintain_winnow_index: bool = False,
     maintain_profile: bool = False,
+    maintain_freq_sketch: bool = False,
     validate_constraints: list | None = None,
     available_now: bool = True,
 ):
@@ -485,7 +533,12 @@ def stream_corpus_ingest(
     re-fingerprinting it. ``maintain_profile`` keeps a
     MERGEABLE length-quantile profile at ``output_dir/length_profile``
     (operators/skew.quantile_state rows per batch); read it with
-    ``read_length_profile``."""
+    ``read_length_profile``. ``maintain_freq_sketch`` keeps a mergeable
+    per-source word-frequency count-min state at
+    ``output_dir/freq_sketch`` (operators/skew.cms_state rows per
+    batch); read it with ``read_freq_sketch`` and probe with
+    ``cms_estimate`` — point word/n-gram frequencies over any batch
+    window without rescanning the corpus."""
     raw = spark.readStream.schema(DOC_SCHEMA).json(landing_dir)
     hashed = raw.withColumn("content_hash", F.md5(F.col("text")))
     deduped = hashed.withWatermark("event_ts", watermark).dropDuplicatesWithinWatermark(
@@ -515,6 +568,7 @@ def stream_corpus_ingest(
             maintain_pq_index=maintain_pq_index,
             maintain_winnow_index=maintain_winnow_index,
             maintain_profile=maintain_profile,
+            maintain_freq_sketch=maintain_freq_sketch,
             validate_constraints=validate_constraints,
         )
 

@@ -1436,3 +1436,91 @@ def test_publish_atomic_legacy_migration_resolvable_during_write(spark, tmp_path
     assert seen == {"resolvable": True, "count": 7}
     assert os.path.islink(path)
     assert M.serving_read(spark, path).count() == 9
+
+
+def test_streaming_maintained_freq_sketch(spark, tmp_path):
+    """maintain_freq_sketch=True writes one mergeable count-min
+    counter-row set per batch over the accepted docs' words; merging
+    them equals a direct cms_state over all accepted words ROW-FOR-ROW
+    (addition is exactly-once thanks to the cross-batch doc guard), a
+    lost-checkpoint replay changes nothing, and quarantined docs never
+    count. Point estimates probed from the stream-grown sketch match
+    exact word counts."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from degenter_clickhouse_spark.llm.text import poly_hash
+    from degenter_clickhouse_spark.operators.skew import (
+        cms_estimate,
+        cms_merge,
+        cms_state,
+    )
+    from degenter_clickhouse_spark.streaming.corpus import (
+        FREQ_DEPTH,
+        FREQ_WIDTH,
+        read_freq_sketch,
+        stream_corpus_ingest,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def doc(i, text, src="src0", ts="2024-01-01 10:00:00"):
+        return {"doc_id": i, "text": text, "lang": "en", "source": src,
+                "n_chars": len(text), "event_ts": ts}
+
+    (landing / "b1.json").write_text("\n".join([
+        _json.dumps(doc(1, "alpha beta alpha gamma alpha beta")),
+        _json.dumps(doc(3, "spam")),  # quarantined: too few words
+    ]))
+    stream_corpus_ingest(spark, str(landing), out, ckpt,
+                         maintain_freq_sketch=True)
+    (landing / "b2.json").write_text("\n".join([
+        _json.dumps(doc(2, "alpha delta delta beta gamma epsilon zeta",
+                        ts="2024-01-01 10:10:00")),
+        _json.dumps(doc(4, "beta beta beta red green blue cyan",
+                        src="src1", ts="2024-01-01 10:10:00")),
+    ]))
+    stream_corpus_ingest(spark, str(landing), out, ckpt,
+                         maintain_freq_sketch=True)
+
+    def words_of(df):
+        return (
+            df.select("source", F.explode(F.split("text", " ")).alias("w"))
+            .filter(F.length("w") > 0)
+            .withColumn("h", poly_hash("w"))
+        )
+
+    accepted = spark.read.parquet(os.path.join(out, "accepted"))
+    streamed = sorted(map(tuple, read_freq_sketch(spark, out).collect()))
+    direct = sorted(map(tuple, cms_state(
+        words_of(accepted), ["source"], "h", depth=FREQ_DEPTH, width=FREQ_WIDTH
+    ).collect()))
+    assert streamed == direct  # addition merge is exactly-once
+
+    # probe: per-source estimates over the stream-grown sketch match
+    # exact word counts ('spam' was quarantined — counts nothing)
+    exact = words_of(accepted).groupBy("source", "w", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("exact")
+    )
+    est = cms_estimate(
+        read_freq_sketch(spark, out), exact, "h",
+        depth=FREQ_DEPTH, width=FREQ_WIDTH, keys=["source"],
+    )
+    rows = est.collect()
+    assert rows and all(r["cms_est"] >= r["exact"] for r in rows)
+    by = {(r["source"], r["w"]): r["cms_est"] for r in rows}
+    assert by[("src0", "alpha")] == 4  # 3 in doc 1 + 1 in doc 2
+    assert by[("src1", "beta")] == 3
+    assert ("src0", "spam") not in by
+
+    # lost-checkpoint full replay: the doc-level guard empties the
+    # replayed batch, so no counter row doubles
+    stream_corpus_ingest(spark, str(landing), out, str(tmp_path / "ckpt2"),
+                         maintain_freq_sketch=True)
+    replayed = sorted(map(tuple, read_freq_sketch(spark, out).collect()))
+    assert replayed == streamed

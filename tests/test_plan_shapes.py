@@ -273,3 +273,15 @@ def test_bm25_batch_plan_prunes_term_buckets(spark):
     plan = _plan(REGISTRY["bm25_batch"].fn(spark, SF_DIR))
     m = re.search(r"PartitionFilters: \[([^\]]*bucket[^\]]*)\]", plan)
     assert m and m.group(1).strip(), plan[:4000]
+
+
+def test_sketch_probe_joins_broadcast_the_sketch(spark):
+    """Round-13 sketch rows: the probe joins must broadcast the SKETCH
+    side (<= depth x width counter/bit rows) — a sort-merge join here
+    would shuffle the corpus-sized probe frame by sketch position, the
+    exact inversion of the design (the probe side never shuffles)."""
+    for name in ("cms_freq_estimate", "bloom_membership"):
+        plan = _plan(REGISTRY[name].fn(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, (name, plan)
+        assert "SortMergeJoin" not in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
