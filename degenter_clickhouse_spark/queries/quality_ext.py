@@ -130,3 +130,109 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = catalog.load_table(spark, sf_dir, "documents")
     return profile_table(docs, _PROFILE_COLS)
+
+
+# ---------------------------------------------------------------------------
+# corpus_drift — per-source distribution drift vs the corpus profile
+# (the monitoring step crawl pipelines run before admitting a new
+# source/snapshot: "does this source's length distribution look like
+# the corpus, or did the extractor break?"). Chi-square distance over
+# fixed-width token-length buckets: expected per (source, bucket) is
+# the source's size times the corpus bucket share; missing buckets
+# contribute their full expectation. Every input to each term is a
+# BIGINT, the double arithmetic is a fixed operand-order expression,
+# and the per-source sum goes through the round-then-DECIMAL recipe
+# (llm/clean.bm25 scores) — bit-identical across engines and shuffle
+# orders. Shuffle cost: sources x buckets rows, never corpus-sized.
+# ---------------------------------------------------------------------------
+
+DRIFT_BUCKET_W = 16
+DRIFT_CHI2_PER_BIN = 2.0  # drifted when chi2 exceeds 2x the bin count
+
+DRIFT_ORACLE = f"""
+WITH toks AS (
+  SELECT source,
+         CAST(floor(len(string_split(text, ' ')) / {DRIFT_BUCKET_W}) AS BIGINT)
+           AS bin
+  FROM documents
+),
+obs AS (SELECT source, bin, COUNT(*) AS o FROM toks GROUP BY source, bin),
+gl AS (SELECT bin, SUM(o) AS g FROM obs GROUP BY bin),
+ns AS (SELECT source, SUM(o) AS n FROM obs GROUP BY source),
+tot AS (SELECT SUM(g) AS nn, COUNT(*) AS n_bins FROM gl),
+grid AS (
+  SELECT ns.source, ns.n, gl.bin, gl.g, tot.nn, tot.n_bins
+  FROM ns CROSS JOIN gl CROSS JOIN tot
+),
+terms AS (
+  SELECT source, n, n_bins,
+         CAST(round(
+           (CAST(COALESCE(obs.o, 0) AS DOUBLE)
+              - CAST(grid.n AS DOUBLE) * CAST(grid.g AS DOUBLE)
+                / CAST(grid.nn AS DOUBLE))
+           * (CAST(COALESCE(obs.o, 0) AS DOUBLE)
+              - CAST(grid.n AS DOUBLE) * CAST(grid.g AS DOUBLE)
+                / CAST(grid.nn AS DOUBLE))
+           / (CAST(grid.n AS DOUBLE) * CAST(grid.g AS DOUBLE)
+              / CAST(grid.nn AS DOUBLE)), 9) AS DECIMAL(38,12)) AS t
+  FROM grid LEFT JOIN obs USING (source, bin)
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(n_bins AS BIGINT) AS n_bins,
+       round(CAST(SUM(t) AS DOUBLE), 6) AS chi2,
+       round(CAST(SUM(t) AS DOUBLE), 6) > {DRIFT_CHI2_PER_BIN} * n_bins
+         AS drifted
+FROM terms GROUP BY source, n, n_bins
+"""
+
+
+@register_extended("corpus_drift", DRIFT_ORACLE)
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square drift of each source's token-length histogram against
+    the whole corpus's. Plans: two bucket-sized aggregations, a 1-row
+    totals frame, a broadcast sources x buckets grid join — the corpus
+    is scanned once and only histogram rows shuffle."""
+    from .core import F as _F  # noqa: F401 (shared functions import)
+
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.floor(F.size(F.split("text", " ")) / DRIFT_BUCKET_W)
+        .cast("long")
+        .alias("bin"),
+    )
+    obs = toks.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    gl = obs.groupBy("bin").agg(F.sum("o").cast("long").alias("g"))
+    ns = obs.groupBy("source").agg(F.sum("o").cast("long").alias("n"))
+    tot = gl.agg(
+        F.sum("g").cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+    )
+    grid = ns.crossJoin(F.broadcast(gl)).crossJoin(F.broadcast(tot))
+    j = grid.join(obs, ["source", "bin"], "left")
+    e = (
+        F.col("n").cast("double")
+        * F.col("g").cast("double")
+        / F.col("nn").cast("double")
+    )
+    od = F.coalesce(F.col("o"), F.lit(0)).cast("double")
+    term = (od - e) * (od - e) / e
+    chi2 = F.round(
+        F.sum(F.round(term, 9).cast("decimal(38,12)")).cast("double"), 6
+    )
+    return (
+        j.groupBy("source", "n", "n_bins")
+        .agg(chi2.alias("chi2"))
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            "n_bins",
+            "chi2",
+            (F.col("chi2") > DRIFT_CHI2_PER_BIN * F.col("n_bins")).alias(
+                "drifted"
+            ),
+        )
+    )

@@ -169,7 +169,15 @@ class TradesStream:
 
     def delta(self) -> dict | None:
         now = self.now_fn()
-        start = self.last_time if self.last_time is not None else 0
+        # a never-set cursor (quiet token: every snapshot so far was
+        # empty) polls the trailing 24 h, not all of history — ws.js's
+        # tick omits startTime and the REST layer defaults the window
+        # to tf=24h server-side (api/routes/trades.js windowOpts);
+        # epoch-0 here would make every 2 s tick plan an unbounded
+        # dt-partition scan for exactly the tokens with no data
+        start = (
+            self.last_time if self.last_time is not None else now - 24 * 3600
+        )
         items = self.trades_fn(self.token_id, start, now, 200)
         # cursor is exclusive on re-poll (ws.js refetches from lastIso
         # inclusive and relies on client-side idempotent append; an

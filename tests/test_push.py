@@ -320,6 +320,23 @@ def test_push_trades_shared_cursor_survives_late_and_empty_snapshots():
     d2 = s.delta()
     assert [r["tx_hash"] for r in d2["items"]] == ["c"]  # not a/b again
 
+    # a NEVER-set cursor (every snapshot empty so far) polls only the
+    # trailing 24 h — the reference's server-side tf=24h default —
+    # never all of history: pre-window rows stay invisible, in-window
+    # rows surface on the next tick
+    fresh_now = {"t": 2_000_000}
+    quiet = [{"time": 2_000_000 - 30 * 3600.0, "tx_hash": "old"}]
+
+    def quiet_fn(token_id, start, end, limit):
+        return [r for r in quiet if start <= r["time"] <= end][-limit:]
+
+    s2 = P.TradesStream("s2", "9", quiet_fn, now_fn=lambda: fresh_now["t"])
+    assert s2.snapshot()["items"] == []  # 'old' is outside 24 h
+    assert s2.delta() is None  # epoch-0 would have resurfaced 'old'
+    quiet.append({"time": 2_000_000 - 5.0, "tx_hash": "new"})
+    d3 = s2.delta()
+    assert [r["tx_hash"] for r in d3["items"]] == ["new"]
+
 
 def test_engine_provider_trades_scoped_to_token(spark, dom):  # noqa: F811
     """ADVICE r12 #1: every kind=trades subscriber must receive ONLY

@@ -681,3 +681,56 @@ def test_bloom_state_merge_contains_no_false_negatives(spark):
     fpr = sum(r["maybe_member"] for r in got) / len(got)
     design = (1.0 - math.exp(-depth * n / width)) ** depth
     assert fpr <= max(0.02, 3 * design)  # near the design point
+
+
+def test_corpus_drift_flags_shifted_source(spark):
+    """corpus_drift semantics: a source whose length distribution
+    genuinely differs from the corpus flags drifted=True; sources
+    drawn from the corpus distribution do not."""
+    import random
+
+    from degenter_clickhouse_spark.queries.quality_ext import (
+        DRIFT_BUCKET_W,
+        q_corpus_drift,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    did = 0
+    # three normal sources: 20-120 word docs spread over ~7 buckets; one
+    # SMALL broken source whose extractor emits every doc at exactly 35
+    # words — all its mass lands in one bucket while the corpus profile
+    # expects it spread, so ITS chi2 explodes, but it is too small to
+    # drag the corpus profile and make the healthy sources look drifted
+    for src in ("a", "b", "c"):
+        for _ in range(300):
+            did += 1
+            n = rng.randint(20, 120)
+            rows.append((did, "w " * (n - 1) + "w", src))
+    for _ in range(16):
+        did += 1
+        rows.append((did, "w " * 34 + "w", "broken"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    import degenter_clickhouse_spark.catalog as catalog
+
+    orig = catalog.load_table
+    try:
+        catalog.load_table = lambda s, d, name: docs  # documents stand-in
+        from degenter_clickhouse_spark.queries import quality_ext as QE
+
+        qorig = QE.catalog.load_table
+        QE.catalog.load_table = catalog.load_table
+        try:
+            out = {r["source"]: r for r in q_corpus_drift(spark, "unused").collect()}
+        finally:
+            QE.catalog.load_table = qorig
+    finally:
+        catalog.load_table = orig
+    assert out["broken"]["drifted"] is True
+    assert all(not out[s]["drifted"] for s in ("a", "b", "c"))
+    assert out["broken"]["n_docs"] == 16
+    assert all(
+        out["broken"]["chi2"] > 4 * out[s]["chi2"] for s in ("a", "b", "c")
+    )
+    assert DRIFT_BUCKET_W == 16
