@@ -243,11 +243,20 @@ CMS_B = (12345, 67891, 24681, 13579, 86421, 97531)
 
 
 def cms_position(hashed: Column, row: int, width: int) -> Column:
-    """Counter position of a pre-hashed value in sketch row ``row``."""
+    """Counter position of a pre-hashed value in sketch row ``row``.
+    pmod keeps positions in-range even for a signed hash input (e.g.
+    raw xxhash64); for the canonical non-negative polynomial hashes it
+    equals plain ``%``, which is what the SQL oracles use."""
     a, b = CMS_A[row], CMS_B[row]
-    return (
-        (hashed.cast("long") * F.lit(a) + F.lit(b)) % F.lit(CMS_MOD)
-    ) % F.lit(int(width))
+    # reduce BEFORE the multiply: a full-range signed hash (xxhash64)
+    # times a would overflow BIGINT (ANSI mode aborts); after pmod the
+    # operand is < 2^31 so the product stays < 2^62. For the canonical
+    # polynomial hashes (already in [0, CMS_MOD)) the reduction is a
+    # no-op and the whole chain equals the SQL oracles' plain ``%``.
+    hr = F.pmod(hashed.cast("long"), F.lit(CMS_MOD))
+    return F.pmod(
+        F.pmod(hr * F.lit(a) + F.lit(b), F.lit(CMS_MOD)), F.lit(int(width))
+    )
 
 
 def _cms_rowpos(hashed: Column, depth: int, width: int) -> Column:
