@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "cms_freq_estimate",  # mergeable count-min frequency states (EXTENDED)
     "bloom_membership",  # mergeable Bloom membership states (EXTENDED)
     "corpus_drift",  # per-source chi-square distribution drift (EXTENDED)
+    "source_overlap_matrix",  # sources x sources shingle overlap (EXTENDED)
     "hard_negative_mining",  # blocked contrastive negatives (EXTENDED)
     "cube_totals",  # four grouping sets, one aggregation (EXTENDED)
     "sequence_count_windowed",  # time-gated chain automaton (EXTENDED)

@@ -1771,3 +1771,85 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         got.join(exact, "doc_id")
         .select("doc_id", "maybe_member", "exact_member")
     )
+
+
+# ---------------------------------------------------------------------------
+# source_overlap_matrix — pairwise content overlap between sources
+# (the provenance diagnostic run before mixture weighting: which
+# sources copy from each other / mirror the same upstream?). Overlap
+# is measured on distinct word-3-gram shingle hashes — the repo's
+# shared dedup primitive — so exact mirrors, partial scrapes, and
+# boilerplate all register. Pair fan-out per shingle is bounded by
+# C(n_sources, 2): the matrix is sources x sources regardless of
+# corpus size, and the only corpus-scale shuffle is the distinct
+# (source, shingle) aggregation.
+# ---------------------------------------------------------------------------
+
+SOURCE_OVERLAP_ORACLE = f"""
+WITH sh AS (
+  SELECT DISTINCT source, unnest(sg) AS h
+  FROM (
+    SELECT source,
+           list_transform(generate_series(1, greatest(len(hw) - 2, 0)),
+                          i -> {{combine}}) AS sg
+    FROM (SELECT source, {{word_hashes}} AS hw FROM documents)
+  )
+),
+cnt AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+ovl AS (
+  SELECT a.source AS src1, b.source AS src2, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT o.src1, o.src2,
+       CAST(c1.n AS BIGINT) AS n1, CAST(c2.n AS BIGINT) AS n2,
+       CAST(o.n_shared AS BIGINT) AS n_shared,
+       CAST(o.n_shared AS DOUBLE) / (c1.n + c2.n - o.n_shared) AS jaccard
+FROM ovl o
+JOIN cnt c1 ON o.src1 = c1.source
+JOIN cnt c2 ON o.src2 = c2.source
+"""
+
+
+def _source_overlap_oracle() -> str:
+    from ..llm.text import shingle_combine_sql
+
+    from .llm import O_WORD_HASHES
+
+    return SOURCE_OVERLAP_ORACLE.format(
+        combine=shingle_combine_sql("hw", 3), word_hashes=O_WORD_HASHES
+    )
+
+
+@register_extended("source_overlap_matrix", _source_overlap_oracle())
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sources-x-sources shingle-overlap matrix with Jaccard. One
+    corpus scan -> distinct (source, shingle) -> self-join on the
+    shingle hash (fan-out bounded by the source count) -> two
+    dimension-sized count joins."""
+    from ..llm.dedup import with_shingle_rows
+
+    docs = _docs(spark, sf_dir, parallel=True).select("source", "text")
+    sh = with_shingle_rows(docs, id_col="source")
+    cnt = sh.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = sh.select(F.col("source").alias("src1"), "h")
+    b = sh.select(F.col("source").alias("src2"), "h")
+    ovl = (
+        a.join(b, "h")
+        .filter(F.col("src1") < F.col("src2"))
+        .groupBy("src1", "src2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    c1 = cnt.select(F.col("source").alias("src1"), F.col("n").alias("n1"))
+    c2 = cnt.select(F.col("source").alias("src2"), F.col("n").alias("n2"))
+    return (
+        ovl.join(dim_broadcast(c1), "src1")
+        .join(dim_broadcast(c2), "src2")
+        .select(
+            "src1", "src2", "n1", "n2", "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )

@@ -807,3 +807,48 @@ def test_interval_join_property_vs_bruteforce_epoch(spark, spans, width):
         and max(a[2], b[2]) < min(a[3], b[3])
     )
     assert got == want
+
+
+@given(
+    hs=st.lists(
+        st.integers(min_value=-(2**63) + 1, max_value=2**63 - 1),
+        min_size=1,
+        max_size=60,
+    ),
+    width=st.sampled_from([8, 64, 1024]),
+)
+@_settings
+def test_sketch_family_invariants(spark, hs, width):
+    """Count-Min / Bloom hard guarantees hold for ARBITRARY signed
+    64-bit hash inputs and any width: estimates never undercount, the
+    estimate of every inserted key is positive, members never probe
+    false, and shard-merge equals the direct sketch row-for-row."""
+    from pyspark.sql import functions as F
+
+    from degenter_clickhouse_spark.operators.skew import (
+        bloom_contains,
+        bloom_merge,
+        bloom_state,
+        cms_estimate,
+        cms_merge,
+        cms_state,
+    )
+
+    rows = [(i % 2, h) for i, h in enumerate(hs)]
+    df = spark.createDataFrame(rows, "shard int, h long")
+    depth = 3
+
+    cm = cms_merge(cms_state(df, ["shard"], "h", depth=depth, width=width))
+    cd = cms_state(df.select("h"), [], "h", depth=depth, width=width)
+    assert sorted(map(tuple, cm.collect())) == sorted(map(tuple, cd.collect()))
+    exact = df.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("exact"))
+    est = cms_estimate(cm, exact, "h", depth=depth, width=width).collect()
+    assert est and all(r["cms_est"] >= r["exact"] >= 1 for r in est)
+
+    bm = bloom_merge(bloom_state(df, ["shard"], "h", depth=depth, width=width))
+    bd = bloom_state(df.select("h"), [], "h", depth=depth, width=width)
+    assert sorted(map(tuple, bm.collect())) == sorted(map(tuple, bd.collect()))
+    members = bloom_contains(
+        bm, df.select("h").distinct(), "h", depth=depth, width=width
+    ).collect()
+    assert members and all(r["maybe_member"] for r in members)
