@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "bloom_membership",  # mergeable Bloom membership states (EXTENDED)
     "corpus_drift",  # per-source chi-square distribution drift (EXTENDED)
     "source_overlap_matrix",  # sources x sources shingle overlap (EXTENDED)
+    "linear_trend",  # per-key OLS slope/intercept, simpleLinearRegression (EXTENDED)
     "hard_negative_mining",  # blocked contrastive negatives (EXTENDED)
     "cube_totals",  # four grouping sets, one aggregation (EXTENDED)
     "sequence_count_windowed",  # time-gated chain automaton (EXTENDED)

@@ -1853,3 +1853,90 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# linear_trend — ClickHouse `simpleLinearRegression(x, y)` parity:
+# per-key OLS slope/intercept of price over time from the four
+# algebraic moments (n, Σx, Σx², Σxy, Σy). One aggregation with
+# map-side partials — trend detection over any key count without a
+# per-key sort or window. Determinism: x is integer seconds offset
+# from a fixed origin (Σx, Σx² accumulate in DECIMAL(38,0), exact);
+# the double-valued y and x*y terms go through the round-then-DECIMAL
+# recipe; the final slope/intercept expression is a fixed arithmetic
+# tree over those exact sums, so both engines emit identical bits.
+# ---------------------------------------------------------------------------
+
+TREND_X0 = 1_700_000_000  # fixed origin keeps x small: x^2 exact in DECIMAL
+
+LINEAR_TREND_ORACLE = f"""
+WITH t AS (
+  SELECT user_id AS pool_id,
+         CAST(floor(epoch(ts)) AS BIGINT) - {TREND_X0} AS x,
+         value AS y
+  FROM events
+),
+m AS (
+  SELECT pool_id,
+         COUNT(*) AS n,
+         SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+         SUM(CAST(round(y, 9) AS DECIMAL(38,12))) AS sy,
+         SUM(CAST(round(CAST(x AS DOUBLE) * y, 6) AS DECIMAL(38,12))) AS sxy
+  FROM t GROUP BY pool_id
+)
+SELECT pool_id,
+       CAST(n AS BIGINT) AS n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0), 12) AS slope,
+       round((CAST(sy AS DOUBLE)
+                - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0))
+                  * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 9) AS intercept
+FROM m
+"""
+
+
+@register_extended("linear_trend", LINEAR_TREND_ORACLE)
+def q_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pool OLS price trend (ClickHouse simpleLinearRegression):
+    slope/intercept from the algebraic moments in ONE aggregation —
+    shuffle carries key-count rows, never ticks."""
+    from .. import catalog
+    from .core import O_TICKS  # noqa: F401 (shared tick shaping contract)
+
+    ev = catalog.load_table(spark, sf_dir, "events")
+    t = ev.select(
+        F.col("user_id").alias("pool_id"),
+        (F.unix_timestamp("ts") - TREND_X0).alias("x"),
+        F.col("value").alias("y"),
+    )
+    m = t.groupBy("pool_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum(F.round(F.col("y"), 9).cast("decimal(38,12)")).alias("sy"),
+        F.sum(
+            F.round(F.col("x").cast("double") * F.col("y"), 6).cast(
+                "decimal(38,12)"
+            )
+        ).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    denom = F.nullif(nd * sxxd - sxd * sxd, F.lit(0.0))
+    slope = (nd * sxyd - sxd * syd) / denom
+    return m.select(
+        "pool_id",
+        "n",
+        F.round(slope, 12).alias("slope"),
+        F.round((syd - slope * sxd) / nd, 9).alias("intercept"),
+    )

@@ -87,6 +87,10 @@ def test_results_invariant_to_shuffle_partitioning(spark):
         "hybrid_retrieval",
         "dsir_selection",
         "weighted_sample",
+        # round-13 additions: deterministic sketch counters; DECIMAL
+        # moment sums feeding a fixed OLS expression tree
+        "cms_freq_estimate",
+        "linear_trend",
     ]
 
     def run_all():
