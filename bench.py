@@ -257,7 +257,15 @@ def main() -> None:
         # that bled 1.6s queries out to 12s+ late in a 36-query session.
         # Clearing between queries measures each op cold-cache/warm-JVM,
         # which is also the realistic per-job state on a cluster.
+        # (r13) catalog.clearCache only drops SQL-cached relations;
+        # localCheckpoint blocks are plain persistent RDDs that linger
+        # until driver GC — unpersist them explicitly or they re-create
+        # the very pile-up the clear exists to prevent (measured: 2s
+        # queries spiking to 15s late in session). Colder, not warmer:
+        # no state survives into the next timed run.
         spark.catalog.clearCache()
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist()
     total = round(sum(timings.values()), 3)
     # Ingest/streaming surfaces (VERDICT r4 #5): ST1-ST7 regressions
     # were invisible in the per-round artifact because BENCH_r* carried

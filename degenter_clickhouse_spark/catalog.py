@@ -47,6 +47,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_rows(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Exact row count of a driver table, from parquet FOOTER metadata
+    when the table is a plain local parquet file/dir (num_rows in the
+    footer is exact for non-deleting parquet) — no Spark job. Several
+    builders need a planning-time corpus size (adaptive LSH bits / IVF
+    cells); a full count() scan job per query invocation is a whole
+    sequential driver round-trip for one integer. Falls back to
+    ``count()`` for anything the footer walk can't serve (remote FS,
+    non-parquet)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isfile(path):
+            return pq.read_metadata(path).num_rows
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += pq.read_metadata(os.path.join(root, f)).num_rows
+            return total
+    except Exception:
+        pass
+    return load_table(spark, sf_dir, name).count()
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

@@ -66,7 +66,11 @@ def duplicate_ngram_spans(
     docs). Adjacent/overlapping flagged grams merge into one span, so
     a duplicated substring of any length >= n comes out as exactly one
     interval per occurrence."""
-    g = positioned_ngrams(docs, n, id_col, text_col)
+    # pinned: the positioned-gram frame feeds the duplicate-count agg
+    # AND the semi-join probe, and executed plans show Spark does not
+    # reuse the duplicated explode subtree at runtime — without the
+    # checkpoint the n-gram strings were built twice per run
+    g = positioned_ngrams(docs, n, id_col, text_col).localCheckpoint(eager=False)
     dup = (
         g.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("__cnt"))
@@ -392,19 +396,19 @@ def text_index_search(
     touches only the query terms' hash-bucket partitions instead of
     tokenizing the corpus.
 
-    The bucket literals come from a 3-row local DataFrame job (xxhash64
-    is JVM-side only); they become static partition filters, so file
-    pruning happens at planning time, before a single posting is read.
+    The bucket literals are computed DRIVER-SIDE (functions/xxh.py, a
+    bit-exact twin of Spark's xxhash64 — pytest-asserted); they become
+    static partition filters, so file pruning happens at planning time,
+    before a single posting is read. The previous form launched a tiny
+    createDataFrame -> collect Spark job per search call just to
+    evaluate the hash — one whole sequential driver round-trip of pure
+    overhead on every probe.
     """
     import os
 
-    buckets = [
-        r["bucket"]
-        for r in spark.createDataFrame([(t,) for t in query_terms], "term string")
-        .select(_term_bucket("term").alias("bucket"))
-        .distinct()
-        .collect()
-    ]
+    from ..functions.xxh import pmod_bucket
+
+    buckets = sorted({pmod_bucket(t, TERM_BUCKETS) for t in query_terms})
     postings = (
         spark.read.parquet(os.path.join(path, "postings"))
         .where(F.col("bucket").isin(buckets))
@@ -549,15 +553,13 @@ def text_index_search_batch(
     """
     import os
 
+    from ..functions.xxh import pmod_bucket
+
     qrows = [(qid, t) for qid, ts in queries.items() for t in sorted(set(ts))]
     all_terms = sorted({t for _, t in qrows})
-    buckets = [
-        r["bucket"]
-        for r in spark.createDataFrame([(t,) for t in all_terms], "term string")
-        .select(_term_bucket("term").alias("bucket"))
-        .distinct()
-        .collect()
-    ]
+    # driver-side bucket literals (see text_index_search) — no Spark
+    # job just to hash a handful of known terms
+    buckets = sorted({pmod_bucket(t, TERM_BUCKETS) for t in all_terms})
     postings = (
         spark.read.parquet(os.path.join(path, "postings"))
         .where(F.col("bucket").isin(buckets))

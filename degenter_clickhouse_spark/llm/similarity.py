@@ -252,7 +252,11 @@ def fit_ivf_centroids(
     centroids stay dimension-sized throughout. ``vectors`` is cached
     for the loop (every iteration re-reads it twice: assignment +
     mean update) and released before returning."""
-    vectors = vectors.cache()
+    # the cache only pays for itself inside the Lloyd loop; iters=0
+    # (seed centroids) skips both the cache and the final checkpoint —
+    # the seed subtree is a tiny orderBy+limit recomputed in-plan
+    if iters > 0:
+        vectors = vectors.cache()
     cents = (
         vectors.orderBy(F.col(id_col).asc())
         .limit(k)
@@ -276,9 +280,10 @@ def fit_ivf_centroids(
                 ).alias("centroid")
             )
         )
-    # materialize the final centroids (tiny) before releasing the cache
-    cents = cents.localCheckpoint(eager=True)
-    vectors.unpersist()
+    if iters > 0:
+        # materialize the final centroids (tiny) before releasing the cache
+        cents = cents.localCheckpoint(eager=True)
+        vectors.unpersist()
     return cents
 
 
@@ -290,21 +295,52 @@ def assign_cells(
     nprobe: int = 1,
 ) -> DataFrame:
     """(id, cell) assignment to the ``nprobe`` nearest centroids by
-    scaled-integer L2 (deterministic)."""
-    from pyspark.sql.window import Window
+    scaled-integer L2 (deterministic).
 
-    dist = F.expr(
-        f"aggregate(zip_with({vec}, centroid, (x, y) -> "
+    MAP-ONLY shape (optimization r13): the centroid table folds into a
+    one-row sorted array that broadcasts, and each vector picks its
+    ``nprobe`` nearest cells with a pure array expression —
+    ``array_sort`` over (dist, cell) structs sorts exactly like the old
+    ``row_number() OVER (ORDER BY dist ASC, cell ASC)`` window, so the
+    output is row-identical. The previous form crossJoined every vector
+    against every centroid ROW and ranked with a window, which cost an
+    Exchange + Sort of |vectors| x |cells| rows on EVERY assignment
+    (index build, every probe's query side, every Lloyd iteration);
+    this form shuffles nothing (guide §2.4)."""
+    return with_cells(vectors, centroids, vec=vec, nprobe=nprobe).select(
+        F.col(id_col), "cell"
+    )
+
+
+def with_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    vec: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """``vectors`` with an exploded ``cell`` column — one row per
+    (vector, probed cell), all input columns kept. The join-free form
+    of cell assignment: callers that previously joined
+    ``assign_cells``' output back onto the vectors (index build, probe
+    query sides) get the annotated rows directly, with no join and no
+    shuffle."""
+    carr = centroids.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("cell"), F.col("centroid")))
+        ).alias("__cents")
+    )
+    cells = F.expr(
+        f"transform(slice(array_sort(transform(__cents, c -> struct("
+        f"aggregate(zip_with({vec}, c.centroid, (x, y) -> "
         f"CAST(floor((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
         f"* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * 1e12) AS BIGINT)), "
-        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x) AS dist, "
+        f"c.cell AS cell))), 1, {int(nprobe)}), s -> s.cell)"
     )
-    scored = vectors.crossJoin(dim_broadcast(centroids)).withColumn("dist", dist)
-    w = Window.partitionBy(id_col).orderBy(F.col("dist").asc(), F.col("cell").asc())
     return (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= nprobe)
-        .select(F.col(id_col), "cell")
+        vectors.crossJoin(dim_broadcast(carr))
+        .withColumn("cell", F.explode(cells))
+        .drop("__cents")
     )
 
 
@@ -337,13 +373,13 @@ def ivf_topk(
     """Approximate top-k: each query scores only the candidates in its
     ``nprobe`` nearest cells. Cost ∝ corpus x nprobe / n_cells per
     query instead of the full corpus."""
-    c_cells = assign_cells(candidates, centroids, id_col=id_col, vec=vec, nprobe=1)
-    q_cells = assign_cells(queries, centroids, id_col=id_col, vec=vec, nprobe=nprobe)
-    c = with_norm(candidates, vec).join(c_cells, id_col).select(
+    c = with_cells(with_norm(candidates, vec), centroids, vec=vec, nprobe=1).select(
         F.col(id_col).alias("c_id"), F.col(vec).alias("c_vec"),
         F.col("norm2_s").alias("c_n2"), "cell",
     )
-    q = with_norm(queries, vec).join(q_cells, id_col).select(
+    q = with_cells(
+        with_norm(queries, vec), centroids, vec=vec, nprobe=nprobe
+    ).select(
         F.col(id_col).alias("q_id"), F.col(vec).alias("q_vec"),
         F.col("norm2_s").alias("q_n2"), "cell",
     )
@@ -393,8 +429,10 @@ def build_ivf_index(
 
     cents = fit_ivf_centroids(vectors, k=k_cells, iters=iters, id_col=id_col, vec=vec)
     cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
-    assigned = assign_cells(vectors, cents, id_col=id_col, vec=vec, nprobe=1)
-    base = with_norm(vectors, vec).join(assigned, id_col)
+    # join-free: annotate every vector with its cell in the same
+    # projection (the old assign-then-join-back paid a shuffle join of
+    # the corpus against its own assignment)
+    base = with_cells(with_norm(vectors, vec), cents, vec=vec, nprobe=1)
     if quantize:
         scale, codes = _quantize_cols(vec)
         out = base.withColumn("__qs", scale).select(
@@ -411,9 +449,18 @@ def build_ivf_index(
             F.col("norm2_s").alias("c_n2"),
             "cell",
         )
-    out.withColumn("__idb", _id_bucket("c_id")).write.mode(
-        "overwrite"
-    ).partitionBy("cell", "__idb").parquet(os.path.join(path, "cells"))
+    # one write task per (cell, __idb) partition — without the
+    # repartition every upstream task writes a file into every
+    # partition it holds rows for (the map-only assignment keeps the
+    # scan's partitioning, so that would be scan-tasks x partitions
+    # small files; guide §6 output sizing)
+    (
+        out.withColumn("__idb", _id_bucket("c_id"))
+        .repartition(F.col("cell"), F.col("__idb"))
+        .write.mode("overwrite")
+        .partitionBy("cell", "__idb")
+        .parquet(os.path.join(path, "cells"))
+    )
 
 
 def _ivf_tombstones(spark, path: str):
@@ -458,8 +505,7 @@ def ivf_search(
     dead = _ivf_tombstones(spark, path)
     if dead is not None:
         cells = cells.join(F.broadcast(dead), "c_id", "left_anti")
-    q_cells = assign_cells(queries, cents, id_col=id_col, vec=vec, nprobe=nprobe)
-    q = with_norm(queries, vec).join(q_cells, id_col).select(
+    q = with_cells(with_norm(queries, vec), cents, vec=vec, nprobe=nprobe).select(
         F.col(id_col).alias("q_id"), F.col(vec).alias("q_vec"),
         F.col("norm2_s").alias("q_n2"), "cell",
     )
@@ -690,8 +736,7 @@ def _ivf_append_locked(spark, new_vectors, path, id_col, vec):
         n_new = fresh.count()
         if not n_new:
             return 0
-        assigned = assign_cells(fresh, cents, id_col=id_col, vec=vec, nprobe=1)
-        base = with_norm(fresh, vec).join(assigned, id_col)
+        base = with_cells(with_norm(fresh, vec), cents, vec=vec, nprobe=1)
         if quantized:
             scale, codes = _quantize_cols(vec)
             out = base.withColumn("__qs", scale).select(
@@ -708,15 +753,16 @@ def _ivf_append_locked(spark, new_vectors, path, id_col, vec):
                 F.col("norm2_s").alias("c_n2"),
                 "cell",
             )
+        # one write task per touched partition (see build_ivf_index)
         if bucketed:
             out = out.withColumn("__idb", _id_bucket("c_id"))
-            out.write.mode("append").partitionBy("cell", "__idb").parquet(
-                os.path.join(path, "cells")
-            )
+            out.repartition(F.col("cell"), F.col("__idb")).write.mode(
+                "append"
+            ).partitionBy("cell", "__idb").parquet(os.path.join(path, "cells"))
         else:  # pre-__idb index: keep its cell-only layout
-            out.write.mode("append").partitionBy("cell").parquet(
-                os.path.join(path, "cells")
-            )
+            out.repartition(F.col("cell")).write.mode("append").partitionBy(
+                "cell"
+            ).parquet(os.path.join(path, "cells"))
         return n_new
     finally:
         fresh.unpersist()

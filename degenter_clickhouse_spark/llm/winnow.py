@@ -89,13 +89,23 @@ def winnow_overlap_pairs(
         eager=False
     )
     sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
-    rare = (
-        fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= int(max_fp_freq))
-        .select("fp")
+    # frequency cap as a window count over fp instead of a groupBy +
+    # semi-join (guide §2.4: two operations keyed the same way share
+    # one exchange): ONE shuffle on fp, and the surviving rows come out
+    # hash-partitioned by fp — exactly the partitioning the pair
+    # self-join below needs, so its exchanges disappear too (rows per
+    # fp are bounded by the corpus's doc frequency for that
+    # fingerprint, and the cap itself drops the hot ones, so no
+    # window-partition skew at scale)
+    from pyspark.sql.window import Window
+
+    keep = (
+        fps.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
+        .filter(F.col("__df") <= int(max_fp_freq))
+        .drop("__df")
     )
-    keep = fps.join(rare, "fp", "left_semi")
     a = keep.select(F.col(id_col).alias("d1"), "fp")
     b = keep.select(F.col(id_col).alias("d2"), "fp")
     pairs = (
@@ -297,7 +307,10 @@ def winnow_index_probe(
         .where(F.col("__fpb").isin(fp_buckets))
         .select(id_col, "fp")
         .join(q_fps.select("fp").distinct(), "fp", "left_semi")
-        .distinct()  # dedup-at-read: converged replays may hold dup rows
+        # dedup-at-read for converged-replay dup rows happens in the
+        # post-union distinct below — a distinct here paid a second
+        # full exchange of the stored slice for rows the union distinct
+        # collapses anyway
     )
     # distinct AFTER the union: a probe doc that is already IN the
     # index contributes its (id, fp) rows twice — once from the pruned
@@ -306,13 +319,19 @@ def winnow_index_probe(
     # (caught by the CLI lifecycle test probing a corpus against its
     # own index: overlap_1e9 read 4e9)
     all_fps = stored.unionByName(q_fps.select(id_col, "fp")).distinct()
-    rare = (
-        all_fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= int(max_fp_freq))
-        .select("fp")
+    # frequency cap as a window count over fp (same rewrite as
+    # winnow_overlap_pairs: one exchange replaces groupBy + semi-join,
+    # and the output partitioning feeds the pair self-join for free)
+    from pyspark.sql.window import Window
+
+    keep = (
+        all_fps.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
+        .filter(F.col("__df") <= int(max_fp_freq))
+        .drop("__df")
+        .localCheckpoint(eager=False)
     )
-    keep = all_fps.join(rare, "fp", "left_semi").localCheckpoint(eager=False)
     a = keep.select(F.col(id_col).alias("d1"), "fp")
     b = keep.select(F.col(id_col).alias("d2"), "fp")
     pairs = (

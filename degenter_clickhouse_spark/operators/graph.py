@@ -46,10 +46,21 @@ DEFAULT_SCALE = 10**12
 
 def symmetrize(edges: DataFrame) -> DataFrame:
     """Undirected view of an edge list: each (src, dst) also appears
-    as (dst, src); duplicates collapse. One shuffle (the distinct)."""
-    fwd = edges.select("src", "dst")
-    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    return fwd.unionByName(rev).distinct()
+    as (dst, src); duplicates collapse. One shuffle (the distinct);
+    both directions come from ONE evaluation of ``edges`` via explode
+    (the union-of-two-selects form scanned the source twice)."""
+    return (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.src", "__e.dst")
+        .distinct()
+    )
 
 
 def pagerank(
@@ -71,7 +82,10 @@ def pagerank(
     """
     if not 0 < damping_pct < 100:
         raise ValueError(f"damping_pct must be in (0,100), got {damping_pct}")
-    e = edges.select("src", "dst")
+    # checkpoint the edge list FIRST: deg, e_deg and nodes all derive
+    # from it, and without the pin the (scan + symmetrize-distinct)
+    # subtree re-executed once per derived checkpoint (3x total)
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     # hoist the degree join OUT of the iteration loop: the annotated
     # edge list (src, dst, out_deg) is loop-invariant, so each round
@@ -80,6 +94,8 @@ def pagerank(
     e_deg = e.join(deg, "src").localCheckpoint(eager=True)
     # nodes appears in EVERY iteration's update join — checkpoint it
     # once or the distinct's full lineage replays per iteration
+    # (deg would be the free source of distinct srcs, but it is not
+    # pinned on its own; a cheap distinct over the pinned `e` is)
     nodes = (
         e.select(F.col("src").alias("node"))
         .distinct()
@@ -135,7 +151,9 @@ def personalized_pagerank(
     """
     if not 0 < damping_pct < 100:
         raise ValueError(f"damping_pct must be in (0,100), got {damping_pct}")
-    e = edges.select("src", "dst")
+    # pin the edge list first — deg, e_deg and nodes all derive from it
+    # (same rationale as pagerank above)
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     e_deg = e.join(deg, "src").localCheckpoint(eager=True)
     nodes = e.select(F.col("src").alias("node")).distinct()
@@ -194,7 +212,14 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     self-loops and duplicate edges collapse. Returns (node BIGINT,
     n_triangles BIGINT) for every node in >= 1 triangle.
     """
-    sym = symmetrize(edges).filter(F.col("src") != F.col("dst"))
+    # pin the symmetrized list: it feeds THREE consumers below (the
+    # undirected edge set and both endpoint-degree joins) and its
+    # distinct is the expensive part of the pre-orientation phase
+    sym = (
+        symmetrize(edges)
+        .filter(F.col("src") != F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
     und = sym.filter(F.col("src") < F.col("dst"))
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     ed = und.join(deg, "src").withColumnRenamed("d", "du").join(

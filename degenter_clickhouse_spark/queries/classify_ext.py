@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import catalog
 from ..llm import classify, similarity
 from . import register_extended
 from .llm import O_DOT, O_NORM2, _embs, _hyperplane_bucket_sql
@@ -181,8 +182,11 @@ def q_knn_label_vote_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     static 4-bit oracle above stays exact — asserted in
     tests/test_classify.py::test_adaptive_bits_match_oracle_scales."""
     e = _embs(spark, sf_dir, parallel=True)
-    # planning count on the PLAIN scan (no repartition in the count job)
-    bits = similarity.adaptive_hyperplane_bits(_embs(spark, sf_dir).count())
+    # planning count from parquet footer metadata (catalog.table_rows)
+    # — no Spark job for one integer
+    bits = similarity.adaptive_hyperplane_bits(
+        catalog.table_rows(spark, sf_dir, "embeddings")
+    )
     e = e.withColumn("bucket", similarity.hyperplane_bucket(bits=bits))
     return classify.knn_vote(
         e, k=_KNN_K, group_col="bucket", probe_bits=bits
@@ -247,7 +251,9 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked hard negatives — same adaptive-bits discipline as the
     blocked vote (static 4-bit oracle exact at every oracle scale)."""
     e = _embs(spark, sf_dir, parallel=True)
-    bits = similarity.adaptive_hyperplane_bits(_embs(spark, sf_dir).count())
+    bits = similarity.adaptive_hyperplane_bits(
+        catalog.table_rows(spark, sf_dir, "embeddings")
+    )
     e = e.withColumn("bucket", similarity.hyperplane_bucket(bits=bits))
     return classify.hard_negatives(
         e, k=_HARDNEG_K, group_col="bucket", probe_bits=bits

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import catalog
 from . import register_extended
 from .llm import _docs, _minhash_ctes
 
@@ -700,8 +701,8 @@ def _hybrid_index_root(spark: SparkSession, sf_dir: str) -> str:
     # cells scale ~sqrt(n) (FAISS nlist discipline); at every oracle
     # scale (n <= 500) the adaptive value is exactly _IVF_CELLS, so the
     # static 8-cell oracle SQL stays exact (asserted in tests). The
-    # planning count runs on the plain scan (no repartition shuffle).
-    n = _embs(spark, sf_dir).count()
+    # planning count from parquet footer metadata — no Spark job.
+    n = catalog.table_rows(spark, sf_dir, "embeddings")
     build_ivf_index(
         e,
         os.path.join(root, "ivf"),
@@ -1352,7 +1353,14 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("q_id") != F.col("vec_id"))
         .select("q_id", F.col("vec_id").alias("c_id"))
     )
-    per = retrieval_metrics(res, rel, k=_BATCH_K, queries=qs)
+    # `per` feeds BOTH output branches (per-query rows + the macro
+    # summary); without a checkpoint the union re-evaluates the whole
+    # upstream IVF batch search (the most expensive subtree of this
+    # query) once per branch (guide §2.4) — lazy so construction stays
+    # cheap, pinned at the first action
+    per = retrieval_metrics(res, rel, k=_BATCH_K, queries=qs).localCheckpoint(
+        eager=False
+    )
     summ = retrieval_summary(per).select(
         F.lit(-1).cast("long").alias("q_id"),
         F.col("n_queries").alias("n_rel"),

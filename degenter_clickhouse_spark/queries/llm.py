@@ -505,9 +505,11 @@ FROM embeddings e LEFT JOIN canon c ON c.vec_id = e.vec_id
 @register("semantic_dedup", SEMANTIC_DEDUP_ORACLE)
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embs(spark, sf_dir, parallel=True)
-    # planning count on the PLAIN scan (identical row count, no
-    # repartition shuffle in the count job)
-    bits = similarity.adaptive_hyperplane_bits(_embs(spark, sf_dir).count())
+    # planning count from parquet footer metadata (catalog.table_rows)
+    # — identical row count, no Spark job
+    bits = similarity.adaptive_hyperplane_bits(
+        catalog.table_rows(spark, sf_dir, "embeddings")
+    )
     return dedup.semantic_dedup(e, threshold=0.35, bits=bits)
 
 
@@ -520,7 +522,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registered via queries.suites.embedding_ann_scalable
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embs(spark, sf_dir, parallel=True)
-    bits = similarity.adaptive_hyperplane_bits(_embs(spark, sf_dir).count())
+    bits = similarity.adaptive_hyperplane_bits(
+        catalog.table_rows(spark, sf_dir, "embeddings")
+    )
     return similarity.lsh_topk(e.filter(F.col("vec_id") < 5), e, k=5, bits=bits)
 
 

@@ -721,3 +721,25 @@ def test_rrf_fuse_batch_equals_per_query_fusion(spark):
             for r in single.collect()
         )
         assert got == want, f"query {qid} diverged"
+
+
+def test_driver_xxhash64_matches_spark(spark):
+    """functions/xxh.py is the driver-side twin of Spark's xxhash64 —
+    the static partition-prune bucket literals of every text-index
+    search depend on it being bit-exact (ASCII, multibyte UTF-8, all
+    length classes around the 4/8/32-byte XXH64 block boundaries)."""
+    from degenter_clickhouse_spark.functions.xxh import pmod_bucket, xxhash64
+
+    cases = (
+        ["", "a", "ab", "abc", "abcd", "spark", "window", "merge"]
+        + ["x" * n for n in (7, 8, 9, 15, 16, 31, 32, 33, 63, 64, 100)]
+        + ["héllo wörld", "日本語テキスト", "emoji 🚀 tail"]
+    )
+    got = spark.createDataFrame([(c,) for c in cases], "s string").select(
+        "s",
+        F.xxhash64("s").alias("h"),
+        F.pmod(F.xxhash64("s"), F.lit(64)).alias("b"),
+    )
+    for r in got.collect():
+        assert xxhash64(r["s"]) == r["h"], r["s"]
+        assert pmod_bucket(r["s"], 64) == r["b"], r["s"]

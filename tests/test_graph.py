@@ -195,3 +195,29 @@ def test_label_propagation_partition_invariant(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_connected_components_fast_path_matches_loop(spark):
+    """The r13 driver fast path (bounded collect + union-find) must be
+    row-identical to the distributed pointer-jumping loop on the same
+    graph — long paths, stars, singleton self-loops, separate
+    components."""
+    pairs = [
+        (1, 2), (2, 3), (3, 4), (4, 5),          # path (exercises jumping)
+        (100, 101), (100, 102), (100, 103),      # star
+        (7, 7),                                  # self-loop singleton
+        (50, 60),                                # plain pair
+    ]
+    e = _edges(spark, pairs)
+    fast = {tuple(r) for r in graph.connected_components(e).collect()}
+    spark.conf.set("spark.degenter.cc.driverMaxEdges", "0")  # force loop
+    try:
+        loop = {tuple(r) for r in graph.connected_components(e).collect()}
+    finally:
+        spark.conf.unset("spark.degenter.cc.driverMaxEdges")
+    assert fast == loop
+    assert fast == {
+        (1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+        (100, 100), (101, 100), (102, 100), (103, 100),
+        (7, 7), (50, 50), (60, 50),
+    }
