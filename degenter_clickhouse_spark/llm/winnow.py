@@ -60,6 +60,48 @@ def winnow_fingerprints(
     )
 
 
+def _capped_pairs(
+    fps: DataFrame, max_fp_freq: int, min_shared: int, id_col: str
+) -> DataFrame:
+    """Shared pair stage: frequency-cap the (id, fp) rows, then emit
+    (d1 < d2, shared) pair counts.
+
+    The C(k, 2) combination explode replaces the old fp self-join —
+    whose two exchanges + join Spark never shared at runtime (0
+    ReusedExchange observed). Order of operations is skew-safe for a
+    100 TB corpus: the frequency cap is applied FIRST with a
+    partial-aggregating count + semi-join (a boilerplate fingerprint
+    held by 1e8 docs ships one partial row per map task and is dropped
+    before anything collects), and only then does the bounded
+    ``collect_list`` run — its buffer never exceeds ``max_fp_freq``
+    members, and it piggybacks on the semi-join's fp partitioning (no
+    extra exchange). The (id, fp) rows are unique by the callers'
+    contract, so each qualifying pair appears exactly once per shared
+    fingerprint — identical counts to the self-join form."""
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= int(max_fp_freq))
+        .select("fp")
+    )
+    keep = fps.join(rare, "fp", "left_semi")
+    per_fp = keep.groupBy("fp").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("__ds")
+    )
+    combos = F.expr(
+        "flatten(transform(__ds, (x, i) -> "
+        "transform(slice(__ds, i + 2, size(__ds)), "
+        "y -> struct(x AS d1, y AS d2))))"
+    )
+    return (
+        per_fp.select(F.explode(combos).alias("p"))
+        .select("p.d1", "p.d2")
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .filter(F.col("shared") >= int(min_shared))
+    )
+
+
 def winnow_overlap_pairs(
     docs: DataFrame,
     k: int = DEFAULT_K,
@@ -89,32 +131,7 @@ def winnow_overlap_pairs(
         eager=False
     )
     sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
-    # frequency cap as a window count over fp instead of a groupBy +
-    # semi-join (guide §2.4: two operations keyed the same way share
-    # one exchange): ONE shuffle on fp, and the surviving rows come out
-    # hash-partitioned by fp — exactly the partitioning the pair
-    # self-join below needs, so its exchanges disappear too (rows per
-    # fp are bounded by the corpus's doc frequency for that
-    # fingerprint, and the cap itself drops the hot ones, so no
-    # window-partition skew at scale)
-    from pyspark.sql.window import Window
-
-    keep = (
-        fps.withColumn(
-            "__df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
-        )
-        .filter(F.col("__df") <= int(max_fp_freq))
-        .drop("__df")
-    )
-    a = keep.select(F.col(id_col).alias("d1"), "fp")
-    b = keep.select(F.col(id_col).alias("d2"), "fp")
-    pairs = (
-        a.join(b, "fp")
-        .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
-        .filter(F.col("shared") >= int(min_shared))
-    )
+    pairs = _capped_pairs(fps, max_fp_freq, min_shared, id_col)
     s1 = sizes.select(F.col(id_col).alias("d1"), F.col("n_fp").alias("n1"))
     s2 = sizes.select(F.col(id_col).alias("d2"), F.col("n_fp").alias("n2"))
     # Plain shuffle joins on purpose (ADVICE r8): `sizes` derives from
@@ -295,6 +312,8 @@ def winnow_index_probe(
     index rows all live in its own bucket."""
     import os
 
+    from ..operators.joins import dim_broadcast
+
     q_fps = winnow_fingerprints(new_docs, k, w, id_col, text_col).localCheckpoint(
         eager=False
     )
@@ -307,50 +326,39 @@ def winnow_index_probe(
         .where(F.col("__fpb").isin(fp_buckets))
         .select(id_col, "fp")
         .join(q_fps.select("fp").distinct(), "fp", "left_semi")
-        # dedup-at-read for converged-replay dup rows happens in the
-        # post-union distinct below — a distinct here paid a second
-        # full exchange of the stored slice for rows the union distinct
-        # collapses anyway
-    )
-    # distinct AFTER the union: a probe doc that is already IN the
-    # index contributes its (id, fp) rows twice — once from the pruned
-    # stored read, once freshly fingerprinted — which would double its
-    # df contributions and multiply every `shared` count it touches
-    # (caught by the CLI lifecycle test probing a corpus against its
-    # own index: overlap_1e9 read 4e9)
-    all_fps = stored.unionByName(q_fps.select(id_col, "fp")).distinct()
-    # frequency cap as a window count over fp (same rewrite as
-    # winnow_overlap_pairs: one exchange replaces groupBy + semi-join,
-    # and the output partitioning feeds the pair self-join for free)
-    from pyspark.sql.window import Window
-
-    keep = (
-        all_fps.withColumn(
-            "__df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
-        )
-        .filter(F.col("__df") <= int(max_fp_freq))
-        .drop("__df")
-        .localCheckpoint(eager=False)
-    )
-    a = keep.select(F.col(id_col).alias("d1"), "fp")
-    b = keep.select(F.col(id_col).alias("d2"), "fp")
-    pairs = (
-        a.join(b, "fp")
-        .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
-        .filter(F.col("shared") >= int(min_shared))
-    )
-    # keep only pairs touching the shard (index x index collisions in
-    # a shared bucket are corpus-internal — not this probe's business)
-    from ..operators.joins import dim_broadcast
-
-    q1 = dim_broadcast(q_ids.select(F.col(id_col).alias("d1")))
-    q2 = dim_broadcast(q_ids.select(F.col(id_col).alias("d2")))
-    pairs = (
-        pairs.join(q1, "d1", "left_semi")
-        .unionByName(pairs.join(q2, "d2", "left_semi"))
+        # dedup + overlap removal on the SMALL side only (optimization
+        # r13): converged-replay dup rows dedup with a distinct of the
+        # collision-sized stored slice, and docs that are both in the
+        # index and in the shard keep only their fresh q_fps rows via a
+        # broadcast anti-join — the previous union-then-distinct paid a
+        # full exchange of (stored + shard) for rows only the stored
+        # side could ever duplicate. q_fps rows are already unique per
+        # doc (winnow_fingerprints emits array_distinct), so the union
+        # below needs no dedup at all.
+        .join(dim_broadcast(q_ids.select(F.col(id_col))), id_col, "left_anti")
         .distinct()
+    )
+    all_fps = stored.unionByName(q_fps.select(id_col, "fp"))
+    pairs = _capped_pairs(all_fps, max_fp_freq, min_shared, id_col)
+    # keep only pairs touching the shard (index x index collisions in
+    # a shared bucket are corpus-internal — not this probe's business).
+    # OR-of-two-broadcast-flags instead of union-of-two-semi-joins: the
+    # union form evaluated the whole pair aggregation subtree TWICE and
+    # needed a full distinct exchange to collapse the overlap (pairs
+    # with BOTH endpoints in the shard); two broadcast left joins + one
+    # filter keep a single evaluation, no union, no distinct — the pair
+    # set is already unique
+    q1 = dim_broadcast(
+        q_ids.select(F.col(id_col).alias("d1"), F.lit(1).alias("__m1"))
+    )
+    q2 = dim_broadcast(
+        q_ids.select(F.col(id_col).alias("d2"), F.lit(1).alias("__m2"))
+    )
+    pairs = (
+        pairs.join(q1, "d1", "left")
+        .join(q2, "d2", "left")
+        .filter(F.col("__m1").isNotNull() | F.col("__m2").isNotNull())
+        .select("d1", "d2", "shared")
         .localCheckpoint(eager=False)
     )
     # sizes: fresh for the shard; bucket-pruned stored rows for the

@@ -68,7 +68,7 @@ def pagerank(
     iterations: int = 5,
     damping_pct: int = 85,
     scale: int = DEFAULT_SCALE,
-    checkpoint_every: int = 2,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Integer-scaled PageRank power iteration.
 
@@ -136,7 +136,7 @@ def personalized_pagerank(
     iterations: int = 5,
     damping_pct: int = 85,
     scale: int = DEFAULT_SCALE,
-    checkpoint_every: int = 2,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Personalized (seeded) PageRank — TrustRank-style propagation of
     quality mass from a curated seed set through the link graph, the
@@ -250,7 +250,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 def label_propagation(
     edges: DataFrame,
     iterations: int = 3,
-    checkpoint_every: int = 2,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et
     al. 2007), made DETERMINISTIC: every node starts with its own id

@@ -8,6 +8,8 @@ against the exact baseline in tests/test_llm.py).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -62,7 +64,9 @@ O_DOT = (
 )
 
 
-def _parallel_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+def _parallel_scan(
+    spark: SparkSession, df: DataFrame, path: str | None = None
+) -> DataFrame:
     """Small-file parallelization guard for CPU-heavy per-row JVM
     operators (rolled hashes, scaled-integer dot products): a sub-MB
     parquet arrives as ONE split, serializing the whole hash chain onto
@@ -71,21 +75,61 @@ def _parallel_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
     and this is a no-op, so the shuffle cost exists only where it buys
     parallelism. Callers opt IN per query: ops whose per-row work is
     cheap (md5 groupBy) or Python-bound (mapInPandas decode, where 32
-    tasks mean 32 worker spin-ups) measured SLOWER with it."""
+    tasks mean 32 worker spin-ups) measured SLOWER with it.
+
+    When ``path`` names a local file/dir, the split count is estimated
+    from file bytes / maxPartitionBytes instead of
+    ``df.rdd.getNumPartitions()`` — the ``.rdd`` probe runs physical
+    planning on every call (~0.1 s of driver time per builder, ~40
+    builders in the bench); the byte estimate is planning-free and
+    errs the same way for the decision at hand (sub-split files on
+    either estimate repartition; multi-split inputs on either skip)."""
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(target // 2, 2):
+    splits = None
+    if path is not None and os.path.exists(path):
+        try:
+            if os.path.isfile(path):
+                nbytes = os.path.getsize(path)
+            else:
+                nbytes = sum(
+                    os.path.getsize(os.path.join(r, f))
+                    for r, _d, fs in os.walk(path)
+                    for f in fs
+                    if not f.startswith(("_", "."))
+                )
+            import re
+
+            raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+            m = re.match(r"(\d+)\s*([a-zA-Z]*)", raw)
+            mult = {
+                "": 1, "b": 1,
+                "k": 1 << 10, "kb": 1 << 10,
+                "m": 1 << 20, "mb": 1 << 20,
+                "g": 1 << 30, "gb": 1 << 30,
+            }.get(m.group(2).lower(), 1)
+            max_pb = int(m.group(1)) * mult
+            splits = max(1, -(-nbytes // max_pb))
+        except Exception:
+            splits = None
+    if splits is None:
+        splits = df.rdd.getNumPartitions()
+    if splits < max(target // 2, 2):
         return df.repartition(target)
     return df
 
 
 def _docs(spark: SparkSession, sf_dir: str, parallel: bool = False) -> DataFrame:
     df = catalog.load_table(spark, sf_dir, "documents")
-    return _parallel_scan(spark, df) if parallel else df
+    if not parallel:
+        return df
+    return _parallel_scan(spark, df, os.path.join(sf_dir, "documents.parquet"))
 
 
 def _embs(spark: SparkSession, sf_dir: str, parallel: bool = False) -> DataFrame:
     df = catalog.load_table(spark, sf_dir, "embeddings")
-    return _parallel_scan(spark, df) if parallel else df
+    if not parallel:
+        return df
+    return _parallel_scan(spark, df, os.path.join(sf_dir, "embeddings.parquet"))
 
 
 # ---------------------------------------------------------------------------

@@ -1830,13 +1830,28 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.dedup import with_shingle_rows
 
     docs = _docs(spark, sf_dir, parallel=True).select("source", "text")
-    sh = with_shingle_rows(docs, id_col="source")
+    # pinned: the distinct (source, shingle) frame feeds the per-source
+    # counts AND the pair stage (plans showed zero runtime subtree
+    # reuse — unpinned, the scan + hash + distinct ran three times)
+    sh = with_shingle_rows(docs, id_col="source").localCheckpoint(eager=False)
     cnt = sh.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    a = sh.select(F.col("source").alias("src1"), "h")
-    b = sh.select(F.col("source").alias("src2"), "h")
+    # pair generation by per-shingle source-set combinations instead of
+    # a self-join on h: ONE exchange of (source, h) replaces two, and
+    # the explode emits each qualifying (src1 < src2, h) exactly once
+    # (sh is distinct, the set is sorted), so the counts are identical.
+    # Fan-out per shingle stays bounded by C(n_sources, 2).
+    per_h = sh.groupBy("h").agg(F.sort_array(F.collect_set("source")).alias("ss"))
     ovl = (
-        a.join(b, "h")
-        .filter(F.col("src1") < F.col("src2"))
+        per_h.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (s1, i) -> "
+                    "transform(slice(ss, i + 2, size(ss)), "
+                    "s2 -> struct(s1 AS src1, s2 AS src2))))"
+                )
+            ).alias("p")
+        )
+        .select("p.src1", "p.src2")
         .groupBy("src1", "src2")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )

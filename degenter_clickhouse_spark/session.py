@@ -56,6 +56,19 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        # ObjectHashAggregate (collect_list/collect_set family: router
+        # leg folding, line dedup rebuilds, OHLCV path arrays) falls
+        # back to SORT-based aggregation after only 128 distinct keys
+        # by default — every big grouped-collect pays an extra sort of
+        # its full input. Raise the fallback so hash aggregation
+        # survives realistic per-task group counts (AQE bounds a task's
+        # input to ~advisory-size, so the in-memory buffer set tracks
+        # one task's groups, and the sort fallback still guards
+        # pathological cases). Env-tunable for cluster profiles.
+        .config(
+            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+            os.environ.get("SPARK_GRAFT_OHA_FALLBACK", str(1 << 20)),
+        )
         # -- dims are small: broadcast aggressively (J1-J4) --
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # plans stack many small broadcasts; don't fail under CPU contention
@@ -117,6 +130,9 @@ def tune_existing(spark: SparkSession) -> SparkSession:
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.sql.parquet.compression.codec": "zstd",
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": os.environ.get(
+            "SPARK_GRAFT_OHA_FALLBACK", str(1 << 20)
+        ),
     }
     for k, v in rt.items():
         try:

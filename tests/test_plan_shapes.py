@@ -177,11 +177,19 @@ SCALE_SHAPE_QUERIES = {
     "bm25_search": 1,  # corpus doc-count/avgdl aggregate (1 row)
     "collocations": 2,  # N1 (unigram total) + N2 (pair total), 1 row each
     # round-6 additions: the only SinglePartition allowed is the
-    # one-row index-stats aggregate (n_docs/avgdl) on the lexical legs
+    # one-row index-stats aggregate (n_docs/avgdl) on the lexical legs.
+    # (r13) the map-only IVF cell assignment folds the CENTROID table
+    # (<= n_cells rows by construction) into a one-row sorted array
+    # per probe side — each fold is a SinglePartition exchange feeding
+    # an ObjectHashAggregate; it replaced a corpus-sized
+    # crossJoin + rank-window pair, so the allowance grows while the
+    # actual funneled rows SHRANK from |vectors| x |cells| to |cells|.
+    # The adjacency assertion below still rejects any non-aggregate
+    # (window/sort) funnel.
     "bm25_batch": 1,
-    "embedding_ann_batch": 0,
-    "hybrid_retrieval": 1,
-    "hybrid_retrieval_batch": 1,
+    "embedding_ann_batch": 2,
+    "hybrid_retrieval": 3,
+    "hybrid_retrieval_batch": 3,
     "dedup_keep_best": 0,
     "fuzzy_decontamination": 0,
     # round-7 additions: PageRank iterations shuffle on the node key
