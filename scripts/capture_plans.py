@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Capture .explain("formatted") for bench queries into plans/r13/.
+"""Capture .explain("formatted") for bench queries into plans/<round>/
+(round dir from $SPARK_GRAFT_PLANS_DIR, default plans/r14).
 
 Usage: python scripts/capture_plans.py [suffix] [query ...]
   suffix: "before" or "after" (default "before")
@@ -27,7 +28,7 @@ from degenter_clickhouse_spark.session import build_session
 def main() -> None:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = _REPO / "plans" / "r13"
+    out_dir = _REPO / "plans" / os.environ.get("SPARK_GRAFT_PLANS_DIR", "r14")
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = build_session(app_name="capture-plans")
     spark.sparkContext.setLogLevel("FATAL")
