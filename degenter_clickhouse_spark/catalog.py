@@ -39,11 +39,31 @@ TABLES = (
 # ns -> us truncation exactly matches engines that read nanos natively.
 
 
+# Memoized scan DEFINITIONS (optimization r14, guide §5 driver work):
+# ``spark.read.parquet`` costs ~90-110 ms of driver/py4j time per call
+# (JVM DataSource resolution + footer schema read) and most of the ~90
+# bench builders call it 1-3 times — ~0.1-0.2 s of pure construction
+# overhead per query. The memo holds the unresolved LOGICAL PLAN
+# handle only — zero rows, zero computed state; every action on it
+# re-reads the parquet files — so this is the in-session equivalent of
+# resolving ``spark.table(name)`` against a metastore instead of
+# re-planning a path read per query. Keyed by applicationId so a
+# stopped/recreated session never serves a stale JVM handle.
+_TABLE_HANDLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _TABLE_HANDLE_CACHE.get(key)
+    if df is not None:
+        return df
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if len(_TABLE_HANDLE_CACHE) > 256:  # any-session bound, not a leak
+        _TABLE_HANDLE_CACHE.clear()
+    _TABLE_HANDLE_CACHE[key] = df
     return df
 
 
@@ -66,7 +86,11 @@ def table_rows(spark: SparkSession, sf_dir: str, name: str) -> int:
             total = 0
             for root, _dirs, files in os.walk(path):
                 for f in files:
-                    if f.endswith(".parquet"):
+                    # Spark data files only: leading '_'/'.' names are
+                    # markers/hidden temporaries (_SUCCESS, .staging),
+                    # never live data — counting a stale one would
+                    # silently skew planning parameters (ADVICE r13)
+                    if f.endswith(".parquet") and not f.startswith(("_", ".")):
                         total += pq.read_metadata(os.path.join(root, f)).num_rows
             return total
     except Exception:

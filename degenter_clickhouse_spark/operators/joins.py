@@ -52,7 +52,17 @@ def dim_broadcast(dim: DataFrame) -> DataFrame:
         return F.broadcast(dim)
     try:
         max_bytes = int(conf.get(_MAX_KEY, str(_DEFAULT_MAX)))
-        raw = dim._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # ANALYZED-plan stats, not optimizedPlan (optimization r14,
+        # guide §5): the analyzed plan is already materialized when a
+        # DataFrame exists, so reading its size visitor is ~free, while
+        # .optimizedPlan() ran the full Catalyst optimizer over the dim
+        # subtree — 40-200 ms of driver time per call, all of it thrown
+        # away when the enclosing query optimizes the same subtree
+        # again. The two estimates differ only by optimization effects
+        # (pruning/pushdown), which is noise against an 8 GiB ceiling:
+        # the guard's job is "obviously too big to broadcast", not
+        # byte-accurate sizing.
+        raw = dim._jdf.queryExecution().analyzed().stats().sizeInBytes()
         # py4j maps scala BigInt to int for normal sizes; huge/unknown
         # estimates may arrive as a java object — stringify those
         est = raw if isinstance(raw, int) else int(raw.toString())

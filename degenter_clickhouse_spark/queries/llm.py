@@ -89,14 +89,15 @@ def _parallel_scan(
     if path is not None and os.path.exists(path):
         try:
             if os.path.isfile(path):
-                nbytes = os.path.getsize(path)
+                nbytes, n_files = os.path.getsize(path), 1
             else:
-                nbytes = sum(
+                sizes = [
                     os.path.getsize(os.path.join(r, f))
                     for r, _d, fs in os.walk(path)
                     for f in fs
                     if not f.startswith(("_", "."))
-                )
+                ]
+                nbytes, n_files = sum(sizes), max(1, len(sizes))
             import re
 
             raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
@@ -108,7 +109,21 @@ def _parallel_scan(
                 "g": 1 << 30, "gb": 1 << 30,
             }.get(m.group(2).lower(), 1)
             max_pb = int(m.group(1)) * mult
-            splits = max(1, -(-nbytes // max_pb))
+            # Charge each file Spark's openCostInBytes like the real
+            # split packer does (ADVICE r13): a directory of many small
+            # files genuinely yields many splits, and the bare
+            # bytes/maxPartitionBytes estimate under-counted them to ~1,
+            # triggering a pointless corpus-wide repartition exactly on
+            # multi-file inputs.
+            open_cost = 4 * 1024 * 1024
+            try:
+                open_cost = int(
+                    spark.conf.get("spark.sql.files.openCostInBytes", str(open_cost))
+                )
+            except Exception:
+                pass
+            adjusted = nbytes + n_files * open_cost
+            splits = max(1, -(-adjusted // max_pb))
         except Exception:
             splits = None
     if splits is None:
