@@ -325,7 +325,14 @@ def winnow_index_probe(
         spark.read.parquet(os.path.join(path, "fps"))
         .where(F.col("__fpb").isin(fp_buckets))
         .select(id_col, "fp")
-        .join(q_fps.select("fp").distinct(), "fp", "left_semi")
+        # BROADCAST the shard fp set (optimization r14): the shuffle
+        # semi-join exchanged BOTH the pruned index slice and the shard
+        # fps by fp — two exchanges + an AQE stage round-trip each, for
+        # a probe-sized build side. The shard's distinct fingerprints
+        # are batch-bounded, the same scale contract as the q_ids
+        # anti-join below (shard-derived sets broadcast; the corpus
+        # never does).
+        .join(dim_broadcast(q_fps.select("fp").distinct()), "fp", "left_semi")
         # dedup + overlap removal on the SMALL side only (optimization
         # r13): converged-replay dup rows dedup with a distinct of the
         # collision-sized stored slice, and docs that are both in the
@@ -337,6 +344,11 @@ def winnow_index_probe(
         # below needs no dedup at all.
         .join(dim_broadcast(q_ids.select(F.col(id_col))), id_col, "left_anti")
         .distinct()
+        # pinned (optimization r14): three consumers — the pair union,
+        # the sizes semi-join's id set, and the sizes bucket collect —
+        # and the collision-sized slice is the cheapest thing in this
+        # query to materialize once
+        .localCheckpoint(eager=False)
     )
     all_fps = stored.unionByName(q_fps.select(id_col, "fp"))
     pairs = _capped_pairs(all_fps, max_fp_freq, min_shared, id_col)
@@ -359,20 +371,21 @@ def winnow_index_probe(
         .join(q2, "d2", "left")
         .filter(F.col("__m1").isNotNull() | F.col("__m2").isNotNull())
         .select("d1", "d2", "shared")
-        .localCheckpoint(eager=False)
     )
     # sizes: fresh for the shard; bucket-pruned stored rows for the
-    # candidate index docs (ids in pairs but not in the shard)
+    # candidate index docs. Candidates are bounded by the STORED slice
+    # ids (every non-shard pair endpoint came from `stored`), so the
+    # bucket list and the semi-join's id set both read off the pinned
+    # slice (optimization r14) — the old shape collected the bucket
+    # list from the PAIR output, which forced the whole pair pipeline
+    # to materialize in a separate blocking job (and made `pairs` a
+    # two-consumer frame needing its own checkpoint). A stored id
+    # without a qualifying pair adds a harmless row that the final
+    # inner joins drop; the result set is identical.
     q_sizes = q_fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
-    cand_ids = (
-        pairs.select(F.col("d1").alias(id_col))
-        .unionByName(pairs.select(F.col("d2").alias(id_col)))
-        .distinct()
-        .join(q_ids, id_col, "left_anti")
-    )
     id_buckets = [
         r.b
-        for r in cand_ids.select(_wid_bucket(id_col).alias("b")).distinct().collect()
+        for r in stored.select(_wid_bucket(id_col).alias("b")).distinct().collect()
     ]
     sizes = q_sizes
     if id_buckets:
@@ -381,7 +394,7 @@ def winnow_index_probe(
             .where(F.col("__idb").isin(id_buckets))
             .select(id_col, "n_fp")
             .distinct()  # dedup-at-read, as above
-            .join(dim_broadcast(cand_ids), id_col, "left_semi")
+            .join(dim_broadcast(stored.select(id_col).distinct()), id_col, "left_semi")
         )
         sizes = q_sizes.unionByName(stored_sizes)
     s1 = sizes.select(F.col(id_col).alias("d1"), F.col("n_fp").alias("n1"))

@@ -1654,11 +1654,21 @@ def q_cms_freq_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import cms_estimate, cms_merge, cms_state
 
     docs = _docs(spark, sf_dir, parallel=True)
-    words = (
-        docs.select(
-            "source", F.explode(F.split("text", " ")).alias("w")
-        )
+    # Aggregate FIRST, hash the distinct words (optimization r14): the
+    # per-character polynomial hash is an interpreted higher-order fold
+    # — by far this query's heaviest per-row expression — and the old
+    # shape evaluated it once per word OCCURRENCE, twice over (the
+    # unpinned `words` frame fed both the sketch states and the exact
+    # counts; 0 runtime subtree reuse in this engine). Counting
+    # occurrences per (source, word) first shrinks the hash input from
+    # corpus-occurrences x2 to the distinct vocabulary x1; the weighted
+    # cms_state sums the same counters bit-identically. The pinned
+    # frame feeds both consumers from one evaluation.
+    wcounts = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
         .filter(F.length("w") > 0)
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .withColumn(
             "h",
             F.expr(
@@ -1667,11 +1677,15 @@ def q_cms_freq_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"CAST(0 AS BIGINT), (acc, x) -> (acc * {POLY_BASE} + x) % {POLY_MOD})"
             ),
         )
+        .localCheckpoint(eager=False)
     )
-    states = cms_state(words, ["source"], "h", depth=CMS_DEPTH, width=CMS_WIDTH)
+    states = cms_state(
+        wcounts, ["source"], "h",
+        depth=CMS_DEPTH, width=CMS_WIDTH, weight=F.col("cnt"),
+    )
     sketch = cms_merge(states)  # drop the source grain: one global sketch
-    exact = words.groupBy("w", "h").agg(
-        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    exact = wcounts.groupBy("w", "h").agg(
+        F.sum("cnt").cast("long").alias("exact_cnt")
     )
     top = exact.orderBy(F.col("exact_cnt").desc(), F.col("w").asc()).limit(CMS_TOP)
     est = cms_estimate(sketch, top, "h", depth=CMS_DEPTH, width=CMS_WIDTH)
@@ -1748,9 +1762,15 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.joins import dim_broadcast
     from ..operators.skew import bloom_contains, bloom_merge, bloom_state
 
+    # pinned (optimization r14): the per-char polynomial hash of every
+    # full document text is this query's dominant per-row cost and the
+    # frame feeds FOUR consumers (bench set, shard states, the probe,
+    # the exact check) — Spark never reuses the duplicated subtrees at
+    # runtime (0 ReusedExchange in this engine's executed plans), so
+    # the unpinned shape hashed the corpus ~2.3x over
     docs = _docs(spark, sf_dir, parallel=True).select(
         "doc_id", poly_hash("text").alias("h")
-    )
+    ).localCheckpoint(eager=False)
     bench = docs.filter(F.col("doc_id") % 7 == 0).select("h")
     # state built per half-shard, then merged — exercises the bit-OR
     # union path the persisted-partials lifecycle relies on
@@ -1761,16 +1781,18 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["half"], "h", depth=BLOOM_DEPTH, width=BLOOM_WIDTH,
     )
     sketch = bloom_merge(shards)
-    got = bloom_contains(
-        sketch, docs, "h", depth=BLOOM_DEPTH, width=BLOOM_WIDTH
-    )
-    exact = docs.join(
+    # exact membership FIRST, as extra probe columns (optimization
+    # r14): bloom_contains carries every probe column through its
+    # per-doc aggregation, so folding the broadcast exact check into
+    # the probe frame removes the old corpus x corpus shuffle join of
+    # `got` with `exact` — one aggregation, zero doc-keyed exchanges
+    probes = docs.join(
         dim_broadcast(bench.distinct().withColumn("__m", F.lit(True))), "h", "left"
-    ).select("doc_id", F.coalesce(F.col("__m"), F.lit(False)).alias("exact_member"))
-    return (
-        got.join(exact, "doc_id")
-        .select("doc_id", "maybe_member", "exact_member")
+    ).select("doc_id", "h", F.coalesce(F.col("__m"), F.lit(False)).alias("exact_member"))
+    got = bloom_contains(
+        sketch, probes, "h", depth=BLOOM_DEPTH, width=BLOOM_WIDTH
     )
+    return got.select("doc_id", "maybe_member", "exact_member")
 
 
 # ---------------------------------------------------------------------------
