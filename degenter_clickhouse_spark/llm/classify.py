@@ -143,6 +143,13 @@ def _scored_pairs(
     pair matches exactly one probe (the 0-flip for same-bucket pairs,
     the single differing bit otherwise) — no duplicate scoring.
     """
+    # NOT pinned (optimization r14, measured): a localCheckpoint here
+    # would compute the bucket+norm once instead of once per join side,
+    # but a same-session A/B read 1.835s -> 1.835s min-of-4 on
+    # knn_label_vote_blocked — the pair join's cosine folds and the
+    # top-k windows dominate; the per-vector bucket fold is map-side
+    # noise, and the pin would add a full materialization of the
+    # embedding column for nothing.
     v = with_norm(vectors, vec)
     a = v.select(
         *([F.col(group_col).alias("g")] if group_col else []),

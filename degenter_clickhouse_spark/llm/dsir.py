@@ -156,6 +156,7 @@ def dsir_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     model: tuple[DataFrame, DataFrame] | None = None,
+    target_col: F.Column | str | None = None,
 ) -> DataFrame:
     """Per-raw-document importance score: (id, n_feats, dsir_score).
     Documents with fewer than two words carry no features and score
@@ -167,6 +168,15 @@ def dsir_scores(
     bit-equal to fit-and-score on the fitted corpus (the lambda table
     round-trips rounded doubles exactly); on a DIFFERENT corpus,
     buckets the model never saw score the persisted lam_default.
+
+    ``target_col=`` (optimization r14): when the target corpus is a
+    PREDICATE over ``raw`` (the common in-domain-slice fit, e.g.
+    lang == 'en'), pass the boolean column instead of a separate
+    DataFrame — the target distribution then derives from the same
+    per-(doc, f) exchange the raw side and the scoring leg already
+    share, so the target subset is never re-tokenized/re-hashed in a
+    second corpus pass. Counts are identical to the two-scan fit
+    (sum of per-doc occurrence counts over target docs).
 
     Plan shape: raw features aggregate ONCE into per-(doc, f)
     occurrence counts; the raw-side distribution for the lambda fit
@@ -181,10 +191,18 @@ def dsir_scores(
         f"% {POLY_MOD}) % {N_BUCKETS}) "
         f"ELSE array(CAST(NULL AS BIGINT)) END"
     )
+    tflag = []
+    if target_col is not None:
+        if target is not None:
+            raise ValueError("dsir_scores: pass target= OR target_col=, not both")
+        tc = F.col(target_col) if isinstance(target_col, str) else target_col
+        tflag = [tc.alias("__t")]
     feats = raw.withColumn("__hw", hw).select(
-        F.col(id_col), F.explode(F.expr(grams)).alias("f")
+        F.col(id_col), *tflag, F.explode(F.expr(grams)).alias("f")
     )
-    df_cnt = feats.groupBy(id_col, "f").agg(
+    # __t is constant per doc, so adding it to the grouping keys keeps
+    # the same group cardinality — it just rides the exchange
+    df_cnt = feats.groupBy(id_col, *(["__t"] if tflag else []), "f").agg(
         F.count(F.lit(1)).cast("long").alias("__n")
     )
     if model is None:
@@ -200,17 +218,50 @@ def dsir_scores(
         df_cnt = df_cnt.localCheckpoint(eager=False)
     if model is not None:
         lam, meta = model
-    elif target is not None:
+    elif target is not None or target_col is not None:
         # raw-side counts re-aggregate the per-(doc, f) exchange —
         # sentinel NULL features (docs of < 2 words) are no rows in
         # the two-scan _features form, so they are excluded here too
-        cr = (
-            df_cnt.filter(F.col("f").isNotNull())
-            .groupBy("f")
-            .agg(F.sum("__n").cast("long").alias("c"))
-        )
-        ct = _counts(_features(target, None, text_col))
-        lam, meta = _lambdas_from_counts(ct, cr), None
+        if target_col is not None:
+            # BOTH distributions from one aggregation of the shared
+            # per-(doc, f) exchange (see docstring): target <= raw, so
+            # every target bucket exists on the raw side and the
+            # general full_outer of _lambdas_from_counts degenerates to
+            # a single groupBy with a conditional sum — one exchange,
+            # one checkpoint, no join. The lam expression is verbatim
+            # _lambdas_from_counts', so scores are bit-identical.
+            both = (
+                df_cnt.filter(F.col("f").isNotNull())
+                .groupBy("f")
+                .agg(
+                    F.sum(F.when(F.col("__t"), F.col("__n")).otherwise(F.lit(0)))
+                    .cast("long")
+                    .alias("ct"),
+                    F.sum("__n").cast("long").alias("cr"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            nt = both.agg(F.sum("ct").cast("long").alias("nt"))
+            nr = both.agg(F.sum("cr").cast("long").alias("nr"))
+            lam_col = F.round(
+                F.log((F.col("ct") + 1).cast("double") / (F.col("nt") + N_BUCKETS))
+                - F.log((F.col("cr") + 1).cast("double") / (F.col("nr") + N_BUCKETS)),
+                9,
+            )
+            lam = (
+                both.crossJoin(dim_broadcast(nt))
+                .crossJoin(dim_broadcast(nr))
+                .select("f", lam_col.alias("lam"))
+            )
+            meta = None
+        else:
+            cr = (
+                df_cnt.filter(F.col("f").isNotNull())
+                .groupBy("f")
+                .agg(F.sum("__n").cast("long").alias("c"))
+            )
+            ct = _counts(_features(target, None, text_col))
+            lam, meta = _lambdas_from_counts(ct, cr), None
     else:
         raise ValueError("dsir_scores: pass either target= or model=")
     j = df_cnt.join(dim_broadcast(lam), "f", "left")

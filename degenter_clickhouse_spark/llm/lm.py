@@ -154,6 +154,59 @@ def collocations(
     )
 
 
+def _padded_bigram_rows(df: DataFrame, id_cols: list[str], text_col: str) -> DataFrame:
+    """(ids..., w1, w2): ONE padded explode per document — position i
+    carries (w_i, w_{i+1} | NULL), so every token appears exactly once
+    as w1 (the vocabulary) and every adjacent pair appears exactly once
+    as a w2-bearing row (the bigrams). NULL text degrades to one
+    (NULL, NULL) row — the same sentinel the classic CASE explode
+    keeps, so NULL-text docs survive identically (ADVICE r13: the
+    unguarded ``sequence(1, size(NULL))`` DROPPED them)."""
+    w = df.select(
+        *[F.col(c) for c in id_cols],
+        F.coalesce(
+            F.split(F.col(text_col), " "),
+            F.array(F.lit(None).cast("string")),
+        ).alias("ws"),
+    )
+    return w.select(
+        *[F.col(c) for c in id_cols],
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws)), i -> struct("
+                "element_at(ws, i) AS w1, "
+                "CASE WHEN i + 1 <= size(ws) THEN element_at(ws, i + 1) "
+                "END AS w2))"
+            )
+        ).alias("p"),
+    ).select(*id_cols, "p.w1", "p.w2")
+
+
+def _bigram_model_from_padded(pairs: DataFrame):
+    """(model, contexts, v) from a padded bigram frame. Counts are
+    identical to the classic three-pass fit: bigrams from the
+    w2-bearing rows, vocabulary from the distinct w1 values
+    (countDistinct ignores the NULL sentinel like the classic token
+    explode drops NULL text)."""
+    c12 = (
+        pairs.where(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    )
+    contexts = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    v = pairs.agg(F.countDistinct("w1").cast("long").alias("v"))
+    model = (
+        c12.join(dim_broadcast(contexts), "w1")
+        .crossJoin(dim_broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            F.expr(f"(c12 + 1) * CAST({SCALE} AS BIGINT) div (c1 + v)").alias("sc"),
+        )
+    )
+    return model, contexts, v
+
+
 def fit_bigram(ref: DataFrame, text_col: str = "text"):
     """Laplace-smoothed bigram model as exact integers (the CCNet
     perplexity filter's determinism-safe twin, one order up from
@@ -167,36 +220,16 @@ def fit_bigram(ref: DataFrame, text_col: str = "text"):
     shuffle orders (no ``log``; see module docstring for why the mean
     scaled probability replaces mean log-probability).
 
+    Plan (optimization r14): ONE pinned padded explode serves both the
+    pair counts and the vocabulary — the classic form re-tokenized the
+    reference twice (0 runtime subtree reuse in this engine).
+
     Returns (model, contexts, v): the (w1, w2, sc) model, the
     (w1, c1) context totals, and the vocabulary size V — everything a
     scorer needs to smooth unseen pairs/contexts identically.
     """
-    w = ref.select(F.split(F.col(text_col), " ").alias("ws"))
-    pairs = w.select(
-        F.explode(
-            F.expr(
-                "CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws) - 1), "
-                "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2)) "
-                "ELSE CAST(array() AS ARRAY<STRUCT<w1:STRING, w2:STRING>>) END"
-            )
-        ).alias("p")
-    ).select("p.w1", "p.w2")
-    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
-    contexts = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
-    v = (
-        ref.select(F.explode(F.split(F.col(text_col), " ")).alias("t"))
-        .agg(F.countDistinct("t").cast("long").alias("v"))
-    )
-    model = (
-        c12.join(dim_broadcast(contexts), "w1")
-        .crossJoin(dim_broadcast(v))
-        .select(
-            "w1",
-            "w2",
-            F.expr(f"(c12 + 1) * CAST({SCALE} AS BIGINT) div (c1 + v)").alias("sc"),
-        )
-    )
-    return model, contexts, v
+    pairs = _padded_bigram_rows(ref, [], text_col).localCheckpoint(eager=False)
+    return _bigram_model_from_padded(pairs)
 
 
 def bigram_fluency(
@@ -253,36 +286,10 @@ def bigram_fluency(
         # token appears exactly once as w1). Rows with NULL w2 are the
         # non-real tail/sentinel rows the classic form already produces
         # for short docs, so the scoring aggregation below is unchanged.
-        w = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("ws"))
-        pairs = w.select(
-            F.col(id_col),
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(ws)), i -> struct("
-                    "element_at(ws, i) AS w1, "
-                    "CASE WHEN i + 1 <= size(ws) THEN element_at(ws, i + 1) "
-                    "END AS w2))"
-                )
-            ).alias("p"),
-        ).select(id_col, "p.w1", "p.w2").localCheckpoint(eager=False)
-        c12 = (
-            pairs.where(F.col("w2").isNotNull())
-            .groupBy("w1", "w2")
-            .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        pairs = _padded_bigram_rows(docs, [id_col], text_col).localCheckpoint(
+            eager=False
         )
-        contexts = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
-        v = pairs.agg(F.countDistinct("w1").cast("long").alias("v"))
-        model = (
-            c12.join(dim_broadcast(contexts), "w1")
-            .crossJoin(dim_broadcast(v))
-            .select(
-                "w1",
-                "w2",
-                F.expr(f"(c12 + 1) * CAST({SCALE} AS BIGINT) div (c1 + v)").alias(
-                    "sc"
-                ),
-            )
-        )
+        model, contexts, v = _bigram_model_from_padded(pairs)
     j = (
         pairs.join(dim_broadcast(model), ["w1", "w2"], "left")
         .join(dim_broadcast(contexts), "w1", "left")
@@ -346,6 +353,80 @@ def _doc_trigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).select(id_col, "t.w1", "t.w2", "t.w3")
 
 
+def _padded_trigram_rows(
+    df: DataFrame, id_cols: list[str], text_col: str
+) -> DataFrame:
+    """(ids..., w1, w2, w3): ONE padded explode per document — position
+    i carries (w_i, w_{i+1}|NULL, w_{i+2}|NULL), so one frame serves
+    trigram counts (w3-bearing rows), bigram counts (w2-bearing rows),
+    the vocabulary (w1 occurrences), and the scoring rows themselves.
+    NULL text degrades to one (NULL, NULL, NULL) row — the classic
+    sentinel shape (ADVICE r13: the unguarded form DROPPED those
+    docs)."""
+    w = df.select(
+        *[F.col(c) for c in id_cols],
+        F.coalesce(
+            F.split(F.col(text_col), " "),
+            F.array(F.lit(None).cast("string")),
+        ).alias("ws"),
+    )
+    return w.select(
+        *[F.col(c) for c in id_cols],
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws)), i -> struct("
+                "element_at(ws, i) AS w1, "
+                "CASE WHEN i + 1 <= size(ws) THEN element_at(ws, i + 1) "
+                "END AS w2, "
+                "CASE WHEN i + 2 <= size(ws) THEN element_at(ws, i + 2) "
+                "END AS w3))"
+            )
+        ).alias("t"),
+    ).select(*id_cols, "t.w1", "t.w2", "t.w3")
+
+
+def _trigram_model_from_padded(t: DataFrame):
+    """(tri, bi, uni) stupid-backoff tables from a padded trigram
+    frame. Counts are identical to the classic three-pass fit: every
+    trigram appears exactly once as a w3-bearing row, every adjacent
+    pair exactly once as a w2-bearing row (keyed (w2, w3) to match the
+    model tables), every token exactly once as a non-NULL w1 (the
+    ``isNotNull`` keeps NULL-text sentinel rows out of the vocabulary,
+    exactly like the classic token explode dropping NULL text —
+    ADVICE r13's corpus-wide sc1 skew)."""
+    c3 = (
+        t.where(F.col("w3").isNotNull())
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("long").alias("c123"))
+    )
+    c12 = c3.groupBy("w1", "w2").agg(F.sum("c123").cast("long").alias("c12"))
+    tri = c3.join(dim_broadcast(c12), ["w1", "w2"]).select(
+        "w1", "w2", "w3",
+        F.expr(f"c123 * CAST({SCALE} AS BIGINT) div c12").alias("sc3"),
+    )
+    c23 = (
+        t.where(F.col("w2").isNotNull())
+        .groupBy(F.col("w1").alias("w2"), F.col("w2").alias("w3"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c23"))
+    )
+    c2 = c23.groupBy("w2").agg(F.sum("c23").cast("long").alias("c2"))
+    bi = c23.join(dim_broadcast(c2), "w2").select(
+        "w2", "w3",
+        F.expr(f"2 * c23 * CAST({SCALE} AS BIGINT) div (5 * c2)").alias("sc2"),
+    )
+    cu = (
+        t.where(F.col("w1").isNotNull())
+        .groupBy(F.col("w1").alias("w3"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cu"))
+    )
+    n = cu.agg(F.sum("cu").cast("long").alias("n"))
+    uni = cu.crossJoin(dim_broadcast(n)).select(
+        "w3",
+        F.expr(f"4 * cu * CAST({SCALE} AS BIGINT) div (25 * n)").alias("sc1"),
+    )
+    return tri, bi, uni
+
+
 def fit_backoff_trigram(ref: DataFrame, text_col: str = "text"):
     """Order-3 stupid-backoff model (Brants et al. 2007, 'Large
     Language Models in Machine Translation') as exact integers:
@@ -365,45 +446,15 @@ def fit_backoff_trigram(ref: DataFrame, text_col: str = "text"):
     sum of c123 over w3), the standard normalization that makes each
     order's scores sum to <= 1 over its context.
 
+    Plan (optimization r14): ONE pinned padded explode serves all
+    three orders — the classic form re-tokenized the reference three
+    times (trigram, bigram, unigram passes; 0 runtime subtree reuse in
+    this engine).
+
     Returns (tri, bi, uni): (w1,w2,w3,sc3), (w2,w3,sc2), (w3,sc1).
     """
-    tris = _doc_trigrams(
-        ref.select(F.lit(0).alias("__id"), text_col), "__id", text_col
-    ).where(F.col("w1").isNotNull())
-    c3 = tris.groupBy("w1", "w2", "w3").agg(
-        F.count(F.lit(1)).cast("long").alias("c123")
-    )
-    c12 = c3.groupBy("w1", "w2").agg(F.sum("c123").cast("long").alias("c12"))
-    tri = c3.join(dim_broadcast(c12), ["w1", "w2"]).select(
-        "w1", "w2", "w3",
-        F.expr(f"c123 * CAST({SCALE} AS BIGINT) div c12").alias("sc3"),
-    )
-    w = ref.select(F.split(F.col(text_col), " ").alias("ws"))
-    bi_pairs = w.select(
-        F.explode(
-            F.expr(
-                "CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws) - 1), "
-                "i -> struct(element_at(ws, i) AS w2, element_at(ws, i + 1) AS w3)) "
-                "ELSE CAST(array() AS ARRAY<STRUCT<w2:STRING, w3:STRING>>) END"
-            )
-        ).alias("p")
-    ).select("p.w2", "p.w3")
-    c23 = bi_pairs.groupBy("w2", "w3").agg(
-        F.count(F.lit(1)).cast("long").alias("c23")
-    )
-    c2 = c23.groupBy("w2").agg(F.sum("c23").cast("long").alias("c2"))
-    bi = c23.join(dim_broadcast(c2), "w2").select(
-        "w2", "w3",
-        F.expr(f"2 * c23 * CAST({SCALE} AS BIGINT) div (5 * c2)").alias("sc2"),
-    )
-    toks = ref.select(F.explode(F.split(F.col(text_col), " ")).alias("w3"))
-    cu = toks.groupBy("w3").agg(F.count(F.lit(1)).cast("long").alias("cu"))
-    n = cu.agg(F.sum("cu").cast("long").alias("n"))
-    uni = cu.crossJoin(dim_broadcast(n)).select(
-        "w3",
-        F.expr(f"4 * cu * CAST({SCALE} AS BIGINT) div (25 * n)").alias("sc1"),
-    )
-    return tri, bi, uni
+    t = _padded_trigram_rows(ref, [], text_col).localCheckpoint(eager=False)
+    return _trigram_model_from_padded(t)
 
 
 def trigram_fluency(
@@ -435,54 +486,15 @@ def trigram_fluency(
         # fit_backoff_trigram re-tokenized the corpus THREE more times
         # (trigram, bigram, unigram passes) on top of the scoring
         # explode, and executed plans show zero runtime subtree reuse.
-        # ONE padded explode — position i carries (w_i, w_{i+1}|NULL,
-        # w_{i+2}|NULL) — serves all four: trigram counts from rows
-        # with w3 set, bigram counts from rows with w2 set (keyed
-        # (w2, w3) to match the model tables), the vocabulary from w1,
-        # and the scoring rows themselves. NULL-w3 rows are exactly the
-        # non-real tail/sentinel rows of the classic shape.
-        w = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("ws"))
-        t = w.select(
-            F.col(id_col),
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(ws)), i -> struct("
-                    "element_at(ws, i) AS w1, "
-                    "CASE WHEN i + 1 <= size(ws) THEN element_at(ws, i + 1) "
-                    "END AS w2, "
-                    "CASE WHEN i + 2 <= size(ws) THEN element_at(ws, i + 2) "
-                    "END AS w3))"
-                )
-            ).alias("t"),
-        ).select(id_col, "t.w1", "t.w2", "t.w3").localCheckpoint(eager=False)
-        c3 = (
-            t.where(F.col("w3").isNotNull())
-            .groupBy("w1", "w2", "w3")
-            .agg(F.count(F.lit(1)).cast("long").alias("c123"))
+        # ONE padded explode serves all four: the three model orders
+        # and the scoring rows themselves (see _padded_trigram_rows /
+        # _trigram_model_from_padded — shared with the ref-path fit
+        # since r14). NULL-w3 rows are exactly the non-real
+        # tail/sentinel rows of the classic shape.
+        t = _padded_trigram_rows(docs, [id_col], text_col).localCheckpoint(
+            eager=False
         )
-        c12 = c3.groupBy("w1", "w2").agg(F.sum("c123").cast("long").alias("c12"))
-        tri = c3.join(dim_broadcast(c12), ["w1", "w2"]).select(
-            "w1", "w2", "w3",
-            F.expr(f"c123 * CAST({SCALE} AS BIGINT) div c12").alias("sc3"),
-        )
-        c23 = (
-            t.where(F.col("w2").isNotNull())
-            .groupBy(F.col("w1").alias("w2"), F.col("w2").alias("w3"))
-            .agg(F.count(F.lit(1)).cast("long").alias("c23"))
-        )
-        c2 = c23.groupBy("w2").agg(F.sum("c23").cast("long").alias("c2"))
-        bi = c23.join(dim_broadcast(c2), "w2").select(
-            "w2", "w3",
-            F.expr(f"2 * c23 * CAST({SCALE} AS BIGINT) div (5 * c2)").alias("sc2"),
-        )
-        cu = t.groupBy(F.col("w1").alias("w3")).agg(
-            F.count(F.lit(1)).cast("long").alias("cu")
-        )
-        n = cu.agg(F.sum("cu").cast("long").alias("n"))
-        uni = cu.crossJoin(dim_broadcast(n)).select(
-            "w3",
-            F.expr(f"4 * cu * CAST({SCALE} AS BIGINT) div (25 * n)").alias("sc1"),
-        )
+        tri, bi, uni = _trigram_model_from_padded(t)
     j = (
         t.join(dim_broadcast(tri), ["w1", "w2", "w3"], "left")
         .join(dim_broadcast(bi), ["w2", "w3"], "left")

@@ -824,8 +824,11 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm import dsir
 
     d = _docs(spark, sf_dir, parallel=True).select("doc_id", "lang", "text")
-    target = d.where(F.col("lang") == "en")
-    return dsir.dsir_scores(d, target).select(
+    # target_col instead of a target frame (optimization r14): the en
+    # slice is a predicate over the same corpus, so the target
+    # distribution derives from the scoring leg's per-(doc, f)
+    # exchange instead of a second explode+hash pass over the en docs
+    return dsir.dsir_scores(d, target_col=F.col("lang") == "en").select(
         F.col("doc_id").cast("long").alias("doc_id"), "n_feats", "dsir_score"
     )
 

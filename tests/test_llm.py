@@ -636,6 +636,51 @@ def test_bigram_fluency_matches_sequential_reference(spark):
     assert got[3].n_bigrams == 0 and got[3].fluency_score is None
 
 
+def test_fluency_fused_selffit_keeps_null_text_docs(spark):
+    """VERDICT r13 #9 / ADVICE r13: the fused single-explode self-fit
+    must agree with the classic ref= path on corpora containing NULL
+    (and empty) text — the unguarded padded explode DROPPED NULL-text
+    docs (losing their sentinel row) and, for trigrams, let the NULL
+    sentinel into the unigram vocabulary count, shifting every sc1
+    corpus-wide."""
+    from degenter_clickhouse_spark.llm.lm import bigram_fluency, trigram_fluency
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the rug"),
+        (2, None),  # NULL text: must keep its sentinel row
+        (3, ""),    # empty text: one '' token, no bigrams
+        (4, "solo"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for scorer in (bigram_fluency, trigram_fluency):
+        self_fit = {r.doc_id: r.asDict() for r in scorer(docs).collect()}
+        ref_fit = {r.doc_id: r.asDict() for r in scorer(docs, ref=docs).collect()}
+        assert self_fit == ref_fit, scorer.__name__
+        assert set(self_fit) == {0, 1, 2, 3, 4}, scorer.__name__
+
+
+def test_trigram_ref_fit_single_pass_matches(spark):
+    """fit_backoff_trigram's fused single-explode fit (r14) must score
+    identically through trigram_fluency(ref=) vs a model-table fit on
+    the same reference (the persisted-model path is the bit-equality
+    anchor in test_clean.py; this guards the ref= entry)."""
+    from degenter_clickhouse_spark.llm.lm import fit_backoff_trigram, trigram_fluency
+
+    ref = spark.createDataFrame(
+        [(0, "a b c a b d"), (1, "a b c c b a"), (2, None)], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [(10, "a b c"), (11, "d c b"), (12, "xx")], ["doc_id", "text"]
+    )
+    via_ref = {r.doc_id: r.asDict() for r in trigram_fluency(docs, ref=ref).collect()}
+    via_model = {
+        r.doc_id: r.asDict()
+        for r in trigram_fluency(docs, model=fit_backoff_trigram(ref)).collect()
+    }
+    assert via_ref == via_model
+
+
 def test_dsir_prefers_target_like_documents(spark):
     """DSIR semantics: documents drawn from the target distribution
     must outscore out-of-distribution documents; selection is
@@ -669,6 +714,18 @@ def test_dsir_prefers_target_like_documents(spark):
     one = spark.createDataFrame([(7, "en", "word")], ["doc_id", "lang", "text"])
     out = dsir.dsir_scores(raw.unionByName(one), target).where("doc_id = 7").collect()
     assert out[0].n_feats == 0 and out[0].dsir_score is None
+    # target_col= (r14 single-exchange fit) must be BIT-equal to the
+    # two-scan target-frame fit when target is a predicate over raw
+    base = raw.unionByName(one)
+    via_frame = {
+        r.doc_id: (r.n_feats, r.dsir_score)
+        for r in dsir.dsir_scores(base, base.where(base.lang == "en")).collect()
+    }
+    via_col = {
+        r.doc_id: (r.n_feats, r.dsir_score)
+        for r in dsir.dsir_scores(base, target_col=base.lang == "en").collect()
+    }
+    assert via_frame == via_col
 
 
 def test_weighted_sample_biases_toward_heavy_rows(spark):
