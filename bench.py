@@ -172,6 +172,18 @@ SF1_RESERVE_SEC = (
     if os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0"
     else 0.0
 )
+# VERDICT r13 #2b: the driver's r13 run exhausted its budget before the
+# ingest floors ("ingest": {skipped_budget_exhausted}), so streaming
+# throughput went driver-unverified for a whole round. Reserve a slice
+# for ingest too: headline min-of-N degrades to single runs EARLIER
+# (timings get noisier, never warmer), and the declared floors always
+# get their measurement. Priority under pressure is headline (every
+# query >= 1 run) > ingest floors > sf1 scale section.
+INGEST_RESERVE_SEC = (
+    float(os.environ.get("SPARK_GRAFT_BENCH_INGEST_RESERVE_SEC", "90"))
+    if os.environ.get("SPARK_GRAFT_BENCH_INGEST", "1") != "0"
+    else 0.0
+)
 _T0 = time.perf_counter()
 
 
@@ -235,7 +247,8 @@ def main() -> None:
     for name in names:
         # every query gets one run no matter what; the extra min-of
         # runs are the first thing sacrificed under budget pressure
-        runs_now = runs if _remaining_pre_sf1() > 150 else 1
+        # (the ingest reserve comes off first — see INGEST_RESERVE_SEC)
+        runs_now = runs if _remaining_pre_sf1() - INGEST_RESERVE_SEC > 150 else 1
         best = float("inf")
         done = 0
         try:
@@ -274,7 +287,11 @@ def main() -> None:
     # events/s, and streaming-corpus docs/s with exact-only and with
     # online near-dedup. SPARK_GRAFT_BENCH_INGEST=0 skips (fast loop).
     ingest: dict[str, float] = {}
-    if os.environ.get("SPARK_GRAFT_BENCH_INGEST", "1") != "0" and _remaining_pre_sf1() < 100:
+    # the skip guard ignores the sf1 reserve on purpose (r14): when the
+    # budget is tight the DECLARED floors outrank the informational sf1
+    # scale rows — ingest may eat into sf1's slice, and sf1 then
+    # truncates gracefully with its own budget_exhausted marker
+    if os.environ.get("SPARK_GRAFT_BENCH_INGEST", "1") != "0" and _remaining() < 60:
         ingest["skipped_budget_exhausted"] = 1.0
     elif os.environ.get("SPARK_GRAFT_BENCH_INGEST", "1") != "0":
         import shutil
