@@ -114,6 +114,23 @@ def check(df: DataFrame, constraints: list) -> DataFrame:
         ]
         raise TypeError(f"unsupported constraint objects: {bad!r}")
 
+    # Foreign keys fold into the SAME single-scan aggregation as the
+    # predicates (optimization r14): a left join against the DISTINCT
+    # dim keys (multiplicity-preserving, broadcast when small — the
+    # usual dim path via Catalyst's own sizing) tags each row with a
+    # match flag, and both FK metrics become conditional counts. The
+    # previous shape ran TWO extra aggregation jobs per FK (a count of
+    # the non-null values and a count over a semi join), each
+    # re-scanning the fact table: 3 scans and 3 single-partition
+    # funnels for the bench report, now 1 and 1.
+    work = df
+    for i, fk in enumerate(fks):
+        keys = fk.dim.select(F.col(fk.dim_col).alias(f"__fkv{i}")).distinct()
+        flags = keys.withColumn(f"__fkm{i}", F.lit(True))
+        work = work.join(
+            flags, F.col(fk.col) == F.col(f"__fkv{i}"), "left"
+        ).drop(f"__fkv{i}")
+
     aggs = [F.count(F.lit(1)).cast("long").alias("__den")]
     for i, p in enumerate(preds):
         aggs.append(
@@ -130,13 +147,34 @@ def check(df: DataFrame, constraints: list) -> DataFrame:
             .cast("long")
             .alias(f"__u{i}")
         )
-    one = df.agg(*aggs)
+    for i, fk in enumerate(fks):
+        nn = F.col(fk.col).isNotNull()
+        aggs.append(
+            F.coalesce(F.sum(F.when(nn, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(f"__fkd{i}")
+        )
+        aggs.append(
+            # unmatched rows carry a NULL flag -> the when() falls
+            # through to 0, exactly the semi join's exclusion
+            F.coalesce(
+                F.sum(F.when(nn & F.col(f"__fkm{i}"), 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"__fkn{i}")
+        )
+    one = work.agg(*aggs)
 
     rows = []
     for i, p in enumerate(preds):
         rows.append((p.name, F.col(f"__p{i}"), F.col("__den"), p.min_pct))
     for i, u in enumerate(uniqs):
         rows.append((u.name, F.col(f"__u{i}"), F.col("__den"), u.min_pct))
+    for i, fk in enumerate(fks):
+        rows.append(
+            (fk.name, F.col(f"__fkn{i}"), F.col(f"__fkd{i}"), fk.min_pct)
+        )
     structs = [
         F.struct(
             F.lit(name).alias("constraint"),
@@ -146,38 +184,11 @@ def check(df: DataFrame, constraints: list) -> DataFrame:
         )
         for name, num, den, min_pct in rows
     ]
-    report = None
-    if structs:
-        report = one.select(
-            F.explode(F.array(*structs)).alias("r")
-        ).select("r.*")
-
-    for fk in fks:
-        vals = df.select(F.col(fk.col).alias("__v")).filter(
-            F.col("__v").isNotNull()
-        )
-        dim = fk.dim.select(F.col(fk.dim_col).alias("__v"))
-        matched = vals.join(dim, "__v", "left_semi")
-        fk_report = (
-            vals.agg(F.count(F.lit(1)).cast("long").alias("metric_den"))
-            .crossJoin(
-                matched.agg(
-                    F.count(F.lit(1)).cast("long").alias("metric_num")
-                )
-            )
-            .select(
-                F.lit(fk.name).alias("constraint"),
-                "metric_num",
-                "metric_den",
-                (
-                    F.col("metric_num") * 100
-                    >= F.col("metric_den") * F.lit(fk.min_pct)
-                ).alias("passed"),
-            )
-        )
-        report = fk_report if report is None else report.unionByName(fk_report)
-    if report is None:
+    if not structs:
         raise ValueError("no constraints given")
+    report = one.select(
+        F.explode(F.array(*structs)).alias("r")
+    ).select("r.*")
     return report.select(*_REPORT_COLS)
 
 
@@ -247,22 +258,44 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             F.max(s).alias(f"__max_{c}"),
         ]
     base = df.agg(*aggs)
-    modes = []
-    for c in cols:
-        m = (
-            df.filter(F.col(c).isNotNull())
-            .groupBy(F.col(c).cast("string").alias("__v"))
-            .agg(F.count(F.lit(1)).alias("__c"))
-            .agg(
-                F.expr("max_by(__v, struct(__c, __v))").alias("top_val"),
-                F.max(F.struct("__c", "__v")).getField("__c").alias("top_n"),
-            )
-            .select(F.lit(c).alias("column"), "top_val", "top_n")
+    # Modes from ONE melted pass (optimization r14): explode each row
+    # into (column, value) pairs, count per (column, value), take the
+    # per-column (count, value) max. The previous per-column loop ran
+    # a separate scan + aggregation + single-partition funnel PER
+    # COLUMN (5 extra scans and 5 SinglePartition exchanges for the
+    # bench profile). The explode multiplies rows by |cols| but each
+    # pair is two narrow values and the partial aggregation collapses
+    # map-side to per-partition (column, value) cardinality — same
+    # shuffle bytes as the per-column aggs, one stage pipeline. A
+    # column whose values are ALL NULL simply has no melted rows; the
+    # left join below turns that into the same NULL top_val/top_n row
+    # the old global-agg form produced.
+    melted = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column"),
+                            F.col(c).cast("string").alias("__v"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("e")
         )
-        modes.append(m)
-    top = modes[0]
-    for m in modes[1:]:
-        top = top.unionByName(m)
+        .select("e.*")
+        .filter(F.col("__v").isNotNull())
+    )
+    top = (
+        melted.groupBy("column", "__v")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("column")
+        .agg(
+            F.expr("max_by(__v, struct(__c, __v))").alias("top_val"),
+            F.max(F.struct("__c", "__v")).getField("__c").alias("top_n"),
+        )
+    )
     # long form via ONE explode of the single stats row — a per-column
     # union would replan (and re-run) the global aggregate per branch
     entries = F.array(

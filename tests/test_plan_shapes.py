@@ -195,14 +195,15 @@ SCALE_SHAPE_QUERIES = {
     # round-7 additions: PageRank iterations shuffle on the node key
     # only; SNM materializes its global rank from range partitions +
     # offsets (never a global window); interp gap fill stays on the
-    # per-pool window. data_quality_report's three SinglePartition
-    # exchanges are the one-row constraint aggregates (report is
-    # constraint-count-sized by construction).
+    # per-pool window. data_quality_report's one SinglePartition
+    # exchange is the single one-row constraint aggregate — FK metrics
+    # fold into the same scan via a distinct-key left join (r14;
+    # was 3: the FK legs ran two extra aggregation jobs).
     "graph_pagerank": 0,
     "graph_degree_stats": 0,
     "fuzzy_snm_pairs": 0,
     "gap_fill_interp": 0,
-    "data_quality_report": 3,
+    "data_quality_report": 1,
     "value_anomalies": 0,  # rolling window partitioned by user_id
     "kfold_split": 0,  # LSH band join + map-side fold hash
     "budget_mix": 0,  # one per-source window cumsum
@@ -233,9 +234,11 @@ SCALE_SHAPE_QUERIES = {
     "array_functions": 0,  # one groupBy(user) + map-only array folds
     "range_frames": 0,  # one per-user RANGE window, no global sort
     "snapshot_diff": 0,  # one keyed full-outer join, delta-sized output
-    # the 6 one-row aggregates: the single all-columns stats pass +
-    # one bounded (value,count) top-1 per profiled column
-    "column_profile": 6,
+    # the 1 is the single all-columns stats pass; per-column modes
+    # come from one melted (column, value) aggregation that shuffles
+    # on (column, value) then column — no funnel (r14; was 6: one
+    # extra scan + SinglePartition top-1 PER profiled column)
+    "column_profile": 1,
     "seasonal_anomalies": 0,  # cell-key aggs + broadcast baseline joins
     "weighted_median": 0,  # per-type cumulative-weight windows only
 }
